@@ -1,0 +1,79 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query executes end-to-end via the noop sink (full plan execution,
+no driver-collect overhead skewing the numbers).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from wvfoia_sync_spark import registry
+from wvfoia_sync_spark.session import get_spark
+
+HEADLINE = [
+    "pricing_summary",
+    "filter_scan",
+    "home_stats",
+    "nation_stats",
+    "status_timeline",
+    "page_fetch",
+    "top3_per_group",
+    "semi_join",
+    "anti_join",
+    "region_revenue",
+    "fts_search",
+    "fts_index_search",
+    "quality_scores",
+    "exact_dedup",
+    "jaccard_near_dup",
+    "minhash_near_dup",
+    "embedding_topk",
+    "events_hourly",
+    "sessionization",
+    "asof_join",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark("bench")
+    # Warm the JVM/codegen paths outside the timed region.
+    registry.QUERIES["max_key"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.QUERIES[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,100 @@
+"""Local differential harness: run every registry query through Spark AND
+its DuckDB oracle on the same parquet, compare row count / schema / values.
+
+Mimics the driver's CORRECTNESS gate so regressions surface before a round
+ends. Usage:  python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from wvfoia_sync_spark import registry  # noqa: E402
+from wvfoia_sync_spark.session import get_spark  # noqa: E402
+from wvfoia_sync_spark.sources.tables import TABLE_NAMES  # noqa: E402
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Order-insensitive canonical form: sort columns by name, round floats,
+    sort rows, stringify."""
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: str(v) if v is not None else "<NULL>")
+    df = df.astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    spark = get_spark("oracle-check")
+    failures, passes = [], []
+    for name, fn in registry.QUERIES.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            spark_df = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            failures.append((name, f"SPARK ERROR: {e}"))
+            print(f"FAIL {name}: spark error: {str(e)[:500]}")
+            continue
+        sql = registry.ORACLE.get(name)
+        if sql is None:
+            print(f"ok   {name}: rows={len(spark_df)} (no oracle, rows-only) "
+                  f"[{time.time()-t0:.1f}s]")
+            if len(spark_df) == 0 and name not in ("embedding_lsh_topk",):
+                print(f"     WARN {name}: 0 rows from a rows-only query")
+            passes.append(name)
+            continue
+        try:
+            duck_df = con.execute(sql).df()
+        except Exception as e:
+            failures.append((name, f"DUCKDB ERROR: {e}"))
+            print(f"FAIL {name}: duckdb error: {str(e)[:500]}")
+            continue
+        problems = []
+        if len(spark_df) != len(duck_df):
+            problems.append(f"rowcount {len(spark_df)} vs {len(duck_df)}")
+        if sorted(spark_df.columns) != sorted(duck_df.columns):
+            problems.append(
+                f"columns {sorted(spark_df.columns)} vs {sorted(duck_df.columns)}"
+            )
+        if not problems:
+            a, b = canon(spark_df), canon(duck_df)
+            if not a.equals(b):
+                diff_mask = (a != b).any(axis=1)
+                sample = pd.concat(
+                    [a[diff_mask].head(3), b[diff_mask].head(3)]
+                ).to_string()
+                problems.append(f"values differ on {int(diff_mask.sum())} rows:\n{sample}")
+        if problems:
+            failures.append((name, "; ".join(problems)))
+            print(f"FAIL {name}: {problems[0][:800]} [{time.time()-t0:.1f}s]")
+        else:
+            passes.append(name)
+            print(f"PASS {name}: rows={len(spark_df)} [{time.time()-t0:.1f}s]")
+
+    print(f"\n{len(passes)} passed, {len(failures)} failed")
+    for name, why in failures:
+        print(f"  FAIL {name}: {why[:1000]}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

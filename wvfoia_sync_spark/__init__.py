@@ -1,0 +1,18 @@
+"""wvfoia_sync_spark — a PySpark-native analytics engine.
+
+A from-scratch, Spark-first engine with the query and data-processing
+capabilities of the reference app AustinDizzy/wvfoia-sync (a Cloudflare
+Worker + SQLite FOIA-registry mirror), re-expressed as DataFrame/SQL
+pipelines designed for 100 TB scale:
+
+- ``sources``   — parquet/JSON readers, mock ingest source, upsert & export sinks
+- ``functions`` — the scalar-function library (normalization, text, vectors)
+- ``operators`` — search/filter/sort/paginate, aggregations, timelines, FTS,
+                  dedup, similarity search, text analysis, multimodal plumbing
+- ``plans``     — the medallion (bronze → silver → gold) pipeline
+- ``streaming`` — incremental sync frontier + structured-streaming jobs
+
+See SURVEY.md for the reference analysis that drives the operator inventory.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,3 @@
+from . import normalize, text, vectors
+
+__all__ = ["normalize", "text", "vectors"]

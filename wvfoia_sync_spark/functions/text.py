@@ -1,0 +1,142 @@
+"""Text expression library: tokenization, FTS matching, quality metrics,
+fingerprinting, language-ID heuristics.
+
+Everything here is a *Column expression builder* — pure JVM-side
+``pyspark.sql.functions`` compositions that stay inside WholeStageCodegen.
+No Python UDFs in the hot path (critical at 100 TB: a row-at-a-time UDF on
+a document corpus is a 10-100x slowdown vs codegen).
+
+Reference semantics mirrored (see SURVEY.md §2.8):
+- tokenizer ≈ FTS5 ``unicode61`` (split on non-alphanumeric, lowercase)
+  — reference: migrations/0002_fts.sql:12
+- FTS query ≈ ``buildFtsQuery`` (AND of prefix terms)
+  — reference: src/lib/db/entries.ts:12-26
+- fingerprint ≈ cleanText + stable hash — reference: src/lib/sync.ts:78-81
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+# Small deterministic stopword list shared with the DuckDB oracle
+# (keep sorted; any change must be mirrored in registry oracle SQL).
+STOPWORDS = (
+    "a", "an", "and", "are", "as", "at", "be", "by", "for", "from",
+    "in", "is", "it", "of", "on", "or", "that", "the", "to", "with",
+)
+
+TOKEN_SPLIT_RE = r"[^a-z0-9]+"
+
+
+def tokens(col: Column | str) -> Column:
+    """Lowercase alnum tokens (FTS5-unicode61-style, ASCII fold only)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array_remove(F.split(F.lower(c), TOKEN_SPLIT_RE), "")
+
+
+def parse_fts_query(q: str) -> list[str]:
+    """Query-side tokenizer: lowercase, strip non-alnum per term, drop empties.
+
+    Mirrors buildFtsQuery (reference src/lib/db/entries.ts:12-20); the
+    implicit trailing ``*`` makes every term a prefix match.
+    """
+    terms = [re.sub(r"[^a-z0-9]+", "", t.lower()) for t in q.split()]
+    return [t for t in terms if t]
+
+
+def fts_match(token_col: Column, query: str) -> Column:
+    """AND-of-prefix-terms predicate over a token array column.
+
+    ``exists(tokens, t -> startswith(t, term))`` for every term. At 100 TB
+    scale use operators.fts.build_inverted_index + a semi-join instead of
+    scanning every document's token array.
+    """
+    terms = parse_fts_query(query)
+    if not terms:
+        return F.lit(True)
+
+    def prefix_pred(term: str):
+        # NB: must return a unary lambda — default-arg captures change the
+        # arity PySpark infers for higher-order-function callbacks.
+        return lambda t: t.startswith(term)
+
+    pred = F.lit(True)
+    for term in terms:
+        pred = pred & F.exists(token_col, prefix_pred(term))
+    return pred
+
+
+def normalized_text(col: Column | str) -> Column:
+    """cleanText semantics: collapse whitespace runs, trim, lowercase."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Deterministic document fingerprint: sha256 hex of normalized text."""
+    return F.sha2(normalized_text(col), 256)
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def _count_in(token_col: Column, vocab: tuple[str, ...]) -> Column:
+    """Count of tokens that are members of ``vocab`` (duplicates counted)."""
+    return F.size(F.filter(token_col, lambda t: t.isin(*vocab)))
+
+
+def quality_metrics(text_col: Column | str) -> dict[str, Column]:
+    """Deterministic quality features (all exact int ratios -> IEEE doubles).
+
+    n_tokens, n_chars, alpha_chars, stopword hits, and derived ratios.
+    Ratios are CAST(int AS DOUBLE)/int — bit-identical across engines.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = tokens(c)
+    n_tokens = F.size(toks)
+    n_chars = F.length(c)
+    alpha_chars = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    stop_hits = _count_in(toks, STOPWORDS)
+    token_chars = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return {
+        "n_tokens": n_tokens.cast("long"),
+        "n_chars": n_chars.cast("long"),
+        "alpha_ratio": F.when(
+            n_chars > 0, alpha_chars.cast("double") / n_chars.cast("double")
+        ).otherwise(F.lit(0.0)),
+        "stopword_ratio": F.when(
+            n_tokens > 0, stop_hits.cast("double") / n_tokens.cast("double")
+        ).otherwise(F.lit(0.0)),
+        "avg_token_len": F.when(
+            n_tokens > 0, token_chars.cast("double") / n_tokens.cast("double")
+        ).otherwise(F.lit(0.0)),
+    }
+
+
+# Marker words per language for the n-gram/stopword language-ID heuristic.
+# Deterministic and oracle-mirrorable; a real deployment would swap in a
+# fastText/CLD3 Pandas UDF behind the same column contract.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "es": ("el", "la", "de", "que", "es"),
+    "fr": ("le", "la", "de", "et", "est"),
+    "de": ("der", "die", "das", "und", "ist"),
+}
+
+
+def lang_id(text_col: Column | str) -> Column:
+    """Heuristic language guess: most marker hits wins, ties broken by
+    alphabetical language code, zero hits -> 'unknown'. Mirrored exactly
+    in the registry's oracle SQL (same CASE order)."""
+    toks = tokens(text_col)
+    langs = sorted(LANG_MARKERS)
+    scores = [(lang, _count_in(toks, LANG_MARKERS[lang])) for lang in langs]
+    best_score = F.greatest(*[s for _, s in scores])
+    expr = None
+    for lang, s in scores:  # alphabetical: first lang hitting the max wins
+        expr = (F.when if expr is None else expr.when)(s == best_score, F.lit(lang))
+    return F.when(best_score > 0, expr).otherwise(F.lit("unknown"))

@@ -1,0 +1,43 @@
+"""Vector expression library for embedding columns (array<float>).
+
+Pure Catalyst expressions (zip_with / aggregate fold) — no UDFs, so the
+dot products run inside codegen on the JVM. Accumulation is left-to-right
+in index order, which keeps results deterministic across partitionings
+(the fold happens per-row, never across rows).
+
+At 100 TB these expressions back both the brute-force top-k baseline and
+the LSH/IVF bucketed variants in operators.similarity.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+
+def _as_double_array(col: Column) -> Column:
+    return col.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Index-ordered fold: sum_i a[i]*b[i] in double precision."""
+    prods = F.zip_with(_as_double_array(a), _as_double_array(b), lambda x, y: x * y)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity; null-safe on zero-norm vectors."""
+    d = dot(a, b)
+    na, nb = norm(a), norm(b)
+    return F.when((na > 0) & (nb > 0), d / (na * nb))
+
+
+def lit_vector(values: Sequence[float]) -> Column:
+    """A literal query vector as an array<double> column."""
+    return F.array(*[F.lit(float(v)) for v in values])

@@ -1,0 +1,3 @@
+from . import dedup, fts, relational, similarity, textops, timeline
+
+__all__ = ["dedup", "fts", "relational", "similarity", "textops", "timeline"]

@@ -1,0 +1,248 @@
+"""Deduplication operators: exact, token-set Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup (LLM-training-pipeline surface).
+
+Physical strategy per scale:
+- exact: hash-groupBy on a sha256 fingerprint — one shuffle on a
+  uniformly-distributed key (no skew by construction).
+- pairwise Jaccard: only ever *within a bucket* (source, LSH band, ...).
+  Unbucketed O(n^2) never runs at scale; the bucketed form is a self-join
+  on the bucket key, so each task handles one bucket's pair block.
+- MinHash+LSH: signature -> bands -> bucket self-join -> exact-Jaccard
+  verify. The band join shuffles only (band, hash) pairs (~k rows per doc),
+  not the corpus; candidate verification touches candidate pairs only.
+- SimHash: one 32-bit signature per doc; near-dups collide on signature
+  (optionally with rotations for Hamming-distance tolerance).
+
+Arithmetic is kept inside [0, 2^31) with pmod so it is safe under Spark 4's
+default ANSI mode (no silent 64-bit wraparound, no overflow errors).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from ..functions.text import fingerprint, tokens
+
+MERSENNE31 = 2147483647  # 2^31 - 1, prime
+
+
+def with_fingerprint(df: DataFrame, text_col: str, out_col: str = "fingerprint") -> DataFrame:
+    return df.withColumn(out_col, fingerprint(text_col))
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Fingerprint groups with >1 member: (fingerprint, dup_count, keep_id).
+    keep_id = min id (deterministic survivor)."""
+    return (
+        with_fingerprint(df, text_col)
+        .groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("dup_count"),
+            F.min(id_col).cast("long").alias("keep_id"),
+        )
+        .where(F.col("dup_count") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the min-id row per fingerprint (drop exact duplicates)."""
+    fp = with_fingerprint(df, text_col)
+    keep = fp.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+    return fp.join(keep, ["fingerprint", id_col], "left_semi").drop("fingerprint")
+
+
+# ------------------------------------------------------- token Jaccard ---
+
+
+def _token_sets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array_sort(F.array_distinct(tokens(text_col))).alias("toks"),
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bucket_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact token-set Jaccard over pairs *within a bucket* (a < b).
+
+    Jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|) — integer counts, so the
+    double division is bit-deterministic (oracle-safe)."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(bucket_col).alias("bucket"),
+        F.array_distinct(tokens(text_col)).alias("toks"),
+    )
+    a = base.select(
+        F.col("id").alias("id_a"), F.col("bucket"), F.col("toks").alias("toks_a")
+    )
+    b = base.select(
+        F.col("id").alias("id_b"), F.col("bucket"), F.col("toks").alias("toks_b")
+    )
+    inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
+    union = F.size("toks_a") + F.size("toks_b") - inter
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .where((F.col("jaccard") >= F.lit(threshold)) & (union > 0))
+    )
+
+
+# ------------------------------------------------------------- MinHash ---
+
+
+def _minhash_permutations(k: int, seed: int = 7) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for h_i(x) = (a*x + b) mod 2^31-1."""
+    rng_state = seed
+    out = []
+    for _ in range(k):
+        # xorshift-ish deterministic stream, no external RNG dependency
+        rng_state = (rng_state * 1103515245 + 12345) % (1 << 31)
+        a = 1 + (rng_state % (MERSENNE31 - 1))
+        rng_state = (rng_state * 1103515245 + 12345) % (1 << 31)
+        b = rng_state % MERSENNE31
+        out.append((a, b))
+    return out
+
+
+def _shingles(text_col: str, n: int) -> Column:
+    """Word n-gram shingles (distinct), built with transform+slice —
+    codegen-only, no UDF."""
+    toks = tokens(text_col)
+    if n <= 1:
+        return F.array_distinct(toks)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """(id, sig: array<int>) MinHash signatures over word shingles.
+
+    Base hash = pmod(xxhash64(shingle), 2^31-1); each permutation stays in
+    [0, 2^31), so products fit in a long without ANSI overflow."""
+    sh = _shingles(text_col, shingle_size)
+    base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE31)))
+
+    def perm(a: int, b: int):
+        # unary closure (default-arg captures would change inferred arity)
+        return lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(MERSENNE31))
+
+    sig_cols = []
+    for a, b in _minhash_permutations(num_hashes):
+        sig_cols.append(F.array_min(F.transform(base, perm(a, b))))
+    return df.select(
+        F.col(id_col).alias("id"), F.array(*sig_cols).alias("sig")
+    ).where(F.size(sh) > 0)
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame, bands: int = 16
+) -> DataFrame:
+    """Band the signatures and self-join on (band, band_hash): docs sharing
+    any band are candidate pairs. Shuffle volume = bands rows/doc."""
+    num_hashes = bands  # rows per band derived below
+    sig_size_col = F.size("sig")
+    banded = signatures.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda band: F.struct(
+                    band.alias("band"),
+                    F.xxhash64(
+                        F.slice(
+                            F.col("sig"),
+                            band * (sig_size_col / bands).cast("int") + 1,
+                            (sig_size_col / bands).cast("int"),
+                        ).cast("string")
+                    ).alias("bhash"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bhash")
+    a = banded.select(F.col("id").alias("id_a"), "band", "bhash")
+    b = banded.select(F.col("id").alias("id_b"), "band", "bhash")
+    return (
+        a.join(b, ["band", "bhash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: sign -> band -> candidates ->
+    exact shingle-Jaccard verify at ``threshold``."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_size)
+    cands = minhash_lsh_candidates(sigs, bands)
+    sh = df.select(
+        F.col(id_col).alias("id"), _shingles(text_col, shingle_size).alias("sh")
+    )
+    pairs = (
+        cands.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter.cast("double") / union.cast("double")
+    return pairs.select("id_a", "id_b", jac.alias("jaccard")).where(
+        F.col("jaccard") >= threshold
+    )
+
+
+# ------------------------------------------------------------- SimHash ---
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """(id, simhash) 32-bit SimHash over tokens: bit j is the sign of
+    sum_t (+1 if bit j of hash(t) else -1)."""
+    toks = F.array_distinct(tokens(text_col))
+    h = F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(1 << bits)))
+
+    def vote_fn(j: int):
+        # binary closure (default-arg captures would change inferred arity)
+        return lambda acc, x: acc + F.when(
+            F.shiftright(x, j).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bit_cols = []
+    for j in range(bits):
+        vote = F.aggregate(h, F.lit(0), vote_fn(j))
+        bit_cols.append(F.when(vote > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    sig = bit_cols[0]
+    for c in bit_cols[1:]:
+        sig = sig + c
+    return df.select(F.col(id_col).alias("id"), sig.cast("long").alias("simhash"))
+
+
+def simhash_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Docs colliding on the full SimHash signature (Hamming distance 0)."""
+    sigs = simhash(df, id_col, text_col)
+    return (
+        sigs.groupBy("simhash")
+        .agg(F.count("*").alias("dup_count"), F.min("id").alias("keep_id"))
+        .where(F.col("dup_count") > 1)
+    )

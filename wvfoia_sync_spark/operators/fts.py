@@ -1,0 +1,72 @@
+"""Full-text search operators (SURVEY §2.2 F5, §2.8 U23/U24).
+
+Two physical strategies behind one semantic (AND of prefix terms over
+FTS5-style tokens — reference entries.ts:12-26, 0002_fts.sql):
+
+1. ``search_scan``  — token-array predicate evaluated in codegen during the
+   scan. Right at small scale or highly selective non-text filters (the
+   predicate costs O(tokens x terms) per row but reads no second table).
+2. ``build_inverted_index`` + ``search_index`` — exploded (token, id)
+   posting-list table, bucketed by token; a query becomes per-term
+   semi-joins intersected. Right at 100 TB: each term touches only its
+   posting partitions instead of every document.
+
+The index is derived state, rebuilt in the same job that writes documents
+(the reference keeps FTS in sync with triggers, 0002_fts.sql:17-32 — no
+triggers in Spark, so deterministic rebuild instead, SURVEY §4).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..functions.text import fts_match, parse_fts_query, tokens
+
+
+def with_tokens(df: DataFrame, text_cols: list[str], out_col: str = "search_tokens") -> DataFrame:
+    """Derive a deduped token array over the searchable columns (the
+    reference indexes 8 text columns into one FTS table)."""
+    concatenated = F.concat_ws(" ", *[F.coalesce(F.col(c), F.lit("")) for c in text_cols])
+    return df.withColumn(out_col, F.array_distinct(tokens(concatenated)))
+
+
+def search_scan(df: DataFrame, text_cols: list[str], query: str) -> DataFrame:
+    """Strategy 1: predicate scan over derived token arrays."""
+    tok = with_tokens(df, text_cols, "_fts_tokens")
+    return tok.where(fts_match(F.col("_fts_tokens"), query)).drop("_fts_tokens")
+
+
+def build_inverted_index(
+    df: DataFrame, id_col: str, text_cols: list[str], num_buckets: int = 0
+) -> DataFrame:
+    """Strategy 2 build: posting list (token, id), one row per distinct
+    token per document. At scale, write this ``.bucketBy(N, "token")`` so
+    query-time semi-joins avoid shuffling the postings."""
+    tok = with_tokens(df, text_cols, "_fts_tokens")
+    postings = tok.select(
+        F.col(id_col).alias("id"), F.explode("_fts_tokens").alias("token")
+    ).distinct()
+    return postings
+
+
+def matching_ids(index: DataFrame, query: str) -> DataFrame:
+    """Ids matching every prefix term (AND-intersection of posting scans)."""
+    terms = parse_fts_query(query)
+    if not terms:
+        return index.select("id").distinct()
+    per_term = [
+        index.where(F.col("token").startswith(t)).select("id").distinct() for t in terms
+    ]
+    return reduce(lambda a, b: a.join(b, "id", "left_semi"), per_term)
+
+
+def search_index(
+    df: DataFrame, index: DataFrame, id_col: str, query: str
+) -> DataFrame:
+    """Strategy 2 query: semi-join the fact table against matching ids
+    (the reference's ``id IN (SELECT rowid FROM entries_fts ...)``)."""
+    ids = matching_ids(index, query)
+    return df.join(ids.withColumnRenamed("id", id_col), id_col, "left_semi")

@@ -1,0 +1,100 @@
+"""Generic relational operators: deterministic pagination, latest-snapshot,
+corrections overlay (patch join).
+
+Scale notes:
+- Pagination uses a global row_number window (single total order). For
+  page-N-of-user-facing-search this is the correct semantic (the reference
+  clamps to totalPages, entries.ts:100-116); the sort spills via Spark's
+  external sort and AQE coalesces post-shuffle partitions. For *deep* bulk
+  export pagination prefer keyset (WHERE sort_key > last_seen) which we
+  expose as ``keyset_page``.
+- ``apply_patches`` broadcast-joins a tiny patch dimension (the reference's
+  corrections.json has ~24 rows) — never a shuffle.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def clamp_page(total_rows: int, page: int, page_size: int) -> tuple[int, int]:
+    """Reference paging clamp (entries.ts:106-108): totalPages floors at 1,
+    requested page clamps into [1, totalPages]."""
+    total_pages = max(1, math.ceil(total_rows / page_size))
+    return max(1, min(page, total_pages)), total_pages
+
+
+def paginate(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    page: int,
+    page_size: int,
+) -> DataFrame:
+    """One page under a deterministic total order (caller must include a
+    unique tiebreaker column, SURVEY §7). Emits ``_rn`` for debugging."""
+    w = Window.orderBy(*order_by)
+    lo = (page - 1) * page_size
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where((F.col("_rn") > lo) & (F.col("_rn") <= lo + page_size))
+        .drop("_rn")
+    )
+
+
+def keyset_page(
+    df: DataFrame,
+    key_col: str,
+    after: int | None,
+    page_size: int,
+    descending: bool = True,
+) -> DataFrame:
+    """Keyset pagination for deep scans: no global sort of the full table,
+    just a pushed-down range predicate + local top-k."""
+    c = F.col(key_col)
+    if after is not None:
+        df = df.where(c < after if descending else c > after)
+    return df.orderBy(c.desc() if descending else c.asc()).limit(page_size)
+
+
+def latest_snapshot(df: DataFrame, date_col: str, tiebreak_col: str) -> DataFrame:
+    """All rows sharing the max non-null date value, ordered by tiebreak
+    desc (reference latestEntriesByLastReportedDate, entries.ts:152-178).
+
+    Implemented as rank-over-empty-partition = 1; Spark computes this with
+    a single shuffle-free window after AQE (vs. two scans for max+filter).
+    """
+    c = F.col(date_col)
+    w = Window.orderBy(c.desc())
+    return (
+        df.where(c.isNotNull() & (c.cast("string") != ""))
+        .withColumn("_rk", F.rank().over(w))
+        .where(F.col("_rk") == 1)
+        .drop("_rk")
+        .orderBy(F.col(tiebreak_col).desc())
+    )
+
+
+def apply_patches(
+    df: DataFrame,
+    patches: DataFrame,
+    key: str,
+    patch_cols: Sequence[str],
+) -> DataFrame:
+    """Corrections overlay (reference correctedDateExpr/applyCorrections,
+    shared.ts:55-66, corrections.ts:70-88): broadcast-left-join the patch
+    dimension and coalesce patched columns over originals.
+
+    The reference re-applies patches per read; this engine materializes
+    the result once per sync into the silver table (SURVEY §7)."""
+    renamed = patches.select(
+        F.col(key).alias("_patch_key"),
+        *[F.col(c).alias(f"_patch_{c}") for c in patch_cols],
+    )
+    out = df.join(F.broadcast(renamed), df[key] == F.col("_patch_key"), "left")
+    for c in patch_cols:
+        out = out.withColumn(c, F.coalesce(F.col(f"_patch_{c}"), F.col(c)))
+    return out.drop("_patch_key", *[f"_patch_{c}" for c in patch_cols])

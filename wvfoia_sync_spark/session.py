@@ -1,0 +1,65 @@
+"""SparkSession construction and runtime configuration.
+
+Two concerns:
+
+1. ``get_spark`` builds a local session with scale-appropriate defaults
+   (AQE on, sensible shuffle partitioning) for tests/bench.
+2. ``configure_session`` applies the *runtime-settable* confs this engine
+   needs on any externally-provided session (the verify driver builds its
+   own SparkSession, so everything here must be ``spark.conf.set``-able,
+   not builder-only).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable SQL confs the engine depends on.
+_RUNTIME_CONFS = {
+    # testdata events.parquet stores TIMESTAMP(NANOS) which Spark's reader
+    # rejects; read as long and convert (see sources.tables.load_table).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Deterministic wall-clock semantics for the oracle comparison.
+    "spark.sql.session.timeZone": "UTC",
+    # Runtime re-planning: coalesce tiny shuffle partitions, handle skew.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def configure_session(spark: SparkSession) -> SparkSession:
+    """Apply required runtime confs to an existing session (idempotent)."""
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Conf not settable on this build — engine degrades gracefully
+            # (only the events nanos reader strictly requires its conf).
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "wvfoia-sync-spark", cpus: int | None = None) -> SparkSession:
+    """Build (or fetch) a local session tuned for this machine.
+
+    ``SPARK_GRAFT_CPUS`` overrides parallelism (driver contract); shuffle
+    partitions match core count — at cluster scale you would size these to
+    data volume instead (see docs in plans.medallion).
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 4)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 4)))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    )
+    for k, v in _RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    return configure_session(spark)

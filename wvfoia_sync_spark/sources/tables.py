@@ -1,0 +1,59 @@
+"""Parquet table readers for the driver's synthetic star schema.
+
+Scale notes (100 TB design):
+- ``spark.read.parquet`` with declarative filters/selects downstream gives
+  Catalyst predicate pushdown + column pruning for free; never pre-collect.
+- ``events.ts`` is stored as parquet TIMESTAMP(NANOS) which Spark's
+  vectorized reader rejects outright; we read it under
+  ``spark.sql.legacy.parquet.nanosAsLong`` and convert to a microsecond
+  timestamp with a codegen-friendly expression (no UDF). At cluster scale
+  the conversion stays inside WholeStageCodegen and costs ~nothing.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..session import configure_session
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic table, normalizing awkward physical types."""
+    configure_session(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # nanos (long under legacy conf) -> microsecond timestamp.
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+            )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str, prefix: str = "") -> None:
+    """Register every table as a temp view for spark.sql() use."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(prefix + name)
