@@ -131,22 +131,37 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_size: int = 3,
 ) -> DataFrame:
-    """(id, sig: array<int>) MinHash signatures over word shingles.
+    """(id, sig: array<long>) MinHash signatures over word shingles.
 
     Base hash = pmod(xxhash64(shingle), 2^31-1); each permutation stays in
-    [0, 2^31), so products fit in a long without ANSI overflow."""
+    [0, 2^31), so products fit in a long without ANSI overflow.
+
+    Physical form matters: ONE aggregate fold carrying an array<long>
+    accumulator (sig[i] = running min of perm_i over shingles). The naive
+    alternative — num_hashes separate array_min(transform(...)) columns —
+    makes Catalyst inline the shingle pipeline into every column
+    (higher-order fns don't share subexpressions), exploding both optimize
+    time and per-row work ~num_hashes-fold."""
     sh = _shingles(text_col, shingle_size)
     base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE31)))
-
-    def perm(a: int, b: int):
-        # unary closure (default-arg captures would change inferred arity)
-        return lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(MERSENNE31))
-
-    sig_cols = []
-    for a, b in _minhash_permutations(num_hashes):
-        sig_cols.append(F.array_min(F.transform(base, perm(a, b))))
+    params = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in _minhash_permutations(num_hashes)
+        ]
+    )
+    init = F.array_repeat(F.lit(MERSENNE31).cast("long"), num_hashes)
+    sig = F.aggregate(
+        base,
+        init,
+        lambda acc, x: F.zip_with(
+            acc,
+            params,
+            lambda m, p: F.least(m, F.pmod(p["a"] * x + p["b"], F.lit(MERSENNE31))),
+        ),
+    )
     return df.select(
-        F.col(id_col).alias("id"), F.array(*sig_cols).alias("sig")
+        F.col(id_col).alias("id"), sig.alias("sig")
     ).where(F.size(sh) > 0)
 
 
@@ -218,24 +233,33 @@ def minhash_dedup_pairs(
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
     """(id, simhash) 32-bit SimHash over tokens: bit j is the sign of
-    sum_t (+1 if bit j of hash(t) else -1)."""
+    sum_t (+1 if bit j of hash(t) else -1).
+
+    Same single-fold physical form as minhash_signatures: one aggregate
+    carrying an array<int> of per-bit votes (bits separate folds would
+    re-evaluate the token hash pipeline per bit)."""
     toks = F.array_distinct(tokens(text_col))
     h = F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(1 << bits)))
-
-    def vote_fn(j: int):
-        # binary closure (default-arg captures would change inferred arity)
-        return lambda acc, x: acc + F.when(
-            F.shiftright(x, j).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
-
-    bit_cols = []
-    for j in range(bits):
-        vote = F.aggregate(h, F.lit(0), vote_fn(j))
-        bit_cols.append(F.when(vote > 0, F.lit(1 << j)).otherwise(F.lit(0)))
-    sig = bit_cols[0]
-    for c in bit_cols[1:]:
-        sig = sig + c
-    return df.select(F.col(id_col).alias("id"), sig.cast("long").alias("simhash"))
+    masks = F.array(*[F.lit(1 << j).cast("long") for j in range(bits)])
+    votes = F.aggregate(
+        h,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, x: F.zip_with(
+            acc,
+            masks,
+            lambda v, m: v + F.when(x.bitwiseAND(m) != 0, 1).otherwise(-1),
+        ),
+    )
+    sig = F.aggregate(
+        F.zip_with(
+            votes,
+            masks,
+            lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc + b,
+    )
+    return df.select(F.col(id_col).alias("id"), sig.alias("simhash"))
 
 
 def simhash_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
