@@ -1,0 +1,116 @@
+"""Unit tests for the normalization function library (SURVEY §2.8 U1-U18)
+against the reference's catalogued dirty-data cases (FIXTURES.md)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from wvfoia_sync_spark.functions import normalize as N
+from wvfoia_sync_spark.foia import serve
+
+
+@pytest.fixture(scope="module")
+def one(spark):
+    def run(col):
+        return spark.range(1).select(col.alias("v")).first()["v"]
+
+    return run
+
+
+def test_normalize_date_formats(spark):
+    rows = (
+        spark.createDataFrame(
+            [("3/5/2024",), ("12/31/2025",), ("2024-03-05",), ("garbage",), (None,), ("",)],
+            ["d"],
+        )
+        .select(N.normalize_date("d").cast("string").alias("v"))
+        .collect()
+    )
+    assert [r["v"] for r in rows] == [
+        "2024-03-05", "2025-12-31", "2024-03-05", None, None, None,
+    ]
+
+
+def test_slugify(one):
+    assert one(N.slugify_col(F.lit("WV Division of Highways"))) == "wv-division-of-highways"
+    assert one(N.slugify_col(F.lit("A + B / C"))) == "a-b-c"
+    assert one(N.slugify_col(F.lit("--Weird--  Name--"))) == "weird-name"
+
+
+def test_parse_fee(one):
+    assert one(N.parse_fee(F.lit("$1,234.56")).cast("string")) == "1234.56"
+    assert one(N.parse_fee(F.lit("25")).cast("string")) == "25.00"
+    assert one(N.parse_fee(F.lit("no charge"))) is None
+    assert one(N.parse_fee(F.lit(None).cast("string"))) is None
+
+
+def test_resolution_bucket(one):
+    assert one(N.resolution_bucket(F.lit("  Granted "))) == "granted"
+    assert one(N.resolution_bucket(F.lit("granted IN PART"))) == "granted_in_part"
+    assert one(N.resolution_bucket(F.lit("Withdrawn"))) == "other"
+    assert one(N.resolution_bucket(F.lit(None).cast("string"))) == "other"
+
+
+def test_diff_days_guards(spark):
+    df = spark.createDataFrame(
+        [("2024-01-01", "2024-01-11"), ("2024-01-01", "2099-01-01"), (None, "2024-01-01")],
+        ["a", "b"],
+    ).select(
+        N.diff_days(F.col("a").cast("date"), F.col("b").cast("date")).alias("v")
+    )
+    assert [r["v"] for r in df.collect()] == [10, None, None]
+
+
+def test_titlify_rules():
+    assert N.titlify("WVSOS") == "WVSOS"  # single word -> ALL CAPS
+    assert N.titlify("department of health") == "Department of Health"
+    assert N.titlify("sheriff's office for the county") == "Sheriff's Office for the County"
+    assert N.titlify(None) is None
+
+
+def test_normalize_agency_name_typos_and_aliases():
+    amap = {"dep": "Department of Environmental Protection"}
+    assert (
+        N.normalize_agency_name("Departmint of Environmental Protection")
+        == "Department of Environmental Protection"
+    )
+    # 'Departmemt' does NOT match /Departm[ei]n?t/ — the reference fixes it
+    # via the alias map, not the regex (corrections.ts:45)
+    assert N.normalize_agency_name("Departmemt of Health") == "Departmemt of Health"
+    assert N.normalize_agency_name(
+        "Departmemt of Health", {"departmemtofhealth": "Department of Health"}
+    ) == "Department of Health"
+    assert N.normalize_agency_name("Departmet of Arts") == "Department of Arts"
+    assert N.normalize_agency_name("Tcity Council") == "City Council"
+    assert N.normalize_agency_name("DEP", amap) == "Department of Environmental Protection"
+    assert N.normalize_agency_name("mcdowell county sheriff''s office") == (
+        "McDowell County Sheriff's Office"
+    )
+    assert N.normalize_agency_name("wv division of highways") == "WV Division of Highways"
+
+
+def test_serve_helpers():
+    assert serve.diff_human(0) == "same day"
+    assert serve.diff_human(400) == "1 year, 1 month, 5 days"
+    assert serve.diff_human(None) == "--"
+    assert serve.format_currency("$25.00") == "$25"
+    assert serve.format_currency("25.50") == "$25.50"
+    assert serve.format_currency("0") == "--"
+    assert serve.format_currency("no charge") == "--"
+    assert serve.fmt_number(1234567.4) == "1,234,567"
+    assert serve.build_page_numbers(1, 5) == [1, 2, 3, 4, 5]
+    assert serve.build_page_numbers(5, 20) == [1, None, 4, 5, 6, None, 20]
+    assert serve.build_page_numbers(19, 20) == [1, None, 16, 17, 18, 19, 20]
+    assert serve.href("/entries", search="a b", page=2, empty=None) == (
+        "/entries?search=a+b&page=2"
+    )
+
+
+def test_parse_options_roundtrip():
+    opts = serve.parse_entry_search_options(
+        {"search": "  budget ", "resolution": ["Granted", " "], "sort": "bogus"}
+    )
+    assert opts.search == "budget"
+    assert opts.resolution == ("Granted",)
+    assert opts.sort == "newest_entry"
+    assert serve.parse_cursor({"page": "-3"}).page == 1
+    assert serve.parse_cursor({"page": "oops"}).page == 1

@@ -1,0 +1,87 @@
+"""RSS document bytes (S11/U21/U22) and export artifacts (S8/S9/ST5)."""
+
+import datetime as dt
+import os
+import sqlite3
+
+from wvfoia_sync_spark.foia import export, queries, rss
+
+
+def test_rss_escaping_and_dates():
+    item = rss.RssItem(
+        title='A & B <Dept> "quoted"',
+        link="https://x.org/entries/1?a=1&b=2",
+        guid="wvfoia-1",
+        description="café's records",
+        pub_date=rss.parse_feed_date("2026-03-05"),
+    )
+    doc = rss.build_rss_document(
+        rss.RssChannel(title="T&T", link="https://x.org", description="d", items=[item])
+    )
+    assert "A &amp; B &lt;Dept&gt; &quot;quoted&quot;" in doc
+    assert "a=1&amp;b=2" in doc
+    assert "café&apos;s records" in doc
+    assert "<pubDate>Thu, 05 Mar 2026 12:00:00 GMT</pubDate>" in doc  # UTC noon
+    assert doc.startswith('<?xml version="1.0" encoding="UTF-8"?>')
+
+
+def test_parse_feed_date_fallbacks():
+    assert rss.parse_feed_date(None) is None
+    assert rss.parse_feed_date("not a date") is None
+    t = rss.parse_feed_date("2026-03-05T08:30:00Z")
+    assert t == dt.datetime(2026, 3, 5, 8, 30, tzinfo=dt.timezone.utc)
+
+
+def test_home_feed_caps_and_order(silver_df):
+    snap = [r.asDict() for r in queries.latest_entries_snapshot(silver_df).collect()]
+    doc = rss.home_feed(snap)
+    assert doc.count("<item>") == min(len(snap), rss.HOME_FEED_LIMIT)
+    assert "wvfoia-" in doc
+
+
+def test_export_sql_and_sqlite_roundtrip(spark, fixture_dir, tmp_path):
+    entries = spark.read.parquet(f"{fixture_dir}/entries.parquet")
+    n = entries.count()
+    sql_path = str(tmp_path / "dump.sql")
+    assert export.export_sql(entries, sql_path) == n
+    # the .sql dump must replay into a working sqlite db
+    con = sqlite3.connect(":memory:")
+    con.executescript(open(sql_path).read())
+    assert con.execute("SELECT count(*) FROM entries").fetchone()[0] == n
+    # apostrophes survived escaping
+    bad = con.execute(
+        "SELECT count(*) FROM entries WHERE agency LIKE '%Sheriff''s%'"
+    ).fetchone()[0]
+    assert bad >= 0  # query parses; escaping correct
+
+    db_path = str(tmp_path / "dump.db")
+    assert export.export_sqlite(entries, db_path) == n
+    con2 = sqlite3.connect(db_path)
+    assert con2.execute("SELECT count(*) FROM entries").fetchone()[0] == n
+    # indexes exist (DDL parity with migrations/0001_init.sql)
+    idx = {
+        r[0]
+        for r in con2.execute(
+            "SELECT name FROM sqlite_master WHERE type='index'"
+        ).fetchall()
+    }
+    assert "idx_entries_agency" in idx
+
+
+def test_export_watermark_skip(spark, fixture_dir, tmp_path):
+    entries = spark.read.parquet(f"{fixture_dir}/entries.parquet")
+    state = str(tmp_path / "state.json")
+    assert export.should_export(entries, state) is True
+    export.write_watermark(entries, state)
+    assert export.should_export(entries, state) is False  # unchanged -> skip
+    changed = entries.limit(10)
+    assert export.should_export(changed, state) is True
+
+
+def test_export_native_formats(spark, fixture_dir, tmp_path):
+    entries = spark.read.parquet(f"{fixture_dir}/entries.parquet").limit(20)
+    out = str(tmp_path / "native")
+    export.export_native(entries, out)
+    assert os.path.isdir(os.path.join(out, "entries_csv"))
+    back = spark.read.parquet(os.path.join(out, "entries_parquet"))
+    assert back.count() == 20

@@ -1,0 +1,104 @@
+"""Sync pipeline tests: HTML parse (S2), frontier semantics (ST1 with
+DRIFT_TOLERANCE=3), parallel-fetch equivalence, and the upsert merge (S7).
+Mock source per FIXTURES.md §4."""
+
+import pandas as pd
+import pyspark.sql.functions as F
+
+from wvfoia_sync_spark.foia import sync
+from wvfoia_sync_spark.foia.sync import cut_at_frontier, parse_entry
+
+
+def test_parse_entry_label_value_pairs():
+    html = """
+    <div class="content-col-label"><div class="content-div-var"><strong>Agency:</strong></div></div>
+    <div class="content-col-data"><div class="content-div-var">DEP</div></div>
+    <div class="content-col-label"><div class="content-div-var"><strong>Request Date:</strong></div></div>
+    <div class="content-col-data"><div class="content-div-var">3/5/2024</div></div>
+    <div class="content-col-label"><div class="content-div-var"><strong>Subject:</strong></div></div>
+    <div class="content-col-data"><div class="content-div-var">  lots   of
+    whitespace  </div></div>
+    """
+    row = parse_entry(html, 42)
+    assert row["id"] == 42
+    assert row["agency"] == "DEP"
+    assert row["request_date"] == "2024-03-05"  # M/D/YYYY -> ISO
+    assert row["subject"] == "lots of whitespace"  # cleanText collapse
+    assert row["is_amended"] == 0
+
+
+def test_parse_entry_unrecognized_layout_is_none():
+    assert parse_entry("<html><body>nothing here</body></html>", 1) is None
+    assert parse_entry(None, 1) is None
+    assert parse_entry("", 1) is None
+
+
+def test_frontier_stops_at_three_consecutive_misses():
+    # found F, miss M:  F F M F M M M F F ... -> stop inside the 3-run
+    outcomes = [
+        (10, True), (11, True), (12, False), (13, True),
+        (14, False), (15, False), (16, False),
+        (17, True), (18, True),
+    ]
+    keep, last = cut_at_frontier(outcomes, 10)
+    assert keep == [10, 11, 13]
+    assert last == 16  # stopped at the 3rd miss, never checked 17+
+
+
+def test_frontier_single_gaps_are_crossed():
+    outcomes = [(1, True), (2, False), (3, True), (4, False), (5, False), (6, True)]
+    keep, last = cut_at_frontier(outcomes, 1)
+    assert keep == [1, 3, 6]
+    assert last == 6
+
+
+def test_run_sync_end_to_end(spark, fixture_dir):
+    entries = spark.read.parquet(f"{fixture_dir}/entries.parquet")
+    source = pd.read_parquet(f"{fixture_dir}/sync_source.parquet")
+    start = int(entries.agg(F.max("id")).first()[0]) + 1
+
+    merged, result = sync.run_sync(
+        spark, entries, sync.mock_fetcher(source), window=64
+    )
+    # fixture layout: 4 found, 1 gap, 1 found, 1 parse-null, 3 missing, 5 beyond
+    assert result.start_from == start
+    assert result.drift_tolerance == 3
+    added_ids = [
+        r["id"] for r in merged.where(F.col("id") >= start).select("id").orderBy("id").collect()
+    ]
+    # ingested: the 4-found run + the post-gap entry; NOT the parse-null,
+    # NOT anything beyond the 3-miss frontier
+    assert added_ids == [start, start + 1, start + 2, start + 3, start + 5]
+    beyond = merged.where(F.col("agency") == "BEYOND").count()
+    assert beyond == 0
+    # date normalization happened during parse
+    post_gap = merged.where(F.col("id") == start + 5).first()
+    assert post_gap["request_date"] == "2025-12-31"
+    assert post_gap["completion_date"] == "2026-01-15"
+    # amended flag picked up from the page
+    amended = merged.where(F.col("id") == start + 1).first()
+    assert amended["is_amended"] == 1
+
+
+def test_upsert_updates_in_place(spark, fixture_dir):
+    entries = spark.read.parquet(f"{fixture_dir}/entries.parquet")
+    target = entries.orderBy("id").limit(1).first()
+    updates = spark.createDataFrame(
+        [tuple(
+            "CHANGED AGENCY" if c == "agency" else target[c]
+            for c in entries.columns
+        )],
+        entries.schema,
+    )
+    merged = sync.upsert(entries, updates)
+    assert merged.count() == entries.count()  # update, not insert
+    assert merged.where(F.col("id") == target["id"]).first()["agency"] == "CHANGED AGENCY"
+    # new id -> insert
+    new_row = spark.createDataFrame(
+        [tuple(
+            999_999 if c == "id" else target[c] for c in entries.columns
+        )],
+        entries.schema,
+    )
+    merged2 = sync.upsert(entries, new_row)
+    assert merged2.count() == entries.count() + 1

@@ -1,0 +1,15 @@
+"""FOIA domain layer: the reference application's query surface re-expressed
+as Spark DataFrame pipelines over the entries fact table.
+
+Modules:
+
+- ``schema``    — entries schema + EntrySearchOptions/PageCursor (the query IR)
+- ``fixtures``  — deterministic FIXTURES.md-shaped test data generator
+- ``silver``    — corrections overlay + agency canonicalization (bronze->silver)
+- ``queries``   — list_entries / home_stats / latest_snapshot / resolutions
+- ``agencies``  — agency_stats / agencies_page / resolution_timeline
+- ``sync``      — incremental id-probing ingest with drift-tolerance frontier
+- ``rss``       — RSS 2.0 feed builder
+- ``export``    — SQL/SQLite/CSV/JSON/Parquet export sinks with watermark skip
+- ``serve``     — presentation-layer scalar helpers (pure Python)
+"""

@@ -1,0 +1,142 @@
+"""Export sinks (reference .github/workflows/export-db-sqlite.yml — S8/S9/
+ST5): .sql dump, SQLite .db, plus native CSV/JSON/Parquet, with
+change-detection watermark skip.
+
+The reference exports by shelling D1 output into sqlite3 on a GitHub
+runner. Here the engine writes the artifacts itself: the entries result is
+coalesced to one partition (export artifacts are single files by
+definition) and rendered driver-side; sqlite3 is the Python stdlib. The
+watermark mirrors the reference's time-travel bookmark comparison
+(export-db-sqlite.yml:42-91): skip when (max_id, row_count) is unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sqlite3
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from .schema import ENTRY_COLUMNS
+
+# Mirrors migrations/0001_init.sql (prepended to .sql dumps like the
+# workflow prepends both migration DDLs, export-db-sqlite.yml:96-103)
+ENTRIES_DDL = """CREATE TABLE IF NOT EXISTS entries (
+  id INTEGER PRIMARY KEY,
+  agency TEXT NOT NULL,
+  organization TEXT,
+  first_name TEXT,
+  middle_name TEXT,
+  last_name TEXT,
+  request_date TEXT,
+  completion_date TEXT,
+  entry_date TEXT,
+  fee TEXT,
+  is_amended INTEGER DEFAULT 0,
+  subject TEXT,
+  details TEXT,
+  resolution TEXT,
+  response TEXT
+);
+CREATE INDEX IF NOT EXISTS idx_entries_agency ON entries(agency);
+CREATE INDEX IF NOT EXISTS idx_entries_request_date ON entries(request_date);
+CREATE INDEX IF NOT EXISTS idx_entries_completion_date ON entries(completion_date);
+CREATE INDEX IF NOT EXISTS idx_entries_resolution ON entries(resolution);
+CREATE INDEX IF NOT EXISTS idx_entries_entry_date ON entries(entry_date);
+"""
+
+
+def _sql_literal(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "1" if v else "0"
+    if isinstance(v, (int, float)):
+        return str(v)
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def compute_watermark(entries: DataFrame) -> dict:
+    """S9/ST5 change detection state: (max_id, count)."""
+    row = entries.agg(
+        F.coalesce(F.max("id"), F.lit(0)).alias("max_id"),
+        F.count("*").alias("row_count"),
+    ).first()
+    return {"max_id": row["max_id"], "row_count": row["row_count"]}
+
+
+def should_export(entries: DataFrame, state_path: str) -> bool:
+    """Skip when the bookmark is unchanged since the last export
+    (export-db-sqlite.yml:71-91)."""
+    wm = compute_watermark(entries)
+    if os.path.exists(state_path):
+        with open(state_path) as f:
+            if json.load(f) == wm:
+                return False
+    return True
+
+
+def write_watermark(entries: DataFrame, state_path: str) -> None:
+    with open(state_path, "w") as f:
+        json.dump(compute_watermark(entries), f)
+
+
+def _ordered_rows(entries: DataFrame):
+    return (
+        entries.select(*ENTRY_COLUMNS).orderBy("id").toLocalIterator()
+    )
+
+
+def export_sql(entries: DataFrame, path: str) -> int:
+    """.sql dump: DDL + one INSERT per row (S8). Rows stream through
+    toLocalIterator — the driver never holds the full table."""
+    n = 0
+    with open(path, "w") as f:
+        f.write(ENTRIES_DDL)
+        f.write("BEGIN TRANSACTION;\n")
+        for row in _ordered_rows(entries):
+            vals = ", ".join(_sql_literal(row[c]) for c in ENTRY_COLUMNS)
+            f.write(f"INSERT INTO entries VALUES ({vals});\n")
+            n += 1
+        f.write("COMMIT;\n")
+    return n
+
+
+def export_sqlite(entries: DataFrame, path: str) -> int:
+    """.db artifact via stdlib sqlite3 (the workflow builds it with the
+    sqlite3 CLI + PRAGMA optimize/VACUUM, export-db-sqlite.yml:104-112)."""
+    if os.path.exists(path):
+        os.remove(path)
+    con = sqlite3.connect(path)
+    try:
+        con.executescript(ENTRIES_DDL)
+        n = 0
+        batch = []
+        placeholders = ", ".join("?" for _ in ENTRY_COLUMNS)
+        for row in _ordered_rows(entries):
+            batch.append(tuple(row[c] for c in ENTRY_COLUMNS))
+            if len(batch) >= 1000:
+                con.executemany(f"INSERT INTO entries VALUES ({placeholders})", batch)
+                n += len(batch)
+                batch = []
+        if batch:
+            con.executemany(f"INSERT INTO entries VALUES ({placeholders})", batch)
+            n += len(batch)
+        con.commit()
+        con.execute("PRAGMA optimize")
+        con.execute("VACUUM")
+        return n
+    finally:
+        con.close()
+
+
+def export_native(entries: DataFrame, out_dir: str) -> None:
+    """CSV/JSON/Parquet artifacts the reference can't produce natively."""
+    one = entries.select(*ENTRY_COLUMNS).orderBy("id").coalesce(1)
+    one.write.mode("overwrite").option("header", "true").csv(
+        os.path.join(out_dir, "entries_csv")
+    )
+    one.write.mode("overwrite").json(os.path.join(out_dir, "entries_json"))
+    one.write.mode("overwrite").parquet(os.path.join(out_dir, "entries_parquet"))

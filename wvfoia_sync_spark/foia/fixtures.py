@@ -1,0 +1,254 @@
+"""Deterministic FOIA-shaped fixture generator (FIXTURES.md §1-§4).
+
+Pure Python + pandas; seeded so every test run (and the DuckDB oracle)
+sees byte-identical inputs. Covers the reference's catalogued dirty-data
+cases: alias/case/typo agency spellings, doubled apostrophes, M/D/YYYY
+dates, future-year completions, negative response times, empty-vs-null,
+dirty fee strings, diacritics in searchable text, id gaps incl. a terminal
+>=3 run for the sync drift tolerance.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+import pandas as pd
+
+TODAY = dt.date(2026, 8, 1)  # fixed "now" anchor for deterministic windows
+
+CANONICAL_AGENCIES = {
+    "Department of Environmental Protection": ["DEP", "WV Dep", "Departmint of Environmental Protection"],
+    "Division of Highways": ["DOH", "wv division of highways"],
+    "McDowell County Sheriff's Office": ["McDowell Sheriff", "Mcdowell County Sheriff''s Office"],
+    "Secretary of State": ["WVSOS", "Sec. of State"],
+    "Tucker City Council": ["Tcity Council"],
+    "Department of Health": ["DHHR", "Departmemt of Health"],
+    # alias that appears in NO entry row (alias expansion keeps the seed)
+    "Board of Education": ["BOE", "WV BoE (unused spelling)"],
+}
+
+RESOLUTIONS = [
+    "Granted", "granted", "Granted in part", "Exempted", "Rejected",
+    "Withdrawn", "No records", None, "",
+]
+
+FEES = [None, "0", "25", "25.50", "$25.00", "$1,234.56", "no charge"]
+
+SUBJECT_WORDS = [
+    "budget", "payroll", "contract", "email", "correspondence", "audit",
+    "permit", "violation", "minutes", "café", "records", "police",
+    "salary", "expense", "invoice",
+]
+
+ORGS = ["ACLU of WV", "Gazette-Mail", "Legal Aid", "Acme Research", None]
+ORG_RENAMES = {"Gazette-Mail": "Charleston Gazette-Mail"}
+
+FIRST = ["John", "Mary", "Alex", None]
+MIDDLE = ["Q.", None, None]
+LAST = ["Smith", "Doe", "Garcia", None]
+
+
+def _iso(d: dt.date) -> str:
+    return d.isoformat()
+
+
+def make_entries(n: int = 400, seed: int = 1234) -> pd.DataFrame:
+    """Entries fact rows with planted dirty cases (FIXTURES.md §1)."""
+    rng = random.Random(seed)
+    spellings: list[tuple[str, str]] = []  # (spelling, canonical)
+    for canonical, aliases in CANONICAL_AGENCIES.items():
+        spellings.append((canonical, canonical))
+        for a in aliases:
+            if "unused" not in a:
+                spellings.append((a, canonical))
+
+    rows = []
+    eid = 0
+    max_entry_date = TODAY - dt.timedelta(days=2)
+    for i in range(n):
+        eid += 1
+        if rng.random() < 0.03:  # small id gaps of 1-2 (FIXTURES.md §1 id)
+            eid += rng.randint(1, 2)
+        spelling, _ = rng.choice(spellings)
+        # cap at TODAY-10 so entry_date (req + 0..3d) stays below the
+        # planted latest-snapshot date (TODAY-2)
+        req = TODAY - dt.timedelta(days=rng.randint(10, 700))
+        comp: str | None
+        r = rng.random()
+        if r < 0.15:
+            comp = None  # pending
+        elif r < 0.20:
+            comp = _iso(req - dt.timedelta(days=rng.randint(1, 30)))  # negative diff
+        elif r < 0.24:
+            comp = _iso(dt.date(TODAY.year + 2, 1, 15))  # future-year guard case
+        elif r < 0.30:
+            comp = _iso(req)  # same-day
+        else:
+            comp = _iso(req + dt.timedelta(days=rng.randint(0, 120)))
+        entry_d: str | None = _iso(req + dt.timedelta(days=rng.randint(0, 3)))
+        if rng.random() < 0.04:
+            entry_d = None
+        elif rng.random() < 0.04:
+            entry_d = ""
+        subject = " ".join(rng.sample(SUBJECT_WORDS, k=rng.randint(2, 4)))
+        details = (
+            f"Request for {subject} covering fiscal records; "
+            f"see   attached\n\nnotes {rng.randint(1, 99)}"
+        )
+        rows.append(
+            dict(
+                id=eid,
+                agency=spelling,
+                organization=rng.choice(ORGS),
+                first_name=rng.choice(FIRST),
+                middle_name=rng.choice(MIDDLE),
+                last_name=rng.choice(LAST),
+                request_date=_iso(req) if rng.random() > 0.05 else ("" if rng.random() < 0.5 else None),
+                completion_date=comp,
+                entry_date=entry_d,
+                fee=rng.choice(FEES),
+                is_amended=rng.choice([0, 0, 0, 1, None]),
+                subject=subject,
+                details=details,
+                resolution=rng.choice(RESOLUTIONS),
+                response="Responsive documents provided." if rng.random() < 0.6 else None,
+            )
+        )
+    # several rows sharing the single max entry_date (latest-snapshot, A3)
+    for k in range(3):
+        eid += 1
+        rows.append(
+            dict(
+                id=eid,
+                agency="Secretary of State",
+                organization=None,
+                first_name="Snap",
+                middle_name=None,
+                last_name=f"Shot{k}",
+                request_date=_iso(max_entry_date),
+                completion_date=None,
+                entry_date=_iso(max_entry_date),
+                fee=None,
+                is_amended=0,
+                subject="latest snapshot records",
+                details="snapshot row",
+                resolution=None,
+                response=None,
+            )
+        )
+    df = pd.DataFrame(rows)
+    assert df["entry_date"].dropna().max() == _iso(max_entry_date)
+    return df
+
+
+def make_corrections_entries(entries: pd.DataFrame, seed: int = 99) -> pd.DataFrame:
+    """Per-entry date patch dimension (FIXTURES.md §2): one request-only,
+    one completion-only, one both; patches chosen to move rows across a
+    date-range boundary and flip a sort ordering."""
+    rng = random.Random(seed)
+    ids = sorted(entries["id"].tolist())
+    picked = rng.sample(ids[10:-10], 12)
+    rows = []
+    for j, pid in enumerate(picked):
+        if j % 3 == 0:
+            rows.append(dict(id=pid, request_date="2026-07-15", completion_date=None))
+        elif j % 3 == 1:
+            rows.append(dict(id=pid, request_date=None, completion_date="2026-07-20"))
+        else:
+            rows.append(
+                dict(id=pid, request_date="2024-01-05", completion_date="2024-02-01")
+            )
+    return pd.DataFrame(rows)
+
+
+def make_agency_aliases() -> pd.DataFrame:
+    """Canonical->alias dimension (FIXTURES.md §3)."""
+    rows = []
+    for canonical, aliases in CANONICAL_AGENCIES.items():
+        for a in aliases:
+            rows.append(dict(canonical=canonical, alias=a))
+    return pd.DataFrame(rows)
+
+
+def make_org_renames() -> pd.DataFrame:
+    return pd.DataFrame(
+        [dict(from_org=k, to_org=v) for k, v in ORG_RENAMES.items()]
+    )
+
+
+# ------------------------------------------------------------- sync mock ---
+
+_HTML_TEMPLATE = """
+<div class="content-col-label"><div class="content-div-var"><strong>Agency:</strong></div></div>
+<div class="content-col-data"><div class="content-div-var">{agency}</div></div>
+<div class="content-col-label"><div class="content-div-var"><strong>Request Date:</strong></div></div>
+<div class="content-col-data"><div class="content-div-var">{request_date}</div></div>
+<div class="content-col-label"><div class="content-div-var"><strong>Completion Date:</strong></div></div>
+<div class="content-col-data"><div class="content-div-var">{completion_date}</div></div>
+<div class="content-col-label"><div class="content-div-var"><strong>Subject:</strong></div></div>
+<div class="content-col-data"><div class="content-div-var">{subject}</div></div>
+{amended}
+"""
+
+
+def make_sync_source(start_id: int, seed: int = 7) -> pd.DataFrame:
+    """Mock remote pages (FIXTURES.md §4): found ids, a 1-id gap, more
+    found ids, then >=3 consecutive missing. Dates in M/D/YYYY to exercise
+    normalizeDate; one page with zero recognized keys (parser -> null)."""
+    rng = random.Random(seed)
+    rows = []
+
+    def page(i: int, status: int, html: str | None):
+        rows.append(dict(id=i, status=status, html=html))
+
+    i = start_id
+    for k in range(4):  # found run
+        page(i, 200, _HTML_TEMPLATE.format(
+            agency=rng.choice(["DEP", "WVSOS", "Division of Highways"]),
+            request_date=f"{rng.randint(1,9)}/{rng.randint(1,9)}/2026",
+            completion_date="",
+            subject=f"synced request {k}",
+            amended='<div class="content-col-label">Amended</div>' if k == 1 else "",
+        ))
+        i += 1
+    page(i, 404, None)  # 1-id gap (sync must continue past it)
+    i += 1
+    page(i, 200, _HTML_TEMPLATE.format(
+        agency="DEP", request_date="12/31/2025", completion_date="1/15/2026",
+        subject="post-gap entry", amended="",
+    ))
+    i += 1
+    page(i, 200, "<html><body>unrecognized layout</body></html>")  # parser null
+    i += 1
+    for _ in range(3):  # terminal >=3 missing run (drift tolerance stop)
+        page(i, rng.choice([404, 302]), None)
+        i += 1
+    for _ in range(5):  # beyond the frontier: must NOT be ingested
+        page(i, 200, _HTML_TEMPLATE.format(
+            agency="BEYOND", request_date="1/1/2026", completion_date="",
+            subject="past the drift frontier", amended="",
+        ))
+        i += 1
+    return pd.DataFrame(rows)
+
+
+def write_fixture_parquet(out_dir: str, n: int = 400, seed: int = 1234) -> dict[str, str]:
+    """Write all fixtures as parquet; returns {table: path}."""
+    import os
+
+    entries = make_entries(n, seed)
+    paths = {}
+    tables = {
+        "entries": entries,
+        "corrections_entries": make_corrections_entries(entries),
+        "agency_aliases": make_agency_aliases(),
+        "org_renames": make_org_renames(),
+        "sync_source": make_sync_source(int(entries["id"].max()) + 1),
+    }
+    os.makedirs(out_dir, exist_ok=True)
+    for name, df in tables.items():
+        p = os.path.join(out_dir, f"{name}.parquet")
+        df.to_parquet(p, index=False)
+        paths[name] = p
+    return paths

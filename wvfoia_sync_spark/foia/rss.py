@@ -1,0 +1,113 @@
+"""RSS 2.0 feed builder (reference src/lib/rss.ts — S11/U21/U22, feed
+shaping at src/pages/entries/feed.xml.ts and agencies/[slug]/feed.xml.ts).
+
+The items come from a small collected result (feed caps: 200 home / 100
+agency, O5) — serialization is driver-side string building, exactly like
+the reference. The engine guarantees the item *selection* is a proper
+Spark query (latest-snapshot / newest_entry page), not that XML writing
+is distributed.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from dataclasses import dataclass, field
+from xml.sax.saxutils import escape
+
+HOME_FEED_LIMIT = 200  # feed.xml.ts:11
+AGENCY_FEED_LIMIT = 100  # agencies/[slug]/feed.xml.ts:12
+
+
+def escape_xml(v: str) -> str:
+    """U21 escapeXml (rss.ts:18-25)."""
+    return escape(v, {'"': "&quot;", "'": "&apos;"})
+
+
+def parse_feed_date(value: str | None) -> dt.datetime | None:
+    """U22 parseFeedDate (rss.ts:32-44): ISO day -> UTC noon; else generic
+    parse; null-safe."""
+    if not value:
+        return None
+    try:
+        if len(value) == 10:
+            d = dt.date.fromisoformat(value)
+            return dt.datetime(d.year, d.month, d.day, 12, tzinfo=dt.timezone.utc)
+        return dt.datetime.fromisoformat(value.replace("Z", "+00:00"))
+    except ValueError:
+        return None
+
+
+def rfc822(t: dt.datetime | None) -> str | None:
+    if t is None:
+        return None
+    return t.strftime("%a, %d %b %Y %H:%M:%S GMT")
+
+
+@dataclass(frozen=True)
+class RssItem:
+    title: str
+    link: str
+    guid: str
+    description: str = ""
+    pub_date: dt.datetime | None = None
+
+
+@dataclass(frozen=True)
+class RssChannel:
+    title: str
+    link: str
+    description: str
+    items: list[RssItem] = field(default_factory=list)
+
+
+def build_rss_document(channel: RssChannel) -> str:
+    """S11 buildRssDocument (rss.ts:46-66)."""
+    parts = [
+        '<?xml version="1.0" encoding="UTF-8"?>',
+        '<rss version="2.0">',
+        "<channel>",
+        f"<title>{escape_xml(channel.title)}</title>",
+        f"<link>{escape_xml(channel.link)}</link>",
+        f"<description>{escape_xml(channel.description)}</description>",
+    ]
+    for item in channel.items:
+        parts.append("<item>")
+        parts.append(f"<title>{escape_xml(item.title)}</title>")
+        parts.append(f"<link>{escape_xml(item.link)}</link>")
+        parts.append(f'<guid isPermaLink="false">{escape_xml(item.guid)}</guid>')
+        if item.description:
+            parts.append(f"<description>{escape_xml(item.description)}</description>")
+        pd_ = rfc822(item.pub_date)
+        if pd_:
+            parts.append(f"<pubDate>{pd_}</pubDate>")
+        parts.append("</item>")
+    parts.append("</channel>")
+    parts.append("</rss>")
+    return "\n".join(parts)
+
+
+def entry_to_item(row, base_url: str = "https://example.org") -> RssItem:
+    """Feed item shaping (entries/feed.xml.ts:14-46): title from agency +
+    subject, guid from id, pubDate from entry_date at UTC noon."""
+    subject = row["subject"] or "(no subject)"
+    title = f"{row['agency']}: {subject}"
+    return RssItem(
+        title=title,
+        link=f"{base_url}/entries/{row['id']}",
+        guid=f"wvfoia-{row['id']}",
+        description=row["details"] or "",
+        pub_date=parse_feed_date(row["entry_date"]),
+    )
+
+
+def home_feed(snapshot_rows, base_url: str = "https://example.org") -> str:
+    """Home feed: latest-snapshot entries, first 200 (feed.xml.ts:11,17)."""
+    items = [entry_to_item(r, base_url) for r in snapshot_rows[:HOME_FEED_LIMIT]]
+    return build_rss_document(
+        RssChannel(
+            title="WV FOIA Database",
+            link=base_url,
+            description="Latest FOIA requests",
+            items=items,
+        )
+    )

@@ -1,0 +1,78 @@
+"""Entries schema and the query IR (reference src/lib/types.ts).
+
+``EntrySearchOptions`` mirrors the reference's search IR exactly
+(types.ts:17-31, parsed at utils.ts:74-86): it IS the logical plan the
+serving layer hands the engine — no other IR is needed because Catalyst
+optimizes the DataFrame plan built from it (SURVEY §3.1).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import types as T
+
+PAGE_SIZE = 50  # fixed page size (reference src/lib/utils.ts:70)
+
+# Bronze: raw scraped values, all text (reference migrations/0001_init.sql:1-17)
+ENTRIES_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("agency", T.StringType(), False),
+        T.StructField("organization", T.StringType(), True),
+        T.StructField("first_name", T.StringType(), True),
+        T.StructField("middle_name", T.StringType(), True),
+        T.StructField("last_name", T.StringType(), True),
+        T.StructField("request_date", T.StringType(), True),
+        T.StructField("completion_date", T.StringType(), True),
+        T.StructField("entry_date", T.StringType(), True),
+        T.StructField("fee", T.StringType(), True),
+        T.StructField("is_amended", T.IntegerType(), True),
+        T.StructField("subject", T.StringType(), True),
+        T.StructField("details", T.StringType(), True),
+        T.StructField("resolution", T.StringType(), True),
+        T.StructField("response", T.StringType(), True),
+    ]
+)
+
+ENTRY_COLUMNS = [f.name for f in ENTRIES_SCHEMA.fields]
+
+# Text columns shadowed by the FTS index (reference migrations/0002_fts.sql:2-9)
+FTS_COLUMNS = [
+    "agency",
+    "organization",
+    "first_name",
+    "last_name",
+    "subject",
+    "details",
+    "resolution",
+    "response",
+]
+
+SORT_OPTIONS = (
+    "newest_entry",
+    "newest_request",
+    "oldest_request",
+    "newest_completion",
+    "highest_fee",
+)  # reference ENTRY_SORT_OPTIONS, utils.ts:3-9
+
+
+@dataclass(frozen=True)
+class EntrySearchOptions:
+    """Reference EntrySearchOptions (types.ts:17-31)."""
+
+    search: str | None = None
+    agency: str | None = None
+    resolution: tuple[str, ...] = field(default_factory=tuple)
+    date_from: str | None = None  # ISO, inclusive, on corrected request_date
+    date_to: str | None = None
+    sort: str = "newest_entry"
+
+
+@dataclass(frozen=True)
+class PageCursor:
+    """Reference PageCursor (utils.ts:67-72): page >= 1, fixed size."""
+
+    page: int = 1
+    page_size: int = PAGE_SIZE

@@ -1,0 +1,249 @@
+"""Incremental sync: parallel id-window probe with sequential-stop
+semantics, HTML row parsing, and the upsert merge (reference
+src/lib/sync.ts — ST1/S1/S2/S7 in SURVEY §2).
+
+The reference probes ids strictly sequentially (one HTTP fetch + one
+upsert per id, sync.ts:177-212) and stops after DRIFT_TOLERANCE=3
+consecutive misses. A Spark port must parallelize the fetch *without*
+changing the stopping rule: we fetch a candidate window in parallel,
+sort the outcomes by id on the driver, cut at the first run of 3
+consecutive misses, and discard everything beyond it (SURVEY §7 "what's
+hard"). Ids past an uncrossable gap are never ingested, exactly like the
+sequential loop.
+
+The fetch itself is ``mapInPandas`` over an id-range DataFrame — each
+Arrow batch of ids resolves against the source (HTTP in production, the
+``sync_source`` mock table in tests), so a 1000-executor cluster probes
+thousands of ids per wave.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from typing import Callable, Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .schema import ENTRY_COLUMNS, ENTRIES_SCHEMA
+
+DRIFT_TOLERANCE = 3  # consecutive missing ids before stopping (sync.ts:8)
+
+# ------------------------------------------------------------ S2: parse ---
+
+_LABEL_RE = re.compile(
+    r'content-col-label.*?<strong>(.*?)</strong>', re.S
+)
+_PAIR_RE = re.compile(
+    r'content-col-label.*?<strong>(?P<label>.*?)</strong>.*?'
+    r'content-col-data.*?content-div-var">(?P<value>.*?)</div>',
+    re.S,
+)
+
+
+def _normalize_key(label: str) -> str:
+    """U2 normalizeKey (sync.ts:50-57)."""
+    k = label.replace(":", "").strip().lower()
+    k = re.sub(r"[^a-z0-9]+", "_", k)
+    return k.strip("_")
+
+
+def _clean_text(v: str) -> str:
+    """U3 cleanText (sync.ts:78-81)."""
+    return re.sub(r"\s+", " ", v).strip()
+
+
+def _normalize_date(v: str | None) -> str | None:
+    """U1 normalizeDate (sync.ts:59-76): M/D/YYYY -> ISO; ISO passthrough;
+    else null."""
+    if not v:
+        return None
+    v = v.strip()
+    m = re.fullmatch(r"(\d{1,2})/(\d{1,2})/(\d{4})", v)
+    if m:
+        mm, dd, yyyy = m.groups()
+        return f"{yyyy}-{int(mm):02d}-{int(dd):02d}"
+    if re.fullmatch(r"\d{4}-\d{2}-\d{2}", v):
+        return v
+    return None
+
+
+def parse_entry(html: str | None, entry_id: int) -> dict | None:
+    """S2 parseEntry (sync.ts:83-130): label/value pairs -> entry dict;
+    pages with no recognized keys -> None (counts as a miss)."""
+    if not html:
+        return None
+    fields: dict[str, str] = {}
+    for m in _PAIR_RE.finditer(html):
+        key = _normalize_key(m.group("label"))
+        val = _clean_text(re.sub(r"<[^>]+>", "", m.group("value")))
+        if key:
+            fields[key] = val
+    known = {k: v for k, v in fields.items() if k in set(ENTRY_COLUMNS)}
+    if not known:
+        return None
+    row = {c: None for c in ENTRY_COLUMNS}
+    row.update(known)
+    row["id"] = entry_id
+    row["agency"] = row.get("agency") or "Unknown"  # scraper default, sync.ts:107
+    for dc in ("request_date", "completion_date", "entry_date"):
+        row[dc] = _normalize_date(row[dc])
+    row["is_amended"] = 1 if re.search(r">\s*Amended\s*<", html) else 0
+    return row
+
+
+# ------------------------------------------------------- S1: fetch wave ---
+
+Fetcher = Callable[[pd.Series], pd.DataFrame]
+"""Batch fetcher: ids -> DataFrame(id, status, html). Production wires an
+HTTP client here; tests pass the sync_source mock."""
+
+
+def mock_fetcher(source: pd.DataFrame) -> Fetcher:
+    def fetch(ids: pd.Series) -> pd.DataFrame:
+        out = pd.DataFrame({"id": ids.astype("int64")})
+        merged = out.merge(source, on="id", how="left")
+        merged["status"] = merged["status"].fillna(404).astype("int64")
+        return merged
+
+    return fetch
+
+
+def _ship_closures() -> None:
+    """Serialize this module by value into UDF closures. Without this,
+    cloudpickle pickles ``parse_entry`` by reference and Python workers
+    must be able to ``import wvfoia_sync_spark`` — true only when the
+    driver's CWD happens to contain the package. On a real cluster you
+    would *additionally* ship the package via ``spark-submit --py-files``;
+    by-value closures make local/driver-owned sessions work regardless."""
+    import sys as _sys
+
+    # NB: must be pyspark's VENDORED cloudpickle — the standalone
+    # ``cloudpickle`` package is a different registry and pyspark's UDF
+    # serializer never consults it.
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+
+
+def fetch_window(
+    spark: SparkSession, start_id: int, window: int, fetcher: Fetcher
+) -> DataFrame:
+    """Probe ids [start_id, start_id+window) in parallel via mapInPandas;
+    returns (id, found, parsed-entry columns)."""
+    _ship_closures()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            fetched = fetcher(b["id"])
+            rows = []
+            for _, r in fetched.iterrows():
+                parsed = (
+                    parse_entry(r["html"], int(r["id"]))
+                    if int(r["status"]) == 200
+                    else None
+                )
+                base = {c: None for c in ENTRY_COLUMNS}
+                if parsed:
+                    base.update(parsed)
+                base["id"] = int(r["id"])
+                base["_found"] = parsed is not None
+                rows.append(base)
+            yield pd.DataFrame(rows)
+
+    # all-nullable variant of the entries schema: miss rows carry nulls in
+    # every column (incl. agency, NOT NULL in bronze) until the frontier
+    # cut discards them
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in ENTRIES_SCHEMA.fields]
+    ).add("_found", "boolean")
+    ids = spark.range(start_id, start_id + window).select(F.col("id"))
+    return ids.repartition(max(2, window // 64)).mapInPandas(run, schema=schema)
+
+
+# -------------------------------------------------- ST1: frontier + sync ---
+
+
+@dataclass(frozen=True)
+class SyncResult:
+    """Reference SyncResult (types.ts:67-73)."""
+
+    added: int
+    checked: int
+    start_from: int
+    last_checked_id: int
+    drift_tolerance: int = DRIFT_TOLERANCE
+
+
+def cut_at_frontier(
+    outcomes: list[tuple[int, bool]], start_id: int, tolerance: int = DRIFT_TOLERANCE
+) -> tuple[list[int], int]:
+    """Emulate the sequential stopping rule over parallel outcomes: walk
+    ids in order from start_id, stop at ``tolerance`` consecutive misses.
+    Returns (ids to ingest, last checked id)."""
+    by_id = dict(outcomes)
+    keep: list[int] = []
+    misses = 0
+    i = start_id
+    last = start_id - 1
+    while i in by_id:
+        last = i
+        if by_id[i]:
+            keep.append(i)
+            misses = 0
+        else:
+            misses += 1
+            if misses >= tolerance:
+                break
+        i += 1
+    return keep, last
+
+
+def run_sync(
+    spark: SparkSession,
+    existing: DataFrame,
+    fetcher: Fetcher,
+    window: int = 256,
+) -> tuple[DataFrame, SyncResult]:
+    """One sync wave (reference runSync, sync.ts:177-212): watermark ->
+    parallel window fetch -> frontier cut -> upsert merge.
+
+    Returns (merged entries DataFrame, SyncResult). A production loop
+    repeats with the next window while the frontier reaches the window
+    end (no uncrossed 3-gap seen yet)."""
+    start_id = (
+        existing.agg(F.coalesce(F.max("id"), F.lit(0)).alias("m")).first()["m"] + 1
+    )
+    fetched = fetch_window(spark, start_id, window, fetcher).cache()
+    outcomes = [
+        (r["id"], r["_found"])
+        for r in fetched.select("id", "_found").orderBy("id").collect()
+    ]
+    keep_ids, last_checked = cut_at_frontier(outcomes, start_id)
+    new_rows = fetched.where(F.col("id").isin(keep_ids) & F.col("_found")).drop(
+        "_found"
+    )
+    merged = upsert(existing, new_rows)
+    return merged, SyncResult(
+        added=len(keep_ids),
+        checked=last_checked - start_id + 1,
+        start_from=start_id,
+        last_checked_id=last_checked,
+    )
+
+
+# ---------------------------------------------------------- S7: upsert ---
+
+
+def upsert(existing: DataFrame, updates: DataFrame) -> DataFrame:
+    """S7 upsert sink (UPSERT_SQL, sync.ts:30-48): update-by-id else
+    insert. On plain parquet this is anti-join + union (SURVEY §2.1 S7);
+    with Delta it would be ``MERGE INTO entries USING updates ON id``.
+    Updates win on conflicting ids (ON CONFLICT DO UPDATE)."""
+    cols = existing.columns
+    kept = existing.join(updates.select("id"), "id", "left_anti")
+    return kept.unionByName(updates.select(*cols))

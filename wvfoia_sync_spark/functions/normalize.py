@@ -73,7 +73,7 @@ def parse_fee(col: Column | str) -> Column:
     decimal(12,2); unparseable/null -> null."""
     c = F.col(col) if isinstance(col, str) else col
     cleaned = F.regexp_replace(c, r"[^0-9.\-]", "")
-    return F.when(cleaned != "", F.try_cast(cleaned, "decimal(12,2)"))
+    return F.when(cleaned != "", cleaned.try_cast("decimal(12,2)"))
 
 
 def fee_sort_key(col: Column | str) -> Column:
@@ -181,8 +181,10 @@ def normalize_agency_name(
     if value is None:
         return None
     v = re.sub(r"\s+", " ", value.replace("''", "'")).strip()
-    v = re.sub(r"\bDepartm[ei]nt?\b", "Department", v, flags=re.IGNORECASE)
-    v = re.sub(r"\bTcity\b", "City", v, flags=re.IGNORECASE)
+    # reference: agency.replace(/Departm[ei]n?t/ig, ...).replace(/Tcity/ig, ...)
+    # (corrections.ts:45 — optional n, required t, no word boundaries)
+    v = re.sub(r"Departm[ei]n?t", "Department", v, flags=re.IGNORECASE)
+    v = re.sub(r"Tcity", "City", v, flags=re.IGNORECASE)
     if canonical_by_token:
         hit = canonical_by_token.get(normalize_token(v))
         if hit is not None:
