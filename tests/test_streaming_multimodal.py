@@ -1,0 +1,66 @@
+"""Streaming twin equivalence (ST) and multimodal plumbing tests."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from wvfoia_sync_spark.operators import multimodal
+from wvfoia_sync_spark.registry import QUERIES
+from wvfoia_sync_spark.sources.tables import load_table
+from wvfoia_sync_spark.streaming import jobs
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_stream_hourly_equals_batch(spark):
+    batch = {
+        (r["hour_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in QUERIES["events_hourly"](spark, SF_DIR).collect()
+    }
+    stream = jobs.read_events_stream(spark, SF_DIR, glob="events.parquet")
+    got = {
+        (r["hour_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in jobs.run_available_now(
+            jobs.hourly_aggregation(stream), "t_hourly"
+        ).collect()
+    }
+    assert got == batch
+
+
+def test_stream_sessions_match_batch_session_count(spark):
+    batch = {
+        r["user_id"]: r["n_sessions"]
+        for r in QUERIES["sessionization"](spark, SF_DIR).collect()
+    }
+    stream = jobs.read_events_stream(spark, SF_DIR, glob="events.parquet")
+    sessions = jobs.run_available_now(
+        jobs.session_aggregation(stream), "t_sessions"
+    )
+    got = {
+        r["user_id"]: r["n"]
+        for r in sessions.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == batch
+    # no session shorter than its event count implies (sanity)
+    assert sessions.where(F.col("n_events") <= 0).count() == 0
+
+
+def test_multimodal_features_deterministic(spark):
+    docs = load_table(spark, SF_DIR, "documents").limit(50)
+    media = multimodal.as_media_table(docs, "doc_id", "text")
+    # same field names/types (simpleString ignores nullability, which
+    # differs because derived cols are non-null)
+    assert media.schema.simpleString() == multimodal.MEDIA_SCHEMA.simpleString()
+    feats = multimodal.extract_features(media).collect()
+    assert len(feats) == 50
+    src = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for r in feats:
+        raw = src[r["media_id"]].encode()
+        assert r["n_bytes"] == len(raw)
+        assert r["checksum"] == raw[0] * 256 + raw[-1]
+        assert r["fake_width"] == len(raw) % 640
+        assert r["fake_height"] == (len(raw) * 7) % 480
+
+
+def test_decode_image_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG")

@@ -239,11 +239,11 @@ def run_sync(
 # ---------------------------------------------------------- S7: upsert ---
 
 
-def upsert(existing: DataFrame, updates: DataFrame) -> DataFrame:
-    """S7 upsert sink (UPSERT_SQL, sync.ts:30-48): update-by-id else
+def upsert(existing: DataFrame, updates: DataFrame, key: str = "id") -> DataFrame:
+    """S7 upsert sink (UPSERT_SQL, sync.ts:30-48): update-by-key else
     insert. On plain parquet this is anti-join + union (SURVEY §2.1 S7);
     with Delta it would be ``MERGE INTO entries USING updates ON id``.
-    Updates win on conflicting ids (ON CONFLICT DO UPDATE)."""
+    Updates win on conflicting keys (ON CONFLICT DO UPDATE)."""
     cols = existing.columns
-    kept = existing.join(updates.select("id"), "id", "left_anti")
+    kept = existing.join(updates.select(key), key, "left_anti")
     return kept.unionByName(updates.select(*cols))

@@ -1,0 +1,106 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed by Arrow-batched Pandas UDFs.
+
+Design (training-pipeline surface): media never becomes a first-class
+Spark type — it stays ``BinaryType`` payload + a metadata struct, and all
+decode / feature-extract / resize / frame-sample steps are ``mapInPandas``
+stages so each Arrow batch crosses the JVM<->Python boundary once. At
+100 TB the media table is partitioned by (modality, shard) and the UDF
+stages scale linearly with executors; nothing here shuffles.
+
+The actual codecs (PIL/librosa/ffmpeg) are NOT in this container, so
+``decode_image`` raises NotImplementedError by design; the *plumbing* —
+schema, batch shape, UDF signature, deterministic metadata extraction —
+is real and oracle-checked (the fake feature extractor derives values
+only from payload bytes, mirrored in SQL by the registry oracle).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("modality", T.StringType()),  # image | audio | video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("content_type", T.StringType()),
+                    T.StructField("n_bytes", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("checksum", T.LongType()),
+        T.StructField("fake_width", T.LongType()),
+        T.StructField("fake_height", T.LongType()),
+    ]
+)
+
+
+def decode_image(payload: bytes):
+    """Real decoder slot — requires an image codec not present in this
+    container. The pipeline stubs it with ``extract_features``' fake."""
+    raise NotImplementedError(
+        "image codecs unavailable in this environment; wire PIL/torchvision "
+        "here in production"
+    )
+
+
+def as_media_table(df: DataFrame, id_col: str, text_col: str, modality: str = "image") -> DataFrame:
+    """Adapt a text corpus into the media-table shape for plumbing tests:
+    payload = utf-8 bytes of the text (deterministic stand-in blobs)."""
+    payload = F.col(text_col).cast("binary")
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.lit(modality).alias("modality"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("content_type"),
+            F.octet_length(payload).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def extract_features(media: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
+    """Decode/feature-extract stage over Arrow batches.
+
+    The "decode" is a deterministic fake (first/last byte + length
+    arithmetic) so the driver's oracle can mirror it in SQL; swapping in a
+    real decoder changes ONLY the inner function, not the plumbing."""
+    from pyspark import cloudpickle
+    import sys as _sys
+
+    cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            payloads = b["payload"]
+            n_bytes = payloads.map(lambda p: len(p) if p is not None else 0)
+            first = payloads.map(lambda p: p[0] if p else 0)
+            last = payloads.map(lambda p: p[-1] if p else 0)
+            yield pd.DataFrame(
+                {
+                    "media_id": b["media_id"],
+                    "n_bytes": n_bytes.astype("int64"),
+                    "checksum": (first.astype("int64") * 256 + last.astype("int64")),
+                    "fake_width": (n_bytes % 640).astype("int64"),
+                    "fake_height": ((n_bytes * 7) % 480).astype("int64"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, FEATURE_SCHEMA)

@@ -1033,3 +1033,415 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def entry_query(spark: SparkSession) -> DataFrame:
     """Driver smoke entry: flagship query at sf0.001."""
     return pricing_summary(spark, "/root/testdata/sf0.001")
+
+
+# =====================================================================
+# Sinks / merge / exports  (SURVEY §2.1 S7-S9)
+# =====================================================================
+
+
+@register(
+    "upsert_merge",
+    oracle="""
+    WITH updates AS (
+      (SELECT o_orderkey, 'X' AS o_orderstatus FROM orders
+       ORDER BY o_orderkey LIMIT 3)
+      UNION ALL
+      SELECT (SELECT max(o_orderkey) + 1 FROM orders) AS o_orderkey, 'X' AS o_orderstatus
+    ), merged AS (
+      SELECT o.o_orderkey, o.o_orderstatus FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.o_orderkey = o.o_orderkey)
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus FROM updates
+    )
+    SELECT o_orderstatus, COUNT(*) AS n, CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM merged GROUP BY o_orderstatus
+    """,
+)
+def upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 upsert sink semantics (UPSERT_SQL, sync.ts:30-48) on plain
+    parquet: anti-join + union (Delta MERGE equivalent). Updates mutate 3
+    existing keys and insert 1 new one; the grouped output proves both the
+    matched-update and not-matched-insert branches."""
+    from .foia.sync import upsert
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    existing_max = o.agg(F.max("o_orderkey").alias("m"))
+    updates = (
+        o.orderBy("o_orderkey")
+        .limit(3)
+        .select("o_orderkey", F.lit("X").alias("o_orderstatus"))
+        .unionAll(
+            existing_max.select(
+                (F.col("m") + 1).alias("o_orderkey"), F.lit("X").alias("o_orderstatus")
+            )
+        )
+    )
+    merged = upsert(o, updates, key="o_orderkey")
+    return merged.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), F.max("o_orderkey").cast("long").alias("max_key")
+    )
+
+
+@register(
+    "window_totals",
+    oracle="""
+    WITH bounds AS (
+      SELECT max(CAST(o_orderdate AS DATE)) - 89 AS lo, max(CAST(o_orderdate AS DATE)) AS hi
+      FROM orders
+    ), counts AS (
+      SELECT COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS status_f,
+             COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS status_o,
+             COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS status_p,
+             COUNT(*) AS total
+      FROM orders, bounds
+      WHERE CAST(o_orderdate AS DATE) BETWEEN lo AND hi
+    )
+    SELECT CAST(total AS BIGINT) AS total,
+           CAST(status_f AS BIGINT) AS status_f,
+           CAST(status_o AS BIGINT) AS status_o,
+           CAST(status_p AS BIGINT) AS status_p,
+           CAST(status_f AS DOUBLE) / total AS status_f_pct,
+           CAST(status_o AS DOUBLE) / total AS status_o_pct,
+           CAST(status_p AS DOUBLE) / total AS status_p_pct
+    FROM counts
+    """,
+)
+def window_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 timeline window totals + share-of-total percentages
+    ([slug].astro:43-78, pct at :190) over the 90-day status timeline."""
+    tl = status_timeline(spark, sf_dir)
+    agg = timeline.window_totals(
+        tl.withColumnsRenamed(
+            {"status_f": "F", "status_o": "O", "status_p": "P"}
+        ),
+        ["F", "O", "P"],
+    )
+    return agg.select(
+        F.col("total"),
+        F.col("F").alias("status_f"),
+        F.col("O").alias("status_o"),
+        F.col("P").alias("status_p"),
+        F.col("F_pct").alias("status_f_pct"),
+        F.col("O_pct").alias("status_o_pct"),
+        F.col("P_pct").alias("status_p_pct"),
+    )
+
+
+@register(
+    "keyset_page",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_orderkey > 1000
+    ORDER BY o_orderkey ASC LIMIT 50
+    """,
+)
+def keyset_page_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset pagination (relational.keyset_page): deep-scan paging with a
+    pushed-down range predicate instead of a global row_number sort —
+    the 100 TB-safe alternative to OFFSET (SURVEY §2.6 scale note)."""
+    o = load_table(spark, sf_dir, "orders")
+    return relational.keyset_page(
+        o.select("o_orderkey", "o_totalprice"), "o_orderkey", 1000, 50, descending=False
+    )
+
+
+# =====================================================================
+# More text / categorical operators
+# =====================================================================
+
+
+@register(
+    "quality_filter",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, {_SQL_TOKENS.format(c='text')} AS toks FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             CASE WHEN length(text) > 0
+                  THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                       / length(text) ELSE 0.0 END AS alpha_ratio,
+             CASE WHEN len(toks) > 0
+                  THEN CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE)
+                       / len(toks) ELSE 0.0 END AS avg_token_len
+      FROM t
+    )
+    SELECT doc_id FROM m
+    WHERE n_tokens >= 10 AND alpha_ratio >= 0.5 AND avg_token_len <= 20.0
+    """,
+)
+def quality_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate (C4-style heuristics, textops.quality_filter): keep
+    docs passing token-count / alpha-ratio / token-length thresholds."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.quality_filter(docs, "text", 10, 0.5, 20.0).select("doc_id")
+
+
+@register(
+    "token_histogram",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({_SQL_TOKENS.format(c='text')}) AS token FROM documents
+    )
+    SELECT token, COUNT(*) AS freq FROM toks GROUP BY token
+    ORDER BY freq DESC, token ASC LIMIT 50
+    """,
+)
+def token_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-frequency table (textops.token_histogram), top-50 with
+    deterministic tiebreak — the classic wordcount shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        textops.token_histogram(docs, "text")
+        .orderBy(F.col("freq").desc(), F.col("token").asc())
+        .limit(50)
+    )
+
+
+@register(
+    "nation_page",
+    oracle="""
+    WITH stats AS (
+      SELECT n.n_name AS nation, COUNT(*) AS requests
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name
+    )
+    SELECT nation, requests FROM stats
+    WHERE instr(lower(nation), '1') > 0
+    ORDER BY requests DESC, nation ASC LIMIT 10
+    """,
+)
+def nation_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 agencies-page term filter + O3 sort + O5 top slice
+    (agencies.ts:146-179) on the nation-stats gold shape."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    stats = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count("*").alias("requests"))
+    )
+    return (
+        stats.where(F.instr(F.lower("nation"), "1") > 0)
+        .orderBy(F.col("requests").desc(), F.col("nation").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "fee_sort",
+    oracle="""
+    WITH fees AS (
+      SELECT o_orderkey, printf('$%.2f', o_totalprice) AS fee FROM orders
+    )
+    SELECT o_orderkey, fee,
+           CAST(CAST(regexp_replace(fee, '[^0-9.-]', '', 'g') AS DECIMAL(12,2)) AS DOUBLE) AS fee_amount
+    FROM fees
+    ORDER BY fee_amount DESC, o_orderkey ASC LIMIT 20
+    """,
+)
+def fee_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U14 currency parse + O1 highest_fee sort (utils.ts:111-121, 3-9):
+    '$'-formatted strings parsed back to DECIMAL(12,2) and sorted. This is
+    the engine's documented semantic for the reference's
+    CAST(fee AS INTEGER) sort (SURVEY §7 decision)."""
+    from .functions.normalize import parse_fee
+
+    o = load_table(spark, sf_dir, "orders")
+    fees = o.select(
+        "o_orderkey", F.format_string("$%.2f", F.col("o_totalprice")).alias("fee")
+    )
+    return (
+        fees.withColumn("fee_amount", parse_fee("fee").cast("double"))
+        .orderBy(F.col("fee_amount").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "date_normalize",
+    oracle="""
+    SELECT o_orderkey, strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS norm_date
+    FROM orders WHERE o_orderkey <= 500
+    """,
+)
+def date_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 normalizeDate (sync.ts:59-76): build dirty M/d/yyyy strings from
+    the order date, parse them back — the oracle asserts the round-trip
+    recovers the original ISO date exactly."""
+    from .functions.normalize import normalize_date
+
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 500)
+    d = F.col("o_orderdate").cast("date")
+    dirty = F.concat_ws("/", F.month(d), F.dayofmonth(d), F.year(d))
+    return o.select(
+        "o_orderkey",
+        F.date_format(normalize_date(dirty), "yyyy-MM-dd").alias("norm_date"),
+    )
+
+
+@register(
+    "resolution_buckets",
+    oracle="""
+    WITH mapped AS (
+      SELECT CASE o_orderpriority
+               WHEN '1-URGENT' THEN 'Granted'
+               WHEN '2-HIGH' THEN 'Granted in part'
+               WHEN '3-MEDIUM' THEN 'Exempted'
+               WHEN '4-NOT SPECIFIED' THEN 'Rejected'
+               ELSE 'Withdrawn' END AS resolution
+      FROM orders
+    ), bucketed AS (
+      SELECT CASE lower(trim(resolution))
+               WHEN 'granted' THEN 'granted'
+               WHEN 'granted in part' THEN 'granted_in_part'
+               WHEN 'exempted' THEN 'exempted'
+               WHEN 'rejected' THEN 'rejected'
+               ELSE 'other' END AS bucket
+      FROM mapped
+    )
+    SELECT bucket, COUNT(*) AS n,
+           CAST(CASE bucket WHEN 'granted' THEN 0 WHEN 'granted_in_part' THEN 1
+                WHEN 'exempted' THEN 2 WHEN 'rejected' THEN 3
+                ELSE 2147483647 END AS INT) AS sort_score
+    FROM bucketed GROUP BY bucket
+    """,
+)
+def resolution_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U16 resolutionBucketKey + U17 resolutionSortScore (utils.ts:23-40)
+    over a synthesized resolution column."""
+    from .functions.normalize import resolution_bucket
+
+    o = load_table(spark, sf_dir, "orders")
+    mapped = o.select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", "Granted")
+        .when(F.col("o_orderpriority") == "2-HIGH", "Granted in part")
+        .when(F.col("o_orderpriority") == "3-MEDIUM", "Exempted")
+        .when(F.col("o_orderpriority") == "4-NOT SPECIFIED", "Rejected")
+        .otherwise("Withdrawn")
+        .alias("resolution")
+    )
+    bucketed = mapped.select(resolution_bucket("resolution").alias("bucket"))
+    # U17 display rank keyed by BUCKET (the bucket keys differ from the raw
+    # resolution spellings U17 scores in the reference, so score explicitly)
+    score = (
+        F.when(F.col("bucket") == "granted", 0)
+        .when(F.col("bucket") == "granted_in_part", 1)
+        .when(F.col("bucket") == "exempted", 2)
+        .when(F.col("bucket") == "rejected", 3)
+        .otherwise(F.lit(2147483647))
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        F.min(score).cast("int").alias("sort_score"),
+    )
+
+
+@register(
+    "status_rollup",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+)
+def status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup aggregate (engine breadth beyond the reference,
+    which has no grouping sets — SURVEY §2.4 note)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n")
+    )
+
+
+@register(
+    "rss_items",
+    oracle="""
+    SELECT 'Order ' || CAST(o_orderkey AS VARCHAR) || ' (' || o_orderpriority || ')' AS title,
+           'https://example.org/orders/' || CAST(o_orderkey AS VARCHAR) AS link,
+           'order-' || CAST(o_orderkey AS VARCHAR) AS guid,
+           strftime(CAST(o_orderdate AS DATE), '%a, %d %b %Y') || ' 12:00:00 GMT' AS pub_date
+    FROM orders
+    ORDER BY CAST(o_orderdate AS DATE) DESC, o_orderkey DESC
+    LIMIT 20
+    """,
+)
+def rss_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11/U22/O5 RSS item shaping (rss.ts:46-66, feed.xml.ts:14-46):
+    newest-first top-N with RFC-822 pubDate at UTC noon (U22 ISO-day
+    rule). XML document assembly is driver-side (foia.rss); the item
+    *selection and field shaping* is the Spark query."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return (
+        o.orderBy(d.desc(), F.col("o_orderkey").desc())
+        .limit(20)
+        .select(
+            F.concat(
+                F.lit("Order "), F.col("o_orderkey").cast("string"),
+                F.lit(" ("), F.col("o_orderpriority"), F.lit(")"),
+            ).alias("title"),
+            F.concat(
+                F.lit("https://example.org/orders/"), F.col("o_orderkey").cast("string")
+            ).alias("link"),
+            F.concat(F.lit("order-"), F.col("o_orderkey").cast("string")).alias("guid"),
+            F.concat(
+                F.date_format(d, "EEE, dd MMM yyyy"), F.lit(" 12:00:00 GMT")
+            ).alias("pub_date"),
+        )
+    )
+
+
+# =====================================================================
+# Multimodal plumbing + streaming twin  (scale ops, SURVEY §2.9)
+# =====================================================================
+
+
+@register(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           CAST(ascii(substr(text, 1, 1)) * 256 + ascii(substr(text, -1, 1)) AS BIGINT) AS checksum,
+           CAST(octet_length(CAST(text AS BLOB)) % 640 AS BIGINT) AS fake_width,
+           CAST((octet_length(CAST(text AS BLOB)) * 7) % 480 AS BIGINT) AS fake_height
+    FROM documents
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing (training-pipeline op): binary payload column +
+    mapInPandas feature extraction over Arrow batches. The decode is a
+    deterministic fake (real codecs absent here — operators.multimodal
+    stubs decode_image with NotImplementedError); schema/batch plumbing is
+    real and oracle-checked byte-for-byte."""
+    from .operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.as_media_table(docs, "doc_id", "text")
+    return multimodal.extract_features(media)
+
+
+@register(
+    "events_hourly_stream",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST: the events_hourly aggregation executed as a REAL Structured
+    Streaming query (file source -> watermark -> window agg -> memory
+    sink, availableNow trigger) — proves the streaming twin produces
+    byte-identical results to the batch oracle."""
+    from .streaming import jobs
+
+    stream = jobs.read_events_stream(spark, sf_dir, glob="events.parquet")
+    return jobs.run_available_now(
+        jobs.hourly_aggregation(stream), "events_hourly_stream_sink"
+    )

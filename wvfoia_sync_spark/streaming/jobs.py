@@ -1,0 +1,99 @@
+"""Structured Streaming jobs (SURVEY §2.9).
+
+The reference is batch-scheduled (daily cron sync) — its only streaming-
+shaped semantics are the incremental watermark loop (foia.sync). These
+jobs are the engine's scale extension: the same event analytics the
+registry checks in batch form (events_hourly, sessionization) expressed
+as real streams, so a production deployment can run them continuously.
+
+Each job reads the events parquet as a file-source stream (at scale:
+Kafka/Kinesis source with the same downstream plan), applies an event-time
+watermark for late data, and supports ``trigger(availableNow=True)`` for
+batch-equivalent runs — the tests assert stream output == batch output.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..session import configure_session
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos under nanosAsLong
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, events_dir: str, glob: str | None = None
+) -> DataFrame:
+    """File-source stream over the events parquet directory (the source
+    requires a directory; ``glob`` narrows to specific files); normalizes
+    the nanos timestamp exactly like sources.tables.load_table."""
+    configure_session(spark)
+    reader = spark.readStream.schema(EVENTS_SCHEMA).format("parquet")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    raw = reader.load(events_dir)
+    return raw.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+    )
+
+
+def hourly_aggregation(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour windowed count+sum with late-data watermark —
+    streaming twin of the registry's ``events_hourly`` batch query."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def session_aggregation(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Event-time session windows (30-min inactivity gap) — streaming twin
+    of the batch lag-based sessionization; session_window is Spark's
+    native stateful session operator."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
+    """Execute a streaming plan over all currently-available input
+    (micro-batch catch-up) into an in-memory sink; returns the result as a
+    batch DataFrame. Production would use a durable sink + checkpoint."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)
