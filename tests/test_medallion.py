@@ -1,0 +1,59 @@
+"""End-to-end medallion pipeline test: init bronze -> sync wave -> silver
++ gold rebuild -> metadata stamp (ST1-ST4 semantics together)."""
+
+import pandas as pd
+import pyspark.sql.functions as F
+
+from wvfoia_sync_spark.foia import sync
+from wvfoia_sync_spark.plans.medallion import MedallionPipeline
+
+TODAY = "2026-08-01"
+
+
+def test_full_pipeline_cycle(spark, fixture_dir, tmp_path):
+    root = str(tmp_path / "lake")
+    pipe = MedallionPipeline(spark, root, today=TODAY)
+    entries = spark.read.parquet(f"{fixture_dir}/entries.parquet")
+    pipe.init_bronze(entries)
+    pipe.set_dimensions(
+        corrections=spark.read.parquet(f"{fixture_dir}/corrections_entries.parquet"),
+        aliases=spark.read.parquet(f"{fixture_dir}/agency_aliases.parquet"),
+        renames=spark.read.parquet(f"{fixture_dir}/org_renames.parquet"),
+    )
+
+    n0 = entries.count()
+    old_max = entries.agg(F.max("id")).first()[0]
+    source = pd.read_parquet(f"{fixture_dir}/sync_source.parquet")
+    result = pipe.sync(sync.mock_fetcher(source), window=64)
+    assert result.added == 5
+
+    # bronze grew by exactly the frontier-admitted rows
+    assert pipe.bronze().count() == n0 + 5
+
+    # silver was rebuilt over the new bronze (corrections + canon applied)
+    sdf = pipe.silver()
+    assert sdf.count() == n0 + 5
+    assert "agency_slug" in sdf.columns and "search_tokens" in sdf.columns
+    # synced rows got canonicalized too (DEP -> canonical)
+    synced = sdf.where(F.col("id") > old_max)
+    assert synced.where(
+        F.col("agency_canonical") == "Department of Environmental Protection"
+    ).count() > 0
+
+    # gold tables exist and are consistent with silver
+    stats = pipe.gold("agency_stats")
+    assert stats.agg(F.sum("requests")).first()[0] == n0 + 5
+    home = pipe.gold("home_stats").first()
+    assert home["total_requests"] == n0 + 5
+    tl = pipe.gold("resolution_timeline")
+    assert tl.count() > 300  # dense all-time day spine
+
+    # ST4 metadata stamped
+    meta = pipe.meta()
+    assert meta["last_updated_at"] == TODAY
+    assert meta["last_sync"]["added"] == 5
+
+    # idempotent second sync: nothing new -> no rebuild needed, no growth
+    result2 = pipe.sync(sync.mock_fetcher(source), window=64)
+    assert result2.added == 0
+    assert pipe.bronze().count() == n0 + 5

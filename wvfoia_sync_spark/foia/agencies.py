@@ -64,13 +64,21 @@ def agency_stats(silver: DataFrame, today: str) -> DataFrame:
             / F.count(F.when(in_win(365), resp_days))
         ).alias("avg_response_days_365d"),
     )
+    # A9's per-slug resolution counts folded into a map (the reference's
+    # ``resolutions: Record<string, number>``; raw values are mixed-case,
+    # so a pivot would collide on Spark's case-insensitive column names)
     resolutions = (
         silver.where(F.col("resolution").isNotNull() & (F.col("resolution") != ""))
+        .groupBy("agency_slug", "resolution")
+        .agg(F.count("*").alias("c"))
         .groupBy("agency_slug")
-        .pivot("resolution")
-        .count()
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("resolution", "c")))
+            ).alias("resolutions")
+        )
     )
-    # A9's per-slug resolution map joins the metrics on slug (J3)
+    # J3: merge the metric rows and resolution rows on the slug key
     return metrics.join(resolutions, "agency_slug", "left")
 
 

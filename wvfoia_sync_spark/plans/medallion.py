@@ -1,0 +1,149 @@
+"""Medallion pipeline: bronze -> silver -> gold, rebuilt per sync.
+
+This is the engine's execution model for the reference's whole data
+lifecycle (SURVEY §7):
+
+- **bronze**: raw scraped rows exactly as parsed (S1/S2), MERGE-upserted
+  by id (S7). The reference's ``entries`` D1 table.
+- **silver**: corrections applied once, agency canonicalized, dates/fee
+  typed, search tokens derived (what the reference recomputes per read).
+- **gold**: agency_stats, resolution_timeline, home_stats,
+  resolution_counts, latest_snapshot — the reference's KV-cached query
+  results, materialized as tables instead.
+
+Rebuild-on-sync == the reference's flush-all-caches-on-write policy
+(sync.ts:202, ST3): any sync that adds rows invalidates every cached
+result, so recomputing gold after each sync is semantically identical
+and removes cache-staleness reasoning entirely. ``meta.json`` carries
+``last_updated_at`` (ST4) and the export watermark (ST5).
+
+Scale notes: each gold table is one narrow aggregate over silver; at
+100 TB you would (a) partition silver by request_year and z-order/sort by
+(agency_slug, id) for pruning, (b) rebuild gold incrementally from the
+sync delta instead of full recompute (counts and sums are decomposable),
+(c) store bronze/silver as Delta/Iceberg for real MERGE + time travel.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..foia import agencies as agencies_mod
+from ..foia import queries as queries_mod
+from ..foia import silver as silver_mod
+from ..foia.sync import Fetcher, SyncResult, run_sync
+
+
+class MedallionPipeline:
+    """Filesystem-layout pipeline (parquet; swap writers for Delta at
+    scale): ``root/{bronze,silver,gold/*,meta.json}``."""
+
+    def __init__(self, spark: SparkSession, root: str, today: str | None = None):
+        self.spark = spark
+        self.root = root
+        self.today = today or dt.date.today().isoformat()
+
+    # ---------------------------------------------------------- paths ---
+    def _p(self, *parts: str) -> str:
+        return os.path.join(self.root, *parts)
+
+    def bronze(self) -> DataFrame:
+        return self.spark.read.parquet(self._p("bronze"))
+
+    def silver(self) -> DataFrame:
+        return self.spark.read.parquet(self._p("silver"))
+
+    def gold(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(self._p("gold", name))
+
+    # ----------------------------------------------------------- build ---
+    def init_bronze(self, entries: DataFrame) -> None:
+        entries.write.mode("overwrite").parquet(self._p("bronze"))
+
+    def sync(self, fetcher: Fetcher, window: int = 256) -> SyncResult:
+        """One sync wave: probe + frontier cut + upsert, then rebuild
+        silver and gold iff rows were added (ST3)."""
+        merged, result = run_sync(self.spark, self.bronze(), fetcher, window)
+        if result.added > 0:
+            # write-then-swap: never overwrite a table being read
+            import shutil
+
+            tmp = self._p("bronze_next")
+            merged.write.mode("overwrite").parquet(tmp)
+            self.spark.read.parquet(tmp).write.mode("overwrite").parquet(
+                self._p("bronze")
+            )
+            shutil.rmtree(tmp, ignore_errors=True)
+            self.rebuild(
+                corrections=self._opt("corrections_entries"),
+                aliases=self._opt("agency_aliases"),
+                renames=self._opt("org_renames"),
+            )
+        self._stamp(result)
+        return result
+
+    def _opt(self, name: str) -> DataFrame | None:
+        p = self._p("dims", f"{name}.parquet")
+        return self.spark.read.parquet(p) if os.path.exists(p) else None
+
+    def set_dimensions(
+        self,
+        corrections: DataFrame | None = None,
+        aliases: DataFrame | None = None,
+        renames: DataFrame | None = None,
+    ) -> None:
+        os.makedirs(self._p("dims"), exist_ok=True)
+        for name, df in (
+            ("corrections_entries", corrections),
+            ("agency_aliases", aliases),
+            ("org_renames", renames),
+        ):
+            if df is not None:
+                df.toPandas().to_parquet(self._p("dims", f"{name}.parquet"))
+
+    def rebuild(
+        self,
+        corrections: DataFrame | None = None,
+        aliases: DataFrame | None = None,
+        renames: DataFrame | None = None,
+    ) -> None:
+        """Silver + all gold tables from bronze (the reference's
+        'recompute everything the caches held' moment)."""
+        sdf = silver_mod.to_silver(self.bronze(), corrections, aliases, renames)
+        silver_mod.write_silver(sdf, self._p("silver"))
+        sdf = self.silver()
+        golds: dict[str, DataFrame] = {
+            "agency_stats": agencies_mod.agency_stats(sdf, self.today),
+            "resolution_timeline": agencies_mod.resolution_timeline(
+                sdf, None, self.today, days=None
+            ),
+            "home_stats": queries_mod.home_stats(sdf, self.today),
+            "resolution_counts": queries_mod.resolution_counts(sdf),
+            "latest_snapshot": queries_mod.latest_entries_snapshot(sdf),
+        }
+        for name, df in golds.items():
+            df.write.mode("overwrite").parquet(self._p("gold", name))
+
+    # ------------------------------------------------------------ meta ---
+    def _stamp(self, result: SyncResult) -> None:
+        """ST4 last-updated metadata (meta:last_updated_at, sync.ts:203)."""
+        meta = {
+            "last_updated_at": self.today,
+            "last_sync": {
+                "added": result.added,
+                "checked": result.checked,
+                "start_from": result.start_from,
+                "last_checked_id": result.last_checked_id,
+                "drift_tolerance": result.drift_tolerance,
+            },
+        }
+        with open(self._p("meta.json"), "w") as f:
+            json.dump(meta, f)
+
+    def meta(self) -> dict:
+        with open(self._p("meta.json")) as f:
+            return json.load(f)
