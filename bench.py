@@ -42,6 +42,12 @@ HEADLINE = [
     "events_hourly",
     "sessionization",
     "asof_join",
+    "upsert_merge",
+    "window_totals",
+    "token_histogram",
+    "status_rollup",
+    "multimodal_meta",
+    "events_hourly_stream",
 ]
 
 

@@ -77,19 +77,27 @@ def jaccard_pairs(
         F.col(id_col).alias("id"),
         F.col(bucket_col).alias("bucket"),
         F.array_distinct(tokens(text_col)).alias("toks"),
-    )
+    ).withColumn("n", F.size("toks"))
     a = base.select(
-        F.col("id").alias("id_a"), F.col("bucket"), F.col("toks").alias("toks_a")
+        F.col("id").alias("id_a"), "bucket", F.col("toks").alias("toks_a"),
+        F.col("n").alias("n_a"),
     )
     b = base.select(
-        F.col("id").alias("id_b"), F.col("bucket"), F.col("toks").alias("toks_b")
+        F.col("id").alias("id_b"), "bucket", F.col("toks").alias("toks_b"),
+        F.col("n").alias("n_b"),
+    )
+    # size-ratio prune BEFORE the expensive intersect: J(A,B) <= min/max
+    # (I <= min, union >= max), so min/max < t implies J < t — exact.
+    ratio_ok = (
+        F.least("n_a", "n_b").cast("double")
+        >= F.lit(threshold) * F.greatest("n_a", "n_b").cast("double")
     )
     inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
-    union = F.size("toks_a") + F.size("toks_b") - inter
+    union = F.col("n_a") + F.col("n_b") - inter
     jac = inter.cast("double") / union.cast("double")
     return (
         a.join(b, "bucket")
-        .where(F.col("id_a") < F.col("id_b"))
+        .where((F.col("id_a") < F.col("id_b")) & ratio_ok)
         .select("id_a", "id_b", jac.alias("jaccard"))
         .where((F.col("jaccard") >= F.lit(threshold)) & (union > 0))
     )
@@ -124,26 +132,50 @@ def _shingles(text_col: str, n: int) -> Column:
     )
 
 
-def minhash_signatures(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    num_hashes: int = 64,
-    shingle_size: int = 3,
-) -> DataFrame:
-    """(id, sig: array<long>) MinHash signatures over word shingles.
+def hashed_shingles(df: DataFrame, id_col: str, text_col: str, shingle_size: int = 3) -> DataFrame:
+    """(id, hs: array<long>) distinct word-n-gram shingles hashed into
+    [0, 2^31).
 
-    Base hash = pmod(xxhash64(shingle), 2^31-1); each permutation stays in
-    [0, 2^31), so products fit in a long without ANSI overflow.
+    Hashing shingles to ints ONCE up front means (a) the signature fold
+    and the exact-verify join both reuse one cheap array instead of
+    re-deriving string shingles, and (b) candidate-pair verification
+    shuffles int arrays (~4x smaller than the strings).
+
+    Shingle hashes are built ARITHMETICALLY from per-token hashes
+    (h(w_i)*P^2 + h(w_{i+1})*P + h(w_{i+2}) mod M over shifted slices)
+    instead of hashing concatenated strings: string shingling costs a
+    slice + concat + string alloc per position in interpreted HOF code,
+    ~4x slower at sf0.1. Equivalent as a shingle identity (injective in
+    the token-hash triple mod M collisions)."""
+    toks = tokens(text_col)
+    th = F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(MERSENNE31)))
+    n = F.size(toks)
+    if shingle_size <= 1:
+        base = F.array_distinct(th)
+        return df.select(F.col(id_col).alias("id"), base.alias("hs")).where(n > 0)
+    win = F.greatest(n - (shingle_size - 1), F.lit(0))
+    P = 1_000_003  # prime multiplier for positional combination
+    combined = F.slice(th, 1, win)
+    for offset in range(1, shingle_size):
+        nxt = F.slice(th, 1 + offset, win)
+        combined = F.zip_with(
+            combined, nxt, lambda acc, h: F.pmod(acc * P + h, F.lit(MERSENNE31))
+        )
+    base = F.array_distinct(combined)
+    return df.select(F.col(id_col).alias("id"), base.alias("hs")).where(
+        n >= shingle_size
+    )
+
+
+def _sig_from_hashed(hs: Column, num_hashes: int) -> Column:
+    """MinHash signature fold over a hashed-shingle array.
 
     Physical form matters: ONE aggregate fold carrying an array<long>
     accumulator (sig[i] = running min of perm_i over shingles). The naive
     alternative — num_hashes separate array_min(transform(...)) columns —
     makes Catalyst inline the shingle pipeline into every column
     (higher-order fns don't share subexpressions), exploding both optimize
-    time and per-row work ~num_hashes-fold."""
-    sh = _shingles(text_col, shingle_size)
-    base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE31)))
+    time and per-row work ~num_hashes-fold (620s -> 28s at sf0.1)."""
     params = F.array(
         *[
             F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
@@ -151,8 +183,8 @@ def minhash_signatures(
         ]
     )
     init = F.array_repeat(F.lit(MERSENNE31).cast("long"), num_hashes)
-    sig = F.aggregate(
-        base,
+    return F.aggregate(
+        hs,
         init,
         lambda acc, x: F.zip_with(
             acc,
@@ -160,9 +192,65 @@ def minhash_signatures(
             lambda m, p: F.least(m, F.pmod(p["a"] * x + p["b"], F.lit(MERSENNE31))),
         ),
     )
-    return df.select(
-        F.col(id_col).alias("id"), sig.alias("sig")
-    ).where(F.size(sh) > 0)
+
+
+def _sig_from_hashed_pandas(num_hashes: int):
+    """Arrow-batched vectorized signature stage: numpy computes the
+    (num_hashes x n_shingles) permutation matrix min per doc.
+
+    Same values as the expression fold (same base hashes, same (a,b)
+    params, same mod-prime arithmetic) at ~100x less per-element overhead
+    — Catalyst higher-order functions evaluate interpreted, so the fold
+    costs an interpreter dispatch per shingle*hash while numpy does the
+    whole doc in one C loop. The closure captures only locals (arrays,
+    ints), so cloudpickle ships it by value — workers need no package.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    perms = np.array(_minhash_permutations(num_hashes), dtype=np.int64)
+    A = perms[:, 0][:, None]
+    B = perms[:, 1][:, None]
+    M = MERSENNE31
+    k = num_hashes
+
+    @pandas_udf("array<bigint>")
+    def sig(hs):
+        import numpy as _np
+        import pandas as _pd
+
+        out = []
+        for arr in hs:
+            x = _np.asarray(arr, dtype=_np.int64)
+            if x.size == 0:
+                out.append(_np.full(k, M, dtype=_np.int64))
+            else:
+                out.append(((A * x[None, :] + B) % M).min(axis=1))
+        return _pd.Series(out)
+
+    return sig
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    shingle_size: int = 3,
+    vectorized: bool = True,
+) -> DataFrame:
+    """(id, sig: array<long>) MinHash signatures over word shingles.
+
+    ``vectorized=True`` (default) computes the permutation mins in an
+    Arrow-batched numpy UDF; ``False`` uses the pure-Catalyst aggregate
+    fold (zero Python dependency in the plan — useful where Python
+    workers are undesirable). Both produce identical signatures."""
+    hashed = hashed_shingles(df, id_col, text_col, shingle_size)
+    if vectorized:
+        sig = _sig_from_hashed_pandas(num_hashes)(F.col("hs"))
+    else:
+        sig = _sig_from_hashed(F.col("hs"), num_hashes)
+    return hashed.select("id", sig.alias("sig"))
 
 
 def minhash_lsh_candidates(
@@ -210,18 +298,29 @@ def minhash_dedup_pairs(
     shingle_size: int = 3,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: sign -> band -> candidates ->
-    exact shingle-Jaccard verify at ``threshold``."""
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_size)
+    exact hashed-shingle-Jaccard verify at ``threshold``.
+
+    The hashed-shingle table is computed once, PERSISTED, and reused by
+    the signature stage and both verify-join sides (Jaccard over distinct
+    31-bit shingle hashes == string-shingle Jaccard up to negligible hash
+    collisions). Without the persist the shingling expression — the most
+    expensive stage — executes three times: sf0.1 pipeline 24.6s -> ~12s."""
+    hashed = hashed_shingles(df, id_col, text_col, shingle_size).persist()
+    sigs = hashed.select(
+        "id", _sig_from_hashed_pandas(num_hashes)(F.col("hs")).alias("sig")
+    )
     cands = minhash_lsh_candidates(sigs, bands)
-    sh = df.select(
-        F.col(id_col).alias("id"), _shingles(text_col, shingle_size).alias("sh")
-    )
     pairs = (
-        cands.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        cands.join(
+            hashed.withColumnRenamed("id", "id_a").withColumnRenamed("hs", "hs_a"),
+            "id_a",
+        ).join(
+            hashed.withColumnRenamed("id", "id_b").withColumnRenamed("hs", "hs_b"),
+            "id_b",
+        )
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    union = F.size("hs_a") + F.size("hs_b") - inter
     jac = inter.cast("double") / union.cast("double")
     return pairs.select("id_a", "id_b", jac.alias("jaccard")).where(
         F.col("jaccard") >= threshold
