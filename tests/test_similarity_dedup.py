@@ -1,0 +1,86 @@
+"""Recall/consistency tests for the approximate operators: LSH top-k and
+IVF top-k vs brute force, embedding near-dup, MinHash vs exact Jaccard."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from wvfoia_sync_spark.operators import dedup, similarity
+from wvfoia_sync_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_DIR, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def qvec(emb):
+    return [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+
+
+def _ids(df):
+    return [r["vec_id"] for r in df.select("vec_id").collect()]
+
+
+def test_lsh_topk_recall(emb, qvec):
+    exact = set(_ids(similarity.brute_force_topk(emb, qvec, k=10)))
+    # synthetic embeddings are weakly similar (top-10 cosine ~0.3), so the
+    # expected query-neighbor Hamming distance is ~2.3 of 6 bits: radius-2
+    # multi-probe is the operating point here (radius 1 recalls ~3/10)
+    approx = set(
+        _ids(similarity.lsh_topk(emb, qvec, k=10, n_planes=6, probe_radius=2))
+    )
+    assert 0 in approx
+    assert len(exact & approx) >= 5, f"recall {len(exact & approx)}/10 too low"
+
+
+def test_ivf_topk_recall(emb, qvec):
+    cents = similarity.train_centroids(emb, k=8, iterations=2)
+    assert len(cents) == 8 and len(cents[0]) == len(qvec)
+    exact = set(_ids(similarity.brute_force_topk(emb, qvec, k=10)))
+    approx = set(_ids(similarity.ivf_topk(emb, qvec, cents, k=10, n_probe=3)))
+    assert 0 in approx  # query vector lives in a probed cell
+    assert len(exact & approx) >= 5, f"recall {len(exact & approx)}/10 too low"
+
+
+def test_embedding_near_dup_finds_planted(spark, emb):
+    corpus = emb.select("vec_id", "embedding").unionAll(
+        emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_near_dup_pairs(corpus, threshold=0.99).collect()
+    }
+    n = emb.count()
+    planted = {(i, i + 100000) for i in range(n)}
+    # exact copies share every LSH bucket -> recall must be 1.0
+    assert planted <= pairs
+
+
+def test_minhash_agrees_with_exact_shingle_jaccard(spark):
+    docs = load_table(spark, SF_DIR, "documents").limit(200)
+    hashed = dedup.hashed_shingles(docs, "doc_id", "text", 3)
+    a = hashed.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"))
+    b = hashed.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"))
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    union = F.size("hs_a") + F.size("hs_b") - inter
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(inter.cast("double") / union.cast("double") >= 0.9)
+        .collect()
+    }
+    mh = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_dedup_pairs(
+            docs, "doc_id", "text", threshold=0.9
+        ).collect()
+    }
+    # verify stage guarantees precision (mh <= exact); near-exact pairs
+    # (J>=0.9) collide in >=1 of 16 bands w.p. ~1-4e-8, so recall should
+    # be total on 200 docs
+    assert mh <= exact
+    assert exact == mh, f"missed {len(exact - mh)} of {len(exact)}"

@@ -84,11 +84,17 @@ def lsh_topk(
     vec_col: str = "embedding",
     n_planes: int = 12,
     seed: int = 42,
+    probe_radius: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: rank exactly within the query's LSH bucket.
+    """Approximate top-k: rank exactly within the query's LSH bucket plus
+    all buckets within Hamming distance ``probe_radius`` (multi-probe —
+    sign-bit LSH puts true neighbors in adjacent buckets whenever the
+    query sits near a hyperplane, so single-bucket probing loses recall
+    fast as n_planes grows).
 
-    Recall/latency tradeoff is n_planes; multi-probe (flipping low-margin
-    bits) can be layered on by unioning probe signatures."""
+    Candidate fraction ~ (1 + C(n_planes, <=radius)) / 2^n_planes; with
+    the bucketed table stored partitioned by lsh_sig the probe set prunes
+    to that fraction of partitions."""
     dim = len(query_vec)
     planes = _hyperplanes(dim, n_planes, seed)
     q = np.asarray(query_vec, dtype="float64")
@@ -96,8 +102,122 @@ def lsh_topk(
     for i, p in enumerate(planes):
         if float(np.dot(q, p)) > 0:
             q_sig |= 1 << i
+    probes = {q_sig}
+    if probe_radius >= 1:
+        for i in range(n_planes):
+            probes.add(q_sig ^ (1 << i))
+    if probe_radius >= 2:
+        for i in range(n_planes):
+            for j in range(i + 1, n_planes):
+                probes.add(q_sig ^ (1 << i) ^ (1 << j))
     bucketed = with_lsh_signature(df, dim, n_planes, vec_col, seed)
-    candidates = bucketed.where(F.col("lsh_sig") == q_sig)
+    candidates = bucketed.where(F.col("lsh_sig").isin(*probes))
+    return brute_force_topk(candidates, query_vec, k, id_col, vec_col)
+
+
+def ivf_assignments(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "ivf_cell",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its nearest centroid
+    (argmax cosine, scale-invariant; ties -> lowest cell id).
+
+    Physical form matters twice over:
+    - an iterative best-so-far when-chain nests each centroid's cosine
+      inside every later branch (~2^k expression blowup);
+    - even a flat per-centroid score array embeds k x dim literals in the
+      plan, so optimize/codegen time grows with k*dim.
+    Centroids therefore live in a DATA table: broadcast cross-join, one
+    cosine expression, argmax aggregation, join assignment back. Scales
+    to any k and keeps the plan constant-size; at 100 TB the assignment
+    output is written partitioned by cell so probes prune partitions."""
+    spark = df.sparkSession
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        ["ivf_cell", "_cent"],
+    )
+    scored = df.select(F.col(id_col).alias("_aid"), F.col(vec_col)).crossJoin(
+        F.broadcast(cents)
+    )
+    score = F.coalesce(
+        cosine(F.col(vec_col), F.col("_cent")), F.lit(float("-inf"))
+    )
+    best = (
+        scored.select("_aid", "ivf_cell", score.alias("_s"))
+        .groupBy("_aid")
+        .agg(
+            F.max(F.struct(F.col("_s"), (-F.col("ivf_cell")).alias("_nc"))).alias("_b")
+        )
+        .select("_aid", (-F.col("_b._nc")).cast("int").alias(out_col))
+    )
+    return df.join(best, df[id_col] == F.col("_aid")).drop("_aid")
+
+
+def train_centroids(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iterations: int = 2,
+) -> list[list[float]]:
+    """Deterministic mini k-means for IVF: seed with the k lowest-id
+    vectors, run a fixed number of Lloyd iterations as Spark aggregations
+    (mean of assigned vectors via element-wise array aggregation)."""
+    seeds = [
+        [float(x) for x in r[vec_col]]
+        for r in df.orderBy(id_col).limit(k).collect()
+    ]
+    dim = len(seeds[0])
+    cents = seeds
+    for _ in range(iterations):
+        assigned = ivf_assignments(df, cents, vec_col)
+        # scalable element-wise mean: posexplode + (cell, pos) hash agg —
+        # never collect_list's whole cells to one row
+        means = (
+            assigned.select(
+                "ivf_cell",
+                F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "x"),
+            )
+            .groupBy("ivf_cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new: dict[int, list[float]] = {}
+        for r in means:
+            new.setdefault(r["ivf_cell"], [0.0] * dim)[r["pos"]] = r["m"]
+        cents = [new.get(i, c) for i, c in enumerate(cents)]
+    return cents
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: rank exactly within the ``n_probe`` cells
+    nearest the query. The scan prunes to probed cells (partition pruning
+    when the table is stored partitioned by cell)."""
+    import numpy as _np
+
+    q = _np.asarray(query_vec, dtype="float64")
+
+    def cos(c):
+        c = _np.asarray(c, dtype="float64")
+        d = float(_np.dot(q, c))
+        n = float(_np.linalg.norm(q) * _np.linalg.norm(c))
+        return d / n if n > 0 else float("-inf")
+
+    order = sorted(range(len(centroids)), key=lambda i: -cos(centroids[i]))
+    probed = order[:n_probe]
+    assigned = ivf_assignments(df, centroids, vec_col)
+    candidates = assigned.where(F.col("ivf_cell").isin(probed))
     return brute_force_topk(candidates, query_vec, k, id_col, vec_col)
 
 

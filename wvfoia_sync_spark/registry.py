@@ -885,7 +885,9 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     is asserted in tests; driver records rows-only."""
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
-    return similarity.lsh_topk(emb, qvec, k=10, n_planes=6).select("rank", "vec_id")
+    return similarity.lsh_topk(
+        emb, qvec, k=10, n_planes=6, probe_radius=2
+    ).select("rank", "vec_id")
 
 
 @register(
@@ -1444,4 +1446,17 @@ def events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = jobs.read_events_stream(spark, sf_dir, glob="events.parquet")
     return jobs.run_available_now(
         jobs.hourly_aggregation(stream), "events_hourly_stream_sink"
+    )
+
+
+@register("ivf_topk")  # no SQL oracle: approximate by design
+def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (scale ANN path): deterministic mini-k-means
+    coarse centroids, probe the 3 nearest cells, exact rank within.
+    Recall vs brute force asserted in tests; driver records rows-only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    cents = similarity.train_centroids(emb, k=8, iterations=1)
+    return similarity.ivf_topk(emb, qvec, cents, k=10, n_probe=3).select(
+        "rank", "vec_id"
     )
