@@ -308,3 +308,10 @@ def test_timeline_agency_scoped_all_time(silver_df, silver_duck):
     ).fetchone()
     assert str(pdf["date"].min()) == str(lo)
     assert int(pdf[["granted", "granted_in_part", "exempted", "rejected", "other"]].to_numpy().sum()) == n
+
+
+def test_fts_diacritic_fold(silver_df):
+    """FTS5 unicode61 remove_diacritics parity: 'cafe' finds 'café'."""
+    with_accent = queries.list_entries(silver_df, EntrySearchOptions(search="café"))
+    without = queries.list_entries(silver_df, EntrySearchOptions(search="cafe"))
+    assert without.total == with_accent.total > 0

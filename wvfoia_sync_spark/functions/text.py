@@ -30,20 +30,39 @@ STOPWORDS = (
 
 TOKEN_SPLIT_RE = r"[^a-z0-9]+"
 
+# Latin-1/-Extended diacritic fold (FTS5 unicode61 remove_diacritics 1,
+# reference migrations/0002_fts.sql:12). Char-for-char translate pairs —
+# MUST stay in lockstep with the DuckDB oracle's translate() call
+# (registry._SQL_TOKENS builds it from these same constants).
+DIACRITICS_FROM = "àáâãäåçèéêëìíîïñòóôõöùúûüýÿšžœæ"
+DIACRITICS_TO = "aaaaaaceeeeiiiinooooouuuuyyszoa"
+
+
+def fold_text(col: Column | str) -> Column:
+    """Lowercase + diacritic fold (the index- and query-side normalizer)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.translate(F.lower(c), DIACRITICS_FROM, DIACRITICS_TO)
+
 
 def tokens(col: Column | str) -> Column:
-    """Lowercase alnum tokens (FTS5-unicode61-style, ASCII fold only)."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.array_remove(F.split(F.lower(c), TOKEN_SPLIT_RE), "")
+    """Lowercase, diacritic-folded alnum tokens (FTS5-unicode61-style)."""
+    return F.array_remove(F.split(fold_text(col), TOKEN_SPLIT_RE), "")
+
+
+_PY_FOLD = str.maketrans(DIACRITICS_FROM, DIACRITICS_TO)
 
 
 def parse_fts_query(q: str) -> list[str]:
-    """Query-side tokenizer: lowercase, strip non-alnum per term, drop empties.
+    """Query-side tokenizer: lowercase, diacritic-fold, strip non-alnum per
+    term, drop empties.
 
-    Mirrors buildFtsQuery (reference src/lib/db/entries.ts:12-20); the
+    Mirrors buildFtsQuery (reference src/lib/db/entries.ts:12-20) plus the
+    index tokenizer's diacritic fold (so 'cafe' finds 'café'); the
     implicit trailing ``*`` makes every term a prefix match.
     """
-    terms = [re.sub(r"[^a-z0-9]+", "", t.lower()) for t in q.split()]
+    terms = [
+        re.sub(r"[^a-z0-9]+", "", t.lower().translate(_PY_FOLD)) for t in q.split()
+    ]
     return [t for t in terms if t]
 
 

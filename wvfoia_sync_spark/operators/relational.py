@@ -35,12 +35,22 @@ def paginate(
     page_size: int,
 ) -> DataFrame:
     """One page under a deterministic total order (caller must include a
-    unique tiebreaker column, SURVEY §7). Emits ``_rn`` for debugging."""
-    w = Window.orderBy(*order_by)
+    unique tiebreaker column, SURVEY §7).
+
+    Physical strategy: ``orderBy().limit(offset + page_size)`` first —
+    Spark plans that as TakeOrderedAndProject (per-partition top-k +
+    merge, no global sort, no single-partition window), then a window
+    row_number over only the (offset+page_size) surviving rows slices the
+    page. For page 1-of-50 on a 100 TB table this touches 50 rows per
+    partition instead of globally sorting the table; deep offsets degrade
+    to top-(offset+size), which is why bulk scans should use
+    ``keyset_page`` instead."""
     lo = (page - 1) * page_size
+    top = df.orderBy(*order_by).limit(lo + page_size)
+    w = Window.orderBy(*order_by)
     return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .where((F.col("_rn") > lo) & (F.col("_rn") <= lo + page_size))
+        top.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") > lo)
         .drop("_rn")
     )
 

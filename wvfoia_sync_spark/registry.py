@@ -51,9 +51,14 @@ def _money_sum(col) -> F.Column:
     return F.sum(c.cast("decimal(18,4)")).cast("double")
 
 
-# SQL fragment mirrored by functions.text.tokens()
+# SQL fragment mirrored by functions.text.tokens() — incl. the diacritic
+# fold, built from the SAME constants so the engines can't drift
+from .functions.text import DIACRITICS_FROM, DIACRITICS_TO  # noqa: E402
+
 _SQL_TOKENS = (
-    "list_filter(regexp_split_to_array(lower({c}), '[^a-z0-9]+'), t -> t <> '')"
+    "list_filter(regexp_split_to_array(translate(lower({c}), "
+    f"'{DIACRITICS_FROM}', '{DIACRITICS_TO}'), "
+    "'[^a-z0-9]+'), t -> t <> '')"
 )
 _SQL_STOPWORDS = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
 
