@@ -2,14 +2,13 @@
 corrections overlay (patch join).
 
 Scale notes:
-- Pagination uses a global row_number window (single total order). For
-  page-N-of-user-facing-search this is the correct semantic (the reference
-  clamps to totalPages, entries.ts:100-116); the sort spills via Spark's
-  external sort and AQE coalesces post-shuffle partitions. For *deep* bulk
-  export pagination prefer keyset (WHERE sort_key > last_seen) which we
-  expose as ``keyset_page``.
+- Pagination is top-k shaped (TakeOrderedAndProject of offset+size rows,
+  see ``paginate``) under the reference's clamp semantics
+  (entries.ts:100-116). For *deep* bulk export pagination prefer keyset
+  (WHERE sort_key > last_seen) which we expose as ``keyset_page``.
 - ``apply_patches`` broadcast-joins a tiny patch dimension (the reference's
   corrections.json has ~24 rows) — never a shuffle.
+- ``salted_group_agg`` is the skew escape hatch when one group key is hot.
 """
 
 from __future__ import annotations
@@ -108,3 +107,35 @@ def apply_patches(
     for c in patch_cols:
         out = out.withColumn(c, F.coalesce(F.col(f"_patch_{c}"), F.col(c)))
     return out.drop("_patch_key", *[f"_patch_{c}" for c in patch_cols])
+
+
+def salted_group_agg(
+    df: DataFrame,
+    key_col: str,
+    salt_source_col: str,
+    aggs: dict[str, tuple[str, str]],
+    buckets: int = 16,
+) -> DataFrame:
+    """Two-phase salted aggregation for skewed group keys.
+
+    ``aggs`` maps output column -> (input column, 'count'|'sum'). Phase 1
+    groups by (key, salt) where salt = hash(unique source col) % buckets —
+    the hot key's rows spread over ``buckets`` reducers; phase 2 re-groups
+    by key alone over the tiny partial table. Results are identical to a
+    direct groupBy (counts and sums are decomposable); only the shuffle
+    shape changes. Use when one key holds a disproportionate share of
+    rows and AQE skew-split isn't available (e.g. skewed agency in the
+    FOIA table, skewed token in the posting list).
+    """
+    salt = F.pmod(F.xxhash64(F.col(salt_source_col)), F.lit(buckets))
+    phase1_aggs = []
+    for out, (col, kind) in aggs.items():
+        if kind == "count":
+            phase1_aggs.append(F.count(col).alias(f"_p_{out}"))
+        elif kind == "sum":
+            phase1_aggs.append(F.sum(col).alias(f"_p_{out}"))
+        else:
+            raise ValueError(f"unsupported agg kind: {kind}")
+    partial = df.withColumn("_salt", salt).groupBy(key_col, "_salt").agg(*phase1_aggs)
+    final_aggs = [F.sum(f"_p_{out}").alias(out) for out in aggs]
+    return partial.groupBy(key_col).agg(*final_aggs)

@@ -1465,3 +1465,32 @@ def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, qvec, cents, k=10, n_probe=3).select(
         "rank", "vec_id"
     )
+
+
+@register(
+    "salted_agg",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase salted aggregation (SURVEY §4 spill/skew note;
+    the 100 TB answer for a hot agency/token key): results identical to a
+    direct groupBy — the oracle IS the direct groupBy."""
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "_q", F.col("l_quantity").cast("decimal(18,4)")
+    )
+    out = relational.salted_group_agg(
+        li,
+        "l_returnflag",
+        "l_orderkey",
+        {"n": ("l_returnflag", "count"), "sum_qty": ("_q", "sum")},
+        buckets=16,
+    )
+    return out.select(
+        "l_returnflag", F.col("n").cast("long").alias("n"),
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+    )
