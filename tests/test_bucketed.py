@@ -1,0 +1,48 @@
+"""Bucketed co-located join: same-key bucketed tables must join without
+shuffling either side (the storage-side scale strategy for large⋈large)."""
+
+import pyspark.sql.functions as F
+
+from wvfoia_sync_spark.sources.bucketed import bucketed_join_ready, write_bucketed
+from wvfoia_sync_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    orders = load_table(spark, SF_DIR, "orders")
+    lineitem = load_table(spark, SF_DIR, "lineitem")
+    write_bucketed(orders, "t_orders_b", "o_orderkey", 8, sort_col="o_orderkey")
+    write_bucketed(lineitem, "t_lineitem_b", "l_orderkey", 8, sort_col="l_orderkey")
+    assert bucketed_join_ready(spark, "t_orders_b", "t_lineitem_b")
+
+    ob = spark.table("t_orders_b")
+    lb = spark.table("t_lineitem_b")
+    # force a non-broadcast join so the bucket layout is what matters
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = ob.join(lb, ob.o_orderkey == lb.l_orderkey).groupBy(
+            "o_orderstatus"
+        ).agg(F.count("*").alias("n"))
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # the join itself must read bucketed scans directly — the only
+        # Exchange allowed is the one feeding the final aggregation
+        join_part = plan.split("SortMergeJoin")[1] if "SortMergeJoin" in plan else plan
+        assert "SortMergeJoin" in plan, plan[:2000]
+        assert "Exchange hashpartitioning" not in join_part, join_part[:2000]
+        # and the answer matches the plain-table join
+        expect = (
+            load_table(spark, SF_DIR, "orders")
+            .join(
+                load_table(spark, SF_DIR, "lineitem"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"))
+        )
+        assert sorted(map(tuple, joined.collect())) == sorted(
+            map(tuple, expect.collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -64,3 +64,35 @@ def test_multimodal_features_deterministic(spark):
 def test_decode_image_is_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG")
+
+
+def test_stateful_user_counts_match_batch(spark):
+    from wvfoia_sync_spark.sources.tables import load_table
+
+    batch = {
+        r["user_id"]: (r["n"], round(r["sv"], 6))
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
+        .collect()
+    }
+    stream = jobs.read_events_stream(spark, SF_DIR, glob="events.parquet")
+    out = jobs.run_available_now_update(
+        jobs.stateful_user_counts(stream), "t_stateful"
+    )
+    # update mode emits one row per user per micro-batch; the LAST row per
+    # user carries the final running totals
+    import pyspark.sql.functions as G
+    from pyspark.sql import Window as W
+
+    final = (
+        out.withColumn("_i", G.monotonically_increasing_id())
+        .withColumn("_rn", G.row_number().over(
+            W.partitionBy("user_id").orderBy(G.col("_i").desc())))
+        .where(G.col("_rn") == 1)
+    )
+    got = {
+        r["user_id"]: (r["n_events"], round(r["sum_value"], 6))
+        for r in final.collect()
+    }
+    assert got == batch

@@ -56,6 +56,12 @@ def agency_stats(silver: DataFrame, today: str) -> DataFrame:
         F.count(F.when(in_win(365), 1)).alias("requests_365d"),
         F.count(resp_days).alias("responded"),
         F.sum(resp_days).cast("long").alias("response_days_sum"),
+        # 365d partials stored alongside (A8's (sum, count) form) so gold
+        # can be maintained incrementally from append-only sync deltas
+        F.count(F.when(in_win(365), resp_days)).alias("responded_365d"),
+        F.sum(F.when(in_win(365), resp_days)).cast("long").alias(
+            "response_days_sum_365d"
+        ),
         (F.sum(resp_days).cast("double") / F.count(resp_days)).alias(
             "avg_response_days"
         ),

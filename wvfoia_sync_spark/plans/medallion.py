@@ -112,7 +112,13 @@ class MedallionPipeline:
         renames: DataFrame | None = None,
     ) -> None:
         """Silver + all gold tables from bronze (the reference's
-        'recompute everything the caches held' moment)."""
+        'recompute everything the caches held' moment).
+
+        Full recompute is always correct; for append-only sync deltas the
+        additive gold tables (agency_stats, resolution_counts) can instead
+        be merged from a delta-only aggregate via plans.incremental —
+        equivalence proven in tests/test_incremental.py. Fall back to this
+        full rebuild whenever corrections/dimensions change existing rows."""
         sdf = silver_mod.to_silver(self.bronze(), corrections, aliases, renames)
         silver_mod.write_silver(sdf, self._p("silver"))
         sdf = self.silver()

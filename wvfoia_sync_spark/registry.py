@@ -1494,3 +1494,41 @@ def salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag", F.col("n").cast("long").alias("n"),
         F.col("sum_qty").cast("double").alias("sum_qty"),
     )
+
+
+@register(
+    "events_sliding",
+    oracle="""
+    WITH slides AS (
+      SELECT e.event_type, e.value,
+             date_trunc('hour', e.ts) - INTERVAL 45 MINUTE
+               + (s.off * INTERVAL 15 MINUTE)
+               + CAST(floor(date_part('minute', e.ts) / 15) AS INT) * INTERVAL 15 MINUTE
+               AS win_start
+      FROM events e CROSS JOIN (SELECT unnest([0,1,2,3]) AS off) s
+    )
+    SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM slides GROUP BY win_start, event_type
+    """,
+)
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (1h length, 15min slide): each event
+    belongs to 4 overlapping windows — F.window's sliding form, the
+    batch twin of the streaming hop-window aggregation. Oracle expands
+    the 4 membership offsets explicitly."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )

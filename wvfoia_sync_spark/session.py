@@ -51,6 +51,8 @@ def get_spark(app_name: str = "wvfoia-sync-spark", cpus: int | None = None) -> S
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 4)
+    import tempfile
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
@@ -58,6 +60,13 @@ def get_spark(app_name: str = "wvfoia-sync-spark", cpus: int | None = None) -> S
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # keep managed tables (bucketed writes) out of the repo CWD
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE", tempfile.mkdtemp(prefix="spark-warehouse-")
+            ),
+        )
     )
     for k, v in _RUNTIME_CONFS.items():
         builder = builder.config(k, v)

@@ -1,0 +1,41 @@
+"""Bucketed-table writers for co-located joins (SURVEY §4 / 100 TB brief).
+
+Bucketing pre-partitions a table by join key at write time: two tables
+bucketed by the same key into the same bucket count join WITHOUT a
+shuffle — each task zips bucket i with bucket i. This is the storage-side
+answer for the engine's recurring big joins (orders⋈lineitem on orderkey,
+entries⋈posting-list on id) where broadcast doesn't apply because both
+sides are large.
+
+Bucketed writes go through the session catalog (``saveAsTable``); plain
+``.parquet(path)`` cannot record bucket metadata. At cluster scale the
+same API targets the shared metastore.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    num_buckets: int = 16,
+    sort_col: str | None = None,
+) -> None:
+    """Write ``df`` as a managed bucketed parquet table (overwrite)."""
+    writer = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(num_buckets, bucket_col)
+    )
+    if sort_col is not None:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table_name)
+
+
+def bucketed_join_ready(spark: SparkSession, left: str, right: str) -> bool:
+    """True when both catalog tables exist (helper for opportunistic
+    bucketed-join paths: fall back to plain joins when not)."""
+    return spark.catalog.tableExists(left) and spark.catalog.tableExists(right)

@@ -97,3 +97,50 @@ def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(query_name)
+
+
+def stateful_user_counts(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: a running
+    per-user event count + total value carried in GroupState across
+    micro-batches (the template for bespoke streaming state the built-in
+    window/session operators can't express).
+
+    State is one (count, total) pair per user — O(users) store entries,
+    partitioned by the grouping key; timeouts are disabled because the
+    demo aggregates to completion, a production op would use
+    GroupStateTimeout.ProcessingTimeTimeout + state eviction."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdf_iter, state: GroupState):
+        count, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            count += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((count, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [count], "sum_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, sum_value double",
+        stateStructType="count long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now_update(stream_df: DataFrame, query_name: str) -> DataFrame:
+    """Like run_available_now but with update output mode (required by
+    stateful operators that emit per-group deltas)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)
