@@ -84,3 +84,37 @@ def test_minhash_agrees_with_exact_shingle_jaccard(spark):
     # be total on 200 docs
     assert mh <= exact
     assert exact == mh, f"missed {len(exact - mh)} of {len(exact)}"
+
+
+def test_jaccard_strategies_identical(spark):
+    """All three exact-Jaccard physical strategies (all-pairs, prefix
+    filter, bitset) return the same pair set — they are alternative plans
+    for one logical operator."""
+    from wvfoia_sync_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+
+    def pairs(fn):
+        return {
+            (r.id_a, r.id_b, round(r.jaccard, 9))
+            for r in fn(docs, "doc_id", "text", "source", 0.6).collect()
+        }
+
+    base = pairs(dedup.jaccard_pairs)
+    assert base, "expected at least one near-dup pair at t=0.6"
+    assert pairs(dedup.jaccard_pairs_prefix) == base
+    bs = dedup.jaccard_pairs_bitset(docs, "doc_id", "text", "source", 0.6)
+    assert bs is not None, "test-corpus vocab should fit the bitset dictionary"
+    assert {
+        (r.id_a, r.id_b, round(r.jaccard, 9)) for r in bs.collect()
+    } == base
+
+
+def test_jaccard_bitset_bails_on_large_vocab(spark):
+    from wvfoia_sync_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    assert (
+        dedup.jaccard_pairs_bitset(docs, "doc_id", "text", "source", 0.6, max_vocab=4)
+        is None
+    )

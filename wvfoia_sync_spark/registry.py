@@ -834,11 +834,13 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact token-set Jaccard near-dup within a bucket (source). Integer
-    set sizes -> bit-deterministic ratios. The bucketed self-join is the
-    verify stage of the MinHash pipeline run standalone."""
+    """Exact token-set Jaccard near-dup within a bucket (source), via the
+    adaptive strategy: dictionary-encoded bitsets (popcount intersects,
+    ~40x smaller shuffle) when the vocabulary fits, PPJoin-style prefix
+    filtering otherwise. All strategies return the identical exact pair
+    set (tests/test_dedup_similarity.py asserts three-way equality)."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.jaccard_pairs(docs, "doc_id", "text", "source", 0.72)
+    return dedup.jaccard_pairs_auto(docs, "doc_id", "text", "source", 0.72)
 
 
 @register("minhash_near_dup")  # no SQL oracle: xxhash64 signatures

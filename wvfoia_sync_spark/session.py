@@ -39,6 +39,20 @@ def configure_session(spark: SparkSession) -> SparkSession:
             # Conf not settable on this build — engine degrades gracefully
             # (only the events nanos reader strictly requires its conf).
             pass
+    try:
+        # Partition-size-to-data sizing (SURVEY §6 / scale brief): the
+        # local test corpus is ~10 MB/table, so the 128 MB default collapses
+        # every scan to 1-3 tasks while the other cores idle. 8 MB splits
+        # restore scan parallelism at this SF. Cluster deployments (non-
+        # local master) keep the 128 MB default — at 100 TB smaller splits
+        # would explode the task count instead.
+        if spark.sparkContext.master.startswith("local"):
+            spark.conf.set(
+                "spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"),
+            )
+    except Exception:
+        pass
     return spark
 
 
