@@ -46,6 +46,8 @@ HEADLINE = [
     "window_totals",
     "token_histogram",
     "status_rollup",
+    "status_cube",
+    "price_percentiles",
     "multimodal_meta",
     "events_hourly_stream",
 ]

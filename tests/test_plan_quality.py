@@ -1,0 +1,79 @@
+"""Physical-plan regression tests: the scale promises (pushdown,
+broadcast, codegen, no interpreted Python in hot paths) asserted against
+`.explain` output so a refactor that silently deoptimizes a plan fails CI,
+not the 100 TB run.
+"""
+
+import pyspark.sql.functions as F
+
+from wvfoia_sync_spark import registry
+from wvfoia_sync_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_scan_pushes_predicates_and_prunes_columns(spark):
+    p = plan(registry.QUERIES["filter_scan"](spark, SF_DIR))
+    # equality + IN predicates reach the parquet reader
+    assert "PushedFilters:" in p
+    assert "o_orderstatus" in p.split("PushedFilters:")[1].split("\n")[0]
+    # projection pruning: untouched wide column never read
+    assert "o_comment" not in p.split("ReadSchema:")[1].split("\n")[0]
+
+
+def test_dim_joins_broadcast(spark):
+    # region/nation joins must be broadcast (tiny build sides), never
+    # shuffle both sides
+    p = plan(registry.QUERIES["region_revenue"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    p2 = plan(registry.QUERIES["nation_stats"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p2
+
+
+def test_pricing_summary_partial_aggregation_and_codegen(spark):
+    df = registry.QUERIES["pricing_summary"](spark, SF_DIR)
+    p = plan(df)
+    # partial (map-side) + final HashAggregate pair around ONE exchange:
+    # the combine happens before the shuffle, so the exchange moves only
+    # group-cardinality rows
+    assert "partial_sum" in p
+    assert p.count("HashAggregate") >= 2
+    # execute so AQE finalizes, then check the executed plan: ONE exchange
+    # (combine happens map-side, the shuffle moves group-cardinality rows)
+    # inside whole-stage-codegen spans ("*(n)" markers)
+    df.collect()
+    simple = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert simple.count("Exchange") <= 2  # shuffle (+ AQE read) only
+    assert "*(" in simple
+
+
+def test_no_row_python_udfs_in_headline_plans(spark):
+    """Pandas/Arrow UDFs are allowed (ArrowEvalPython/MapInPandas);
+    row-at-a-time BatchEvalPython is banned from every headline query."""
+    import bench
+
+    for name in bench.HEADLINE:
+        if name == "events_hourly_stream":
+            continue  # streaming plan; explained differently
+        p = plan(registry.QUERIES[name](spark, SF_DIR))
+        assert "BatchEvalPython" not in p, f"{name} uses a row Python UDF"
+
+
+def test_approx_percentile_tracks_exact(spark):
+    """The 100 TB percentile path (t-digest approx_percentile) stays
+    within 2% relative error of the exact sort-based percentile."""
+    o = load_table(spark, SF_DIR, "orders")
+    v = F.col("o_totalprice").cast("double")
+    row = o.agg(
+        F.percentile(v, F.lit(0.9)).alias("exact"),
+        F.approx_percentile(v, F.lit(0.9), F.lit(10000)).alias("approx"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) / row.exact < 0.02

@@ -96,3 +96,62 @@ def test_stateful_user_counts_match_batch(spark):
         for r in final.collect()
     }
     assert got == batch
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Append-mode + watermark semantics across micro-batches: a row
+    arriving behind the watermark is dropped, and only watermark-finalized
+    windows are emitted. Two files processed in order (maxFilesPerTrigger=1)
+    simulate two micro-batches."""
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def write(name, rows, mtime):
+        ns = [int(_time.mktime((2024, 1, 1, h, m, 0, 0, 0, 0)) * 1e9) for h, m in rows]
+        t = pa.table(
+            {
+                "event_id": list(range(len(rows))),
+                "ts": ns,
+                "user_id": [1] * len(rows),
+                "event_type": ["click"] * len(rows),
+                "value": [1.0] * len(rows),
+                "props": ["{}"] * len(rows),
+            }
+        )
+        p = str(tmp_path / name)
+        pq.write_table(t, p)
+        os.utime(p, (mtime, mtime))
+
+    # batch 0: max ts 12:00 -> watermark 11:00 once committed
+    write("f1.parquet", [(10, 15), (10, 45), (11, 15), (12, 0)], 1_700_000_000)
+    # batch 1: 12:30 on time; 09:30 lands before the watermark COMMITS
+    # (watermark propagation lags one batch) so it is still accepted
+    write("f2.parquet", [(9, 30), (12, 30)], 1_700_000_100)
+    # batch 2: 08:30 is now behind the committed 11:00 watermark -> dropped
+    write("f3.parquet", [(8, 30), (13, 30)], 1_700_000_200)
+
+    stream = (
+        spark.readStream.schema(jobs.EVENTS_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(tmp_path))
+        .withColumn("ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")))
+    )
+    agg = jobs.hourly_aggregation(stream, watermark="1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_watermark")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = {r["hour_start"]: r["n"] for r in spark.table("t_watermark").collect()}
+    # the 10:00 window finalized with its 2 on-time rows; the 08:30 row —
+    # behind the committed watermark — was dropped, never creating an
+    # 08:00 window
+    assert out.get("2024-01-01 10:00:00") == 2
+    assert "2024-01-01 08:00:00" not in out

@@ -1534,3 +1534,64 @@ def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@register(
+    "price_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) AS p50,
+           quantile_cont(CAST(o_totalprice AS DOUBLE), 0.9) AS p90,
+           quantile_cont(CAST(o_totalprice AS DOUBLE), 0.99) AS p99,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS mx
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped quantiles (linear interpolation — Spark `percentile`
+    and DuckDB `quantile_cont` share the definition). Exact percentile is
+    a full sort per group; the 100 TB path swaps in approx_percentile
+    (t-digest sketch, mergeable partials, one pass) — same API shape,
+    bounded error; see tests for the sketch-vs-exact tolerance check."""
+    o = load_table(spark, sf_dir, "orders")
+    v = F.col("o_totalprice").cast("double")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile(v, F.lit(0.5)).alias("p50"),
+        F.percentile(v, F.lit(0.9)).alias("p90"),
+        F.percentile(v, F.lit(0.99)).alias("p99"),
+        F.max(v).alias("mx"),
+    )
+
+
+@register(
+    "status_cube",
+    oracle="""
+    SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+           COALESCE(l_linestatus, '<all>') AS linestatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all 4 rollup combinations in one pass —
+    Spark expands to a single expanded-aggregate, one shuffle, vs 4
+    separate groupBys). Labels coalesced so subtotal rows are
+    distinguishable without relying on engine-specific grouping-id bit
+    order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
