@@ -118,3 +118,45 @@ def test_jaccard_bitset_bails_on_large_vocab(spark):
         dedup.jaccard_pairs_bitset(docs, "doc_id", "text", "source", 0.6, max_vocab=4)
         is None
     )
+
+
+def test_connected_components_match_union_find(spark):
+    """Spark min-label propagation vs a driver-side union-find over the
+    same exact pair list."""
+    docs = load_table(spark, SF_DIR, "documents")
+    pairs = dedup.jaccard_pairs_auto(docs, "doc_id", "text", "source", 0.85)
+    edge_list = [(r.id_a, r.id_b) for r in pairs.collect()]
+    assert edge_list, "expected near-dup pairs at t=0.85"
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edge_list:
+        union(a, b)
+    # canonicalize to min-member labels
+    expected = {x: find(x) for x in parent}
+
+    got = {
+        r.id: r.component
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == expected
+
+    clusters = dedup.duplicate_clusters(pairs).collect()
+    # every cluster's keep_id is its component label and size >= 2
+    assert all(r.keep_id == r.component and r.size >= 2 for r in clusters)
+    from collections import Counter
+
+    sizes = Counter(expected.values())
+    assert {r.component: r.size for r in clusters} == dict(sizes)

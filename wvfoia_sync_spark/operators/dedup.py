@@ -577,3 +577,90 @@ def simhash_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .agg(F.count("*").alias("dup_count"), F.min("id").alias("keep_id"))
         .where(F.col("dup_count") > 1)
     )
+
+
+# ------------------------------------------------- duplicate clusters ---
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected pair list -> (id, component)
+    where component = min member id (the canonical duplicate-cluster
+    labeling: near-dup PAIRS become duplicate CLUSTERS, from which one
+    representative per cluster survives).
+
+    Physical form: iterative min-label propagation. Each round is one
+    join + one min-aggregate (two narrow shuffles on the vertex key);
+    rounds = graph diameter, which for near-dup clusters is tiny (mutants
+    of one source doc all link to each other). Every round
+    ``localCheckpoint``s the label frontier — without lineage truncation
+    an iterative plan grows exponentially and Catalyst re-optimizes the
+    whole history each round. Convergence is detected with a changed-label
+    count (driver scalar, not a collect of data).
+
+    At extreme diameters (chain-shaped graphs) switch to the
+    large-star/small-star contraction (Kiveris et al., "Connected
+    Components in MapReduce"), which converges in O(log n) rounds with the
+    same join+agg primitives; near-dup graphs never need it.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        # materialize ONCE — every round joins against edges, and without
+        # this the (possibly expensive) pair-producing pipeline upstream
+        # would re-execute per round
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # candidate label per vertex: min over own label and neighbors'
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        updated = (
+            labels.join(nbr_min, labels.id == nbr_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
+                ).alias("component"),
+                (
+                    F.coalesce("nbr_component", F.col("component"))
+                    < F.col("component")
+                ).alias("changed"),
+            )
+        ).localCheckpoint(eager=True)
+        n_changed = updated.where("changed").count()
+        labels = updated.drop("changed")
+        if n_changed == 0:
+            break
+    return labels
+
+
+def duplicate_clusters(
+    pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b"
+) -> DataFrame:
+    """Cluster summary over near-dup pairs: (component, size, keep_id) —
+    keep_id = min member (deterministic survivor), size >= 2 by
+    construction. Downstream dedup = anti-join corpus against members
+    minus keep_ids."""
+    cc = connected_components(pairs, a_col, b_col)
+    return (
+        cc.groupBy("component")
+        .agg(F.count("*").alias("size"), F.min("id").cast("long").alias("keep_id"))
+        .select(F.col("component").cast("long").alias("component"), "size", "keep_id")
+    )

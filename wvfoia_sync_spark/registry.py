@@ -1595,3 +1595,17 @@ def status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_qty",
         )
     )
+
+
+@register("dup_clusters")  # no SQL oracle: iterative fixpoint (union-find
+# differential test in tests/test_similarity_dedup.py instead)
+def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster extraction: exact-Jaccard near-dup pairs ->
+    connected components -> (component, size, keep_id). The pipeline form
+    of 'dedup the corpus': survivors = corpus anti-join (members minus
+    keep_ids). Iterative min-label propagation with per-round lineage
+    checkpoints; see operators/dedup.py for the O(log n) alternative at
+    pathological diameters."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs_auto(docs, "doc_id", "text", "source", 0.85)
+    return dedup.duplicate_clusters(pairs)
