@@ -160,3 +160,31 @@ def test_connected_components_match_union_find(spark):
 
     sizes = Counter(expected.values())
     assert {r.component: r.size for r in clusters} == dict(sizes)
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    # any shared substring of length >= w+k-1 (= 8 chars at k=5, w=4)
+    # must yield at least one shared fingerprint
+    shared = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [
+            (1, f"PREFIX A {shared} SUFFIX ONE"),
+            (2, f"totally different lead-in {shared} and tail"),
+            (3, "no overlap here at all zzz qqq www"),
+            (4, "ab"),  # shorter than k -> empty fingerprint set
+            (5, None),  # null text -> null fingerprints
+        ],
+        "doc_id int, text string",
+    )
+    from wvfoia_sync_spark.functions.text import winnow_fingerprints
+
+    rows = {
+        r["doc_id"]: r["fps"]
+        for r in df.select(
+            "doc_id", winnow_fingerprints("text").alias("fps")
+        ).collect()
+    }
+    assert set(rows[1]) & set(rows[2]), "shared substring must share a fingerprint"
+    assert not (set(rows[1]) & set(rows[3]) & set(rows[2]))
+    assert rows[4] == []
+    assert rows[5] is None

@@ -159,3 +159,78 @@ def lang_id(text_col: Column | str) -> Column:
     for lang, s in scores:  # alphabetical: first lang hitting the max wins
         expr = (F.when if expr is None else expr.when)(s == best_score, F.lit(lang))
     return F.when(best_score > 0, expr).otherwise(F.lit("unknown"))
+
+
+# ------------------------------------------------ BPE-ish tokenization ---
+
+# GPT-2-style pre-tokenizer shape, restricted to constructs whose
+# semantics agree between Java regex (Spark) and RE2 (DuckDB): leading
+# contractions, space-prefixed letter runs, digit runs, punctuation runs.
+BPE_SPLIT_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+"
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Pre-tokenizer token count (the 'how many LLM tokens, roughly'
+    estimator — BPE merges only split within pre-tokens, so the pre-token
+    count is a stable lower bound computed without a vocab file)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_SPLIT_RE))
+
+
+# ----------------------------------------- winnowing fingerprints (MOSS) ---
+
+_WINNOW_BASE = 257
+_WINNOW_MOD = 1_000_000_007
+
+
+def winnow_fingerprints(
+    col: Column | str, k: int = 5, w: int = 4
+) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, MOSS):
+    rolling polynomial hash over character k-grams of the normalized text,
+    then the minimum hash of every w-length window, deduplicated.
+
+    Guarantee: any shared substring of length >= w+k-1 between two
+    documents yields at least one shared fingerprint — the standard
+    near-copy detector at paragraph granularity, complementing MinHash
+    (whole-doc similarity) and sha256 (exact identity).
+
+    Arrow-batched pandas UDF: nested higher-order Column expressions
+    re-evaluate their captured array per lambda element (O(n^3) interpreted
+    work per row), so the vectorized numpy path is the scalable one. The
+    arithmetic is pure integer (codepoint -> polynomial hash mod 1e9+7 ->
+    sliding-window minima), so results are engine-reproducible bit-for-bit;
+    folding with a per-step mod equals the power-sum mod because every
+    intermediate fits in int64 (max term 1114111 * 257^4 * 5 ~ 2.4e16)."""
+    import numpy as np
+    import pandas as pd
+
+    pows = (
+        _WINNOW_BASE ** np.arange(k - 1, -1, -1, dtype=np.int64)
+    ) % _WINNOW_MOD
+
+    def _one(t):
+        if t is None:
+            return None
+        # mirror normalized_text(): Java \s is ASCII-only, trim, lower
+        s = re.sub(r"[ \t\n\x0b\f\r]+", " ", t).strip().lower()
+        n = len(s)
+        if n < k:
+            return []
+        codes = np.fromiter(map(ord, s), dtype=np.int64, count=n)
+        grams = np.lib.stride_tricks.sliding_window_view(codes, k)
+        h = (grams @ pows) % _WINNOW_MOD
+        if len(h) < w:
+            mins = h.min(keepdims=True)
+        else:
+            mins = np.lib.stride_tricks.sliding_window_view(h, w).min(axis=1)
+        return np.unique(mins).tolist()
+
+    def _fp(texts):
+        return texts.map(_one)
+
+    # real (non-string) annotations: `from __future__ import annotations`
+    # would stringify inline hints, which pandas_udf cannot resolve
+    _fp.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    fp_udf = F.pandas_udf(_fp, "array<long>")
+    return fp_udf(F.col(col) if isinstance(col, str) else col)

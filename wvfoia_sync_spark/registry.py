@@ -21,7 +21,8 @@ from typing import Callable
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from .functions.text import STOPWORDS, lang_id, quality_metrics
+from .functions import text as text_fns
+from .functions.text import BPE_SPLIT_RE, STOPWORDS, lang_id, quality_metrics
 from .operators import dedup, fts, relational, similarity, textops, timeline
 from .sources.tables import load_table
 
@@ -1609,3 +1610,87 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.jaccard_pairs_auto(docs, "doc_id", "text", "source", 0.85)
     return dedup.duplicate_clusters(pairs)
+
+
+_SQL_BPE_RE = BPE_SPLIT_RE.replace("'", "''")
+
+
+@register(
+    "bpe_token_stats",
+    oracle=f"""
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(text, '{_SQL_BPE_RE}'))) AS BIGINT) AS total_tokens,
+           CAST(MAX(len(regexp_extract_all(text, '{_SQL_BPE_RE}'))) AS BIGINT) AS max_tokens
+    FROM documents GROUP BY source
+    """,
+)
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-token budgeting: GPT-2-style pre-tokenizer counts per source
+    (regexp_count, JVM-side — the 'how many tokens is this corpus'
+    estimator without a vocab file). Pattern restricted to constructs with
+    identical Java-regex/RE2 semantics."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = text_fns.bpe_token_count("text")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(c).cast("long").alias("total_tokens"),
+        F.max(c).cast("long").alias("max_tokens"),
+    )
+
+
+@register(
+    "winnow_stats",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+      FROM documents
+    ),
+    codes AS (
+      SELECT doc_id, list_transform(string_split(t, ''), x -> ascii(x)) AS cs
+      FROM base
+    ),
+    h AS (
+      SELECT doc_id,
+        CASE WHEN len(cs) < 5 THEN []::BIGINT[]
+        ELSE list_transform(range(1, len(cs)-5+2),
+          i -> list_reduce(list_prepend(0::BIGINT, list_slice(cs, i, i+4)),
+                           (acc, x) -> (acc*257+x) % 1000000007))
+        END AS hs
+      FROM codes
+    ),
+    wm AS (
+      SELECT doc_id,
+        CASE WHEN len(hs) = 0 THEN []::BIGINT[]
+        ELSE list_distinct(list_transform(
+               range(1, greatest(len(hs)-4+1, 1)+1),
+               i -> list_min(list_slice(hs, i, i+3))))
+        END AS fps
+      FROM h
+    )
+    SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
+           list_min(fps) AS min_fp, list_max(fps) AS max_fp,
+           CAST(list_sum(fps) AS BIGINT) AS fp_sum
+    FROM wm
+    """,
+)
+def winnow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (MOSS): rolling-hash k-gram (k=5) minima
+    over w=4 windows — paragraph-granularity copy detection. The oracle
+    replays the identical integer arithmetic through DuckDB list lambdas,
+    so fingerprints hash-match bit-for-bit; compared as per-doc
+    order-insensitive aggregates (count/min/max/sum) because engines
+    order list_distinct differently."""
+    docs = load_table(spark, sf_dir, "documents")
+    fps = text_fns.winnow_fingerprints("text")
+    d = docs.select("doc_id", fps.alias("fps"))
+    return d.select(
+        "doc_id",
+        F.size("fps").cast("long").alias("n_fp"),
+        F.array_min("fps").alias("min_fp"),
+        F.array_max("fps").alias("max_fp"),
+        F.when(F.size("fps") == 0, F.lit(None).cast("long"))
+        .otherwise(
+            F.aggregate("fps", F.lit(0).cast("long"), lambda acc, x: acc + x)
+        )
+        .alias("fp_sum"),
+    )
