@@ -77,3 +77,25 @@ def test_approx_percentile_tracks_exact(spark):
         F.approx_percentile(v, F.lit(0.9), F.lit(10000)).alias("approx"),
     ).collect()[0]
     assert abs(row.approx - row.exact) / row.exact < 0.02
+
+
+def test_shipping_priority_pushdown_and_topk(spark):
+    """The big-big join query must push its date/segment filters to the
+    scans and take the top-10 without a global sort."""
+    df = registry.QUERIES["shipping_priority"](spark, SF_DIR)
+    p = plan(df)
+    pushed = [ln for ln in p.splitlines() if "PushedFilters:" in ln]
+    assert any("l_shipdate" in ln for ln in pushed)
+    assert any("c_mktsegment" in ln for ln in pushed)
+    assert "TakeOrderedAndProject" in p  # top-k, not Sort+Limit over all
+
+
+def test_bm25_filters_terms_before_aggregation(spark):
+    """BM25 must restrict exploded postings to the query terms before the
+    tf aggregation (per-term postings, not a corpus-wide groupBy)."""
+    p = plan(registry.QUERIES["bm25_rank"](spark, SF_DIR))
+    gen = p.index("Generate")  # the explode
+    # a Filter on the exploded term column appears after the explode and
+    # before any HashAggregate that follows it
+    after = p[gen:]
+    assert "Filter" in after.split("HashAggregate")[0]

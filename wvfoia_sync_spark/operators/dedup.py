@@ -579,6 +579,59 @@ def simhash_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- winnow-overlap near-dup ---
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_shared: int = 2,
+    max_fp_doc_freq: int | None = None,
+) -> DataFrame:
+    """Paragraph-granularity near-dup pairs via shared winnowing
+    fingerprints (MOSS-style local copy detection, vs MinHash's whole-doc
+    similarity): docs sharing >= min_shared fingerprints, with per-doc
+    fingerprint-set sizes so callers can derive containment/overlap.
+
+    Physical strategy: explode fingerprints -> self-join on the
+    fingerprint value (the fingerprint IS the blocking key; no O(n^2)
+    block) -> count shared per pair. Skew guard: fingerprints occurring
+    in more than max_fp_doc_freq docs (boilerplate 5-grams) are dropped
+    before the join — the standard stop-fingerprint cut, which bounds any
+    join key's fan-out at max_fp_doc_freq^2 pairs.
+    """
+    from ..functions.text import winnow_fingerprints
+
+    fps = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.explode(winnow_fingerprints(text_col)).alias("fp"),
+    )
+    sizes = fps.groupBy("id").agg(F.count("*").alias("n_fp"))
+    if max_fp_doc_freq is not None:
+        rare = (
+            fps.groupBy("fp")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") <= max_fp_doc_freq)
+            .select("fp")
+        )
+        fps = fps.join(rare, "fp", "left_semi")
+    a, b = fps.alias("a"), fps.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("shared_fp"))
+        .where(F.col("shared_fp") >= min_shared)
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("id", "id_a"), "id_a")
+        .withColumnRenamed("n_fp", "n_a")
+        .join(sizes.withColumnRenamed("id", "id_b"), "id_b")
+        .withColumnRenamed("n_fp", "n_b")
+        .select("id_a", "id_b", "shared_fp", "n_a", "n_b")
+    )
+
+
 # ------------------------------------------------- duplicate clusters ---
 
 

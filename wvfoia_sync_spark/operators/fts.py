@@ -70,3 +70,71 @@ def search_index(
     (the reference's ``id IN (SELECT rowid FROM entries_fts ...)``)."""
     ids = matching_ids(index, query)
     return df.join(ids.withColumnRenamed("id", id_col), id_col, "left_semi")
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_cols: list[str],
+    query: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Ranked retrieval: Okapi BM25 with the Robertson/Lucene idf
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))``, OR semantics over exact query
+    terms -> (id, score) for every doc containing any term.
+
+    Physical shape: tokenize -> explode -> filter to the query's terms
+    BEFORE any aggregation (postings for 2-3 terms, not the corpus), then
+    per-term tf, broadcast per-term document frequencies, one groupBy(id).
+    At 100 TB the (token, id, tf) postings + (id, dl) lengths are the
+    precomputed bucketed index; this computes them on the fly for the
+    filtered terms only, which touches each doc row once.
+
+    Determinism: per-doc term scores are folded in sorted-term order
+    (sort_array of (term, score) structs + aggregate), so the float sum
+    has one defined association and an SQL oracle can replay it
+    bit-for-bit; the result is rounded to 6 decimals to absorb last-ulp
+    ``ln`` differences between math libraries."""
+    terms = parse_fts_query(query)
+    if not terms:
+        raise ValueError("bm25_scores requires at least one query term")
+    concatenated = F.concat_ws(
+        " ", *[F.coalesce(F.col(c), F.lit("")) for c in text_cols]
+    )
+    toks = df.select(
+        F.col(id_col).alias("id"), tokens(concatenated).alias("toks")
+    )
+    dl = toks.select("id", F.size("toks").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        toks.select("id", F.explode("toks").alias("term"))
+        .where(F.col("term").isin(terms))
+        .groupBy("id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("dfreq"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("dfreq") + F.lit(0.5))
+        / (F.col("dfreq") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    score = idf * (F.col("tf") * F.lit(k1 + 1.0)) / denom
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(stats))
+        .select("id", "term", score.alias("s"))
+    )
+    folded = F.aggregate(
+        F.sort_array(F.collect_list(F.struct("term", "s"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x["s"],
+    )
+    return scored.groupBy("id").agg(F.round(folded, 6).alias("score"))

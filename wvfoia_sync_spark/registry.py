@@ -1694,3 +1694,151 @@ def winnow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("fp_sum"),
     )
+
+
+@register(
+    "winnow_near_dup",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+      FROM documents
+    ),
+    codes AS (
+      SELECT doc_id, list_transform(string_split(t, ''), x -> ascii(x)) AS cs
+      FROM base
+    ),
+    h AS (
+      SELECT doc_id,
+        CASE WHEN len(cs) < 5 THEN []::BIGINT[]
+        ELSE list_transform(range(1, len(cs)-5+2),
+          i -> list_reduce(list_prepend(0::BIGINT, list_slice(cs, i, i+4)),
+                           (acc, x) -> (acc*257+x) % 1000000007))
+        END AS hs
+      FROM codes
+    ),
+    wm AS (
+      SELECT doc_id,
+        CASE WHEN len(hs) = 0 THEN []::BIGINT[]
+        ELSE list_distinct(list_transform(
+               range(1, greatest(len(hs)-4+1, 1)+1),
+               i -> list_min(list_slice(hs, i, i+3))))
+        END AS fps
+      FROM h
+    ),
+    fp AS (SELECT doc_id AS id, unnest(fps) AS fp FROM wm),
+    kept AS (
+      SELECT id, fp FROM fp
+      WHERE fp IN (SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) <= 50)
+    ),
+    sizes AS (SELECT id, COUNT(*) AS n_fp FROM fp GROUP BY id),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS shared_fp
+      FROM kept a JOIN kept b ON a.fp = b.fp AND a.id < b.id
+      GROUP BY a.id, b.id HAVING COUNT(*) >= 8
+    )
+    SELECT id_a, id_b, CAST(shared_fp AS BIGINT) AS shared_fp,
+           CAST(sa.n_fp AS BIGINT) AS n_a, CAST(sb.n_fp AS BIGINT) AS n_b
+    FROM pairs
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    """,
+)
+def winnow_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style local copy detection: doc pairs sharing >= 8 winnowing
+    fingerprints, stop-fingerprints (doc freq > 50) dropped pre-join as
+    the skew guard. Complements MinHash (whole-doc) with
+    paragraph-granularity overlap; n_a/n_b sizes let callers derive
+    containment = shared/min(n)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.winnow_overlap_pairs(
+        docs, "doc_id", "text", min_shared=8, max_fp_doc_freq=50
+    )
+
+
+@register(
+    "shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey AS orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+           strftime(CAST(o.o_orderdate AS DATE), '%Y-%m-%d') AS orderdate,
+           o.o_orderpriority AS priority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-06-01'
+      AND l.l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, orderdate, orderkey
+    LIMIT 10
+    """,
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape — the big-big shuffle-join path (vs region_revenue's
+    broadcast-dim chain): filtered customer ⋈ orders ⋈ lineitem on their
+    keys, decimal-exact revenue per order, deterministic top-10
+    (TakeOrderedAndProject — no global sort). At cluster scale both joins
+    shuffle on their join keys; AQE picks broadcast for the filtered
+    customer side when it fits. Revenue summed as DECIMAL so the top-10
+    cut is exact and engine-reproducible."""
+    cutoff = F.lit("1998-06-01").cast("timestamp")
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            _d("o_orderdate").alias("orderdate"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("orderkey", "revenue", "orderdate", "priority")
+        .orderBy(F.desc("revenue"), "orderdate", "orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "bm25_rank",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id AS id, {_SQL_TOKENS.format(c='text')} AS t FROM documents
+    ),
+    dl AS (SELECT id, len(t) AS dl FROM toks),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ),
+    tf AS (
+      SELECT id, term, COUNT(*) AS tf
+      FROM (SELECT id, unnest(t) AS term FROM toks)
+      WHERE term IN ('spark', 'stream')
+      GROUP BY id, term
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS dfreq FROM tf GROUP BY term),
+    scored AS (
+      SELECT id, term,
+             ln(1.0e0 + (n_docs - dfreq + 0.5e0) / (dfreq + 0.5e0))
+               * (tf * 2.2e0)
+               / (tf + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * dl / avgdl)) AS s
+      FROM tf JOIN dfreq USING (term) JOIN dl USING (id) CROSS JOIN stats
+    )
+    SELECT id, round(list_reduce(list_prepend(0.0e0, list(s ORDER BY term)),
+                                 (a, v) -> a + v), 6) AS score
+    FROM scored GROUP BY id
+    """,
+)
+def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked full-text retrieval beyond the reference's boolean FTS5
+    match: Okapi BM25 (k1=1.2, b=0.75, Robertson/Lucene idf) over the
+    same unicode61-style tokens. Per-doc term scores fold in sorted-term
+    order so the float sum is engine-reproducible."""
+    docs = load_table(spark, sf_dir, "documents")
+    return fts.bm25_scores(docs, "doc_id", ["text"], "Spark stream")
