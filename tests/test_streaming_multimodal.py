@@ -155,3 +155,35 @@ def test_watermark_drops_late_events(spark, tmp_path):
     # 08:00 window
     assert out.get("2024-01-01 10:00:00") == 2
     assert "2024-01-01 08:00:00" not in out
+
+
+def test_streaming_dedup_matches_batch_distinct(spark):
+    """Streaming dropDuplicatesWithinWatermark over the full file replay
+    keeps exactly one row per fingerprint (= batch countDistinct), and
+    passes distinct-fingerprint rows through untouched."""
+    from wvfoia_sync_spark.streaming import jobs
+
+    stream = jobs.read_events_stream(spark, SF_DIR, glob="events.parquet")
+    deduped = jobs.streaming_dedup(stream)
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("dedup_test").count()
+
+    batch = load_table(spark, SF_DIR, "events")
+    expected = (
+        batch.select(
+            F.sha2(
+                F.concat_ws("|", F.col("user_id"), F.col("event_type"), F.col("value")),
+                256,
+            ).alias("fp")
+        )
+        .distinct()
+        .count()
+    )
+    assert got == expected

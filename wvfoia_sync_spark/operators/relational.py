@@ -139,3 +139,43 @@ def salted_group_agg(
     partial = df.withColumn("_salt", salt).groupBy(key_col, "_salt").agg(*phase1_aggs)
     final_aggs = [F.sum(f"_p_{out}").alias(out) for out in aggs]
     return partial.groupBy(key_col).agg(*final_aggs)
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    key_col: str,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Point-in-interval join (ts BETWEEN start AND end, same key) as an
+    EQUI-join Spark can shuffle-partition, instead of the inequality join
+    Catalyst would execute as a per-key nested loop.
+
+    Each point maps to one time bucket; each interval explodes to every
+    bucket it covers (bounded fan-out: interval_len/bucket_seconds + 1
+    rows). The join is then an equi-join on (key, bucket) followed by the
+    exact range filter. A point's bucket matches a covering interval's
+    bucket list exactly once, so no dedup pass is needed. Pick
+    bucket_seconds near the typical interval length: larger buckets mean
+    fewer interval copies but more false candidates to filter.
+    """
+    bucket_us = F.lit(int(bucket_seconds) * 1_000_000)
+    pb = points.withColumn(
+        "_bucket", F.floor(F.unix_micros(F.col(ts_col)) / bucket_us)
+    )
+    ib = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_micros(F.col(start_col)) / bucket_us),
+                F.floor(F.unix_micros(F.col(end_col)) / bucket_us),
+            )
+        ),
+    )
+    joined = pb.join(ib, [key_col, "_bucket"]).where(
+        (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col))
+    )
+    return joined.drop("_bucket")

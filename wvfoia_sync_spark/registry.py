@@ -1842,3 +1842,113 @@ def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     order so the float sum is engine-reproducible."""
     docs = load_table(spark, sf_dir, "documents")
     return fts.bm25_scores(docs, "doc_id", ["text"], "Spark stream")
+
+
+@register(
+    "interval_attribution",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, event_id AS purchase_event_id,
+             ts - INTERVAL 15 MINUTE AS s, ts + INTERVAL 15 MINUTE AS e
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT purchase_event_id,
+           COUNT(*) AS n_nearby,
+           COUNT(DISTINCT ev.event_type) AS n_types
+    FROM p JOIN events ev
+      ON ev.user_id = p.user_id AND ev.ts >= p.s AND ev.ts <= p.e
+     AND ev.event_id <> p.purchase_event_id
+    GROUP BY purchase_event_id
+    """,
+)
+def interval_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join via the bucketed equi-join operator (Spark
+    executes a raw ts-BETWEEN join as a per-key nested loop; the bucket
+    explode turns it into a shuffle-partitionable equi-join): events
+    within +/-15 min of each same-user purchase, counted per purchase."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_event_id"),
+        (F.col("ts") - F.expr("INTERVAL 15 MINUTES")).alias("_s"),
+        (F.col("ts") + F.expr("INTERVAL 15 MINUTES")).alias("_e"),
+    )
+    pts = ev.select("user_id", "event_id", "ts", "event_type")
+    j = relational.interval_join(
+        pts, purchases, "user_id", "ts", "_s", "_e", bucket_seconds=900
+    )
+    return (
+        j.where(F.col("event_id") != F.col("purchase_event_id"))
+        .groupBy("purchase_event_id")
+        .agg(
+            F.count("*").alias("n_nearby"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+    )
+
+
+@register(
+    "price_quartiles",
+    oracle="""
+    WITH q AS (
+      SELECT o_orderpriority AS priority,
+             ntile(4) OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS quartile,
+             o_totalprice
+      FROM orders
+    )
+    SELECT priority, quartile, COUNT(*) AS n,
+           MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+    FROM q GROUP BY priority, quartile
+    """,
+)
+def price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile window (rank-based quartile assignment, deterministic via
+    the orderkey tiebreak) + per-bucket bounds — the distribution-summary
+    shape (§2.5 generalization; one shuffle on the partition key)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            F.col("o_orderpriority").alias("priority"),
+            F.ntile(4).over(w).alias("quartile"),
+            "o_totalprice",
+        )
+        .groupBy("priority", "quartile")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+
+
+@register(
+    "embedding_centroids",
+    oracle="""
+    WITH e AS (
+      SELECT label, unnest(embedding) AS v,
+             unnest(range(1, len(embedding)+1)) AS dim
+      FROM embeddings
+    )
+    SELECT label, dim,
+           CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) AS dim_sum,
+           COUNT(*) AS n
+    FROM e GROUP BY label, dim
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid accumulators (posexplode fan-out, one shuffle
+    on (label, dim)): element sums kept DECIMAL so the float reduction is
+    order-independent and engine-exact; callers finalize mean = sum/n.
+    At scale this is the centroid M-step of IVF/k-means training.
+    NB the float->double->decimal cast chain: a direct float->decimal in
+    some engines scales in float32 and mis-rounds the 8th decimal."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("dim0", "v")
+    ).select("label", (F.col("dim0") + 1).alias("dim"), "v")
+    return ex.groupBy("label", "dim").agg(
+        F.sum(F.col("v").cast("double").cast("decimal(18,9)")).cast("double").alias("dim_sum"),
+        F.count("*").alias("n"),
+    )

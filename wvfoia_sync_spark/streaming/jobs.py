@@ -144,3 +144,22 @@ def run_available_now_update(stream_df: DataFrame, query_name: str) -> DataFrame
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(query_name)
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact-dedup: drop events whose (user_id, event_type,
+    value) fingerprint was already seen within the watermark horizon —
+    the ingest-time dedup stage of a training-data pipeline (batch twin:
+    dedup_exact). dropDuplicatesWithinWatermark keys state by the
+    fingerprint and expires it once the watermark passes, so state stays
+    bounded by (dup horizon x arrival rate), not the stream's lifetime."""
+    keyed = events.withColumn(
+        "fp",
+        F.sha2(
+            F.concat_ws(
+                "|", F.col("user_id"), F.col("event_type"), F.col("value")
+            ),
+            256,
+        ),
+    )
+    return keyed.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["fp"])
