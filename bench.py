@@ -48,6 +48,12 @@ HEADLINE = [
     "status_rollup",
     "status_cube",
     "price_percentiles",
+    "shipping_priority",
+    "bm25_rank",
+    "winnow_near_dup",
+    "interval_attribution",
+    "tfidf_top_terms",
+    "embedding_centroids",
     "multimodal_meta",
     "events_hourly_stream",
 ]

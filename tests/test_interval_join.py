@@ -1,0 +1,59 @@
+"""interval_join edge cases: intervals spanning multiple buckets, exact
+boundary inclusion, and equivalence with a naive BETWEEN join."""
+
+import pyspark.sql.functions as F
+
+from wvfoia_sync_spark.operators.relational import interval_join
+
+
+def _mk(spark):
+    points = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 100),
+            (1, "2024-01-01 00:59:59", 101),  # end boundary, inclusive
+            (1, "2024-01-01 01:00:01", 102),  # just past the end
+            (1, "2024-01-01 03:30:00", 103),  # inside a 5h interval
+            (2, "2024-01-01 00:30:00", 200),  # other key, no interval
+        ],
+        "k int, ts string, pid int",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    intervals = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", "2024-01-01 00:59:59", 10),  # 1 bucket
+            (1, "2024-01-01 02:00:00", "2024-01-01 07:00:00", 11),  # 6 buckets
+        ],
+        "k int, s string, e string, iid int",
+    ).withColumn("s", F.to_timestamp("s")).withColumn("e", F.to_timestamp("e"))
+    return points, intervals
+
+
+def test_interval_join_matches_naive_between(spark):
+    points, intervals = _mk(spark)
+    got = {
+        (r.pid, r.iid)
+        for r in interval_join(
+            points, intervals, "k", "ts", "s", "e", bucket_seconds=3600
+        ).collect()
+    }
+    naive = {
+        (r.pid, r.iid)
+        for r in points.alias("p")
+        .join(
+            intervals.alias("i"),
+            (F.col("p.k") == F.col("i.k"))
+            & (F.col("p.ts") >= F.col("i.s"))
+            & (F.col("p.ts") <= F.col("i.e")),
+        )
+        .collect()
+    }
+    assert got == naive == {(100, 10), (101, 10), (103, 11)}
+
+
+def test_interval_join_no_duplicate_matches(spark):
+    # a point covered by a multi-bucket interval must appear exactly once
+    points, intervals = _mk(spark)
+    out = interval_join(
+        points, intervals, "k", "ts", "s", "e", bucket_seconds=600
+    )
+    rows = [(r.pid, r.iid) for r in out.collect()]
+    assert len(rows) == len(set(rows))

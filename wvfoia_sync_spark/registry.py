@@ -1952,3 +1952,116 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("v").cast("double").cast("decimal(18,9)")).cast("double").alias("dim_sum"),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "status_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus AS status, o_orderpriority AS priority,
+           GROUPING(o_orderstatus, o_orderpriority) AS gid,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def status_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind rollup/cube —
+    §2.4 extension): per-status, per-priority, and grand-total rows in
+    ONE pass (one expand + one shuffle, vs three scans unioned);
+    grouping-id distinguishes a NULL group value from an aggregated-out
+    column."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus AS status, o_orderpriority AS priority,
+               grouping_id(o_orderstatus, o_orderpriority) AS gid,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "set_ops_funnel",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 90
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'error'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'signup' AND value > 80
+    """,
+)
+def set_ops_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 set operators as first-class plan nodes: purchasers who also
+    hit errors but never signed up (INTERSECT then EXCEPT, ANSI
+    precedence). Catalyst executes both as aggregated semi/anti joins —
+    each is one shuffle on the already-projected key column."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def uid(t, min_value=None):
+        d = ev.where(F.col("event_type") == t)
+        if min_value is not None:
+            d = d.where(F.col("value") > min_value)
+        return d.select("user_id")
+
+    return uid("purchase", 90).intersect(uid("error")).subtract(uid("signup", 80))
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id AS id, {_SQL_TOKENS.format(c='text')} AS t FROM documents
+    ),
+    tf AS (
+      SELECT id, term, COUNT(*) AS tf
+      FROM (SELECT id, unnest(t) AS term FROM toks)
+      WHERE term NOT IN {_SQL_STOPWORDS.replace('[', '(').replace(']', ')')}
+      GROUP BY id, term
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS dfreq FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM toks),
+    ranked AS (
+      SELECT id, term,
+             row_number() OVER (
+               PARTITION BY id
+               ORDER BY tf * ln(CAST(n_docs AS DOUBLE) / dfreq) DESC, term
+             ) AS rnk
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT id, term, rnk FROM ranked WHERE rnk <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Characteristic-term extraction: top-3 non-stopword terms per doc
+    by tf-idf. Output is rank-only (no float column): the score feeds
+    ORDER BY, where ties are mathematically exact (equal tf and df) and
+    broken by term, so the result is engine-deterministic without float
+    hashing. dfreq is a broadcast dim; one window shuffle on doc id."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id").alias("id"), text_fns.tokens(F.col("text")).alias("t")
+    )
+    tf = (
+        toks.select("id", F.explode("t").alias("term"))
+        .where(~F.col("term").isin(sorted(STOPWORDS)))
+        .groupBy("id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("dfreq"))
+    n_docs = toks.agg(F.count("*").alias("n_docs"))
+    score = F.col("tf") * F.log(
+        F.col("n_docs").cast("double") / F.col("dfreq")
+    )
+    w = Window.partitionBy("id").orderBy(score.desc(), "term")
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("id", "term", "rnk")
+    )
