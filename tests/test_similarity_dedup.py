@@ -188,3 +188,12 @@ def test_winnow_shared_substring_guarantee(spark):
     assert not (set(rows[1]) & set(rows[3]) & set(rows[2]))
     assert rows[4] == []
     assert rows[5] is None
+
+
+def test_approx_distinct_within_rsd(spark):
+    from wvfoia_sync_spark.registry import QUERIES
+
+    rows = QUERIES["approx_distinct_users"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.approx_users - r.exact_users) <= max(3, 0.06 * r.exact_users)

@@ -2065,3 +2065,122 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 3)
         .select("id", "term", "rnk")
     )
+
+
+@register(
+    "train_test_split",
+    oracle="""
+    WITH s AS (
+      SELECT source,
+             CASE WHEN substr(sha256(text), 1, 1) IN
+                    ('0','1','2','3','4','5','6','7','8','9','a','b') THEN 'train'
+                  WHEN substr(sha256(text), 1, 1) IN ('c','d') THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT source, split, COUNT(*) AS n_docs
+    FROM s GROUP BY source, split
+    """,
+)
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash train/val/test split (75/12.5/12.5 by
+    the fingerprint's first hex nibble) — the reproducible,
+    order-independent split a training pipeline needs: a doc lands in
+    the same split on any cluster, any partitioning, any day, and exact
+    duplicates land in the same split by construction (no train/test
+    leakage from dup pairs). Pure projection + one groupBy; no
+    sampling-state or RNG."""
+    docs = load_table(spark, sf_dir, "documents")
+    nibble = F.substring(F.sha2(F.col("text"), 256), 1, 1)
+    split = (
+        F.when(nibble.isin(*"0123456789ab"), "train")
+        .when(nibble.isin("c", "d"), "val")
+        .otherwise("test")
+    )
+    return docs.groupBy("source", split.alias("split")).agg(
+        F.count("*").alias("n_docs")
+    )
+
+
+@register(
+    "curated_corpus",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, text, {_SQL_TOKENS.format(c='text')} AS toks
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, source, toks, len(toks) AS n_tokens,
+             CASE WHEN length(text) > 0
+                  THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                       / length(text) ELSE 0.0 END AS alpha_ratio,
+             sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+      FROM t
+    ),
+    lang AS (
+      SELECT doc_id,
+        len(list_filter(toks, x -> list_contains(['der','die','das','und','ist'], x))) AS h_de,
+        len(list_filter(toks, x -> list_contains(['the','a','of','and','is'], x))) AS h_en,
+        len(list_filter(toks, x -> list_contains(['el','la','de','que','es'], x))) AS h_es,
+        len(list_filter(toks, x -> list_contains(['le','la','de','et','est'], x))) AS h_fr
+      FROM m
+    ),
+    keep AS (SELECT fp, MIN(doc_id) AS keep_id FROM m GROUP BY fp)
+    SELECT m.source, COUNT(*) AS n_docs,
+           CAST(SUM(m.n_tokens) AS BIGINT) AS total_tokens
+    FROM m
+    JOIN keep ON m.fp = keep.fp AND m.doc_id = keep.keep_id
+    JOIN lang ON lang.doc_id = m.doc_id
+    WHERE greatest(h_de, h_en, h_es, h_fr) > 0
+      AND h_en = greatest(h_de, h_en, h_es, h_fr)
+      AND NOT h_de = greatest(h_de, h_en, h_es, h_fr)
+      AND m.n_tokens BETWEEN 10 AND 5000
+      AND m.alpha_ratio >= 0.5
+    GROUP BY m.source
+    """,
+)
+def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation composition a pretraining pipeline runs:
+    exact-dedup survivors (min-id per normalized fingerprint over the
+    FULL corpus) -> language gate (en) -> quality gate (token count in
+    [10, 5000], alpha ratio >= 0.5) -> per-source doc/token budget.
+    One fingerprint shuffle + one broadcast-able survivor join + one
+    final groupBy; every stage reuses an already-verified operator."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = quality_metrics("text")
+    d = docs.select(
+        "doc_id",
+        "source",
+        lang_id("text").alias("lg"),
+        m["n_tokens"].alias("n_tokens"),
+        m["alpha_ratio"].alias("alpha_ratio"),
+        text_fns.fingerprint("text").alias("fp"),
+    )
+    keep = d.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    survivors = d.join(keep, ["fp", "doc_id"], "left_semi")
+    return (
+        survivors.where(
+            (F.col("lg") == "en")
+            & F.col("n_tokens").between(10, 5000)
+            & (F.col("alpha_ratio") >= 0.5)
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )
+
+
+@register("approx_distinct_users")  # no SQL oracle: HLL sketches differ by
+# engine; tests/test_similarity_dedup.py bounds the error vs exact
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch path for distinct counting (approx_count_distinct, HLL++,
+    rsd=2%): at 100 TB the exact countDistinct is a full shuffle of the
+    key universe, the sketch is a constant-size mergeable state per
+    partition. Emits exact alongside for the tolerance check."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
