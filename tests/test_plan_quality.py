@@ -99,3 +99,17 @@ def test_bm25_filters_terms_before_aggregation(spark):
     # before any HashAggregate that follows it
     after = p[gen:]
     assert "Filter" in after.split("HashAggregate")[0]
+
+
+def test_registry_wide_plan_hygiene(spark):
+    """Every registry query (not just the headline set): no row-at-a-time
+    Python UDFs anywhere, and no non-broadcast cartesian product. Queries
+    that intentionally crossJoin a 1-row broadcast stats frame compile to
+    BroadcastNestedLoopJoin, which is allowed."""
+    skip = {"events_hourly_stream"}  # streaming plan; explained differently
+    for name, fn in registry.QUERIES.items():
+        if name in skip:
+            continue
+        p = plan(fn(spark, SF_DIR))
+        assert "BatchEvalPython" not in p, f"{name}: row Python UDF in plan"
+        assert "CartesianProduct" not in p, f"{name}: unbroadcast cartesian"
