@@ -187,3 +187,44 @@ def test_streaming_dedup_matches_batch_distinct(spark):
         .count()
     )
     assert got == expected
+
+
+def test_transform_with_state_matches_batch(spark):
+    """transformWithStateInPandas (Spark 4 stateful API) final running
+    totals equal the batch aggregate — same contract as the
+    applyInPandasWithState twin. The API's state-server protocol needs
+    google.protobuf, which this container lacks — skip, don't fail."""
+    pytest.importorskip("google.protobuf.descriptor")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        batch = {
+            r["user_id"]: (r["n"], round(r["sv"], 6))
+            for r in load_table(spark, SF_DIR, "events")
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
+            .collect()
+        }
+        stream = jobs.read_events_stream(spark, SF_DIR, glob="events.parquet")
+        out = jobs.run_available_now_update(jobs.tws_user_counts(stream), "t_tws")
+        from pyspark.sql import Window as W
+
+        final = (
+            out.withColumn("_i", F.monotonically_increasing_id())
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    W.partitionBy("user_id").orderBy(F.col("_i").desc())
+                ),
+            )
+            .where(F.col("_rn") == 1)
+        )
+        got = {
+            r["user_id"]: (r["n_events"], round(r["sum_value"], 6))
+            for r in final.collect()
+        }
+        assert got == batch
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")

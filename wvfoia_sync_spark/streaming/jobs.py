@@ -163,3 +163,41 @@ def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
         ),
     )
     return keyed.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["fp"])
+
+
+def tws_user_counts(events: DataFrame) -> DataFrame:
+    """The Spark 4 transformWithStateInPandas form of the running
+    per-user counter (the successor API to applyInPandasWithState):
+    typed ValueState survives across micro-batches in the RocksDB state
+    store, and the processor yields one delta row per user per batch.
+    Requires the RocksDB state store provider (set in the writeStream
+    caller or session conf) and google.protobuf on the Python path (the
+    state-server wire protocol); state is O(users) entries keyed by the
+    grouping column."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningCounts(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState("totals", "count long, total double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            prev = self._st.get() if self._st.exists() else (0, 0.0)
+            count, total = prev[0], prev[1]
+            for pdf in rows:
+                count += len(pdf)
+                total += float(pdf["value"].fillna(0.0).sum())
+            self._st.update((count, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [count], "sum_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningCounts(),
+        outputStructType="user_id long, n_events long, sum_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
