@@ -2184,3 +2184,59 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
     )
+
+
+@register(
+    "events_rolling_hour",
+    oracle="""
+    SELECT event_id,
+           COUNT(*) OVER w AS n_hr,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS val_hr
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def events_rolling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling event-time window per user (trailing 1 hour inclusive)
+    via rangeBetween over epoch micros — ONE shuffle on user_id, no
+    self-join or interval explode; RANGE frames include equal-ts peers
+    on both engines. Sum carried as DECIMAL so the frame reduction is
+    order-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        F.count("*").over(w).alias("n_hr"),
+        F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double").alias("val_hr"),
+    )
+
+
+@register(
+    "price_percent_rank",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority AS priority,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+    """,
+)
+def price_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-standing analytics: percent_rank ((rank-1)/(n-1)) and
+    cume_dist per priority group — both exact integer ratios, so the
+    doubles are engine-identical without rounding. Peers (equal price)
+    share values, making the output deterministic under ties."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
