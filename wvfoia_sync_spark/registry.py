@@ -2240,3 +2240,65 @@ def price_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pr"),
         F.cume_dist().over(w).alias("cd"),
     )
+
+
+@register(
+    "above_avg_orders",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority AS priority
+    FROM orders o
+    WHERE CAST(o_totalprice AS DECIMAL(18,4))
+            * (SELECT COUNT(*) FROM orders i
+               WHERE i.o_orderpriority = o.o_orderpriority)
+          > 2 * (SELECT SUM(CAST(i.o_totalprice AS DECIMAL(18,4)))
+                 FROM orders i
+                 WHERE i.o_orderpriority = o.o_orderpriority)
+    """,
+)
+def above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries (orders above 2x their priority
+    group's mean), written in SQL so Catalyst's decorrelation rewrites
+    them into ONE aggregate + broadcast join instead of a per-row
+    subquery execution. The avg compare is algebraically rearranged to
+    price*count > 2*sum so every operand stays decimal-exact (a double
+    mean would make boundary rows engine-dependent)."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_aao_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_orderpriority AS priority
+        FROM _aao_orders o
+        WHERE CAST(o_totalprice AS DECIMAL(18,4))
+                * (SELECT COUNT(*) FROM _aao_orders i
+                   WHERE i.o_orderpriority = o.o_orderpriority)
+              > 2 * (SELECT SUM(CAST(i.o_totalprice AS DECIMAL(18,4)))
+                     FROM _aao_orders i
+                     WHERE i.o_orderpriority = o.o_orderpriority)
+        """
+    )
+
+
+@register(
+    "metrics_unpivot",
+    oracle=f"""
+    WITH wide AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(len({_SQL_TOKENS.format(c='text')})) AS BIGINT) AS total_tokens,
+             CAST(MAX(length(text)) AS BIGINT) AS max_chars
+      FROM documents GROUP BY source
+    )
+    UNPIVOT wide ON n_docs, total_tokens, max_chars
+    INTO NAME metric VALUE val
+    """,
+)
+def metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt (wide metrics -> long (source, metric, val) form —
+    the feed shape for metric stores and charting): a zero-shuffle
+    expand on top of one aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    wide = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(text_fns.tokens(F.col("text")))).cast("long").alias("total_tokens"),
+        F.max(F.length("text")).cast("long").alias("max_chars"),
+    )
+    return wide.unpivot("source", ["n_docs", "total_tokens", "max_chars"], "metric", "val")
