@@ -1,0 +1,64 @@
+"""Z-order layout: every clustered file must cover a narrow value range
+on BOTH clustered columns (the data-skipping property), unlike a
+lexicographic sort which only narrows the leading column."""
+
+import pyarrow.parquet as pq
+import pyspark.sql.functions as F
+
+from wvfoia_sync_spark.operators import layout
+from wvfoia_sync_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _file_spans(path: str, col: str) -> list[float]:
+    """Per-file (max-min) span of col, from parquet footer stats."""
+    ds = pq.ParquetDataset(path)
+    spans = []
+    for frag in ds.fragments:
+        md = frag.metadata
+        los, his = [], []
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                c = md.row_group(rg).column(ci)
+                if c.path_in_schema == col and c.statistics is not None:
+                    los.append(c.statistics.min)
+                    his.append(c.statistics.max)
+        if los:
+            spans.append(float(max(his)) - float(min(los)))
+    return spans
+
+
+def test_zorder_narrows_both_columns(spark, tmp_path):
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "value"
+    )
+    lo, hi = ev.agg(F.min("value"), F.max("value")).first()
+    users = ev.agg(F.countDistinct("user_id")).first()[0]
+
+    zpath = str(tmp_path / "zordered")
+    spath = str(tmp_path / "sorted")
+    layout.write_zordered(ev, zpath, ["user_id", "value"], num_files=8)
+    (
+        ev.repartitionByRange(8, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(spath)
+    )
+
+    # same rows either way
+    assert (
+        spark.read.parquet(zpath).count() == spark.read.parquet(spath).count() == ev.count()
+    )
+
+    # lexicographic sort: value spans stay ~full-range per file
+    naive_value = _file_spans(spath, "value")
+    z_value = _file_spans(zpath, "value")
+    z_user = _file_spans(zpath, "user_id")
+    full_value = float(hi) - float(lo)
+
+    # z-ordered files narrow BOTH dimensions: median spans well under the
+    # naive layout's (value) and the full key range (user_id)
+    med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
+    assert med(z_value) < 0.75 * med(naive_value)
+    assert med(z_user) < 0.75 * users

@@ -1,0 +1,82 @@
+"""Physical-layout operators: multi-dimensional clustering for data
+skipping.
+
+Parquet/file-level min/max stats only prune on columns the data is
+sorted by; a lexicographic sort on (a, b) gives perfect pruning on `a`
+and none on `b`. Z-ordering (Morton-interleaving the bits of a bucketed
+form of each column) keeps every clustered file's min/max range narrow
+on ALL clustered columns at once, so a filter on any of them skips most
+files — the layout trick behind Delta/Iceberg OPTIMIZE ZORDER, here as a
+plain DataFrame transformation + range-partitioned write.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def _morton_interleave(cols: list[Column], bits: int) -> Column:
+    """Interleave `bits` bits of each (already bucketed) column into one
+    Morton key — a constant-size expression tree (bits x ncols ops)."""
+    key = F.lit(0).cast("long")
+    n = len(cols)
+    for b in range(bits):
+        for i, c in enumerate(cols):
+            bit = F.shiftright(c, b).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(F.shiftleft(bit, b * n + i))
+    return key
+
+
+def zorder_key(df: DataFrame, cols: list[str], bits: int = 12) -> DataFrame:
+    """Add a `_zkey` Morton key over the given columns.
+
+    Each column is quantized to 2^bits uniform-width buckets between its
+    global min and max — ONE tiny aggregate broadcast back (no global
+    window, no driver collect), so the layout job scales like a normal
+    scan. Uniform widths under-spread heavily skewed columns; for those,
+    pre-transform (log, rank-bucket) before clustering."""
+    stats = df.agg(
+        *[
+            f
+            for c in cols
+            for f in (
+                F.min(F.col(c).cast("double")).alias(f"_zmin_{c}"),
+                F.max(F.col(c).cast("double")).alias(f"_zmax_{c}"),
+            )
+        ]
+    )
+    out = df.crossJoin(F.broadcast(stats))
+    n_buckets = 1 << bits
+    bucketed = []
+    for i, c in enumerate(cols):
+        lo, hi = F.col(f"_zmin_{c}"), F.col(f"_zmax_{c}")
+        # width_bucket: 1..n inside [lo, hi], n+1 at hi — clamp to [0, n-1]
+        b = F.width_bucket(F.col(c).cast("double"), lo, hi, F.lit(n_buckets)) - 1
+        bcol = f"_zb{i}"
+        out = out.withColumn(
+            bcol, F.least(F.greatest(b, F.lit(0)), F.lit(n_buckets - 1))
+        )
+        bucketed.append(bcol)
+    out = out.withColumn(
+        "_zkey", _morton_interleave([F.col(b) for b in bucketed], bits)
+    )
+    return out.drop(*bucketed, *[f"_zmin_{c}" for c in cols], *[f"_zmax_{c}" for c in cols])
+
+
+def write_zordered(
+    df: DataFrame, path: str, cols: list[str], num_files: int = 8, bits: int = 12
+) -> None:
+    """Rewrite a table clustered along the Z-curve of `cols`: range-
+    partition by the Morton key (contiguous curve segments per file),
+    sort within files, and drop the key before writing. Each output file
+    then covers a narrow min/max range on EVERY clustered column, so
+    file-level skipping works for filters on any of them."""
+    keyed = zorder_key(df, cols, bits)
+    (
+        keyed.repartitionByRange(num_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
