@@ -54,6 +54,10 @@ HEADLINE = [
     "interval_attribution",
     "tfidf_top_terms",
     "embedding_centroids",
+    "curated_corpus",
+    "train_test_split",
+    "events_rolling_hour",
+    "props_json_stats",
     "multimodal_meta",
     "events_hourly_stream",
 ]

@@ -2302,3 +2302,35 @@ def metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.length("text")).cast("long").alias("max_chars"),
     )
     return wide.unpivot("source", ["n_docs", "total_tokens", "max_chars"], "metric", "val")
+
+
+@register(
+    "props_json_stats",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+           CAST(COUNT(*) FILTER (WHERE json_extract(props, '$.k') IS NULL) AS BIGINT) AS n_missing
+    FROM events GROUP BY event_type
+    """,
+)
+def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column handling: parse the JSON props payload with
+    a typed from_json schema (JVM-side Jackson, codegen-friendly — not a
+    Python json UDF) and aggregate the extracted field; missing-key rows
+    surface as nulls and are counted instead of dropped."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json("props", "k long")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+            F.count(F.when(F.col("k").isNull(), 1)).cast("long").alias("n_missing"),
+        )
+    )
