@@ -57,3 +57,17 @@ def test_full_pipeline_cycle(spark, fixture_dir, tmp_path):
     result2 = pipe.sync(sync.mock_fetcher(source), window=64)
     assert result2.added == 0
     assert pipe.bronze().count() == n0 + 5
+
+
+def test_silver_quality_observed(spark, fixture_dir, tmp_path):
+    """rebuild() collects row/null counters via observe() on the silver
+    write job itself (no second scan) and stamps them into meta."""
+    from wvfoia_sync_spark.plans.medallion import MedallionPipeline
+
+    p = MedallionPipeline(spark, str(tmp_path / "m"), today="2025-06-01")
+    p.init_bronze(spark.read.parquet(f"{fixture_dir}/entries.parquet"))
+    p.rebuild()
+    q = p.last_silver_quality
+    assert q["rows"] == p.silver().count() > 0
+    assert 0 <= q["null_slug"] <= q["rows"]
+    assert 0 <= q["null_request_dt"] <= q["rows"]

@@ -46,6 +46,7 @@ class MedallionPipeline:
         self.spark = spark
         self.root = root
         self.today = today or dt.date.today().isoformat()
+        self.last_silver_quality: dict = {}
 
     # ---------------------------------------------------------- paths ---
     def _p(self, *parts: str) -> str:
@@ -119,8 +120,21 @@ class MedallionPipeline:
         be merged from a delta-only aggregate via plans.incremental —
         equivalence proven in tests/test_incremental.py. Fall back to this
         full rebuild whenever corrections/dimensions change existing rows."""
+        from pyspark.sql import Observation
+        import pyspark.sql.functions as F
+
         sdf = silver_mod.to_silver(self.bronze(), corrections, aliases, renames)
+        # data-quality counters ride along with the silver write (observe
+        # attaches accumulators to the SAME job — no second scan)
+        obs = Observation("silver_quality")
+        sdf = sdf.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows"),
+            F.count(F.when(F.col("agency_slug").isNull(), 1)).alias("null_slug"),
+            F.count(F.when(F.col("request_dt").isNull(), 1)).alias("null_request_dt"),
+        )
         silver_mod.write_silver(sdf, self._p("silver"))
+        self.last_silver_quality = dict(obs.get)
         sdf = self.silver()
         golds: dict[str, DataFrame] = {
             "agency_stats": agencies_mod.agency_stats(sdf, self.today),
@@ -139,6 +153,7 @@ class MedallionPipeline:
         """ST4 last-updated metadata (meta:last_updated_at, sync.ts:203)."""
         meta = {
             "last_updated_at": self.today,
+            "silver_quality": self.last_silver_quality,
             "last_sync": {
                 "added": result.added,
                 "checked": result.checked,
