@@ -228,3 +228,32 @@ def test_transform_with_state_matches_batch(spark):
         assert got == batch
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_resize_and_frame_sample_plumbing(spark):
+    """resize keeps 1:1 rows with target-sized payloads; frame_sample
+    fans out every-Nth fixed-size frames deterministically."""
+    docs = load_table(spark, SF_DIR, "documents").limit(50)
+    media = multimodal.as_media_table(docs, "doc_id", "text")
+
+    resized = multimodal.resize_media(media, 64, 64).collect()
+    assert len(resized) == 50
+    target = (64 * 64) // 256
+    for r in resized:
+        assert r.meta.n_bytes == len(r.payload) <= target
+        assert r.meta.content_type == "resized"
+
+    frames = multimodal.frame_sample(media, frame_bytes=64, every_n=4)
+    got = frames.groupBy("media_id").count().collect()
+    src = {r.media_id: r.meta.n_bytes for r in media.select("media_id", "meta").collect()}
+    import math
+    for r in got:
+        total = math.ceil(src[r.media_id] / 64)
+        assert r["count"] == math.ceil(total / 4)
+    # deterministic: same plan, same frames
+    a = sorted((r.media_id, r.frame_no, bytes(r.frame)) for r in frames.collect())
+    b = sorted(
+        (r.media_id, r.frame_no, bytes(r.frame))
+        for r in multimodal.frame_sample(media, frame_bytes=64, every_n=4).collect()
+    )
+    assert a == b

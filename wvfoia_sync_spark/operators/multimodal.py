@@ -104,3 +104,81 @@ def extract_features(media: DataFrame, batch_size_hint: int = 1024) -> DataFrame
             )
 
     return media.select("media_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("content_type", T.StringType()),
+                    T.StructField("n_bytes", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def resize_media(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """Resize stage (binary -> binary, meta updated): the deterministic
+    stand-in keeps an evenly-strided byte sample of the payload sized to
+    the target dimensions (width*height//256 bytes), preserving the
+    1-row-in/1-row-out Arrow-batch shape a real thumbnailer would have.
+    Swap the inner loop for PIL's resize in production."""
+    target = max(1, (width * height) // 256)
+
+    def run(batches):
+        for b in batches:
+            out_payload, out_meta = [], []
+            for p in b["payload"]:
+                if not p:
+                    out_payload.append(b"")
+                    out_meta.append({"content_type": "resized", "n_bytes": 0})
+                    continue
+                step = max(1, len(p) // target)
+                rp = bytes(p[::step][:target])
+                out_payload.append(rp)
+                out_meta.append({"content_type": "resized", "n_bytes": len(rp)})
+            yield pd.DataFrame(
+                {"media_id": b["media_id"], "payload": out_payload, "meta": out_meta}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_no", T.LongType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def frame_sample(
+    media: DataFrame, frame_bytes: int = 64, every_n: int = 4
+) -> DataFrame:
+    """Frame-sampling stage (1 row -> N rows): treat the payload as fixed
+    -size frames and keep every Nth — the video-decimation shape. A real
+    decoder would emit decoded frames; the fan-out, ordering column and
+    batch mechanics are identical. No shuffle: the generator runs inside
+    the scan stage."""
+
+    def run(batches):
+        for b in batches:
+            ids, nos, frames = [], [], []
+            for mid, p in zip(b["media_id"], b["payload"]):
+                if not p:
+                    continue
+                total = (len(p) + frame_bytes - 1) // frame_bytes
+                for fno in range(0, total, every_n):
+                    ids.append(mid)
+                    nos.append(fno)
+                    frames.append(bytes(p[fno * frame_bytes : (fno + 1) * frame_bytes]))
+            yield pd.DataFrame({"media_id": ids, "frame_no": nos, "frame": frames})
+
+    return media.select("media_id", "payload").mapInPandas(run, FRAME_SCHEMA)
