@@ -179,3 +179,42 @@ def interval_join(
         (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col))
     )
     return joined.drop("_bucket")
+
+
+def fuzzy_match(
+    dirty: DataFrame,
+    canonical: DataFrame,
+    col: str,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Fuzzy string matching (edit distance <= max_dist) with length-band
+    blocking — the alias-resolution extension for misspellings the exact
+    normalize/alias path (U6/U8) cannot catch.
+
+    A raw levenshtein theta-join is a full cross product; blocking on
+    length bands exploits |len(a) - len(b)| <= dist(a, b): each dirty
+    string joins only canonical strings within max_dist of its length.
+    The equi-join key is the canonical side's length band replicated
+    (2*max_dist+1 rows per dirty string — bounded fan-out), keeping the
+    join shuffle-partitionable. At dictionary scale, broadcast the
+    canonical side instead.
+
+    Returns (dirty, canonical, dist) for all pairs within max_dist.
+    """
+    d = dirty.select(F.col(col).alias("dirty")).distinct()
+    c = canonical.select(F.col(col).alias("canonical")).distinct()
+    d_banded = d.withColumn(
+        "_band",
+        F.explode(
+            F.sequence(
+                F.length("dirty") - max_dist, F.length("dirty") + max_dist
+            )
+        ),
+    )
+    c_keyed = c.withColumn("_band", F.length("canonical"))
+    return (
+        d_banded.join(F.broadcast(c_keyed), "_band")
+        .withColumn("dist", F.levenshtein("dirty", "canonical"))
+        .where(F.col("dist") <= max_dist)
+        .select("dirty", "canonical", "dist")
+    )

@@ -2334,3 +2334,35 @@ def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("k").isNull(), 1)).cast("long").alias("n_missing"),
         )
     )
+
+
+@register(
+    "fuzzy_name_match",
+    oracle="""
+    WITH canon AS (SELECT DISTINCT n_name FROM nation),
+    dirty AS (
+      SELECT DISTINCT concat(substr(n_name, 1, 2), substr(n_name, 4)) AS m
+      FROM nation
+    )
+    SELECT d.m AS dirty, c.n_name AS canonical,
+           CAST(levenshtein(d.m, c.n_name) AS BIGINT) AS dist
+    FROM dirty d JOIN canon c
+      ON abs(length(d.m) - length(c.n_name)) <= 2
+    WHERE levenshtein(d.m, c.n_name) <= 2
+    """,
+)
+def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy alias resolution beyond exact normalization: nation names
+    with the 3rd character dropped (deterministic typo corpus) matched
+    back to canonical names within edit distance 2, via length-band
+    blocking instead of a raw theta-join cross product."""
+    n = load_table(spark, sf_dir, "nation")
+    dirty = n.select(
+        F.concat(
+            F.substring("n_name", 1, 2), F.expr("substring(n_name, 4)")
+        ).alias("n_name")
+    )
+    out = relational.fuzzy_match(dirty, n.select("n_name"), "n_name", max_dist=2)
+    return out.select(
+        "dirty", "canonical", F.col("dist").cast("long").alias("dist")
+    )
