@@ -60,6 +60,11 @@ HEADLINE = [
     "props_json_stats",
     "multimodal_meta",
     "events_hourly_stream",
+    "pii_scrub",
+    "decontam_overlap",
+    "gopher_repetition",
+    "token_chunks",
+    "pack_bins",
 ]
 
 

@@ -1,0 +1,59 @@
+"""PII detection and redaction expressions for training-data curation.
+
+A corpus scrubbed before pre-training needs (at minimum) e-mail
+addresses, phone numbers, and national-ID patterns removed.  All three
+detectors here are pure JVM-side regex Column builders — `regexp_count`
+to measure, chained `regexp_replace` to redact — so the scrub runs
+inside WholeStageCodegen with no Python in the loop.  At 100 TB this is
+a single scan: no shuffle, no UDF, fully pipelined with whatever
+projection follows.
+
+The patterns deliberately use only constructs whose semantics agree
+between Java regex (Spark) and RE2 (DuckDB differential oracle): no
+lookaround, no backreferences, explicit character classes.
+
+The reference has no PII layer (its data is already-public FOIA
+metadata); this extends the engine for the training-pipeline north
+star (BASELINE.md "design ceiling").
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+# Pattern source of truth — the registry's DuckDB oracle SQL interpolates
+# these same strings, so the two engines cannot drift.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\(\d{3}\) \d{3}-\d{4}"
+SSN_RE = r"\d{3}-\d{2}-\d{4}"
+
+# Redaction order matters when patterns could nest (an e-mail containing
+# digits must be replaced before bare-number passes); keep EMAIL first.
+REDACTIONS: tuple[tuple[str, str], ...] = (
+    (EMAIL_RE, "<EMAIL>"),
+    (PHONE_RE, "<PHONE>"),
+    (SSN_RE, "<SSN>"),
+)
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """Per-document match counts for each PII class (long columns)."""
+    c = _c(col)
+    return {
+        "n_email": F.regexp_count(c, F.lit(EMAIL_RE)).cast("long"),
+        "n_phone": F.regexp_count(c, F.lit(PHONE_RE)).cast("long"),
+        "n_ssn": F.regexp_count(c, F.lit(SSN_RE)).cast("long"),
+    }
+
+
+def redact(col: Column | str) -> Column:
+    """Replace every PII match with its class tag, in REDACTIONS order."""
+    c = _c(col)
+    for pat, tag in REDACTIONS:
+        c = F.regexp_replace(c, pat, tag)
+    return c

@@ -161,6 +161,42 @@ def lang_id(text_col: Column | str) -> Column:
     return F.when(best_score > 0, expr).otherwise(F.lit("unknown"))
 
 
+def ngrams(toks: Column | str, n: int) -> Column:
+    """Space-joined token n-grams as an array column (empty when the doc
+    has fewer than n tokens — guarded because Spark's ``sequence`` would
+    otherwise count *down* and explode).
+
+    Pass an already-materialized attribute (``.alias("toks")`` first),
+    not an inline tokens() expression: higher-order lambdas re-evaluate
+    captured expressions per element.
+    """
+    t = F.col(toks) if isinstance(toks, str) else toks
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (n - 1)),
+        lambda i: F.array_join(F.slice(t, i, n), " "),
+    )
+    return F.when(F.size(t) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def token_chunks(toks: Column | str, size: int, stride: int) -> Column:
+    """Fixed-window token chunking (array of array<string>): windows of
+    ``size`` tokens starting every ``stride`` tokens — the standard
+    long-document splitter for a training pipeline (overlap when
+    stride < size keeps context across boundaries; the final window may
+    be short). Empty docs produce zero chunks.
+    """
+    t = F.col(toks) if isinstance(toks, str) else toks
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size(t), F.lit(stride)),
+        lambda s: F.slice(t, s, size),
+    )
+    return F.when(F.size(t) >= 1, chunks).otherwise(
+        F.array().cast("array<array<string>>")
+    )
+
+
 # ------------------------------------------------ BPE-ish tokenization ---
 
 # GPT-2-style pre-tokenizer shape, restricted to constructs whose

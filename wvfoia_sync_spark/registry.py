@@ -21,6 +21,7 @@ from typing import Callable
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from .functions import pii
 from .functions import text as text_fns
 from .functions.text import BPE_SPLIT_RE, STOPWORDS, lang_id, quality_metrics
 from .operators import dedup, fts, relational, similarity, textops, timeline
@@ -2365,4 +2366,301 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = relational.fuzzy_match(dirty, n.select("n_name"), "n_name", max_dist=2)
     return out.select(
         "dirty", "canonical", F.col("dist").cast("long").alias("dist")
+    )
+
+
+# =====================================================================
+# Training-pipeline curation ops, continued (BASELINE north star)
+# =====================================================================
+
+_PII_DIRTY_SQL = """
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 7 = 0
+                  THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                  ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                  THEN ' call (304) 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  ELSE '' END
+             || CASE WHEN doc_id % 13 = 0
+                  THEN ' ssn ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                       || '-' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                       || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  ELSE '' END AS t
+      FROM documents
+"""
+
+
+def _pii_dirty_col() -> F.Column:
+    """Deterministic PII-injection twin of _PII_DIRTY_SQL (the synthetic
+    documents are word salad with no real PII, so the query plants some,
+    keyed off doc_id, identically on both engines)."""
+    did = F.col("doc_id")
+    s = did.cast("string")
+    return F.concat(
+        F.col("text"),
+        F.when(
+            did % 7 == 0,
+            F.concat(F.lit(" contact user"), s, F.lit("@example.com")),
+        ).otherwise(""),
+        F.when(
+            did % 11 == 0,
+            F.concat(
+                F.lit(" call (304) 555-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(""),
+        F.when(
+            did % 13 == 0,
+            F.concat(
+                F.lit(" ssn "),
+                F.lpad((did % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad((did % 100).cast("string"), 2, "0"),
+                F.lit("-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(""),
+    )
+
+
+@register(
+    "pii_scrub",
+    oracle=f"""
+    WITH d AS ({_PII_DIRTY_SQL})
+    SELECT * FROM (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(t, '{pii.EMAIL_RE}')) AS BIGINT) AS n_email,
+             CAST(len(regexp_extract_all(t, '{pii.PHONE_RE}')) AS BIGINT) AS n_phone,
+             CAST(len(regexp_extract_all(t, '{pii.SSN_RE}')) AS BIGINT) AS n_ssn,
+             md5(regexp_replace(regexp_replace(regexp_replace(t,
+                 '{pii.EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{pii.PHONE_RE}', '<PHONE>', 'g'),
+                 '{pii.SSN_RE}', '<SSN>', 'g')) AS redacted_md5
+      FROM d
+    ) WHERE n_email + n_phone + n_ssn > 0
+    """,
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact over the corpus (functions/pii.py): regex
+    counts per class and an md5 of the scrubbed text, JVM-side regex
+    only — at 100 TB this is a pure scan stage, no shuffle, no UDF,
+    pipelined into WholeStageCodegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = _pii_dirty_col()
+    counts = pii.pii_counts(t)
+    return (
+        docs.select(
+            "doc_id",
+            counts["n_email"].alias("n_email"),
+            counts["n_phone"].alias("n_phone"),
+            counts["n_ssn"].alias("n_ssn"),
+            F.md5(pii.redact(t)).alias("redacted_md5"),
+        )
+        .where(F.col("n_email") + F.col("n_phone") + F.col("n_ssn") > 0)
+    )
+
+
+@register(
+    "decontam_overlap",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS.format(c='text')} AS toks FROM documents),
+    x AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 2)) AS i
+          FROM t WHERE len(toks) >= 4),
+    g AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+3], ' ') AS gram FROM x)
+    SELECT tr.doc_id,
+           CAST(COUNT(DISTINCT tr.gram) AS BIGINT) AS n_shared_grams,
+           CAST(COUNT(DISTINCT ev.doc_id) AS BIGINT) AS n_eval_docs
+    FROM g tr JOIN g ev ON tr.gram = ev.gram
+    WHERE tr.doc_id % 50 <> 0 AND ev.doc_id % 50 = 0
+    GROUP BY tr.doc_id
+    """,
+)
+def decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any token
+    4-gram with the held-out eval slice (doc_id % 50 == 0 stands in for
+    a test set; production uses 8-13-grams — 4 keeps the differential
+    check non-trivial on the 31-word synthetic vocab). Shape: distinct
+    n-gram shingles per doc, broadcast the (small) eval side, equi-join
+    on the shingle — no cross product; at 100 TB the eval set is still
+    dimension-sized, so the broadcast holds and the scan stays one pass."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", text_fns.tokens("text").alias("toks")
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(text_fns.ngrams("toks", 4))).alias("gram"),
+    )
+    ev = grams.where(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("eval_id"), "gram"
+    )
+    tr = grams.where(F.col("doc_id") % 50 != 0)
+    return tr.join(F.broadcast(ev), "gram").groupBy("doc_id").agg(
+        F.countDistinct("gram").alias("n_shared_grams"),
+        F.countDistinct("eval_id").alias("n_eval_docs"),
+    )
+
+
+@register(
+    "gopher_repetition",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS.format(c='text')} AS toks FROM documents),
+    d AS (SELECT doc_id, len(toks) AS n_tokens,
+                 len(list_distinct(toks)) AS n_distinct, toks
+          FROM t WHERE len(toks) >= 2),
+    b AS (SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1,
+                 unnest(toks[2:len(toks)]) AS w2 FROM d),
+    m AS (SELECT doc_id, MAX(cnt) AS max_cnt FROM (
+            SELECT doc_id, w1 || ' ' || w2 AS gram, COUNT(*) AS cnt
+            FROM b GROUP BY doc_id, gram) GROUP BY doc_id)
+    SELECT d.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_distinct AS DOUBLE) / n_tokens AS uniq_ratio,
+           CAST(2 * max_cnt AS DOUBLE) / n_tokens AS top_bigram_frac
+    FROM d JOIN m USING (doc_id)
+    """,
+)
+def gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals: distinct-token ratio and
+    the token fraction covered by the most frequent bigram (both exact
+    integer ratios -> bit-identical doubles). Bigram counts shuffle on
+    (doc_id, gram) then reduce to one row per doc — partial aggregation
+    does most of the work map-side; no window, no cross product."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", text_fns.tokens("text").alias("toks"))
+        .where(F.size("toks") >= 2)
+    )
+    doc_stats = docs.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
+    )
+    bigrams = docs.select(
+        "doc_id", F.explode(text_fns.ngrams("toks", 2)).alias("gram")
+    )
+    top = (
+        bigrams.groupBy("doc_id", "gram")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("max_cnt"))
+    )
+    return doc_stats.join(top, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_distinct").cast("double") / F.col("n_tokens")).alias("uniq_ratio"),
+        ((F.col("max_cnt") * 2).cast("double") / F.col("n_tokens")).alias(
+            "top_bigram_frac"
+        ),
+    )
+
+
+@register(
+    "token_chunks",
+    oracle=f"""
+    WITH t0 AS (SELECT doc_id, {_SQL_TOKENS.format(c='text')} AS toks FROM documents),
+    t AS (SELECT * FROM t0 WHERE len(toks) >= 1),
+    x AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 48)) AS s FROM t)
+    SELECT doc_id,
+           CAST((s - 1) // 48 AS BIGINT) AS chunk_idx,
+           CAST(len(toks[s:least(s + 63, len(toks))]) AS BIGINT) AS n_toks,
+           md5(array_to_string(toks[s:least(s + 63, len(toks))], ' ')) AS chunk_md5
+    FROM x
+    """,
+)
+def token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-document splitting into 64-token windows every 48 tokens
+    (16-token overlap) — the context-window packing precursor. Pure
+    narrow transform (transform + posexplode): chunking is per-row, no
+    shuffle at any scale; output carries an md5 per chunk so the
+    differential check pins exact window boundaries."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", text_fns.tokens("text").alias("toks"))
+        .where(F.size("toks") >= 1)
+    )
+    return docs.select(
+        "doc_id",
+        F.posexplode(text_fns.token_chunks("toks", size=64, stride=48)).alias(
+            "chunk_idx", "chunk"
+        ),
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size("chunk").cast("long").alias("n_toks"),
+        F.md5(F.array_join("chunk", " ")).alias("chunk_md5"),
+    )
+
+
+@register(
+    "balanced_sample",
+    oracle="""
+    SELECT doc_id, lang, CAST(rnk AS BIGINT) AS rnk FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY sha256(text), doc_id) AS rnk
+      FROM documents
+    ) WHERE rnk <= 50
+    """,
+)
+def balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified balanced downsample: exactly 50 docs per language,
+    chosen by content-hash rank — deterministic on any cluster/day, no
+    RNG state, and stable under repartitioning (the usual per-stratum
+    cap when one language dominates a crawl). One shuffle on lang; at
+    100 TB swap row_number for a per-stratum hash threshold (no global
+    sort within giant strata) — same contract."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.sha2(F.col("text"), 256), "doc_id")
+    return (
+        docs.select(
+            "doc_id", "lang", F.row_number().over(w).cast("long").alias("rnk")
+        )
+        .where(F.col("rnk") <= 50)
+    )
+
+
+@register(
+    "pack_bins",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source,
+                      len({_SQL_TOKENS.format(c='text')}) AS n_tok
+               FROM documents),
+    c AS (SELECT source, doc_id, n_tok,
+                 SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+          FROM t)
+    SELECT source, CAST((cum - n_tok) // 512 AS BIGINT) AS bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM c GROUP BY source, bin_id
+    """,
+)
+def pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: concatenate each source's docs in doc_id order
+    and cut every 512 tokens — a doc's bin is where its first token
+    lands (greedy contiguous packing, the concat-then-chunk layout used
+    to build pretraining batches). The running sum partitions by source,
+    so no global single-partition window; per-source prefix sums scale
+    as long as sources are many, and a skewed source only serializes its
+    own partition."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", text_fns.token_count("text").alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("n_tok").over(w)
+    return (
+        docs.select(
+            "source",
+            "n_tok",
+            F.floor((cum - F.col("n_tok")) / 512).cast("long").alias("bin_id"),
+        )
+        .groupBy("source", "bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
     )
