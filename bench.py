@@ -65,6 +65,8 @@ HEADLINE = [
     "gopher_repetition",
     "token_chunks",
     "pack_bins",
+    "sq8_topk",
+    "heavy_hitters_sketch",
 ]
 
 

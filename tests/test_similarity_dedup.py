@@ -197,3 +197,32 @@ def test_approx_distinct_within_rsd(spark):
     assert rows
     for r in rows:
         assert abs(r.approx_users - r.exact_users) <= max(3, 0.06 * r.exact_users)
+
+
+def test_sq8_topk_recall(emb, qvec):
+    exact = set(_ids(similarity.brute_force_topk(emb, qvec, k=10)))
+    approx = set(_ids(similarity.sq8_topk(emb, qvec, k=10)))
+    assert 0 in approx  # the query vector survives quantization at rank 1
+    assert len(exact & approx) >= 8, f"recall {len(exact & approx)}/10 too low"
+
+
+def test_sq8_codes_bounded_and_reconstruction_close(spark, emb):
+    stats = similarity.dim_stats(emb)
+    coded = similarity.with_int8_codes(emb, stats)
+    row = coded.select(
+        F.min(F.array_min("codes")).alias("lo"),
+        F.max(F.array_max("codes")).alias("hi"),
+        F.max(
+            F.array_max(
+                F.zip_with(
+                    similarity.dequantize("codes", stats),
+                    F.col("embedding").cast("array<double>"),
+                    lambda a, b: F.abs(a - b),
+                )
+            )
+        ).alias("max_err"),
+    ).first()
+    assert 0 <= row["lo"] and row["hi"] <= 255
+    # max reconstruction error <= one quantization step over any dim
+    max_step = max((hi - lo) / 255.0 for lo, hi in stats)
+    assert row["max_err"] <= max_step + 1e-9

@@ -1,0 +1,32 @@
+"""Misra-Gries heavy-hitter sketch: error bound + merge correctness."""
+
+from wvfoia_sync_spark.operators import sketch
+
+
+def test_misra_gries_error_bound_and_heavy_hitter_guarantee(spark):
+    """Small-capacity MG on a skewed stream: estimates never exceed the
+    truth, undercount by at most n/(k+1), and the dominant item wins."""
+    items = ["whale"] * 400 + ["shark"] * 120 + [f"fish{i}" for i in range(80)]
+    n, k = len(items), 4
+    df = spark.createDataFrame([(x,) for x in items], "item string").repartition(4)
+    got = {
+        r["item"]: r["est"]
+        for r in sketch.heavy_hitters(df, "item", k=k, top=3).collect()
+    }
+    true = {"whale": 400, "shark": 120}
+    assert max(got, key=got.get) == "whale"
+    for item, est in got.items():
+        t = true.get(item, 1)
+        assert est <= t, f"{item} overcounted: {est} > {t}"
+    # any item with true count > n/(k+1) must surface; whale dwarfs that
+    assert got["whale"] >= 400 - n / (k + 1)
+
+
+def test_misra_gries_exact_when_capacity_covers_cardinality(spark):
+    items = [w for w in "a b c a b a".split()]
+    df = spark.createDataFrame([(x,) for x in items], "item string")
+    got = {
+        r["item"]: r["est"]
+        for r in sketch.heavy_hitters(df, "item", k=16, top=10).collect()
+    }
+    assert got == {"a": 3, "b": 2, "c": 1}

@@ -257,3 +257,53 @@ def test_resize_and_frame_sample_plumbing(spark):
         for r in multimodal.frame_sample(media, frame_bytes=64, every_n=4).collect()
     )
     assert a == b
+
+
+def test_streaming_scrub_matches_batch_redaction(spark, tmp_path):
+    """The PII scrub is a stateless streaming projection: replaying the
+    documents table through readStream yields byte-identical redactions
+    to the batch path."""
+    import shutil
+
+    from wvfoia_sync_spark.functions import pii
+    from wvfoia_sync_spark.streaming import jobs
+
+    src_dir = tmp_path / "docs"
+    src_dir.mkdir()
+    shutil.copy(f"{SF_DIR}/documents.parquet", src_dir / "documents.parquet")
+    batch = spark.read.parquet(str(src_dir))
+    dirty = batch.withColumn(
+        "text", F.concat("text", F.lit(" reach me: a.b@x.io or (555) 123-4567"))
+    )
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .parquet(str(src_dir))
+        .withColumn(
+            "text", F.concat("text", F.lit(" reach me: a.b@x.io or (555) 123-4567"))
+        )
+    )
+    q = (
+        jobs.streaming_scrub(stream)
+        .writeStream.format("memory")
+        .queryName("scrub_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["doc_id"]: (r["text"], r["n_email"], r["n_phone"])
+        for r in spark.table("scrub_test").collect()
+    }
+    exp_df = dirty.select(
+        "doc_id",
+        pii.redact("text").alias("text"),
+        *[c.alias(n) for n, c in pii.pii_counts("text").items()],
+    )
+    exp = {
+        r["doc_id"]: (r["text"], r["n_email"], r["n_phone"])
+        for r in exp_df.collect()
+    }
+    assert got == exp
+    any_text = next(iter(got.values()))[0]
+    assert any_text.endswith("reach me: <EMAIL> or <PHONE>")

@@ -1,0 +1,70 @@
+"""Mergeable frequency sketches: Misra-Gries heavy hitters.
+
+The exact token histogram (groupBy + count) is already the right Spark
+plan when the key cardinality is manageable — partial aggregation does
+the heavy lifting map-side.  The failure mode at 100 TB is *unbounded
+key cardinality* (url-grams, raw shingles): the hash aggregate spills
+and the shuffle carries every distinct key.  Misra-Gries bounds state to
+``k`` counters per partition with a hard error guarantee:
+
+    true_count - n/(k+1)  <=  estimate  <=  true_count
+
+and summaries MERGE by plain count-summation followed by a trim
+(Agarwal et al., "Mergeable Summaries", PODS'12) — which is exactly a
+Spark ``mapInPandas`` (bounded per-partition state, Arrow-batched)
+followed by ``groupBy(item).sum`` over at most ``k * n_partitions``
+rows.  When ``k`` >= the true distinct count the sketch degrades to the
+exact histogram (no trim ever fires), which the registry query exploits
+to keep a DuckDB oracle on the sketch code path.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def _trim(counters: Counter, k: int) -> Counter:
+    """Keep <= k counters by subtracting the (k+1)-th largest count."""
+    if len(counters) <= k:
+        return counters
+    sub = sorted(counters.values(), reverse=True)[k]
+    return Counter(
+        {item: c - sub for item, c in counters.items() if c - sub > 0}
+    )
+
+
+def heavy_hitters(
+    df: DataFrame, item_col: str, k: int = 64, top: int = 10
+) -> DataFrame:
+    """Approximate top-``top`` items with Misra-Gries(k) per partition.
+
+    Returns (item, est) — ``est`` undercounts the true frequency by at
+    most n/(k+1) summed across the merge tree; any item with true
+    frequency above that bound is guaranteed to surface.  Deterministic
+    output: ties broken by item.
+    """
+    items = df.select(F.col(item_col).cast("string").alias("item"))
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: Counter = Counter()
+        for pdf in batches:
+            counters.update(Counter(pdf["item"].dropna()))
+            counters = _trim(counters, k)
+        if counters:
+            yield pd.DataFrame(
+                {"item": list(counters), "cnt": list(counters.values())}
+            )
+
+    partials = items.mapInPandas(summarize, schema="item string, cnt long")
+    merged = partials.groupBy("item").agg(F.sum("cnt").alias("est"))
+    # Final trim across the merged summary (only bites when distinct > k).
+    return (
+        merged.orderBy(F.col("est").desc(), F.col("item").asc())
+        .limit(top)
+        .select("item", F.col("est").cast("long").alias("est"))
+    )

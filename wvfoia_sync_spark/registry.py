@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from .functions import pii
 from .functions import text as text_fns
 from .functions.text import BPE_SPLIT_RE, STOPWORDS, lang_id, quality_metrics
-from .operators import dedup, fts, relational, similarity, textops, timeline
+from .operators import dedup, fts, relational, similarity, sketch, textops, timeline
 from .sources.tables import load_table
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -2664,3 +2664,34 @@ def pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").alias("n_tokens"),
         )
     )
+
+
+@register("sq8_topk")  # no SQL oracle: quantized by design (recall test)
+def sq8_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantized ANN top-k (operators/similarity.py): score
+    on dequantized uint8 codes — the 4x-smaller column a 100 TB index
+    actually scans — rank exactly, id tiebreak. Recall vs the float
+    baseline asserted in tests; driver records rows-only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    return similarity.sq8_topk(emb, qvec, k=10).select("rank", "vec_id")
+
+
+@register(
+    "heavy_hitters_sketch",
+    oracle=f"""
+    WITH tok AS (SELECT unnest({_SQL_TOKENS.format(c='text')}) AS item FROM documents)
+    SELECT item, CAST(COUNT(*) AS BIGINT) AS est
+    FROM tok GROUP BY item ORDER BY est DESC, item ASC LIMIT 10
+    """,
+)
+def heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries(64) heavy hitters over the token stream
+    (operators/sketch.py): bounded per-partition state via mapInPandas,
+    summaries merged by summation. The oracle is EXACT counts — valid
+    because k=64 exceeds the synthetic 31-word vocab, so no trim fires
+    and the sketch path must degrade to the exact histogram; the
+    small-k error bound is asserted separately in tests."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(text_fns.tokens("text")).alias("item"))
+    return sketch.heavy_hitters(toks, "item", k=64, top=10)

@@ -201,3 +201,16 @@ def tws_user_counts(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def streaming_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Streaming PII scrub: the functions/pii.py redaction pipeline
+    applied at ingest — curation expressions are plain Column builders,
+    so the exact batch scrub runs unchanged on a stream (stateless
+    projection: no watermark, no state store, trivially scalable)."""
+    from ..functions import pii
+
+    out = docs
+    for name, col in pii.pii_counts(F.col(text_col)).items():
+        out = out.withColumn(name, col)  # counts BEFORE redaction
+    return out.withColumn(text_col, pii.redact(F.col(text_col)))
