@@ -67,6 +67,8 @@ HEADLINE = [
     "pack_bins",
     "sq8_topk",
     "heavy_hitters_sketch",
+    "min_cost_supplier",
+    "blame_supplier",
 ]
 
 

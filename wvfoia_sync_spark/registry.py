@@ -2695,3 +2695,117 @@ def heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(text_fns.tokens("text")).alias("item"))
     return sketch.heavy_hitters(toks, "item", k=64, top=10)
+
+
+@register(
+    "min_cost_supplier",
+    oracle="""
+    SELECT DISTINCT p.p_partkey, s.s_name, n.n_name AS nation,
+           CAST(l.l_extendedprice AS DOUBLE) AS price
+    FROM part p
+    JOIN lineitem l ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_size < 10
+      AND l.l_extendedprice = (SELECT MIN(l2.l_extendedprice)
+                               FROM lineitem l2
+                               WHERE l2.l_partkey = p.p_partkey)
+    """,
+)
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: cheapest offer per part, resolved to its supplier
+    and nation. Spark-first formulation: the correlated MIN becomes a
+    partial-aggregated groupBy re-joined on the fact's own join key (no
+    decorrelation needed); part filter is broadcast INTO the lineitem
+    scan, supplier/nation are broadcast dims — one shuffle total, for
+    the part-key aggregate. MIN equality on raw doubles is safe: no
+    accumulation, both engines compare the same bit pattern."""
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_size") < 10)
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey")
+    )
+    minp = li.groupBy("l_partkey").agg(F.min("l_extendedprice").alias("_minp"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(minp, "l_partkey")
+        .where(F.col("l_extendedprice") == F.col("_minp"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select(
+            "p_partkey",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            F.col("l_extendedprice").cast("double").alias("price"),
+        )
+        .distinct()
+    )
+
+
+@register(
+    "blame_supplier",
+    oracle="""
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey AND l1.l_returnflag = 'R'
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+                 AND o.o_orderpriority = '1-URGENT'
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    """,
+)
+def blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the sole supplier at fault — a returned line on
+    an urgent multi-supplier order where no OTHER supplier returned.
+    EXISTS -> left-semi self-join, NOT EXISTS -> left-anti self-join,
+    both on l_orderkey with the <> suppkey residual; the orders filter
+    is applied before its join so only urgent orderkeys shuffle, and
+    supplier is a broadcast dim. Self-joins co-partition on l_orderkey —
+    AQE reuses the exchange at scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    l1 = (
+        li.where(F.col("l_returnflag") == "R")
+        .alias("a")
+        .join(urgent, F.col("a.l_orderkey") == F.col("o_orderkey"))
+    )
+    other = li.select("l_orderkey", "l_suppkey").alias("b")
+    other_r = (
+        li.where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .alias("c")
+    )
+    blamed = (
+        l1.join(
+            other,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
+            "leftsemi",
+        )
+        .join(
+            other_r,
+            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+            & (F.col("a.l_suppkey") != F.col("c.l_suppkey")),
+            "leftanti",
+        )
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        blamed.join(F.broadcast(s), F.col("s_suppkey") == F.col("a.l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
