@@ -508,12 +508,17 @@ def minhash_dedup_pairs(
     """Full MinHash+LSH near-dup pipeline: sign -> band -> candidates ->
     exact hashed-shingle-Jaccard verify at ``threshold``.
 
-    The hashed-shingle table is computed once, PERSISTED, and reused by
-    the signature stage and both verify-join sides (Jaccard over distinct
-    31-bit shingle hashes == string-shingle Jaccard up to negligible hash
-    collisions). Without the persist the shingling expression — the most
-    expensive stage — executes three times: sf0.1 pipeline 24.6s -> ~12s."""
-    hashed = hashed_shingles(df, id_col, text_col, shingle_size).persist()
+    The hashed-shingle table is computed once, MATERIALIZED, and reused
+    by the signature stage and both verify-join sides (Jaccard over
+    distinct 31-bit shingle hashes == string-shingle Jaccard up to
+    negligible hash collisions). Without it the shingling expression —
+    the most expensive stage — executes three times: sf0.1 pipeline
+    24.6s -> ~12s. localCheckpoint rather than persist(): blocks are
+    GC-cleaned when the DataFrame goes out of scope, so repeated calls
+    in one session don't accumulate CacheManager entries."""
+    hashed = hashed_shingles(df, id_col, text_col, shingle_size).localCheckpoint(
+        eager=False
+    )
     sigs = hashed.select(
         "id", _sig_from_hashed_pandas(num_hashes)(F.col("hs")).alias("sig")
     )
@@ -588,6 +593,7 @@ def winnow_overlap_pairs(
     text_col: str,
     min_shared: int = 2,
     max_fp_doc_freq: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Paragraph-granularity near-dup pairs via shared winnowing
     fingerprints (MOSS-style local copy detection, vs MinHash's whole-doc
@@ -607,6 +613,15 @@ def winnow_overlap_pairs(
         F.col(id_col).cast("long").alias("id"),
         F.explode(winnow_fingerprints(text_col)).alias("fp"),
     )
+    if materialize:
+        # The fingerprint UDF feeds 3 consumers (sizes, the doc-freq cut,
+        # the self-join); exchange reuse only dedups the identical join
+        # sides, so without materialization the Arrow UDF runs ~3x.
+        # localCheckpoint stores the exploded fps once (GC-cleaned, unlike
+        # CacheManager entries). ~35% faster at sf0.1. On a real cluster
+        # the same role is played by persisting fps as a table; lineage
+        # truncation is the documented tradeoff.
+        fps = fps.localCheckpoint(eager=False)
     sizes = fps.groupBy("id").agg(F.count("*").alias("n_fp"))
     if max_fp_doc_freq is not None:
         rare = (
