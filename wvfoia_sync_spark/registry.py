@@ -1933,24 +1933,38 @@ def price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     )
     SELECT label, dim,
-           CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) AS dim_sum,
+           round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_sort(list(CAST(v AS DOUBLE)))), (a, x) -> a + x),
+                 6) AS dim_sum,
            COUNT(*) AS n
     FROM e GROUP BY label, dim
     """,
 )
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid accumulators (posexplode fan-out, one shuffle
-    on (label, dim)): element sums kept DECIMAL so the float reduction is
-    order-independent and engine-exact; callers finalize mean = sum/n.
-    At scale this is the centroid M-step of IVF/k-means training.
-    NB the float->double->decimal cast chain: a direct float->decimal in
-    some engines scales in float32 and mis-rounds the 8th decimal."""
+    on (label, dim)): element sums via a SORTED fixed-order double fold
+    + round(6), so both engines reduce in the identical order and the
+    IEEE result is bit-identical; callers finalize mean = sum/n. At
+    scale this is the centroid M-step of IVF/k-means training — there
+    you'd use a plain double sum (order-free partial aggregation) and
+    accept last-ulp wobble; the fold exists for the cross-engine gate.
+    (A decimal(18,9) element cast is NOT engine-stable: float32 values
+    whose decimal expansion terminates exactly one digit past the scale
+    hit a rounding tie that Spark and DuckDB break differently — caught
+    at sf0.1.)"""
     emb = load_table(spark, sf_dir, "embeddings")
     ex = emb.select(
         "label", F.posexplode("embedding").alias("dim0", "v")
     ).select("label", (F.col("dim0") + 1).alias("dim"), "v")
     return ex.groupBy("label", "dim").agg(
-        F.sum(F.col("v").cast("double").cast("decimal(18,9)")).cast("double").alias("dim_sum"),
+        F.round(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.col("v").cast("double"))),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+            6,
+        ).alias("dim_sum"),
         F.count("*").alias("n"),
     )
 

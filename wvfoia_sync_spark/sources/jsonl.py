@@ -1,0 +1,64 @@
+"""JSON-Lines source/sink — the interchange format training corpora
+actually arrive in (one JSON object per line, gz-splittable at scale).
+
+Spark-first rules baked in:
+
+- **Explicit schema on read.** Schema inference scans the data twice and
+  silently widens types per file; at 100 TB both are unacceptable. The
+  reader requires a DDL schema string (or StructType) and uses
+  ``mode=PERMISSIVE`` with a ``_corrupt`` column so malformed lines land
+  in a quarantine-able column instead of killing the job.
+- **Writes are partitioned + size-bounded.** ``maxRecordsPerFile`` caps
+  file size so a skewed partition can't emit a 100 GB file; an optional
+  ``partition_by`` gives hive-style directory pruning on read-back.
+- **Round-trip-stable columns only.** Arrays/structs/strings/longs/
+  doubles survive JSONL; binary columns do NOT (documented, asserted in
+  tests) — keep multimodal payloads in parquet and JSONL the metadata.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from ..session import configure_session
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str | StructType,
+    corrupt_col: str = "_corrupt",
+) -> DataFrame:
+    """Schema-explicit JSONL read; malformed lines carry their raw text
+    in ``corrupt_col`` (PERMISSIVE) rather than failing the scan.
+
+    Spark disallows queries whose only referenced column is the corrupt
+    column (SPARK-26108) — when auditing bad lines, select a data column
+    alongside it (or cache the frame first).
+    """
+    configure_session(spark)
+    if isinstance(schema, str):
+        schema = StructType.fromDDL(schema)
+    schema = schema.add(corrupt_col, "string")
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    max_records_per_file: int = 1_000_000,
+) -> None:
+    """Size-bounded JSONL write, optionally hive-partitioned."""
+    w = df.write.mode("overwrite").option(
+        "maxRecordsPerFile", max_records_per_file
+    )
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.json(path)
