@@ -1,0 +1,84 @@
+"""PII detect/redact: fuzz differential vs a Python `re` reference.
+
+The oracle gate already pins Spark==DuckDB on the synthetic corpus; this
+test pins the *pattern semantics themselves* on an adversarial corpus —
+digit runs that almost-match, nested/adjacent PII, unicode, empties —
+comparing Java-regex execution (Spark) against Python re, which agree on
+the restricted construct set the patterns use (no lookaround, explicit
+classes)."""
+
+import random
+import re
+
+import pyspark.sql.functions as F
+
+from wvfoia_sync_spark.functions import pii
+
+_WORDS = ["alpha", "beta", "café", "x", "", "O'Neil", "a.b", "%", "+"]
+_PII_BITS = [
+    "bob@example.com",
+    "a.b-c_d%e+f@mail.co.uk",
+    "(304) 555-0123",
+    "123-45-6789",
+    "1234-56-7890",          # SSN embedded one char in
+    "(30) 555-0123",         # not a phone (2-digit area)
+    "12-34-5678",            # not an SSN
+    "555-0123",              # bare exchange: neither
+    "x@y.z",                 # TLD too short for the pattern
+    "no@tld",                # no dot-TLD
+    "a@b.comb@c.com",        # adjacent emails
+]
+
+
+def _fuzz_corpus(n=300, seed=7):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        parts = [
+            rng.choice(_PII_BITS) if rng.random() < 0.4 else rng.choice(_WORDS)
+            for _ in range(rng.randrange(0, 8))
+        ]
+        rows.append((i, rng.choice([" ", "", ","]).join(parts)))
+    return rows
+
+
+def _py_redact(t):
+    for pat, tag in pii.REDACTIONS:
+        t = re.sub(pat, tag, t)
+    return t
+
+
+def test_pii_fuzz_matches_python_re(spark):
+    rows = _fuzz_corpus()
+    df = spark.createDataFrame(rows, "i long, t string")
+    counts = pii.pii_counts("t")
+    got = {
+        r["i"]: (r["n_email"], r["n_phone"], r["n_ssn"], r["red"])
+        for r in df.select(
+            "i", *[c.alias(n) for n, c in counts.items()],
+            pii.redact("t").alias("red"),
+        ).collect()
+    }
+    for i, t in rows:
+        exp = (
+            len(re.findall(pii.EMAIL_RE, t)),
+            len(re.findall(pii.PHONE_RE, t)),
+            len(re.findall(pii.SSN_RE, t)),
+            _py_redact(t),
+        )
+        assert got[i] == exp, f"row {i}: {t!r}: {got[i]} != {exp}"
+
+
+def test_redaction_is_complete_and_idempotent(spark):
+    rows = _fuzz_corpus(seed=11)
+    df = spark.createDataFrame(rows, "i long, t string")
+    red = df.select("i", pii.redact("t").alias("r1"))
+    # no residual matches after one pass, and a second pass is identity
+    counts = pii.pii_counts("r1")
+    twice = red.select(
+        "i", "r1",
+        (counts["n_email"] + counts["n_phone"] + counts["n_ssn"]).alias("resid"),
+        pii.redact("r1").alias("r2"),
+    )
+    bad = twice.where((F.col("resid") != 0) | (F.col("r1") != F.col("r2")))
+    assert bad.count() == 0

@@ -226,3 +226,27 @@ def test_sq8_codes_bounded_and_reconstruction_close(spark, emb):
     # max reconstruction error <= one quantization step over any dim
     max_step = max((hi - lo) / 255.0 for lo, hi in stats)
     assert row["max_err"] <= max_step + 1e-9
+
+
+def test_leakage_free_split_co_splits_near_dup_pairs(spark):
+    """Every near-dup pair must land in one split — the guarantee the
+    plain content-hash split can't give for non-identical mutants."""
+    docs = load_table(spark, SF_DIR, "documents")
+    pairs = dedup.jaccard_pairs_auto(docs, "doc_id", "text", "source", 0.85)
+    comp = dedup.connected_components(pairs)
+    assign = (
+        docs.join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select("doc_id", F.coalesce("component", "doc_id").alias("rep_id"))
+    )
+    rep_nib = docs.select(
+        F.col("doc_id").alias("rep_id"),
+        F.substring(F.sha2(F.col("text"), 256), 1, 1).alias("nibble"),
+    )
+    split_of = {
+        r["doc_id"]: r["nibble"]
+        for r in assign.join(rep_nib, "rep_id").collect()
+    }
+    got_pairs = pairs.select("id_a", "id_b").collect()
+    assert len(got_pairs) > 0
+    for r in got_pairs:
+        assert split_of[r["id_a"]] == split_of[r["id_b"]]

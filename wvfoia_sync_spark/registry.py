@@ -2823,3 +2823,39 @@ def blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
+
+
+@register("leakage_free_split")  # no SQL oracle: iterative components
+def leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/val/test split: the content-hash split keyed
+    by each doc's duplicate-CLUSTER representative, so near-duplicate
+    pairs (not just exact copies) land in the same split — the
+    train/test-leakage guard a pretraining pipeline actually needs.
+    Pipeline: near-dup pairs -> connected components -> rep per doc
+    (singletons are their own rep) -> split by the rep's text
+    fingerprint nibble. Co-split of every near-dup pair is asserted in
+    tests; the driver records rows-only (iterative fixpoint inside)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs_auto(docs, "doc_id", "text", "source", 0.85)
+    comp = dedup.connected_components(pairs)  # (id, component=min member)
+    with_rep = docs.join(
+        comp.withColumnRenamed("id", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        "source",
+        F.coalesce("component", "doc_id").alias("rep_id"),
+    )
+    rep_fp = docs.select(
+        F.col("doc_id").alias("rep_id"),
+        F.substring(F.sha2(F.col("text"), 256), 1, 1).alias("nibble"),
+    )
+    split = (
+        F.when(F.col("nibble").isin(*"0123456789ab"), "train")
+        .when(F.col("nibble").isin("c", "d"), "val")
+        .otherwise("test")
+    )
+    return (
+        with_rep.join(rep_fp, "rep_id")
+        .groupBy("source", split.alias("split"))
+        .agg(F.count("*").alias("n_docs"))
+    )
