@@ -110,11 +110,12 @@ def test_watermark_drops_late_events(spark, tmp_path):
     import pyarrow.parquet as pq
 
     def write(name, rows, mtime):
-        ns = [int(_time.mktime((2024, 1, 1, h, m, 0, 0, 0, 0)) * 1e9) for h, m in rows]
+        us = [int(_time.mktime((2024, 1, 1, h, m, 0, 0, 0, 0)) * 1e6) for h, m in rows]
+        ts = pa.array(us, type=pa.int64()).cast(pa.timestamp("us"))
         t = pa.table(
             {
                 "event_id": list(range(len(rows))),
-                "ts": ns,
+                "ts": ts,
                 "user_id": [1] * len(rows),
                 "event_type": ["click"] * len(rows),
                 "value": [1.0] * len(rows),
@@ -138,7 +139,7 @@ def test_watermark_drops_late_events(spark, tmp_path):
         .format("parquet")
         .option("maxFilesPerTrigger", 1)
         .load(str(tmp_path))
-        .withColumn("ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
     )
     agg = jobs.hourly_aggregation(stream, watermark="1 hour")
     q = (

@@ -40,12 +40,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     configure_session(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # nanos (long under legacy conf) -> microsecond timestamp.
+        # Physical TIMESTAMP(NANOS) surfaces differently by Spark build:
+        # bigint (nanos, under the legacy conf) or TIMESTAMP_NTZ (micros,
+        # pyspark 4.1 native). Normalize both to session-tz TIMESTAMP so
+        # every downstream epoch/window expression resolves identically.
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
             df = df.withColumn(
                 "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
             )
+        elif ts_type == "timestamp_ntz":
+            # session tz is pinned to UTC in configure_session, so this
+            # cast is a pure type relabel (same epoch micros underneath).
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -23,7 +23,8 @@ from ..session import configure_session
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos under nanosAsLong
+        # Physical TIMESTAMP(NANOS); pyspark 4.1 reads it as NTZ micros.
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -43,9 +44,9 @@ def read_events_stream(
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     raw = reader.load(events_dir)
-    return raw.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
-    )
+    # NTZ -> session-tz TIMESTAMP (UTC pinned in configure_session): pure
+    # type relabel, keeps watermark/window semantics identical to batch.
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def hourly_aggregation(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
