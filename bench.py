@@ -69,6 +69,11 @@ HEADLINE = [
     "heavy_hitters_sketch",
     "min_cost_supplier",
     "blame_supplier",
+    "order_priority",
+    "customer_distribution",
+    "volume_shipping",
+    "scd2_history",
+    "sessionization_stream",
 ]
 
 

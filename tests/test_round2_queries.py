@@ -1,0 +1,99 @@
+"""Invariant tests for the round-2 queries (TPC-H Q4/Q7/Q13 shapes, SCD2
+history, streaming sessionization). The value-level correctness gate is the
+DuckDB oracle (tools/check_oracle.py); these assert the *structural*
+invariants an oracle hash can't see — span contiguity, stream/batch
+agreement, join-side filter semantics."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+
+from wvfoia_sync_spark import registry
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_scd2_spans_are_contiguous_and_status_alternating(spark):
+    rows = registry.QUERIES["scd2_history"](spark, SF_DIR).collect()
+    by_cust: dict[int, list] = {}
+    for r in rows:
+        by_cust.setdefault(r["o_custkey"], []).append(r)
+    assert by_cust, "no SCD2 spans produced"
+    for cust, spans in by_cust.items():
+        spans.sort(key=lambda r: r["version"])
+        # versions are 1..n dense
+        assert [s["version"] for s in spans] == list(range(1, len(spans) + 1))
+        # exactly one open span (the current version), and it is the last
+        opens = [s for s in spans if s["valid_to"] == "9999-12-31"]
+        assert len(opens) == 1 and opens[0] is spans[-1]
+        for a, b in zip(spans, spans[1:]):
+            # contiguous: each span closes where the next opens
+            assert a["valid_to"] == b["valid_from"]
+            # a version boundary means the status actually changed
+            assert a["o_orderstatus"] != b["o_orderstatus"]
+            assert a["valid_from"] <= a["valid_to"]
+
+
+def test_sessionization_stream_agrees_with_batch_session_counts(spark):
+    """The streaming session_window output, re-aggregated to sessions per
+    user, must equal the batch lag/cumsum `sessionization` result (the two
+    formulations differ only at exact-gap boundaries, absent here)."""
+    stream_sessions = registry.QUERIES["sessionization_stream"](spark, SF_DIR)
+    per_user = {
+        r["user_id"]: r["n"]
+        for r in stream_sessions.groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    batch = {
+        r["user_id"]: r["n_sessions"]
+        for r in registry.QUERIES["sessionization"](spark, SF_DIR).collect()
+    }
+    assert per_user == batch
+
+
+def test_sessionization_stream_sessions_respect_gap(spark):
+    """No session may span a >30min internal gap, and session_end is
+    always start-of-last-event + 30min >= session_start + 30min."""
+    fmt = "%Y-%m-%d %H:%M:%S"
+    for r in registry.QUERIES["sessionization_stream"](spark, SF_DIR).collect():
+        start = dt.datetime.strptime(r["session_start"], fmt)
+        end = dt.datetime.strptime(r["session_end"], fmt)
+        assert end >= start + dt.timedelta(minutes=30)
+        assert r["n_events"] >= 1
+
+
+def test_customer_distribution_keeps_zero_order_customers(spark):
+    """Q13's defining semantic: the join-side filter must NOT drop
+    customers — every customer appears in exactly one count bucket."""
+    dist = registry.QUERIES["customer_distribution"](spark, SF_DIR)
+    total = dist.agg(F.sum("custdist")).collect()[0][0]
+    n_customers = (
+        registry.load_table(spark, SF_DIR, "customer").count()
+    )
+    assert total == n_customers
+
+
+def test_order_priority_counts_bounded_by_window(spark):
+    """Semi-join output is a subset of the date-windowed orders (EXISTS
+    can only filter, never multiply)."""
+    res = registry.QUERIES["order_priority"](spark, SF_DIR)
+    counted = res.agg(F.sum("order_count")).collect()[0][0]
+    o = registry.load_table(spark, SF_DIR, "orders")
+    in_window = o.where(
+        (F.col("o_orderdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1996-04-01").cast("date"))
+    ).count()
+    assert 0 < counted <= in_window
+
+
+def test_volume_shipping_symmetric_nation_pairs(spark):
+    """Every output row names the two configured nations in one of the two
+    directions, never the same nation twice."""
+    rows = registry.QUERIES["volume_shipping"](spark, "/root/testdata/sf0.01").collect()
+    assert rows, "expected qualifying two-nation traffic at sf0.01"
+    for r in rows:
+        assert {r["supp_nation"], r["cust_nation"]} == {"NATION_1", "NATION_2"}
+        assert r["revenue"] > 0

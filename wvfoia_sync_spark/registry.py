@@ -1599,15 +1599,46 @@ def status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dup_clusters")  # no SQL oracle: iterative fixpoint (union-find
-# differential test in tests/test_similarity_dedup.py instead)
+_SQL_DUP_PAIRS_085 = f"""
+    toks AS (
+      SELECT doc_id, source, list_distinct({_SQL_TOKENS.format(c='text')}) AS t
+      FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM toks a JOIN toks b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)) > 0
+        AND CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+              / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))) >= 0.85
+    ), edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL SELECT id_b AS u, id_a AS v FROM pairs
+    ), reach AS (
+      SELECT u AS id, u AS r FROM edges
+      UNION
+      SELECT e.u AS id, reach.r FROM edges e JOIN reach ON reach.id = e.v
+    ), comp AS (
+      SELECT id, MIN(r) AS component FROM reach GROUP BY id
+    )"""
+
+
+@register(
+    "dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_DUP_PAIRS_085}
+    SELECT CAST(component AS BIGINT) AS component, COUNT(*) AS size,
+           CAST(MIN(id) AS BIGINT) AS keep_id
+    FROM comp GROUP BY component
+    """,
+)
 def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster extraction: exact-Jaccard near-dup pairs ->
     connected components -> (component, size, keep_id). The pipeline form
     of 'dedup the corpus': survivors = corpus anti-join (members minus
     keep_ids). Iterative min-label propagation with per-round lineage
     checkpoints; see operators/dedup.py for the O(log n) alternative at
-    pathological diameters."""
+    pathological diameters. Oracle: the same components via a recursive
+    transitive-closure CTE (min reachable id per vertex) — exact because
+    the 0.85-threshold pair set is itself integer-ratio deterministic."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.jaccard_pairs_auto(docs, "doc_id", "text", "source", 0.85)
     return dedup.duplicate_clusters(pairs)
@@ -2825,7 +2856,27 @@ def blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("leakage_free_split")  # no SQL oracle: iterative components
+@register(
+    "leakage_free_split",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_DUP_PAIRS_085},
+    with_rep AS (
+      SELECT d.doc_id, d.source, COALESCE(c.component, d.doc_id) AS rep_id
+      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    ), rep_fp AS (
+      SELECT doc_id AS rep_id, substr(sha256(text), 1, 1) AS nibble
+      FROM documents
+    )
+    SELECT w.source,
+           CASE WHEN f.nibble IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+                  THEN 'train'
+                WHEN f.nibble IN ('c','d') THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs
+    FROM with_rep w JOIN rep_fp f ON w.rep_id = f.rep_id
+    GROUP BY 1, 2
+    """,
+)
 def leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup-aware train/val/test split: the content-hash split keyed
     by each doc's duplicate-CLUSTER representative, so near-duplicate
@@ -2834,7 +2885,8 @@ def leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pipeline: near-dup pairs -> connected components -> rep per doc
     (singletons are their own rep) -> split by the rep's text
     fingerprint nibble. Co-split of every near-dup pair is asserted in
-    tests; the driver records rows-only (iterative fixpoint inside)."""
+    tests; the oracle rebuilds the same clusters with a recursive
+    transitive-closure CTE, so the driver hash-matches values too."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.jaccard_pairs_auto(docs, "doc_id", "text", "source", 0.85)
     comp = dedup.connected_components(pairs)  # (id, component=min member)
@@ -2858,4 +2910,256 @@ def leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_rep.join(rep_fp, "rep_id")
         .groupBy("source", split.alias("split"))
         .agg(F.count("*").alias("n_docs"))
+    )
+
+
+# =====================================================================
+# Round 2: TPC-H decision-support shapes (Q4/Q7/Q13), SCD2 history,
+# streaming sessionization twin  (SURVEY §2.3/§2.4/§2.9)
+# =====================================================================
+
+
+@register(
+    "order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o_orderdate AS DATE) < DATE '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+)
+def order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS decorrelated to a LEFT SEMI join. The
+    date filter prunes the orders scan BEFORE the join (pushdown), and the
+    semi join carries only l_orderkey from lineitem — at 100 TB the semi
+    side shuffles one slim column, never the fact payload."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    in_window = o.where(
+        (F.col("o_orderdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1996-04-01").cast("date"))
+    )
+    returned = li.where(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        in_window.join(returned, in_window.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "customer_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join with a join-side (not WHERE-side)
+    filter — customers with zero qualifying orders must survive with
+    count 0 — then a distribution over the grouped counts. Two shuffles
+    (custkey, then c_count); the second input is one row per customer."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "volume_shipping",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(CAST(l.l_shipdate AS DATE)) AS BIGINT) AS l_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND CAST(l.l_shipdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+    GROUP BY 1, 2, 3
+    """,
+)
+def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: the one genuinely big-big join here is
+    lineitem⋈orders (both fact-sized, shuffle on orderkey); everything
+    else is a broadcast dim. The nation filter is applied to the
+    BROADCAST sides first so the fact rows that survive the dim joins are
+    already the two-nation subset — no post-join filter over the full
+    cross traffic. Revenue is decimal-exact then surfaced as double."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate")
+        .cast("date")
+        .between(F.lit("1996-01-01").cast("date"), F.lit("1997-12-31").cast("date"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    pair = ["NATION_1", "NATION_2"]
+    n1 = n.where(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.where(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    sup = s.join(F.broadcast(n1), s.s_nationkey == F.col("s_nk")).select(
+        "s_suppkey", "supp_nation"
+    )
+    cust = c.join(F.broadcast(n2), c.c_nationkey == F.col("c_nk")).select(
+        "c_custkey", "cust_nation"
+    )
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year(F.col("l_shipdate").cast("date")).cast("long").alias("l_year"),
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "scd2_history",
+    oracle="""
+    WITH ordered AS (
+      SELECT o_custkey, o_orderstatus, CAST(o_orderdate AS DATE) AS d, o_orderkey,
+             lag(o_orderstatus) OVER (
+               PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+             ) AS prev_status
+      FROM orders
+    ), flagged AS (
+      SELECT *, CASE WHEN prev_status IS NULL
+                       OR prev_status <> o_orderstatus THEN 1 ELSE 0 END AS chg
+      FROM ordered
+    ), versioned AS (
+      SELECT *, SUM(chg) OVER (
+        PARTITION BY o_custkey ORDER BY d, o_orderkey ROWS UNBOUNDED PRECEDING
+      ) AS version
+      FROM flagged
+    ), spans AS (
+      SELECT o_custkey, CAST(version AS BIGINT) AS version, o_orderstatus,
+             MIN(d) AS vf, COUNT(*) AS n_orders
+      FROM versioned GROUP BY o_custkey, version, o_orderstatus
+    )
+    SELECT o_custkey, version, o_orderstatus,
+           strftime(vf, '%Y-%m-%d') AS valid_from,
+           strftime(COALESCE(
+             lead(vf) OVER (PARTITION BY o_custkey ORDER BY version),
+             DATE '9999-12-31'
+           ), '%Y-%m-%d') AS valid_to,
+           n_orders
+    FROM spans
+    """,
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build (the ETL-engine staple the reference's
+    daily-sync-overwrite sidesteps): collapse each customer's order-status
+    timeline into contiguous [valid_from, valid_to) versions. One window
+    partition key (custkey) serves all three passes — lag, running
+    version, lead — so the whole build is a single shuffle; versions per
+    key are bounded by status flips, never row count."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").cast("date"), F.col("o_orderkey")
+    )
+    flagged = o.withColumn(
+        "chg",
+        F.when(
+            F.lag("o_orderstatus").over(w).isNull()
+            | (F.lag("o_orderstatus").over(w) != F.col("o_orderstatus")),
+            1,
+        ).otherwise(0),
+    )
+    versioned = flagged.withColumn(
+        "version",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    spans = versioned.groupBy("o_custkey", "version", "o_orderstatus").agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("vf"),
+        F.count("*").alias("n_orders"),
+    )
+    wv = Window.partitionBy("o_custkey").orderBy("version")
+    return spans.select(
+        "o_custkey",
+        "version",
+        "o_orderstatus",
+        _d("vf").alias("valid_from"),
+        F.date_format(
+            F.coalesce(
+                F.lead("vf").over(wv), F.lit("9999-12-31").cast("date")
+            ),
+            "yyyy-MM-dd",
+        ).alias("valid_to"),
+        "n_orders",
+    )
+
+
+@register(
+    "sessionization_stream",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN prev_ts IS NULL
+                    OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    ), sessions AS (
+      SELECT user_id, ts, SUM(new_session) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+      ) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, sid
+    """,
+)
+def sessionization_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST: gap-based sessionization as a REAL Structured Streaming query —
+    Spark's native session_window stateful operator (merge-on-overlap
+    state store, watermark-bounded) run availableNow over the events file
+    and hash-matched against the batch lag/cumsum formulation in the
+    oracle. Spark session windows are [start, last+gap): an event landing
+    exactly at the previous session's end starts a NEW session, hence the
+    oracle's >= gap rule (the batch `sessionization` query keeps the
+    reference's > rule; both are asserted against data with no exact-
+    boundary gaps)."""
+    from .streaming import jobs
+
+    stream = jobs.read_events_stream(spark, sf_dir, glob="events.parquet")
+    return jobs.run_available_now(
+        jobs.session_aggregation(stream), "sessionization_stream_sink"
     )
