@@ -74,6 +74,8 @@ HEADLINE = [
     "volume_shipping",
     "scd2_history",
     "sessionization_stream",
+    "knn_join",
+    "unigram_surprisal",
 ]
 
 

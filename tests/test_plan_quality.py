@@ -106,7 +106,9 @@ def test_registry_wide_plan_hygiene(spark):
     Python UDFs anywhere, and no non-broadcast cartesian product. Queries
     that intentionally crossJoin a 1-row broadcast stats frame compile to
     BroadcastNestedLoopJoin, which is allowed."""
-    skip = {"events_hourly_stream"}  # streaming plan; explained differently
+    # streaming twins: fn() executes a real stream run; their batch-side
+    # result is a memory-table scan with no plan surface to gate
+    skip = {"events_hourly_stream", "sessionization_stream"}
     for name, fn in registry.QUERIES.items():
         if name in skip:
             continue
@@ -129,3 +131,52 @@ def test_silver_partition_pruning(spark, silver_df):
     # non-trivial: the fixture spans multiple years, so pruning excludes
     # at least one partition
     assert silver_df.select("request_year").distinct().count() > 1
+
+
+def test_order_priority_semi_join_with_date_pushdown(spark):
+    """Q4 shape: EXISTS compiles to a LEFT SEMI join, and the order-date
+    window reaches the parquet reader as raw-timestamp range filters."""
+    p = plan(registry.QUERIES["order_priority"](spark, SF_DIR))
+    assert "LeftSemi" in p
+    pushed = [ln for ln in p.splitlines() if "PushedFilters:" in ln]
+    assert any(
+        "GreaterThanOrEqual(o_orderdate" in ln and "LessThan(o_orderdate" in ln
+        for ln in pushed
+    ), "order-date range not pushed to the scan"
+
+
+def test_volume_shipping_broadcasts_dims_and_pushes_ship_window(spark):
+    """Q7 shape: nation/supplier/customer sides broadcast (never a
+    shuffled or cartesian join), the two-nation IN() filter and the
+    ship-date range reach their scans."""
+    p = plan(registry.QUERIES["volume_shipping"](spark, SF_DIR))
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in p
+    pushed = "\n".join(ln for ln in p.splitlines() if "PushedFilters:" in ln)
+    assert "GreaterThanOrEqual(l_shipdate" in pushed
+    assert "In(n_name" in pushed
+
+
+def test_scd2_single_partitioning_reused_across_passes(spark):
+    """The lag pass, running-version pass, span groupBy, and lead pass all
+    key on o_custkey — Catalyst must reuse one hash partitioning instead
+    of re-exchanging per pass (2 exchanges: the custkey shuffle + the
+    final AQE/agg read; 4+ means the reuse regressed)."""
+    p = plan(registry.QUERIES["scd2_history"](spark, SF_DIR))
+    assert p.count("Exchange") <= 2, "SCD2 build re-shuffles between window passes"
+
+
+def test_unigram_surprisal_broadcasts_lm(spark):
+    """The trained unigram LM (vocab-sized) must come back as a broadcast
+    join against the token stream, not a corpus shuffle."""
+    p = plan(registry.QUERIES["unigram_surprisal"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+
+
+def test_knn_join_broadcasts_query_batch(spark):
+    """knn_join: the query batch is the broadcast side of a nested-loop
+    join (inequality condition); the corpus must never be the build side
+    nor form an unbroadcast cartesian product."""
+    p = plan(registry.QUERIES["knn_join"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p

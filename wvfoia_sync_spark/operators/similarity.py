@@ -337,3 +337,45 @@ def sq8_topk(
         )
         .select("rank", "vec_id", "score")
     )
+
+
+def knn_join_exact(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact batch k-NN join: every query row against the full corpus,
+    top-k by cosine per query — (query_id, rank, vec_id, score).
+
+    Physical form: the QUERY side is broadcast (a query batch is small by
+    definition; the corpus never moves), the per-pair score is a codegen
+    fold, and the per-query top-k is a rank-filtered window over
+    (query_id) — shuffle of corpus_rows x n_queries scored slim rows on
+    query_id, then discard all but k per query. At 100 TB with a large
+    query batch, swap the window for per-partition heaps via
+    mapInPandas; the broadcast + fold stages are unchanged. Self-matches
+    (same id on both sides) are excluded."""
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qv")
+    )
+    scored = (
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv"))
+        .join(F.broadcast(q), F.col("vec_id") != F.col(query_id_col))
+        .select(
+            query_id_col,
+            "vec_id",
+            cosine(F.col("_cv"), F.col("_qv")).alias("score"),
+        )
+        .where(F.col("score").isNotNull())
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "rank", "vec_id", "score")
+    )

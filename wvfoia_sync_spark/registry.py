@@ -2938,9 +2938,12 @@ def order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     side shuffles one slim column, never the fact payload."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # raw-timestamp bounds (not cast-to-date) so the range reaches the
+    # parquet reader as PushedFilters; equivalent because date >= D iff
+    # ts >= D 00:00:00 and date < D iff ts < D 00:00:00
     in_window = o.where(
-        (F.col("o_orderdate").cast("date") >= F.lit("1996-01-01").cast("date"))
-        & (F.col("o_orderdate").cast("date") < F.lit("1996-04-01").cast("date"))
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
     )
     returned = li.where(F.col("l_returnflag") == "R").select("l_orderkey")
     return (
@@ -3006,10 +3009,12 @@ def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     BROADCAST sides first so the fact rows that survive the dim joins are
     already the two-nation subset — no post-join filter over the full
     cross traffic. Revenue is decimal-exact then surfaced as double."""
+    # raw-timestamp bounds: BETWEEN dates '1996-01-01'..'1997-12-31' on
+    # the date projection == [1996-01-01 00:00, 1998-01-01 00:00) on the
+    # raw timestamp, and the raw form pushes down to the parquet scan
     li = load_table(spark, sf_dir, "lineitem").where(
-        F.col("l_shipdate")
-        .cast("date")
-        .between(F.lit("1996-01-01").cast("date"), F.lit("1997-12-31").cast("date"))
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
     )
     o = load_table(spark, sf_dir, "orders")
     n = load_table(spark, sf_dir, "nation")
@@ -3162,4 +3167,90 @@ def sessionization_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = jobs.read_events_stream(spark, sf_dir, glob="events.parquet")
     return jobs.run_available_now(
         jobs.session_aggregation(stream), "sessionization_stream_sink"
+    )
+
+
+@register(
+    "knn_join",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 20
+    ), scored AS (
+      SELECT q.query_id, e.vec_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS score
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT query_id, vec_id,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, vec_id ASC
+             ) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT query_id, rank, vec_id FROM ranked WHERE rank <= 3
+    """,
+)
+def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch k-NN join (training-pipeline op: label every query doc with
+    its nearest corpus neighbors in one pass, the retrieval side of
+    RAG-style dataset building). Query batch broadcast, corpus never
+    moves, exact rank within query. Scores excluded from the hashed
+    output (cross-engine float accumulation order); rank determinism
+    comes from the seeded well-separated embeddings + id tiebreak."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    return similarity.knn_join_exact(emb, queries, k=3).select(
+        "query_id", "rank", "vec_id"
+    )
+
+
+@register(
+    "unigram_surprisal",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKENS.format(c='text')}) AS tok FROM documents
+    ), freq AS (
+      SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+    ), tot AS (
+      SELECT COUNT(*) AS total FROM toks
+    )
+    SELECT t.doc_id, COUNT(*) AS n_tok,
+           CAST(CAST(SUM(CAST(ROUND(-ln(CAST(f.cnt AS DOUBLE) / (SELECT total FROM tot)), 6)
+                              AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_nll
+    FROM toks t JOIN freq f ON t.tok = f.tok
+    GROUP BY t.doc_id
+    """,
+)
+def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KenLM-style corpus-LM quality score without a model file: train a
+    unigram LM from the corpus itself (token -> count), then score every
+    doc by mean negative log-probability of its tokens. High avg_nll =
+    rare-token-heavy (gibberish, OCR noise, wrong-language) — the
+    perplexity-filter stage of a pretraining pipeline.
+
+    Physical form: one explode -> count agg builds the LM (vocab-sized,
+    BROADCAST back against the token stream — the corpus shuffles once
+    for the doc-level re-agg only). At 100 TB with an open vocab, swap
+    the broadcast for a shuffle join on token; the plan is otherwise
+    unchanged. Determinism: per-token surprisal is rounded to 6dp and
+    summed as DECIMAL (order-free exact sum), so the engines can't drift
+    in float accumulation order; ln() itself agrees to < 1 ulp, far from
+    the 6dp rounding boundaries on this corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(text_fns.tokens("text")).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = toks.count()  # scalar LM normalizer (exact integer, both engines)
+    surprisal = F.round(
+        -F.log(F.col("cnt").cast("double") / F.lit(total)), 6
+    ).cast("decimal(18,6)")
+    return (
+        toks.join(F.broadcast(freq), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tok"),
+            (F.sum(surprisal).cast("double") / F.count("*")).alias("avg_nll"),
+        )
     )
