@@ -76,6 +76,8 @@ HEADLINE = [
     "sessionization_stream",
     "knn_join",
     "unigram_surprisal",
+    "cdc_apply",
+    "skew_salted_join",
 ]
 
 

@@ -218,3 +218,65 @@ def fuzzy_match(
         .where(F.col("dist") <= max_dist)
         .select("dirty", "canonical", "dist")
     )
+
+
+def cdc_apply(
+    changelog: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    op_col: str,
+    delete_ops: Sequence[str] = ("D", "delete"),
+) -> DataFrame:
+    """Collapse a CDC changelog to final table state: last-writer-wins per
+    key (ordered by ``order_cols`` descending, which must totally order
+    each key's changes — include a sequence column to break timestamp
+    ties), then drop keys whose final operation is a delete tombstone.
+
+    One shuffle on the key; the row_number window discards all but the
+    newest change per key, so the post-window stream is key-cardinality.
+    At 100 TB this is the batch 'apply changes' half of a CDC pipeline —
+    the streaming twin is dropDuplicatesWithinWatermark on the key with
+    the same ordering guarantee from the log's offsets."""
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    return (
+        changelog.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+        .where(~F.col(op_col).isin(*delete_ops))
+    )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    salt_from: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: when one join key dominates the big side, a
+    plain shuffle join sends that key's entire traffic to one reducer.
+    Salting splits each key into ``n_salts`` sub-keys: the big side salts
+    deterministically from a unique column (``salt_from`` — never rand(),
+    which breaks retry/speculative-execution determinism), the small side
+    is replicated once per salt, and the join runs on (key, salt). The
+    result set is exactly the unsalted join; only the partitioning
+    changes. Use when AQE's skew-join split (which handles post-hoc skew)
+    isn't available or the skew is known up front; replication costs
+    n_salts copies of the SMALL side only."""
+    bs = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(salt_from)), F.lit(n_salts)).cast("int")
+    )
+    ss = small.select(
+        "*",
+        F.explode(F.array(*[F.lit(i) for i in range(n_salts)])).alias("_salt"),
+    )
+    joined = bs.join(
+        ss,
+        (bs[big_key] == ss[small_key]) & (bs["_salt"] == ss["_salt"]),
+        how,
+    )
+    return joined.drop("_salt")

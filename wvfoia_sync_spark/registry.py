@@ -840,8 +840,10 @@ def jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     adaptive strategy: dictionary-encoded bitsets (popcount intersects,
     ~40x smaller shuffle) when the vocabulary fits, PPJoin-style prefix
     filtering otherwise. All strategies return the identical exact pair
-    set (tests/test_dedup_similarity.py asserts three-way equality)."""
-    docs = load_table(spark, sf_dir, "documents")
+    set (tests/test_dedup_similarity.py asserts three-way equality).
+    spread=True: the tokenize+bitset map stage is the hot loop — worth
+    the local round-robin exchange (1.99s -> 1.39s at sf0.1)."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     return dedup.jaccard_pairs_auto(docs, "doc_id", "text", "source", 0.72)
 
 
@@ -1780,8 +1782,9 @@ def winnow_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprints, stop-fingerprints (doc freq > 50) dropped pre-join as
     the skew guard. Complements MinHash (whole-doc) with
     paragraph-granularity overlap; n_a/n_b sizes let callers derive
-    containment = shared/min(n)."""
-    docs = load_table(spark, sf_dir, "documents")
+    containment = shared/min(n). spread=True: the rolling-hash pandas-UDF
+    fingerprint stage is the hot loop (2.19s -> 1.81s at sf0.1)."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     return dedup.winnow_overlap_pairs(
         docs, "doc_id", "text", min_shared=8, max_fp_doc_freq=50
     )
@@ -3253,4 +3256,69 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_tok"),
             (F.sum(surprisal).cast("double") / F.count("*")).alias("avg_nll"),
         )
+    )
+
+
+@register(
+    "cdc_apply",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, ts, event_type, value,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    )
+    SELECT user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+           value AS last_value
+    FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def cdc_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog collapse (the 'apply changes into the lakehouse'
+    batch op): events replayed as a change log keyed by user — last
+    writer wins on (ts, event_id), and a final 'error' op acts as the
+    delete tombstone that removes the key from the applied state."""
+    ev = load_table(spark, sf_dir, "events")
+    state = relational.cdc_apply(
+        ev.select("user_id", "ts", "event_id", "event_type", "value"),
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        op_col="event_type",
+        delete_ops=("error",),
+    )
+    return state.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        F.col("value").alias("last_value"),
+    )
+
+
+@register(
+    "skew_salted_join",
+    oracle="""
+    SELECT c.c_mktsegment, COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted equi-join (events fan onto 150 hot customer keys
+    out of 1500 — the textbook hot-key profile): big side salted
+    deterministically from event_id, small side replicated 8x, identical
+    result set to the plain join the oracle runs. The salt only reshapes
+    partitioning, so the decimal-exact aggregate hash-matches."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = relational.salted_join(
+        ev, cust, big_key="user_id", small_key="c_custkey",
+        salt_from="event_id", n_salts=8,
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        _money_sum("value").alias("sum_value"),
     )

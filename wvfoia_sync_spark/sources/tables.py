@@ -35,10 +35,28 @@ TABLE_NAMES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one synthetic table, normalizing awkward physical types."""
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
+    """Load one synthetic table, normalizing awkward physical types.
+
+    ``spread``: the testdata parquet is written as ONE row group per
+    file, so a scan is one task regardless of maxPartitionBytes — and the
+    scan stage carries the map-side work on a single core while 31 idle.
+    ``spread=True`` inserts one explicit round-robin exchange on local
+    masters so that work lands on every core. Measured on the full bench,
+    this only pays for itself when the per-row map work is genuinely
+    heavy (tokenize-then-self-join pipelines: exact-Jaccard, winnowing);
+    for ordinary scans/aggs the extra exchange costs more than the
+    parallelism gains, so it is strictly OPT-IN. On a real cluster the
+    same tables arrive as many files/row groups and split naturally — the
+    exchange is never applied there (repartition-after-scan at 100 TB
+    would shuffle the whole table).
+    """
     configure_session(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if spread and spark.sparkContext.master.startswith("local"):
+        df = df.repartition(spark.sparkContext.defaultParallelism)
     if name == "events":
         # Physical TIMESTAMP(NANOS) surfaces differently by Spark build:
         # bigint (nanos, under the legacy conf) or TIMESTAMP_NTZ (micros,
