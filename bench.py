@@ -78,6 +78,7 @@ HEADLINE = [
     "unigram_surprisal",
     "cdc_apply",
     "skew_salted_join",
+    "incremental_rollup",
 ]
 
 

@@ -103,3 +103,26 @@ def merge_resolution_counts(old: DataFrame, delta: DataFrame) -> DataFrame:
         .groupBy("resolution")
         .agg(F.sum("n").cast("long").alias("n"))
     )
+
+
+def merge_partial_stats(
+    old: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    additive: list[str] = (),
+    maxes: list[str] = (),
+    mins: list[str] = (),
+) -> DataFrame:
+    """Generic decomposable-aggregate merge: new = old ⊕ delta for any
+    partial-agg table whose columns are sums/counts (additive), maxes, or
+    mins. DECIMAL sums merge exactly (addition is associative); derived
+    ratios must be recomputed by the caller AFTER the merge, never merged.
+    One union + one group-cardinality shuffle — the silver corpus is
+    never rescanned."""
+    merged = old.unionByName(delta)
+    aggs = (
+        [F.sum(c).alias(c) for c in additive]
+        + [F.max(c).alias(c) for c in maxes]
+        + [F.min(c).alias(c) for c in mins]
+    )
+    return merged.groupBy(*keys).agg(*aggs)

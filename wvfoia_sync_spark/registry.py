@@ -3322,3 +3322,70 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         _money_sum("value").alias("sum_value"),
     )
+
+
+@register(
+    "incremental_rollup",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_total,
+           strftime(MAX(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS last_date
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance (ST3's scale form): the
+    gold rollup is maintained as old ⊕ delta partial-aggregate merges
+    instead of a full recompute. Here the corpus is split into a base and
+    an append delta, each partially aggregated, then merged with
+    plans.incremental.merge_partial_stats — the oracle recomputes from
+    scratch, proving merge ≡ rebuild. Sums stay DECIMAL through the merge
+    (associative, exact) and surface as double only at the end."""
+    from .plans.incremental import merge_partial_stats
+
+    o = load_table(spark, sf_dir, "orders")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("sum_dec"),
+            F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
+        )
+
+    base = partial(o.where(F.col("o_orderkey") % 2 == 0))
+    delta = partial(o.where(F.col("o_orderkey") % 2 == 1))
+    merged = merge_partial_stats(
+        base, delta, keys=["o_orderpriority"],
+        additive=["n_orders", "sum_dec"], maxes=["last_d"],
+    )
+    return merged.select(
+        "o_orderpriority",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("sum_dec").cast("double").alias("sum_total"),
+        _d("last_d").alias("last_date"),
+    )
+
+
+@register(
+    "stateful_counts_stream",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+    """,
+)
+def stateful_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST: the custom stateful streaming operator (applyInPandasWithState
+    running per-user totals) executed as a REAL stream and hash-matched
+    against the batch aggregate. The memory sink sees one update row per
+    key per micro-batch; counts are monotone, so max() collapses the
+    update log to final state however availableNow batched the input.
+    Float sums stay OUT of the hashed output (pandas pairwise summation
+    vs SQL sequential order differ in last-ulp)."""
+    from .streaming import jobs
+
+    stream = jobs.read_events_stream(spark, sf_dir, glob="events.parquet")
+    updates = jobs.run_available_now_update(
+        jobs.stateful_user_counts(stream), "stateful_counts_stream_sink"
+    )
+    return updates.groupBy("user_id").agg(
+        F.max("n_events").cast("long").alias("n_events")
+    )
