@@ -3389,3 +3389,40 @@ def stateful_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return updates.groupBy("user_id").agg(
         F.max("n_events").cast("long").alias("n_events")
     )
+
+
+@register(
+    "frame_sample",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, text, octet_length(CAST(text AS BLOB)) AS n
+      FROM documents WHERE octet_length(CAST(text AS BLOB)) > 0
+    ), fanned AS (
+      SELECT media_id, text,
+             unnest(generate_series(0, (n+63)//64 - 1, 4)) AS fno
+      FROM m
+    )
+    SELECT media_id, CAST(fno AS BIGINT) AS frame_no,
+           octet_length(CAST(substr(text, fno*64+1, 64) AS BLOB)) AS n_bytes,
+           md5(substr(text, fno*64+1, 64)) AS frame_md5
+    FROM fanned
+    """,
+)
+def frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling fan-out (1 media row -> N frame rows,
+    every-4th 64-byte frame): mapInPandas generator inside the scan stage,
+    no shuffle. The frame payload is hashed (md5) for the oracle compare —
+    the corpus is ASCII, so DuckDB's text slicing is byte-exact against
+    Spark's binary slicing; a real deployment swaps the fake framer for a
+    video decoder with identical fan-out mechanics."""
+    from .operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.as_media_table(docs, "doc_id", "text")
+    frames = multimodal.frame_sample(media, frame_bytes=64, every_n=4)
+    return frames.select(
+        "media_id",
+        "frame_no",
+        F.octet_length("frame").cast("long").alias("n_bytes"),
+        F.md5("frame").alias("frame_md5"),
+    )
