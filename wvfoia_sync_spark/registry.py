@@ -3487,3 +3487,40 @@ def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n",
     )
+
+
+@register(
+    "mixture_sample",
+    oracle=r"""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source ORDER BY sha256(text), doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT doc_id, source FROM ranked
+    WHERE rn <= CASE WHEN CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 2 = 0
+                     THEN 16 ELSE 8 END
+    """,
+)
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source-mixture sampling (the domain-weighting stage
+    of corpus assembly: upsample some sources, downsample others, to hit
+    a target mixture): per-source quota filled by content-hash rank —
+    reproducible across runs/engines, no rand(). One shuffle on source;
+    at 100 TB quotas come from a broadcast weights table and the
+    hash-rank top-k runs as the same WindowGroupLimit pre-prune as any
+    rank filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.sha2(F.col("text"), 256), F.col("doc_id")
+    )
+    quota = F.when(
+        F.regexp_extract("source", r"([0-9]+)", 1).cast("int") % 2 == 0, 16
+    ).otherwise(8)
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= quota)
+        .select("doc_id", "source")
+    )
