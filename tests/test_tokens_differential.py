@@ -1,0 +1,88 @@
+"""Differential fuzz of the tokenizer parity the oracle gate rests on.
+
+Dozens of registry oracles embed the DuckDB `_SQL_TOKENS` fragment and
+assume it produces EXACTLY the token arrays `functions.text.tokens()`
+produces in Spark (both are generated from the same DIACRITICS constants,
+but the engines' lower/translate/split implementations could still
+diverge on edge inputs). The synthetic corpus only exercises clean ASCII;
+this test fuzzes the parity on adversarial inputs — mixed-case
+diacritics, punctuation runs, digits-in-words, empty/whitespace-only
+strings, long repeats — via hypothesis plus a fixed adversarial list.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from wvfoia_sync_spark.functions.text import DIACRITICS_FROM, DIACRITICS_TO, tokens
+from wvfoia_sync_spark.registry import _SQL_TOKENS
+
+_ADVERSARIAL = [
+    "",
+    " ",
+    "\t\n",
+    "---",
+    "É À ç Ñ ü ÿ Š ž Œ æ",
+    "CaFÉ crÈme ÜBER",
+    "a1b2c3 4d5e",
+    "word" * 200,
+    "mixed—dash–punct…ellipsis",
+    "under_score and.dot and,comma",
+    "ÀÁÂÃÄÅ àáâãäå",
+    "x" + DIACRITICS_FROM + "y",
+    DIACRITICS_FROM.upper(),
+    "123 456 789",
+    "'quoted' \"double\" `tick`",
+]
+
+
+def _duck_tokens(texts: list[str]) -> list[list[str]]:
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i INTEGER, c VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(texts)))
+    rows = con.execute(
+        f"SELECT i, {_SQL_TOKENS.format(c='c')} AS toks FROM t ORDER BY i"
+    ).fetchall()
+    return [list(r[1]) for r in rows]
+
+
+def _spark_tokens(spark, texts: list[str]) -> list[list[str]]:
+    df = spark.createDataFrame(list(enumerate(texts)), "i long, c string")
+    rows = df.select("i", tokens("c").alias("toks")).orderBy("i").collect()
+    return [list(r["toks"]) for r in rows]
+
+
+def test_tokenizer_parity_on_adversarial_inputs(spark):
+    got = _spark_tokens(spark, _ADVERSARIAL)
+    want = _duck_tokens(_ADVERSARIAL)
+    for text, g, w in zip(_ADVERSARIAL, got, want):
+        assert g == w, f"tokenizer drift on {text!r}: spark={g} duckdb={w}"
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.sampled_from(
+                list("abcXYZ 019.,-_!?" + DIACRITICS_FROM + DIACRITICS_FROM.upper())
+            ),
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_tokenizer_parity_fuzz(spark_session_for_fuzz, texts):
+    got = _spark_tokens(spark_session_for_fuzz, texts)
+    want = _duck_tokens(texts)
+    assert got == want
+
+
+@pytest.fixture(scope="module")
+def spark_session_for_fuzz(spark):
+    # hypothesis re-enters the test many times; reuse the session fixture
+    # under a distinct name so function-scoped health checks don't fire
+    return spark
