@@ -86,3 +86,88 @@ def spark_session_for_fuzz(spark):
     # hypothesis re-enters the test many times; reuse the session fixture
     # under a distinct name so function-scoped health checks don't fire
     return spark
+
+
+# ------------------------- slugify / fee-parse parity (same contract) ---
+
+_SQL_SLUG = (
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    "lower({c}), '[\\s+/]+', '-', 'g'), '[^a-z0-9-]', '', 'g'),"
+    "'-{{2,}}', '-', 'g'), '^-+|-+$', '', 'g')"
+)
+_SQL_FEE = (
+    "CAST(TRY_CAST(NULLIF(regexp_replace({c}, '[^0-9.-]', '', 'g'), '')"
+    " AS DECIMAL(12,2)) AS DOUBLE)"
+)
+
+_SLUG_ADVERSARIAL = [
+    "Department of Health & Human Resources",
+    "A  +  B / C",
+    "--already-dashed--",
+    "ÜBER café",        # non-ascii dropped AFTER lower
+    "...",
+    "",
+    "a/b+c d",
+    "UPPER_CASE_UNDERSCORE",
+    "trail- -lead",
+    "123 Main St.",
+]
+
+_FEE_ADVERSARIAL = [
+    "$25.00",
+    "$1,234.56",        # comma stripped -> 1234.56
+    "25",
+    "roughly $40",
+    "--",
+    "",
+    "$0.00",
+    "-5.25",
+    "12.34.56",         # double dot: unparseable -> null
+    "$  9 . 99",
+]
+
+
+def test_slugify_parity_vs_oracle_fragment(spark):
+    import duckdb
+
+    from wvfoia_sync_spark.functions.normalize import slugify_col
+
+    got = [
+        r["s"]
+        for r in spark.createDataFrame(
+            list(enumerate(_SLUG_ADVERSARIAL)), "i long, c string"
+        ).select("i", slugify_col("c").alias("s")).orderBy("i").collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i INTEGER, c VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(_SLUG_ADVERSARIAL)))
+    want = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {_SQL_SLUG.format(c='c')} FROM t ORDER BY i"
+        ).fetchall()
+    ]
+    assert got == want
+
+
+def test_fee_parse_parity_vs_oracle_fragment(spark):
+    import duckdb
+
+    from wvfoia_sync_spark.functions.normalize import parse_fee
+
+    got = [
+        r["f"]
+        for r in spark.createDataFrame(
+            list(enumerate(_FEE_ADVERSARIAL)), "i long, c string"
+        ).select("i", parse_fee("c").cast("double").alias("f")).orderBy("i").collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i INTEGER, c VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(_FEE_ADVERSARIAL)))
+    want = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {_SQL_FEE.format(c='c')} FROM t ORDER BY i"
+        ).fetchall()
+    ]
+    assert got == want
