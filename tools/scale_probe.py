@@ -1,0 +1,134 @@
+"""Scale probe: replicate the sf0.1 tables ~Nx into a multi-file layout
+and measure how the headline plans scale, versus the single-row-group
+bench files.
+
+Two questions the per-round bench can't answer:
+
+1. Wall-clock growth: does a 10x data increase cost ~10x single-core time
+   or ~10x/cores parallel time? (The bench files are one parquet row
+   group each, so scans there serialize; production tables arrive as many
+   files and should scale with cores until a shuffle dominates.)
+2. Plan stability: do the same physical plans (broadcasts, partial aggs,
+   semi joins) survive the size jump, or does a dim cross the broadcast
+   threshold and flip the plan?
+
+Replication keeps referential structure: orderkeys/lineitem follow the
+replica offset so join fan-outs stay realistic; customer/user/dim keys
+are reused so per-key cardinalities scale like real growth (10x orders
+per customer), matching how a production fact table grows against
+slowly-changing dims.
+
+Usage:  python tools/scale_probe.py [N_replicas] [out_dir]
+Writes JSON lines per query: {"query", "sf01_sec", "sfN_sec", "ratio"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from wvfoia_sync_spark import registry  # noqa: E402
+from wvfoia_sync_spark.session import get_spark  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+
+# scan/join/agg/window/dedup shapes that scale linearly-ish; the pairwise
+# dedup ops are excluded (replicating docs 10x makes every doc a 10-way
+# exact dup — quadratic pair blowup measures the data trick, not the plan)
+PROBE_QUERIES = [
+    "pricing_summary",
+    "filter_scan",
+    "region_revenue",
+    "volume_shipping",
+    "customer_distribution",
+    "order_priority",
+    "events_hourly",
+    "sessionization",
+    "events_sliding",
+    "top3_per_group",
+    "exact_dedup",
+    "unigram_surprisal",
+    "scd2_history",
+    "cdc_apply",
+    "incremental_rollup",
+]
+
+OFFSET_KEYS = {
+    "orders": ["o_orderkey"],
+    "lineitem": ["l_orderkey"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+}
+COPY_TABLES = ["region", "nation", "supplier", "part", "customer", "embeddings"]
+
+
+def replicate(spark, n: int, out_dir: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    for name in COPY_TABLES:
+        df = spark.read.parquet(os.path.join(BASE, f"{name}.parquet"))
+        df.write.mode("overwrite").parquet(os.path.join(out_dir, f"{name}.parquet"))
+    for name, keys in OFFSET_KEYS.items():
+        df = spark.read.parquet(os.path.join(BASE, f"{name}.parquet"))
+        span = df.agg(F.max(keys[0])).collect()[0][0] + 1
+        replicas = None
+        for k in range(n):
+            r = df
+            for key in keys:
+                r = r.withColumn(key, (F.col(key) + F.lit(k * span)).cast("long"))
+            replicas = r if replicas is None else replicas.unionByName(r)
+        (
+            replicas.repartition(32)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"{name}.parquet"))
+        )
+
+
+def time_query(spark, name: str, sf_dir: str, runs: int = 2) -> float:
+    fn = registry.QUERIES[name]
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.time() - t0)
+    return round(best, 3)
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/scale_sf{n}x"
+    spark = get_spark("scale-probe")
+    if not os.path.exists(os.path.join(out_dir, "lineitem.parquet")):
+        replicate(spark, n, out_dir)
+    registry.QUERIES["max_key"](spark, BASE).collect()  # warm
+    results = []
+    for name in PROBE_QUERIES:
+        a = time_query(spark, name, BASE)
+        b = time_query(spark, name, out_dir)
+        ratio = round(b / a, 2) if a > 0 else None
+        results.append(
+            {"query": name, "sf01_sec": a, f"sf{n}x_sec": b, "ratio": ratio}
+        )
+        print(json.dumps(results[-1]), flush=True)
+    total_a = round(sum(r["sf01_sec"] for r in results), 2)
+    total_b = round(sum(r[f"sf{n}x_sec"] for r in results), 2)
+    print(
+        json.dumps(
+            {
+                "replicas": n,
+                "total_sf01_sec": total_a,
+                f"total_sf{n}x_sec": total_b,
+                "overall_ratio": round(total_b / total_a, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
