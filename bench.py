@@ -119,7 +119,9 @@ def main() -> None:
             except Exception as exc:  # one broken query must not kill the run
                 errors[name] = f"{type(exc).__name__}: {exc}"[:300]
                 break
-        if best < float("inf"):
+        # a query is either timed or errored, never both (a flaky second
+        # run must not leave a phantom timing in the total)
+        if best < float("inf") and name not in errors:
             timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)

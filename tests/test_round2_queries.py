@@ -97,3 +97,36 @@ def test_volume_shipping_symmetric_nation_pairs(spark):
     for r in rows:
         assert {r["supp_nation"], r["cust_nation"]} == {"NATION_1", "NATION_2"}
         assert r["revenue"] > 0
+
+
+def test_salted_join_rejects_small_side_preserving_outer_joins(spark):
+    import pytest as _pytest
+
+    from wvfoia_sync_spark.operators import relational
+
+    ev = registry.load_table(spark, SF_DIR, "events")
+    cust = registry.load_table(spark, SF_DIR, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    for bad in ("right", "full", "full_outer", "right_outer"):
+        with _pytest.raises(ValueError):
+            relational.salted_join(
+                ev, cust, "user_id", "c_custkey", salt_from="event_id", how=bad
+            )
+
+
+def test_cdc_apply_null_op_is_not_a_tombstone(spark):
+    from wvfoia_sync_spark.operators import relational
+
+    log = spark.createDataFrame(
+        [
+            (1, 1, "upsert", 10.0),
+            (1, 2, None, 20.0),      # malformed op, last writer -> kept
+            (2, 1, "upsert", 30.0),
+            (2, 2, "delete", 40.0),  # real tombstone -> dropped
+        ],
+        "key long, seq long, op string, v double",
+    )
+    out = relational.cdc_apply(log, ["key"], ["seq"], "op")
+    rows = {r["key"]: (r["op"], r["v"]) for r in out.collect()}
+    assert rows == {1: (None, 20.0)}

@@ -89,16 +89,9 @@ def spark_session_for_fuzz(spark):
 
 
 # ------------------------- slugify / fee-parse parity (same contract) ---
-
-_SQL_SLUG = (
-    "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
-    "lower({c}), '[\\s+/]+', '-', 'g'), '[^a-z0-9-]', '', 'g'),"
-    "'-{{2,}}', '-', 'g'), '^-+|-+$', '', 'g')"
-)
-_SQL_FEE = (
-    "CAST(TRY_CAST(NULLIF(regexp_replace({c}, '[^0-9.-]', '', 'g'), '')"
-    " AS DECIMAL(12,2)) AS DOUBLE)"
-)
+# imported from the registry so the fuzz checks the EXACT fragments the
+# slug_rollup/fee_sort oracles embed — a local copy could silently drift
+from wvfoia_sync_spark.registry import _SQL_FEE, _SQL_SLUG  # noqa: E402
 
 _SLUG_ADVERSARIAL = [
     "Department of Health & Human Resources",

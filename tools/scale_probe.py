@@ -74,9 +74,17 @@ def replicate(spark, n: int, out_dir: str) -> None:
     for name in COPY_TABLES:
         df = spark.read.parquet(os.path.join(BASE, f"{name}.parquet"))
         df.write.mode("overwrite").parquet(os.path.join(out_dir, f"{name}.parquet"))
+    # orderkey span computed ONCE from orders and reused for lineitem so
+    # replica k's lineitems land on replica k's orders even if the two
+    # tables' max keys ever diverge (e.g. childless top orderkeys)
+    orders = spark.read.parquet(os.path.join(BASE, "orders.parquet"))
+    order_span = orders.agg(F.max("o_orderkey")).collect()[0][0] + 1
     for name, keys in OFFSET_KEYS.items():
         df = spark.read.parquet(os.path.join(BASE, f"{name}.parquet"))
-        span = df.agg(F.max(keys[0])).collect()[0][0] + 1
+        if keys[0] in ("o_orderkey", "l_orderkey"):
+            span = order_span
+        else:
+            span = df.agg(F.max(keys[0])).collect()[0][0] + 1
         replicas = None
         for k in range(n):
             r = df

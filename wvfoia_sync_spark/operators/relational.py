@@ -244,7 +244,10 @@ def cdc_apply(
         changelog.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .drop("_rn")
-        .where(~F.col(op_col).isin(*delete_ops))
+        # NULL op is NOT a tombstone: ~isin() alone would evaluate to NULL
+        # and silently drop the key like a delete (malformed upstream rows
+        # must fail visible in counts, not vanish)
+        .where(F.col(op_col).isNull() | ~F.col(op_col).isin(*delete_ops))
     )
 
 
@@ -266,7 +269,19 @@ def salted_join(
     result set is exactly the unsalted join; only the partitioning
     changes. Use when AQE's skew-join split (which handles post-hoc skew)
     isn't available or the skew is known up front; replication costs
-    n_salts copies of the SMALL side only."""
+    n_salts copies of the SMALL side only.
+
+    Join types that preserve unmatched SMALL-side rows (right/full outer)
+    are rejected: the replicas would emit each unmatched small row
+    n_salts times, so the salted result would NOT equal the plain join.
+    """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti", "semi", "anti", "cross"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} would duplicate unmatched small-side "
+            f"rows across salt replicas; use one of {sorted(allowed)}"
+        )
     bs = big.withColumn(
         "_salt", F.pmod(F.xxhash64(F.col(salt_from)), F.lit(n_salts)).cast("int")
     )

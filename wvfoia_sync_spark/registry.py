@@ -64,6 +64,20 @@ _SQL_TOKENS = (
 )
 _SQL_STOPWORDS = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
 
+# DuckDB mirrors of functions.normalize.slugify_col / parse_fee — single
+# source of truth for every oracle that embeds them, and imported by
+# tests/test_tokens_differential.py so the parity fuzz checks THESE
+# fragments, not a copy that could drift.
+_SQL_SLUG = (
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    "lower({c}), '[\\s+/]+', '-', 'g'), '[^a-z0-9-]', '', 'g'),"
+    "'-{{2,}}', '-', 'g'), '^-+|-+$', '', 'g')"
+)
+_SQL_FEE = (
+    "CAST(TRY_CAST(NULLIF(regexp_replace({c}, '[^0-9.-]', '', 'g'), '')"
+    " AS DECIMAL(12,2)) AS DOUBLE)"
+)
+
 
 # =====================================================================
 # Scans / filters / projections / lookups  (SURVEY §2.1-§2.2)
@@ -622,10 +636,8 @@ def corrections_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "slug_rollup",
-    oracle="""
-    SELECT regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-             lower(p_type), '[\\s+/]+', '-', 'g'), '[^a-z0-9-]', '', 'g'),
-             '-{2,}', '-', 'g'), '^-+|-+$', '', 'g') AS slug,
+    oracle=f"""
+    SELECT {_SQL_SLUG.format(c='p_type')} AS slug,
            COUNT(*) AS n
     FROM part GROUP BY 1
     """,
@@ -1248,12 +1260,12 @@ def nation_page(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "fee_sort",
-    oracle="""
+    oracle=f"""
     WITH fees AS (
       SELECT o_orderkey, printf('$%.2f', o_totalprice) AS fee FROM orders
     )
     SELECT o_orderkey, fee,
-           CAST(CAST(regexp_replace(fee, '[^0-9.-]', '', 'g') AS DECIMAL(12,2)) AS DOUBLE) AS fee_amount
+           {_SQL_FEE.format(c='fee')} AS fee_amount
     FROM fees
     ORDER BY fee_amount DESC, o_orderkey ASC LIMIT 20
     """,
@@ -3246,10 +3258,18 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(text_fns.tokens("text")).alias("tok")
     )
-    freq = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
-    total = toks.count()  # scalar LM normalizer (exact integer, both engines)
+    # LM normalizer derived from the freq table itself (global window over
+    # the vocab-sized frame) — no eager count() job at plan-build time,
+    # and the corpus tokenizes twice (freq build + join side), not thrice
+    freq = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn(
+            "total", F.sum("cnt").over(Window.partitionBy(F.lit(1)))
+        )
+    )
     surprisal = F.round(
-        -F.log(F.col("cnt").cast("double") / F.lit(total)), 6
+        -F.log(F.col("cnt").cast("double") / F.col("total")), 6
     ).cast("decimal(18,6)")
     return (
         toks.join(F.broadcast(freq), "tok")
@@ -3274,7 +3294,8 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
            value AS last_value
-    FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    FROM ranked
+    WHERE rn = 1 AND (event_type IS NULL OR event_type <> 'error')
     """,
 )
 def cdc_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3500,7 +3521,7 @@ def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT doc_id, source FROM ranked
-    WHERE rn <= CASE WHEN CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 2 = 0
+    WHERE rn <= CASE WHEN TRY_CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 2 = 0
                      THEN 16 ELSE 8 END
     """,
 )

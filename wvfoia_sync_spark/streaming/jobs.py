@@ -20,17 +20,22 @@ from pyspark.sql import types as T
 
 from ..session import configure_session
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        # Physical TIMESTAMP(NANOS); pyspark 4.1 reads it as NTZ micros.
-        T.StructField("ts", T.TimestampNTZType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+# Default for the pinned pyspark 4.1 build (TIMESTAMP(NANOS) -> NTZ micros);
+# read_events_stream probes the actual batch-read type and adapts.
+EVENTS_SCHEMA = _events_schema(T.TimestampNTZType())
 
 
 def read_events_stream(
@@ -38,15 +43,35 @@ def read_events_stream(
 ) -> DataFrame:
     """File-source stream over the events parquet directory (the source
     requires a directory; ``glob`` narrows to specific files); normalizes
-    the nanos timestamp exactly like sources.tables.load_table."""
+    the physical TIMESTAMP(NANOS) column exactly like
+    sources.tables.load_table, whatever this Spark build reads it as:
+    NTZ micros (pyspark 4.1 native), bigint nanos (builds honoring the
+    legacy nanosAsLong conf), or plain TIMESTAMP. The batch probe read
+    costs one driver-side footer fetch, no data scan."""
     configure_session(spark)
-    reader = spark.readStream.schema(EVENTS_SCHEMA).format("parquet")
+    probe = spark.read
+    if glob:
+        probe = probe.option("pathGlobFilter", glob)
+    ts_type = dict(probe.parquet(events_dir).dtypes).get("ts", "timestamp_ntz")
+
+    if ts_type == "bigint":
+        schema, norm = _events_schema(T.LongType()), lambda c: F.timestamp_micros(
+            (c / F.lit(1000)).cast("long")
+        )
+    elif ts_type == "timestamp_ntz":
+        # NTZ -> session-tz TIMESTAMP (UTC pinned in configure_session):
+        # pure type relabel, keeps watermark/window semantics == batch.
+        schema, norm = _events_schema(T.TimestampNTZType()), lambda c: c.cast(
+            "timestamp"
+        )
+    else:
+        schema, norm = _events_schema(T.TimestampType()), lambda c: c
+
+    reader = spark.readStream.schema(schema).format("parquet")
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     raw = reader.load(events_dir)
-    # NTZ -> session-tz TIMESTAMP (UTC pinned in configure_session): pure
-    # type relabel, keeps watermark/window semantics identical to batch.
-    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw.withColumn("ts", norm(F.col("ts")))
 
 
 def hourly_aggregation(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
