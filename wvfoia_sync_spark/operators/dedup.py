@@ -39,7 +39,9 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .groupBy("fingerprint")
         .agg(
             F.count("*").alias("dup_count"),
-            F.min(id_col).cast("long").alias("keep_id"),
+            # no cast: keep_id keeps the id column's own type (string ids
+            # would fail/NULL under a hardcoded long cast)
+            F.min(id_col).alias("keep_id"),
         )
         .where(F.col("dup_count") > 1)
     )
@@ -328,18 +330,6 @@ def _minhash_permutations(k: int, seed: int = 7) -> list[tuple[int, int]]:
     return out
 
 
-def _shingles(text_col: str, n: int) -> Column:
-    """Word n-gram shingles (distinct), built with transform+slice —
-    codegen-only, no UDF."""
-    toks = tokens(text_col)
-    if n <= 1:
-        return F.array_distinct(toks)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    )
-
-
 def hashed_shingles(df: DataFrame, id_col: str, text_col: str, shingle_size: int = 3) -> DataFrame:
     """(id, hs: array<long>) distinct word-n-gram shingles hashed into
     [0, 2^31).
@@ -465,8 +455,13 @@ def minhash_lsh_candidates(
     signatures: DataFrame, bands: int = 16
 ) -> DataFrame:
     """Band the signatures and self-join on (band, band_hash): docs sharing
-    any band are candidate pairs. Shuffle volume = bands rows/doc."""
-    num_hashes = bands  # rows per band derived below
+    any band are candidate pairs. Shuffle volume = bands rows/doc.
+
+    ``bands`` must divide the signature length (validated by
+    minhash_dedup_pairs): bands > len(sig) would make every band slice
+    empty, collapsing ALL docs into one bucket (the O(n^2) cross product
+    LSH exists to avoid), and a non-dividing bands silently ignores the
+    trailing len(sig) mod bands signature entries."""
     sig_size_col = F.size("sig")
     banded = signatures.select(
         "id",
@@ -516,6 +511,11 @@ def minhash_dedup_pairs(
     24.6s -> ~12s. localCheckpoint rather than persist(): blocks are
     GC-cleaned when the DataFrame goes out of scope, so repeated calls
     in one session don't accumulate CacheManager entries."""
+    if bands > num_hashes or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes} "
+            "(empty/truncated band slices degenerate the LSH bucketing)"
+        )
     hashed = hashed_shingles(df, id_col, text_col, shingle_size).localCheckpoint(
         eager=False
     )
@@ -716,6 +716,15 @@ def connected_components(
         labels = updated.drop("changed")
         if n_changed == 0:
             break
+    else:
+        # loop exhausted with labels still moving: returning now would
+        # silently split true clusters (under-dedup with no signal)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({n_changed} labels still changing) — the graph diameter "
+            "exceeds max_iter; raise it or switch to large-star/small-star "
+            "contraction (see docstring)"
+        )
     return labels
 
 
@@ -729,6 +738,6 @@ def duplicate_clusters(
     cc = connected_components(pairs, a_col, b_col)
     return (
         cc.groupBy("component")
-        .agg(F.count("*").alias("size"), F.min("id").cast("long").alias("keep_id"))
-        .select(F.col("component").cast("long").alias("component"), "size", "keep_id")
+        .agg(F.count("*").alias("size"), F.min("id").alias("keep_id"))
+        .select("component", "size", "keep_id")
     )

@@ -102,9 +102,12 @@ def bm25_scores(
     concatenated = F.concat_ws(
         " ", *[F.coalesce(F.col(c), F.lit("")) for c in text_cols]
     )
+    # three consumers (dl, stats, tf) would re-run the concat+tokenize
+    # scan per subtree — materialize once (same pattern and ~2-3x win as
+    # dedup.minhash_dedup_pairs' hashed-shingle checkpoint)
     toks = df.select(
         F.col(id_col).alias("id"), tokens(concatenated).alias("toks")
-    )
+    ).localCheckpoint(eager=False)
     dl = toks.select("id", F.size("toks").alias("dl"))
     stats = dl.agg(
         F.count("*").alias("n_docs"),

@@ -51,11 +51,18 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 12) -> DataFrame:
     bucketed = []
     for i, c in enumerate(cols):
         lo, hi = F.col(f"_zmin_{c}"), F.col(f"_zmax_{c}")
-        # width_bucket: 1..n inside [lo, hi], n+1 at hi — clamp to [0, n-1]
+        # width_bucket: 1..n inside [lo, hi], n+1 at hi — clamp to [0, n-1].
+        # width_bucket returns NULL when lo == hi (constant column) or the
+        # value is NULL; coalesce to bucket 0, else the NULL would OR
+        # through the Morton interleave and null the WHOLE _zkey, which
+        # collapses repartitionByRange into one file
         b = F.width_bucket(F.col(c).cast("double"), lo, hi, F.lit(n_buckets)) - 1
         bcol = f"_zb{i}"
         out = out.withColumn(
-            bcol, F.least(F.greatest(b, F.lit(0)), F.lit(n_buckets - 1))
+            bcol,
+            F.coalesce(
+                F.least(F.greatest(b, F.lit(0)), F.lit(n_buckets - 1)), F.lit(0)
+            ),
         )
         bucketed.append(bcol)
     out = out.withColumn(

@@ -231,7 +231,13 @@ def cosine_near_dup_pairs(
 ) -> DataFrame:
     """Embedding near-duplicate pairs: LSH-bucket self-join, exact cosine
     verify at ``threshold``. Shuffles (id, sig, vec) once on sig."""
-    sample = df.select(vec_col).first()
+    sample = df.select(vec_col).where(F.col(vec_col).isNotNull()).first()
+    if sample is None:
+        # empty / all-null input: no pairs, typed like the normal output
+        id_type = df.schema[id_col].dataType.simpleString()
+        return df.sparkSession.createDataFrame(
+            [], f"id_a {id_type}, id_b {id_type}, score double"
+        )
     dim = len(sample[0])
     bucketed = with_lsh_signature(df, dim, n_planes, vec_col, seed).select(
         F.col(id_col).alias("id"), F.col("lsh_sig"), F.col(vec_col).alias("v")
@@ -321,22 +327,12 @@ def sq8_topk(
     in tests; at scale the codes column is the only thing scanned."""
     if stats is None:
         stats = dim_stats(df, vec_col)
-    coded = with_int8_codes(df, stats, vec_col)
-    scored = coded.select(
-        F.col(id_col).alias("vec_id"),
-        cosine(dequantize("codes", stats), lit_vector(query_vec)).alias("score"),
-    ).where(F.col("score").isNotNull())
-    return (
-        scored.orderBy(F.col("score").desc(), F.col("vec_id").asc())
-        .limit(k)
-        .withColumn(
-            "rank",
-            F.row_number().over(
-                Window.orderBy(F.col("score").desc(), F.col("vec_id").asc())
-            ).cast("long"),
-        )
-        .select("rank", "vec_id", "score")
+    # rank via brute_force_topk over the dequantized column — one ranking
+    # implementation, so tiebreak/null-handling fixes can't drift apart
+    coded = with_int8_codes(df, stats, vec_col).withColumn(
+        "_deq", dequantize("codes", stats)
     )
+    return brute_force_topk(coded, query_vec, k, id_col=id_col, vec_col="_deq")
 
 
 def knn_join_exact(

@@ -40,7 +40,9 @@ def read_jsonl(
     configure_session(spark)
     if isinstance(schema, str):
         schema = StructType.fromDDL(schema)
-    schema = schema.add(corrupt_col, "string")
+    # StructType.add mutates in place — copy so the CALLER's schema object
+    # doesn't permanently grow a _corrupt field per read_jsonl call
+    schema = StructType(list(schema.fields)).add(corrupt_col, "string")
     return (
         spark.read.schema(schema)
         .option("mode", "PERMISSIVE")

