@@ -101,11 +101,19 @@ def agencies_page(
         hay = F.lower(F.concat_ws(" ", "agency_canonical", "agency_slug"))
         for tok in term.lower().split():
             df = df.where(F.instr(hay, tok) > 0)
-    order = AGENCY_SORTERS[sort]() + [F.col("agency_slug").asc()]
+    # unknown sort falls back to the default like queries.order_by — the
+    # sort value is URL input, a KeyError here would 500 the whole page
+    sorter = AGENCY_SORTERS.get(sort, AGENCY_SORTERS["most_requests"])
+    order = sorter() + [F.col("agency_slug").asc()]
     df = df.cache()
-    total = df.count()
-    page, total_pages = relational.clamp_page(total, cursor.page, cursor.page_size)
-    rows = relational.paginate(df, order, page, cursor.page_size)
+    try:
+        total = df.count()
+        page, total_pages = relational.clamp_page(total, cursor.page, cursor.page_size)
+        rows = relational.paginate(df, order, page, cursor.page_size).localCheckpoint(
+            eager=True
+        )
+    finally:
+        df.unpersist()
     return Page(rows=rows, total=total, total_pages=total_pages, page=page)
 
 

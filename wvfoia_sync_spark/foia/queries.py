@@ -20,15 +20,27 @@ from ..operators import relational
 from .schema import EntrySearchOptions, PageCursor
 
 
-def agency_candidates(opts_agency: str, aliases_map: dict[str, str]) -> list[str]:
-    """U8 agencyNameCandidates (corrections.ts:59-64): canonical + aliases
-    for the requested agency, else just the input. ``aliases_map`` is
-    normalize_token(spelling) -> canonical."""
+def agency_candidates(
+    opts_agency: str,
+    aliases_map: dict[str, str],
+    agency_dim=None,
+) -> list[str]:
+    """U8 agencyNameCandidates (corrections.ts:59-64): the ORIGINAL
+    spellings that identify the requested agency — the input, its
+    canonical, and (when the agency_dim frame is supplied) every raw
+    spelling whose canonical matches, mirroring the reference's DISTINCT
+    alias-spelling lookup. ``aliases_map`` is
+    normalize_token(spelling) -> canonical; its token KEYS are matching
+    keys, not spellings, and are deliberately NOT returned."""
     canonical = aliases_map.get(normalize_token(opts_agency), opts_agency)
     cands = {opts_agency, canonical}
-    for tok, canon in aliases_map.items():  # aliases of the canonical
-        if canon == canonical:
-            cands.add(tok)
+    if agency_dim is not None:
+        cands.update(
+            r["agency"]
+            for r in agency_dim.where(
+                F.col("agency_canonical") == canonical
+            ).select("agency").collect()
+        )
     return sorted(cands)
 
 
@@ -98,9 +110,18 @@ def list_entries(
     pred = bind_where(opts, aliases_map)
     filtered = silver.where(pred) if pred is not None else silver
     filtered = filtered.cache()  # shared by count + page fetch (SURVEY §4)
-    total = filtered.count()
-    page, total_pages = relational.clamp_page(total, cursor.page, cursor.page_size)
-    rows = relational.paginate(filtered, order_by(opts.sort), page, cursor.page_size)
+    try:
+        total = filtered.count()
+        page, total_pages = relational.clamp_page(total, cursor.page, cursor.page_size)
+        # materialize the page (<= page_size rows) so the cache can be
+        # released NOW — a serving process calling this per request would
+        # otherwise accumulate one never-unpersisted cache entry per
+        # distinct filter combination for the session lifetime
+        rows = relational.paginate(
+            filtered, order_by(opts.sort), page, cursor.page_size
+        ).localCheckpoint(eager=True)
+    finally:
+        filtered.unpersist()
     return Page(rows=rows, total=total, total_pages=total_pages, page=page)
 
 

@@ -40,6 +40,10 @@ def parse_feed_date(value: str | None) -> dt.datetime | None:
 def rfc822(t: dt.datetime | None) -> str | None:
     if t is None:
         return None
+    # convert before labeling GMT — a +05:00 aware datetime formatted
+    # as-is would mislabel its wall-clock as GMT, 5 hours off
+    if t.tzinfo is not None:
+        t = t.astimezone(dt.timezone.utc)
     return t.strftime("%a, %d %b %Y %H:%M:%S GMT")
 
 

@@ -63,7 +63,9 @@ def build_agency_dim(
             continue
         canonical = normalize_agency_name(raw.replace("''", "'"), token_map)
         rows.append((raw, canonical))
-    dim = spark.createDataFrame(rows, ["agency", "agency_canonical"])
+    # explicit schema: inference raises on an empty rows list (empty or
+    # all-null-agency bronze must yield an empty dim, not a crash)
+    dim = spark.createDataFrame(rows, "agency string, agency_canonical string")
     return dim.withColumn("agency_slug", slugify_col("agency_canonical"))
 
 

@@ -33,9 +33,6 @@ DRIFT_TOLERANCE = 3  # consecutive missing ids before stopping (sync.ts:8)
 
 # ------------------------------------------------------------ S2: parse ---
 
-_LABEL_RE = re.compile(
-    r'content-col-label.*?<strong>(.*?)</strong>', re.S
-)
 _PAIR_RE = re.compile(
     r'content-col-label.*?<strong>(?P<label>.*?)</strong>.*?'
     r'content-col-data.*?content-div-var">(?P<value>.*?)</div>',
@@ -219,14 +216,21 @@ def run_sync(
         existing.agg(F.coalesce(F.max("id"), F.lit(0)).alias("m")).first()["m"] + 1
     )
     fetched = fetch_window(spark, start_id, window, fetcher).cache()
-    outcomes = [
-        (r["id"], r["_found"])
-        for r in fetched.select("id", "_found").orderBy("id").collect()
-    ]
-    keep_ids, last_checked = cut_at_frontier(outcomes, start_id)
-    new_rows = fetched.where(F.col("id").isin(keep_ids) & F.col("_found")).drop(
-        "_found"
-    )
+    try:
+        outcomes = [
+            (r["id"], r["_found"])
+            for r in fetched.select("id", "_found").orderBy("id").collect()
+        ]
+        keep_ids, last_checked = cut_at_frontier(outcomes, start_id)
+        # window-sized (small): materialize so the fetch cache can be
+        # released before the merge plan executes downstream
+        new_rows = (
+            fetched.where(F.col("id").isin(keep_ids) & F.col("_found"))
+            .drop("_found")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        fetched.unpersist()
     merged = upsert(existing, new_rows)
     return merged, SyncResult(
         added=len(keep_ids),

@@ -30,10 +30,35 @@ _ADDITIVE = [
 ]
 
 
-def merge_agency_stats(old: DataFrame, delta: DataFrame) -> DataFrame:
+def merge_agency_stats(
+    old: DataFrame,
+    delta: DataFrame,
+    old_as_of: str | None = None,
+    delta_as_of: str | None = None,
+) -> DataFrame:
     """Merge two agency_stats tables (full outer on slug): additive
     partials sum; averages recompute from the merged (sum, count) pairs;
-    resolution maps merge key-wise."""
+    resolution maps merge key-wise.
+
+    PRECONDITION — same anchor: the windowed partials (requests_30d/90d/
+    365d, responded_365d, response_days_sum_365d) are counts relative to
+    the ``today`` each side was computed with. They merge exactly ONLY
+    when both sides share that anchor (i.e. within one sync run). Merging
+    stats computed on different days would freeze rows inside windows
+    they have aged out of — pass the anchors to make the check explicit.
+    Cross-day maintenance re-derives the windowed columns from silver
+    (they cover a bounded recent slice) and merges only the lifetime
+    counters incrementally."""
+    if (
+        old_as_of is not None
+        and delta_as_of is not None
+        and old_as_of != delta_as_of
+    ):
+        raise ValueError(
+            f"windowed partials anchored to different days "
+            f"({old_as_of} vs {delta_as_of}) cannot be merged — recompute "
+            "the windowed columns from silver instead"
+        )
     o = old.select(
         "agency_slug",
         "agency_canonical",

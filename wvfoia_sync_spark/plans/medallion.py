@@ -70,15 +70,19 @@ class MedallionPipeline:
         silver and gold iff rows were added (ST3)."""
         merged, result = run_sync(self.spark, self.bronze(), fetcher, window)
         if result.added > 0:
-            # write-then-swap: never overwrite a table being read
+            # write-then-swap via filesystem rename: ONE data write, and
+            # the cutover is two near-atomic renames (the previous
+            # write-tmp-then-rewrite paid a second full write and left a
+            # window where bronze was deleted but not yet rewritten)
             import shutil
 
             tmp = self._p("bronze_next")
+            old = self._p("bronze_prev")
             merged.write.mode("overwrite").parquet(tmp)
-            self.spark.read.parquet(tmp).write.mode("overwrite").parquet(
-                self._p("bronze")
-            )
-            shutil.rmtree(tmp, ignore_errors=True)
+            shutil.rmtree(old, ignore_errors=True)
+            os.rename(self._p("bronze"), old)
+            os.rename(tmp, self._p("bronze"))
+            shutil.rmtree(old, ignore_errors=True)
             self.rebuild(
                 corrections=self._opt("corrections_entries"),
                 aliases=self._opt("agency_aliases"),

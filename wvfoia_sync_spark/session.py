@@ -63,6 +63,12 @@ def get_spark(app_name: str = "wvfoia-sync-spark", cpus: int | None = None) -> S
     partitions match core count — at cluster scale you would size these to
     data volume instead (see docs in plans.medallion).
     """
+    # an active session ignores builder configs anyway — return it
+    # directly (also avoids minting a fresh spark-warehouse temp dir per
+    # call that the existing session would never use)
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return configure_session(active)
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 4)
     import tempfile

@@ -181,14 +181,11 @@ def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     dedup_exact). dropDuplicatesWithinWatermark keys state by the
     fingerprint and expires it once the watermark passes, so state stays
     bounded by (dup horizon x arrival rate), not the stream's lifetime."""
+    # null-safe structural hash: concat_ws skips nulls and has no
+    # delimiter escaping, so ('a|2.0', null) and ('a', 2.0) would collide
+    # on one fingerprint and the second arrival would be silently dropped
     keyed = events.withColumn(
-        "fp",
-        F.sha2(
-            F.concat_ws(
-                "|", F.col("user_id"), F.col("event_type"), F.col("value")
-            ),
-            256,
-        ),
+        "fp", F.xxhash64(F.struct("user_id", "event_type", "value"))
     )
     return keyed.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["fp"])
 
