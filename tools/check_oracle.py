@@ -22,12 +22,18 @@ from wvfoia_sync_spark.sources.tables import TABLE_NAMES  # noqa: E402
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
-    """Order-insensitive canonical form: sort columns by name, round floats,
-    sort rows, stringify."""
+    """Order-insensitive canonical form: sort columns by name, sort rows,
+    stringify. Floats compare EXACTLY (no rounding) — the registry's
+    determinism rules make bit-identical doubles a design requirement, so
+    a last-ulp divergence should fail, not be papered over. All NULL
+    flavors (None, NaN, NaT) canonicalize to one token so a pandas object
+    -> float upcast on one side can't fake a value diff."""
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         if df[c].dtype == object:
-            df[c] = df[c].map(lambda v: str(v) if v is not None else "<NULL>")
+            df[c] = df[c].map(
+                lambda v: "<NULL>" if (v is None or pd.isna(v)) else str(v)
+            )
     df = df.astype(str)
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
@@ -35,6 +41,11 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    unknown = only - set(registry.QUERIES)
+    if unknown:
+        # a typo'd/renamed name must not produce a 0-queries false green
+        print(f"ERROR: unknown query name(s): {sorted(unknown)}")
+        return 2
 
     con = duckdb.connect()
     for t in TABLE_NAMES:
@@ -56,10 +67,15 @@ def main() -> int:
             continue
         sql = registry.ORACLE.get(name)
         if sql is None:
+            # rows-only queries run on inputs that guarantee output
+            # (planted duplicates, k-row top-k): 0 rows IS a regression,
+            # not a warning — except the allowlisted probe-miss case
+            if len(spark_df) == 0 and name not in ("embedding_lsh_topk",):
+                failures.append((name, "0 rows from a rows-only query"))
+                print(f"FAIL {name}: 0 rows from a rows-only query")
+                continue
             print(f"ok   {name}: rows={len(spark_df)} (no oracle, rows-only) "
                   f"[{time.time()-t0:.1f}s]")
-            if len(spark_df) == 0 and name not in ("embedding_lsh_topk",):
-                print(f"     WARN {name}: 0 rows from a rows-only query")
             passes.append(name)
             continue
         try:

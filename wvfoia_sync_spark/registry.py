@@ -33,12 +33,27 @@ ORACLE: dict[str, str] = {}
 
 def register(name: str, oracle: str | None = None):
     def deco(fn):
+        if name in QUERIES:
+            # overwriting would silently drop the shadowed query from the
+            # differential suite — fail at import time instead
+            raise ValueError(f"duplicate registry query name: {name!r}")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLE[name] = oracle
         return fn
 
     return deco
+
+
+def _query_vec(emb: DataFrame, vec_id: int = 0) -> list[float]:
+    """The shared ANN query vector (one eager lookup; explicit error when
+    the probe id is missing, instead of an opaque NoneType crash)."""
+    row = emb.where(F.col("vec_id") == vec_id).first()
+    if row is None:
+        raise ValueError(
+            f"query vector vec_id={vec_id} missing from the embeddings table"
+        )
+    return [float(x) for x in row["embedding"]]
 
 
 def _d(col) -> F.Column:
@@ -898,7 +913,7 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject top-k. Output is rank+id only — float scores
     stay out of the hash (cross-engine accumulation order differs)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    qvec = _query_vec(emb)
     return similarity.brute_force_topk(emb, qvec, k=10).select("rank", "vec_id")
 
 
@@ -907,7 +922,7 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k (scale path); recall vs brute force
     is asserted in tests; driver records rows-only."""
     emb = load_table(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    qvec = _query_vec(emb)
     return similarity.lsh_topk(
         emb, qvec, k=10, n_planes=6, probe_radius=2
     ).select("rank", "vec_id")
@@ -1478,7 +1493,7 @@ def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse centroids, probe the 3 nearest cells, exact rank within.
     Recall vs brute force asserted in tests; driver records rows-only."""
     emb = load_table(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    qvec = _query_vec(emb)
     cents = similarity.train_centroids(emb, k=8, iterations=1)
     return similarity.ivf_topk(emb, qvec, cents, k=10, n_probe=3).select(
         "rank", "vec_id"
@@ -1505,7 +1520,10 @@ def salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         li,
         "l_returnflag",
         "l_orderkey",
-        {"n": ("l_returnflag", "count"), "sum_qty": ("_q", "sum")},
+        # COUNT over the unique salt-source column == COUNT(*): counting
+        # the group-key column itself would report 0 for a NULL-key group
+        # while the oracle's COUNT(*) counts its rows
+        {"n": ("l_orderkey", "count"), "sum_qty": ("_q", "sum")},
         buckets=16,
     )
     return out.select(
@@ -2735,7 +2753,7 @@ def sq8_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     actually scans — rank exactly, id tiebreak. Recall vs the float
     baseline asserted in tests; driver records rows-only."""
     emb = load_table(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    qvec = _query_vec(emb)
     return similarity.sq8_topk(emb, qvec, k=10).select("rank", "vec_id")
 
 
