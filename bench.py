@@ -79,6 +79,8 @@ HEADLINE = [
     "cdc_apply",
     "skew_salted_join",
     "incremental_rollup",
+    "table_profile",
+    "dq_checks",
 ]
 
 

@@ -3563,3 +3563,137 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= quota)
         .select("doc_id", "source")
     )
+
+
+@register(
+    "table_profile",
+    oracle="""
+    SELECT 'o_custkey' AS col, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(o_custkey) AS n_nulls,
+           COUNT(DISTINCT o_custkey) AS n_distinct,
+           CAST(MIN(o_custkey) AS VARCHAR) AS min_val,
+           CAST(MAX(o_custkey) AS VARCHAR) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus),
+           CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+           COUNT(DISTINCT o_totalprice),
+           CAST(MIN(o_totalprice) AS VARCHAR), CAST(MAX(o_totalprice) AS VARCHAR)
+    FROM orders
+    """,
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profiling (the stats pass every warehouse/
+    catalog runs before planning and every data pipeline runs at intake):
+    per-column row/null/distinct counts and min/max, ALL columns in ONE
+    scan — each profile is a conditional aggregate, so Spark computes the
+    whole block map-side and shuffles one partial row per column set, vs
+    the naive one-job-per-column loop. min/max surface as strings so one
+    schema covers heterogeneous column types."""
+    o = load_table(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_orderstatus", "o_totalprice"]
+    profiled = o.agg(
+        F.count("*").alias("n_rows"),
+        *[
+            a
+            for c in cols
+            for a in (
+                F.count(c).alias(f"nn_{c}"),
+                F.countDistinct(c).alias(f"nd_{c}"),
+                F.min(c).cast("string").alias(f"mn_{c}"),
+                F.max(c).cast("string").alias(f"mx_{c}"),
+            )
+        ],
+    )
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col"),
+                F.col("n_rows").alias("n_rows"),
+                (F.col("n_rows") - F.col(f"nn_{c}")).alias("n_nulls"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+                F.col(f"mn_{c}").alias("min_val"),
+                F.col(f"mx_{c}").alias("max_val"),
+            )
+            for c in cols
+        ]
+    )
+    return profiled.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+@register(
+    "dq_checks",
+    oracle="""
+    SELECT 'orderkey_unique' AS check_name,
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'custkey_not_null', CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'status_in_domain',
+           CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'price_positive',
+           CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_have_customer',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+    """,
+)
+def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (deequ-shaped; the admission control
+    a pipeline runs before promoting a batch): uniqueness, non-null,
+    domain, range, and referential-integrity checks, each reported as a
+    violation count. The scalar checks fold into ONE aggregate pass over
+    the table; the FK check is a broadcast anti-join. A production gate
+    compares n_violations to thresholds and fails the batch."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    scalar = o.agg(
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("orderkey_unique"),
+        (F.count("*") - F.count("o_custkey")).alias("custkey_not_null"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("F", "O", "P"), 1).otherwise(0)
+        ).alias("status_in_domain"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias(
+            "price_positive"
+        ),
+    )
+    melted = scalar.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(n).alias("check_name"),
+                        F.col(n).cast("long").alias("n_violations"),
+                    )
+                    for n in (
+                        "orderkey_unique",
+                        "custkey_not_null",
+                        "status_in_domain",
+                        "price_positive",
+                    )
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
+    orphans = (
+        o.join(
+            F.broadcast(c.select("c_custkey")),
+            o.o_custkey == F.col("c_custkey"),
+            "left_anti",
+        )
+        .agg(F.count("*").cast("long").alias("n_violations"))
+        .select(F.lit("orders_have_customer").alias("check_name"), "n_violations")
+    )
+    return melted.unionByName(orphans)
