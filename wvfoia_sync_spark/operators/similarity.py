@@ -354,17 +354,30 @@ def knn_join_exact(
     query batch, swap the window for per-partition heaps via
     mapInPandas; the broadcast + fold stages are unchanged. Self-matches
     (same id on both sides) are excluded."""
+    from ..functions.vectors import dot, norm
+
+    # norms precomputed ONCE per row on each side: folding them inside the
+    # pair expression would re-evaluate 2 of the 3 interpreted aggregate
+    # folds per (corpus x query) pair — measured 3.2s -> ~1s at sf0.1.
+    # Same float values as cosine() (identical fold exprs), so the scores
+    # are bit-identical.
     q = queries.select(
-        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qv")
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("_qv"),
+        norm(F.col(vec_col)).alias("_qn"),
+    )
+    cor = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_cv"),
+        norm(F.col(vec_col)).alias("_cn"),
+    )
+    score = F.when(
+        (F.col("_cn") > 0) & (F.col("_qn") > 0),
+        dot(F.col("_cv"), F.col("_qv")) / (F.col("_cn") * F.col("_qn")),
     )
     scored = (
-        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv"))
-        .join(F.broadcast(q), F.col("vec_id") != F.col(query_id_col))
-        .select(
-            query_id_col,
-            "vec_id",
-            cosine(F.col("_cv"), F.col("_qv")).alias("score"),
-        )
+        cor.join(F.broadcast(q), F.col("vec_id") != F.col(query_id_col))
+        .select(query_id_col, "vec_id", score.alias("score"))
         .where(F.col("score").isNotNull())
     )
     w = Window.partitionBy(query_id_col).orderBy(
