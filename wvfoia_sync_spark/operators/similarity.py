@@ -239,15 +239,33 @@ def cosine_near_dup_pairs(
             [], f"id_a {id_type}, id_b {id_type}, score double"
         )
     dim = len(sample[0])
+    from ..functions.vectors import dot, norm
+
+    # norm folded ONCE per row pre-join (same expressions as cosine(), so
+    # scores are bit-identical) — inside the pair expression it would
+    # re-fold per candidate pair
     bucketed = with_lsh_signature(df, dim, n_planes, vec_col, seed).select(
-        F.col(id_col).alias("id"), F.col("lsh_sig"), F.col(vec_col).alias("v")
+        F.col(id_col).alias("id"),
+        F.col("lsh_sig"),
+        F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("n"),
     )
-    a = bucketed.select(F.col("id").alias("id_a"), "lsh_sig", F.col("v").alias("v_a"))
-    b = bucketed.select(F.col("id").alias("id_b"), "lsh_sig", F.col("v").alias("v_b"))
+    a = bucketed.select(
+        F.col("id").alias("id_a"), "lsh_sig",
+        F.col("v").alias("v_a"), F.col("n").alias("n_a"),
+    )
+    b = bucketed.select(
+        F.col("id").alias("id_b"), "lsh_sig",
+        F.col("v").alias("v_b"), F.col("n").alias("n_b"),
+    )
+    score = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0),
+        dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")),
+    )
     return (
         a.join(b, "lsh_sig")
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("v_a"), F.col("v_b")).alias("score"))
+        .select("id_a", "id_b", score.alias("score"))
         .where(F.col("score") >= threshold)
     )
 
