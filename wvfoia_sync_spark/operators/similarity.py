@@ -31,10 +31,27 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact top-k by cosine; deterministic tiebreak by id."""
+    """Exact top-k by cosine; deterministic tiebreak by id.
+
+    The query norm is a CONSTANT — computed once driver-side (identical
+    IEEE value: same left-to-right add order and correctly-rounded sqrt
+    as the Catalyst fold) instead of re-folding the 64-dim literal per
+    corpus row."""
+    import math
+
+    from ..functions.vectors import dot, norm
+
+    qn = 0.0
+    for v in query_vec:
+        qn += float(v) * float(v)
+    qn = math.sqrt(qn)
+    cn = norm(F.col(vec_col))
+    score = F.when(
+        (cn > 0) & (F.lit(qn) > 0),
+        dot(F.col(vec_col), lit_vector(query_vec)) / (cn * F.lit(qn)),
+    )
     scored = df.select(
-        F.col(id_col).alias("vec_id"),
-        cosine(F.col(vec_col), lit_vector(query_vec)).alias("score"),
+        F.col(id_col).alias("vec_id"), score.alias("score")
     ).where(F.col("score").isNotNull())
     return (
         scored.orderBy(F.col("score").desc(), F.col("vec_id").asc())
