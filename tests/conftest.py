@@ -9,7 +9,6 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from wvfoia_sync_spark.session import get_spark  # noqa: E402
 from wvfoia_sync_spark.foia import fixtures, silver  # noqa: E402
 
-SF_DIR = "/root/testdata/sf0.001"
 
 
 @pytest.fixture(scope="session")
@@ -65,11 +64,14 @@ def assert_frames_equal(spark_df, duck_df, sort_cols=None):
         df = df.copy()
         for c in df.columns:
             if df[c].dtype == object:
-                df[c] = df[c].map(lambda v: str(v) if v is not None else "<NULL>")
+                df[c] = df[c].map(
+                    lambda v: "<NULL>" if (v is None or pd.isna(v)) else str(v)
+                )
         df = df.astype(str)
-        if sort_cols is None:
-            return df.sort_values(list(df.columns)).reset_index(drop=True)
-        return df.reset_index(drop=True)
+        # ALWAYS row-sort (collect() order is partition-nondeterministic);
+        # sort_cols just picks the sort key instead of all columns
+        keys = list(sort_cols) if sort_cols else list(df.columns)
+        return df.sort_values(keys).reset_index(drop=True)
 
     ca, cb = canon(a), canon(b)
     pd.testing.assert_frame_equal(ca, cb)

@@ -13,6 +13,9 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 def plan(df) -> str:
+    # widen scan-metadata truncation (default 100 chars) so assertions on
+    # ReadSchema / PushedFilters can't pass vacuously behind a '...'
+    df.sparkSession.conf.set("spark.sql.maxMetadataStringLength", "2000")
     return df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
@@ -93,12 +96,32 @@ def test_shipping_priority_pushdown_and_topk(spark):
 def test_bm25_filters_terms_before_aggregation(spark):
     """BM25 must restrict exploded postings to the query terms before the
     tf aggregation (per-term postings, not a corpus-wide groupBy)."""
+    import re
+
     p = plan(registry.QUERIES["bm25_rank"](spark, SF_DIR))
-    gen = p.index("Generate")  # the explode
-    # a Filter on the exploded term column appears after the explode and
-    # before any HashAggregate that follows it
-    after = p[gen:]
-    assert "Filter" in after.split("HashAggregate")[0]
+    # parse the formatted detail blocks: "(N) NodeName" headers, ids
+    # increase bottom-up. The term Filter must sit BETWEEN the explode
+    # Generate and the first aggregation above it — substring-matching
+    # 'Filter' in the tree would also hit 'PushedFilters:' metadata
+    blocks: dict[int, tuple[str, str]] = {}
+    for m in re.finditer(r"^\((\d+)\) (\w+)", p, re.M):
+        nid, name = int(m.group(1)), m.group(2)
+        end = p.find("\n(", m.end())
+        blocks[nid] = (name, p[m.start(): end if end > 0 else len(p)])
+    gens = [i for i, (n, t) in blocks.items() if n == "Generate" and "explode" in t]
+    assert gens, "no explode in the bm25 plan"
+    ok = False
+    for g in gens:
+        aggs_above = [i for i, (n, _) in blocks.items() if "Aggregate" in n and i > g]
+        if not aggs_above:
+            continue
+        h = min(aggs_above)
+        if any(
+            n == "Filter" and "term#" in t and g < i < h
+            for i, (n, t) in blocks.items()
+        ):
+            ok = True
+    assert ok, "term filter not applied between the explode and the aggregation"
 
 
 def test_registry_wide_plan_hygiene(spark):

@@ -28,12 +28,13 @@ def test_scd2_spans_are_contiguous_and_status_alternating(spark):
         # exactly one open span (the current version), and it is the last
         opens = [s for s in spans if s["valid_to"] == "9999-12-31"]
         assert len(opens) == 1 and opens[0] is spans[-1]
+        for s in spans:  # every span, including the open last one
+            assert s["valid_from"] <= s["valid_to"]
         for a, b in zip(spans, spans[1:]):
             # contiguous: each span closes where the next opens
             assert a["valid_to"] == b["valid_from"]
             # a version boundary means the status actually changed
             assert a["o_orderstatus"] != b["o_orderstatus"]
-            assert a["valid_from"] <= a["valid_to"]
 
 
 def test_sessionization_stream_agrees_with_batch_session_counts(spark):

@@ -4,6 +4,8 @@ import datetime as dt
 import os
 import sqlite3
 
+import pyspark.sql.functions as F
+
 from wvfoia_sync_spark.foia import export, queries, rss
 
 
@@ -48,11 +50,16 @@ def test_export_sql_and_sqlite_roundtrip(spark, fixture_dir, tmp_path):
     con = sqlite3.connect(":memory:")
     con.executescript(open(sql_path).read())
     assert con.execute("SELECT count(*) FROM entries").fetchone()[0] == n
-    # apostrophes survived escaping
-    bad = con.execute(
+    # apostrophes survived escaping: the replayed db must contain exactly
+    # as many Sheriff's rows as the source frame (0 would mean stripped
+    # or double-escaped apostrophes)
+    n_sheriff = con.execute(
         "SELECT count(*) FROM entries WHERE agency LIKE '%Sheriff''s%'"
     ).fetchone()[0]
-    assert bad >= 0  # query parses; escaping correct
+    expected_sheriff = entries.where(
+        F.col("agency").contains("Sheriff's")
+    ).count()
+    assert n_sheriff == expected_sheriff > 0
 
     db_path = str(tmp_path / "dump.db")
     assert export.export_sqlite(entries, db_path) == n

@@ -110,7 +110,14 @@ def test_watermark_drops_late_events(spark, tmp_path):
     import pyarrow.parquet as pq
 
     def write(name, rows, mtime):
-        us = [int(_time.mktime((2024, 1, 1, h, m, 0, 0, 0, 0)) * 1e6) for h, m in rows]
+        import calendar
+
+        # timegm, not mktime: the session timezone is pinned to UTC, so a
+        # non-UTC host's mktime would shift every window key
+        us = [
+            int(calendar.timegm((2024, 1, 1, h, m, 0, 0, 0, 0)) * 1e6)
+            for h, m in rows
+        ]
         ts = pa.array(us, type=pa.int64()).cast(pa.timestamp("us"))
         t = pa.table(
             {
@@ -177,16 +184,10 @@ def test_streaming_dedup_matches_batch_distinct(spark):
     got = spark.table("dedup_test").count()
 
     batch = load_table(spark, SF_DIR, "events")
-    expected = (
-        batch.select(
-            F.sha2(
-                F.concat_ws("|", F.col("user_id"), F.col("event_type"), F.col("value")),
-                256,
-            ).alias("fp")
-        )
-        .distinct()
-        .count()
-    )
+    # the batch twin of the struct-hash dedup is plain DISTINCT on the
+    # keyed columns (re-implementing the fingerprint here would re-create
+    # the concat_ws collision hazard the operator was hardened against)
+    expected = batch.select("user_id", "event_type", "value").distinct().count()
     assert got == expected
 
 
