@@ -81,6 +81,8 @@ HEADLINE = [
     "incremental_rollup",
     "table_profile",
     "dq_checks",
+    "returned_items",
+    "promo_revenue",
 ]
 
 
