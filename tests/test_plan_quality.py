@@ -140,6 +140,62 @@ def test_registry_wide_plan_hygiene(spark):
         assert "CartesianProduct" not in p, f"{name}: unbroadcast cartesian"
 
 
+def _bracket_groups(line: str) -> int:
+    """Count top-level [...] groups in a formatted-plan Arguments line."""
+    depth = n = 0
+    for ch in line:
+        if ch == "[":
+            depth += 1
+            if depth == 1:
+                n += 1
+        elif ch == "]":
+            depth -= 1
+    return n
+
+
+def test_no_unbounded_partitionless_window_anywhere(spark):
+    """A Window with an empty partition spec forces EVERY input row through
+    a SinglePartition exchange + one-reducer sort (the r2 latest_snapshot
+    hazard — 'No Partition Defined for Window operation'). Banned across
+    the whole registry, with one carve-out: a partition-less window whose
+    input is already bounded by a Limit/TakeOrderedAndProject below it
+    (rank assignment over the k surviving rows of a top-k) is constant
+    work, not a scale hazard.
+
+    Detection: formatted-plan 'Window' blocks carry Arguments of
+    [exprs], [partSpec], [orderSpec] (3 bracket groups) when partitioned,
+    [exprs], [orderSpec] (2) when not. WindowGroupLimit blocks are the
+    partitioned top-k pushdown and never match the exact node name."""
+    import re
+
+    skip = {"events_hourly_stream", "sessionization_stream"}
+    bounding = {"CollectLimit", "GlobalLimit", "LocalLimit", "TakeOrderedAndProject"}
+    for name, fn in registry.QUERIES.items():
+        if name in skip:
+            continue
+        p = plan(fn(spark, SF_DIR))
+        blocks: dict[int, tuple[str, str]] = {}
+        for m in re.finditer(r"^\((\d+)\) (\w+)", p, re.M):
+            end = p.find("\n(", m.end())
+            blocks[int(m.group(1))] = (
+                m.group(2),
+                p[m.start(): end if end > 0 else len(p)],
+            )
+        bounded_ids = [i for i, (n, _) in blocks.items() if n in bounding]
+        for wid, (node, text) in blocks.items():
+            if node != "Window":
+                continue
+            args = next(
+                (ln for ln in text.splitlines() if ln.startswith("Arguments:")), ""
+            )
+            if _bracket_groups(args) >= 3:
+                continue  # partitioned — fine
+            assert any(b < wid for b in bounded_ids), (
+                f"{name}: unbounded partition-less Window "
+                f"(single-reducer global sort): {args[:160]}"
+            )
+
+
 def test_silver_partition_pruning(spark, silver_df):
     """A request-year filter over the partitioned silver table must prune
     at the partition level (PartitionFilters on request_year), not scan

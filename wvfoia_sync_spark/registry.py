@@ -3276,16 +3276,15 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(text_fns.tokens("text")).alias("tok")
     )
-    # LM normalizer derived from the freq table itself (global window over
-    # the vocab-sized frame) — no eager count() job at plan-build time,
-    # and the corpus tokenizes twice (freq build + join side), not thrice
-    freq = (
-        toks.groupBy("tok")
-        .agg(F.count("*").alias("cnt"))
-        .withColumn(
-            "total", F.sum("cnt").over(Window.partitionBy(F.lit(1)))
-        )
-    )
+    # LM normalizer derived from the freq table itself: agg to a 1-row
+    # total and broadcast-cross-join it back over the vocab-sized freq
+    # frame. Still lazy (no eager count() job at plan-build time) and the
+    # corpus tokenizes twice (freq build + join side), not thrice — but
+    # unlike the r2 global-window form, nothing ever funnels the vocab
+    # through a SinglePartition WindowExec.
+    counts = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    freq = counts.crossJoin(F.broadcast(total))
     surprisal = F.round(
         -F.log(F.col("cnt").cast("double") / F.col("total")), 6
     ).cast("decimal(18,6)")
