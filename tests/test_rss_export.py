@@ -41,6 +41,79 @@ def test_home_feed_caps_and_order(silver_df):
     assert "wvfoia-" in doc
 
 
+def test_agency_feed_byte_golden(spark):
+    """Per-agency feed (reference agencies/[slug]/feed.xml.ts:26-63):
+    exact document bytes for a pinned 2-entry agency — item shaping
+    (subject fallback, guid scheme, short-date description, pubDate
+    fallback chain) and channel shaping (title/link/description/language/
+    lastBuildDate) all asserted at once."""
+    schema = (
+        "id long, agency_canonical string, subject string, details string, "
+        "request_date string, completion_date string, entry_date string, "
+        "resolution string"
+    )
+    rows = [
+        (3, "Department of Health", "Vaccine records", "d",
+         "2026-01-05", "2026-01-20", "2026-01-21", "Granted"),
+        (2, "Department of Health", None, None, "2026-01-02", None, None, None),
+        (1, "Other Agency", "unrelated", None, "2026-01-01", None, None, None),
+    ]
+    sdf = spark.createDataFrame(rows, schema)
+    doc = rss.agency_feed(
+        sdf, "Department of Health", "department-of-health", base_url="https://x.org"
+    )
+    expected = "\n".join(
+        [
+            '<?xml version="1.0" encoding="UTF-8"?>',
+            '<rss version="2.0">',
+            "<channel>",
+            "<title>Department of Health - wvfoia entries</title>",
+            "<link>https://x.org/agencies/department-of-health</link>",
+            "<description>Newest WVFOIA entries for Department of Health.</description>",
+            "<language>en-us</language>",
+            "<lastBuildDate>Wed, 21 Jan 2026 12:00:00 GMT</lastBuildDate>",
+            "<item>",
+            "<title>Vaccine records (#3)</title>",
+            "<link>https://x.org/entries/3</link>",
+            '<guid isPermaLink="false">agency-department-of-health-entry-3</guid>',
+            "<description>Request: Jan 5, 2026. Completed: Jan 20, 2026. "
+            "Resolution: Granted.</description>",
+            "<pubDate>Wed, 21 Jan 2026 12:00:00 GMT</pubDate>",
+            "</item>",
+            "<item>",
+            "<title>No subject (#2)</title>",
+            "<link>https://x.org/entries/2</link>",
+            '<guid isPermaLink="false">agency-department-of-health-entry-2</guid>',
+            "<description>Request: Jan 2, 2026. Completed: --. "
+            "Resolution: --.</description>",
+            "<pubDate>Fri, 02 Jan 2026 12:00:00 GMT</pubDate>",
+            "</item>",
+            "</channel>",
+            "</rss>",
+        ]
+    )
+    assert doc == expected
+
+
+def test_agency_feed_scopes_caps_and_orders(silver_df):
+    """Over the real silver fixture: items come only from the requested
+    agency, capped at AGENCY_FEED_LIMIT, in newest_entry (id desc) order."""
+    import re
+
+    slug = "department-of-environmental-protection"
+    doc = rss.agency_feed(
+        silver_df, "Department of Environmental Protection", slug
+    )
+    ids = [int(m) for m in re.findall(rf"agency-{slug}-entry-(\d+)</guid>", doc)]
+    assert 0 < len(ids) <= rss.AGENCY_FEED_LIMIT
+    assert ids == sorted(ids, reverse=True)
+    assert doc.count("<item>") == len(ids)
+    expected_n = silver_df.where(
+        F.col("agency_canonical") == "Department of Environmental Protection"
+    ).count()
+    assert len(ids) == min(expected_n, rss.AGENCY_FEED_LIMIT)
+
+
 def test_export_sql_and_sqlite_roundtrip(spark, fixture_dir, tmp_path):
     entries = spark.read.parquet(f"{fixture_dir}/entries.parquet")
     n = entries.count()

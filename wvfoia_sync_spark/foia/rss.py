@@ -61,6 +61,8 @@ class RssChannel:
     title: str
     link: str
     description: str
+    language: str = "en-us"  # reference defaults language to en-us (rss.ts:51)
+    last_build_date: dt.datetime | None = None
     items: list[RssItem] = field(default_factory=list)
 
 
@@ -74,6 +76,11 @@ def build_rss_document(channel: RssChannel) -> str:
         f"<link>{escape_xml(channel.link)}</link>",
         f"<description>{escape_xml(channel.description)}</description>",
     ]
+    if channel.language:
+        parts.append(f"<language>{escape_xml(channel.language)}</language>")
+    lbd = rfc822(channel.last_build_date)
+    if lbd:
+        parts.append(f"<lastBuildDate>{lbd}</lastBuildDate>")
     for item in channel.items:
         parts.append("<item>")
         parts.append(f"<title>{escape_xml(item.title)}</title>")
@@ -112,6 +119,68 @@ def home_feed(snapshot_rows, base_url: str = "https://example.org") -> str:
             title="WV FOIA Database",
             link=base_url,
             description="Latest FOIA requests",
+            items=items,
+        )
+    )
+
+
+def _first_date(row) -> str | None:
+    """entry_date ?? completion_date ?? request_date (the reference's
+    pubDate fallback chain, agencies/[slug]/feed.xml.ts:50)."""
+    return row["entry_date"] or row["completion_date"] or row["request_date"]
+
+
+def agency_entry_to_item(row, slug: str, base_url: str) -> RssItem:
+    """Agency-feed item shaping (agencies/[slug]/feed.xml.ts:40-52):
+    title '{subject|No subject} (#id)', guid 'agency-{slug}-entry-{id}',
+    description with short-formatted request/completion dates and
+    resolution, pubDate from the entry/completion/request fallback."""
+    from .serve import format_date
+
+    subject = row["subject"] or "No subject"
+    return RssItem(
+        title=f"{subject} (#{row['id']})",
+        link=f"{base_url}/entries/{row['id']}",
+        guid=f"agency-{slug}-entry-{row['id']}",
+        description=(
+            f"Request: {format_date(row['request_date'], True)}. "
+            f"Completed: {format_date(row['completion_date'], True)}. "
+            f"Resolution: {row['resolution'] or '--'}."
+        ),
+        pub_date=parse_feed_date(_first_date(row)),
+    )
+
+
+def agency_feed(
+    silver,
+    agency_name: str,
+    slug: str,
+    aliases_map: dict[str, str] | None = None,
+    base_url: str = "https://example.org",
+) -> str:
+    """Per-agency feed (reference src/pages/agencies/[slug]/feed.xml.ts:
+    12,26-39): page 1 of AGENCY_FEED_LIMIT in newest_entry order, scoped
+    to the agency — composed from the same ``list_entries`` the entry
+    search uses, so the Spark-side selection is the audited
+    TakeOrderedAndProject page, never a bespoke scan."""
+    from .queries import list_entries
+    from .schema import EntrySearchOptions, PageCursor
+
+    page = list_entries(
+        silver,
+        EntrySearchOptions(agency=agency_name, sort="newest_entry"),
+        PageCursor(page=1, page_size=AGENCY_FEED_LIMIT),
+        aliases_map,
+    )
+    rows = [r.asDict() for r in page.rows.collect()]
+    items = [agency_entry_to_item(r, slug, base_url) for r in rows]
+    last_build = parse_feed_date(_first_date(rows[0])) if rows else None
+    return build_rss_document(
+        RssChannel(
+            title=f"{agency_name} - wvfoia entries",
+            link=f"{base_url}/agencies/{slug}",
+            description=f"Newest WVFOIA entries for {agency_name}.",
+            last_build_date=last_build,
             items=items,
         )
     )

@@ -1436,6 +1436,56 @@ def rss_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agency_rss_items",
+    oracle="""
+    SELECT o_orderpriority || ' (#' || CAST(o_orderkey AS VARCHAR) || ')' AS title,
+           'agency-' || CAST(o_custkey AS VARCHAR) || '-entry-' || CAST(o_orderkey AS VARCHAR) AS guid,
+           'Request: ' || strftime(CAST(o_orderdate AS DATE), '%b %d, %Y')
+             || '. Resolution: ' || o_orderstatus || '.' AS description,
+           strftime(CAST(o_orderdate AS DATE), '%a, %d %b %Y') || ' 12:00:00 GMT' AS pub_date
+    FROM orders
+    WHERE o_custkey = (SELECT MIN(o_custkey) FROM orders)
+    ORDER BY o_orderkey DESC
+    LIMIT 100
+    """,
+)
+def agency_rss_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agency-scoped feed selection (reference agencies/[slug]/feed.xml.ts:
+    12,26-52 ≡ ``foia.rss.agency_feed``): page 1 of size 100 in
+    newest-entry order for ONE scoped key, with the agency-feed item
+    shaping (title '(#id)' suffix, 'agency-…-entry-…' guid, short-date
+    description, UTC-noon pubDate). The scope key is resolved lazily from
+    a 1-row broadcast agg (no driver collect at plan-build), and the page
+    is a TakeOrderedAndProject — never a global sort."""
+    o = load_table(spark, sf_dir, "orders")
+    target = o.agg(F.min("o_custkey").alias("_k"))
+    d = F.col("o_orderdate").cast("date")
+    return (
+        o.join(F.broadcast(target), F.col("o_custkey") == F.col("_k"))
+        .drop("_k")
+        .orderBy(F.col("o_orderkey").desc())
+        .limit(100)
+        .select(
+            F.concat(
+                F.col("o_orderpriority"), F.lit(" (#"),
+                F.col("o_orderkey").cast("string"), F.lit(")"),
+            ).alias("title"),
+            F.concat(
+                F.lit("agency-"), F.col("o_custkey").cast("string"),
+                F.lit("-entry-"), F.col("o_orderkey").cast("string"),
+            ).alias("guid"),
+            F.concat(
+                F.lit("Request: "), F.date_format(d, "MMM dd, yyyy"),
+                F.lit(". Resolution: "), F.col("o_orderstatus"), F.lit("."),
+            ).alias("description"),
+            F.concat(
+                F.date_format(d, "EEE, dd MMM yyyy"), F.lit(" 12:00:00 GMT")
+            ).alias("pub_date"),
+        )
+    )
+
+
 # =====================================================================
 # Multimodal plumbing + streaming twin  (scale ops, SURVEY §2.9)
 # =====================================================================
