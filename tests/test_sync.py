@@ -52,6 +52,118 @@ def test_frontier_single_gaps_are_crossed():
     assert last == 6
 
 
+def test_frontier_error_stops_before_unknown_id():
+    """A transient fetch failure that survived retries must not count as
+    a miss (faking a gap crossing) nor as found (skipping the entry
+    forever): the walk stops BEFORE it, keeping the reliable prefix."""
+    outcomes = [
+        (10, True, False), (11, False, False), (12, True, False),
+        (13, False, True),  # still-failing fetch
+        (14, True, False), (15, True, False),
+    ]
+    keep, last = cut_at_frontier(outcomes, 10)
+    assert keep == [10, 12]  # prefix only; 14/15 wait for the next wave
+    assert last == 12  # watermark re-probes from 13
+
+
+def test_frontier_error_beyond_stop_is_irrelevant():
+    outcomes = [
+        (1, False, False), (2, False, False), (3, False, False),
+        (4, False, True),  # never reached: 3-miss stop fired at id 3
+    ]
+    keep, last = cut_at_frontier(outcomes, 1)
+    assert keep == []
+    assert last == 3
+
+
+def test_with_retries_recovers_transient_and_preserves_terminal():
+    """503 on the first attempt, 200 on the second -> recovered in-task;
+    404 and 200 rows pass through untouched and are fetched only once."""
+    calls = {"n": 0}
+
+    def flaky(ids: pd.Series) -> pd.DataFrame:
+        calls["n"] += 1
+        attempt = calls["n"]
+        rows = []
+        for i in ids:
+            if i == 2 and attempt == 1:
+                rows.append({"id": i, "status": 503, "html": None})
+            elif i == 3:
+                rows.append({"id": i, "status": 404, "html": None})
+            else:
+                rows.append({"id": i, "status": 200, "html": "<html/>"})
+        return pd.DataFrame(rows)
+
+    wrapped = sync.with_retries(flaky, sync.RetryPolicy(max_attempts=3))
+    out = wrapped(pd.Series([1, 2, 3])).set_index("id")["status"].to_dict()
+    assert out == {1: 200, 2: 200, 3: 404}
+    assert calls["n"] == 2  # one full fetch + one 1-id retry
+
+    def always_down(ids: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"id": ids.astype("int64"), "status": 503, "html": None}
+        )
+
+    wrapped2 = sync.with_retries(always_down, sync.RetryPolicy(max_attempts=3))
+    assert set(wrapped2(pd.Series([5]))["status"]) == {503}  # terminal error kept
+
+
+def test_run_sync_transient_error_does_not_corrupt_frontier(spark, fixture_dir):
+    """Mid-window persistent 503: everything before it ingests, the
+    watermark stops at the failing id, and nothing beyond it is ingested
+    even though later ids were found in the parallel wave."""
+    entries = spark.read.parquet(f"{fixture_dir}/entries.parquet")
+    source = pd.read_parquet(f"{fixture_dir}/sync_source.parquet")
+    start = int(entries.agg(F.max("id")).first()[0]) + 1
+    poisoned = source.copy()
+    # fixture layout from test_run_sync_end_to_end: start..start+3 found,
+    # start+4 gap, start+5 found. Poison start+2 with a persistent 503.
+    poisoned.loc[poisoned["id"] == start + 2, "status"] = 503
+    poisoned.loc[poisoned["id"] == start + 2, "html"] = None
+
+    merged, result = sync.run_sync(
+        spark, entries, sync.mock_fetcher(poisoned), window=64,
+        retry_policy=sync.RetryPolicy(max_attempts=2),
+    )
+    added_ids = [
+        r["id"]
+        for r in merged.where(F.col("id") >= start).select("id").orderBy("id").collect()
+    ]
+    assert added_ids == [start, start + 1]  # reliable prefix only
+    assert result.last_checked_id == start + 1  # next wave re-probes start+2
+    assert result.fetch_errors == 1
+    assert result.added == 2
+
+
+def test_run_sync_retry_recovers_midwindow_blip(spark, fixture_dir):
+    """A 503 that succeeds on the in-task retry must leave the wave
+    byte-identical to an error-free run."""
+    entries = spark.read.parquet(f"{fixture_dir}/entries.parquet")
+    source = pd.read_parquet(f"{fixture_dir}/sync_source.parquet")
+    start = int(entries.agg(F.max("id")).first()[0]) + 1
+    base = sync.mock_fetcher(source)
+    state = {"first": True}
+
+    def blip(ids: pd.Series) -> pd.DataFrame:
+        out = base(ids)
+        if state["first"] and (ids == start + 2).any():
+            state["first"] = False
+            out.loc[out["id"] == start + 2, "status"] = 503
+            out.loc[out["id"] == start + 2, "html"] = None
+        return out
+
+    merged, result = sync.run_sync(
+        spark, entries, blip, window=64,
+        retry_policy=sync.RetryPolicy(max_attempts=3),
+    )
+    added_ids = [
+        r["id"]
+        for r in merged.where(F.col("id") >= start).select("id").orderBy("id").collect()
+    ]
+    assert added_ids == [start, start + 1, start + 2, start + 3, start + 5]
+    assert result.fetch_errors == 0
+
+
 def test_run_sync_end_to_end(spark, fixture_dir):
     entries = spark.read.parquet(f"{fixture_dir}/entries.parquet")
     source = pd.read_parquet(f"{fixture_dir}/sync_source.parquet")

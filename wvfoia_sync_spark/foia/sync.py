@@ -95,7 +95,12 @@ def parse_entry(html: str | None, entry_id: int) -> dict | None:
 
 Fetcher = Callable[[pd.Series], pd.DataFrame]
 """Batch fetcher: ids -> DataFrame(id, status, html). Production wires an
-HTTP client here; tests pass the sync_source mock."""
+HTTP client here; tests pass the sync_source mock. Network failures /
+timeouts surface as status=-1 (transient, retried by ``with_retries``)."""
+
+# Reference fetchRemoteEntry (sync.ts:144-146): redirects and 404 are the
+# "entry does not exist" sentinel — they COUNT toward the 3-miss frontier.
+MISS_STATUSES = frozenset({301, 302, 404})
 
 
 def mock_fetcher(source: pd.DataFrame) -> Fetcher:
@@ -104,6 +109,51 @@ def mock_fetcher(source: pd.DataFrame) -> Fetcher:
         merged = out.merge(source, on="id", how="left")
         merged["status"] = merged["status"].fillna(404).astype("int64")
         return merged
+
+    return fetch
+
+
+@dataclass(frozen=True)
+class RetryPolicy:
+    """Transient-failure policy for the probe loop. The reference has
+    none — any non-OK/non-miss status aborts the whole cron run
+    (sync.ts:148-150) and the next day's run retries. At cluster scale a
+    wave probes thousands of ids, so one 503 aborting everything is
+    wasteful; instead transient statuses are retried in-task with
+    backoff, and an id still failing after ``max_attempts`` becomes an
+    ERROR outcome that the frontier cut treats as "unknown — stop
+    BEFORE it" (never as a miss, which would fake progress across the
+    drift gap; never as found)."""
+
+    max_attempts: int = 3
+    backoff_seconds: float = 0.0  # pacing between in-task retries
+    transient_min_status: int = 500  # 5xx ∪ {429 rate-limit, -1 network}
+
+    def is_transient(self, status: int) -> bool:
+        return (
+            status == -1
+            or status == 429
+            or self.transient_min_status <= status <= 599
+        )
+
+
+def with_retries(fetcher: Fetcher, policy: RetryPolicy) -> Fetcher:
+    """Wrap a batch fetcher with in-task retry of transient statuses.
+    Only the still-transient subset of ids is re-fetched per attempt, so
+    a healthy wave costs exactly one upstream round trip."""
+    import time
+
+    def fetch(ids: pd.Series) -> pd.DataFrame:
+        out = fetcher(ids)
+        for _ in range(policy.max_attempts - 1):
+            mask = out["status"].map(policy.is_transient)
+            if not mask.any():
+                break
+            if policy.backoff_seconds > 0:
+                time.sleep(policy.backoff_seconds)
+            retried = fetcher(out.loc[mask, "id"])
+            out = pd.concat([out.loc[~mask], retried], ignore_index=True)
+        return out
 
     return fetch
 
@@ -137,9 +187,10 @@ def fetch_window(
             fetched = fetcher(b["id"])
             rows = []
             for _, r in fetched.iterrows():
+                status = int(r["status"])
                 parsed = (
                     parse_entry(r["html"], int(r["id"]))
-                    if int(r["status"]) == 200
+                    if status == 200
                     else None
                 )
                 base = {c: None for c in ENTRY_COLUMNS}
@@ -147,6 +198,12 @@ def fetch_window(
                     base.update(parsed)
                 base["id"] = int(r["id"])
                 base["_found"] = parsed is not None
+                # neither found nor a known miss sentinel (200-unparseable
+                # counts as a miss, like the reference's parseEntry null):
+                # the id's existence is UNKNOWN — frontier must stop early
+                base["_error"] = (
+                    parsed is None and status != 200 and status not in MISS_STATUSES
+                )
                 rows.append(base)
             yield pd.DataFrame(rows)
 
@@ -155,9 +212,13 @@ def fetch_window(
     # cut discards them
     from pyspark.sql import types as T
 
-    schema = T.StructType(
-        [T.StructField(f.name, f.dataType, True) for f in ENTRIES_SCHEMA.fields]
-    ).add("_found", "boolean")
+    schema = (
+        T.StructType(
+            [T.StructField(f.name, f.dataType, True) for f in ENTRIES_SCHEMA.fields]
+        )
+        .add("_found", "boolean")
+        .add("_error", "boolean")
+    )
     ids = spark.range(start_id, start_id + window).select(F.col("id"))
     return ids.repartition(max(2, window // 64)).mapInPandas(run, schema=schema)
 
@@ -167,29 +228,48 @@ def fetch_window(
 
 @dataclass(frozen=True)
 class SyncResult:
-    """Reference SyncResult (types.ts:67-73)."""
+    """Reference SyncResult (types.ts:67-73), extended with the count of
+    ids whose fetch still failed after retries (0 in a healthy wave)."""
 
     added: int
     checked: int
     start_from: int
     last_checked_id: int
     drift_tolerance: int = DRIFT_TOLERANCE
+    fetch_errors: int = 0
 
 
 def cut_at_frontier(
-    outcomes: list[tuple[int, bool]], start_id: int, tolerance: int = DRIFT_TOLERANCE
+    outcomes: list[tuple],
+    start_id: int,
+    tolerance: int = DRIFT_TOLERANCE,
 ) -> tuple[list[int], int]:
     """Emulate the sequential stopping rule over parallel outcomes: walk
     ids in order from start_id, stop at ``tolerance`` consecutive misses.
-    Returns (ids to ingest, last checked id)."""
-    by_id = dict(outcomes)
+    Returns (ids to ingest, last checked id).
+
+    Outcomes are (id, found) or (id, found, is_error) tuples. An ERROR
+    id (transient fetch failure that survived retries) stops the walk
+    BEFORE that id: its existence is unknown, so treating it as a miss
+    could fake a crossing of a real drift gap — and treating it as found
+    would ingest nothing for it and advance the watermark past it,
+    silently skipping the entry forever. Cutting before it keeps every
+    reliably-determined prefix row and lets the next wave re-probe from
+    the failed id (the reference instead aborts the whole run on any
+    such status, sync.ts:148-150 — same safety, less progress)."""
+    by_id = {o[0]: o for o in outcomes}
     keep: list[int] = []
     misses = 0
     i = start_id
     last = start_id - 1
     while i in by_id:
+        o = by_id[i]
+        found = o[1]
+        is_error = bool(o[2]) if len(o) > 2 else False
+        if is_error:
+            break  # id NOT checked: unknown outcome, re-probe next wave
         last = i
-        if by_id[i]:
+        if found:
             keep.append(i)
             misses = 0
         else:
@@ -205,28 +285,36 @@ def run_sync(
     existing: DataFrame,
     fetcher: Fetcher,
     window: int = 256,
+    retry_policy: RetryPolicy | None = RetryPolicy(),
 ) -> tuple[DataFrame, SyncResult]:
     """One sync wave (reference runSync, sync.ts:177-212): watermark ->
-    parallel window fetch -> frontier cut -> upsert merge.
+    parallel window fetch (with in-task transient retries) -> frontier
+    cut -> upsert merge.
 
     Returns (merged entries DataFrame, SyncResult). A production loop
     repeats with the next window while the frontier reaches the window
-    end (no uncrossed 3-gap seen yet)."""
+    end (no uncrossed 3-gap seen yet). ``fetch_errors`` > 0 means the
+    frontier stopped early at a still-failing id; the watermark then
+    re-probes it next wave."""
     start_id = (
         existing.agg(F.coalesce(F.max("id"), F.lit(0)).alias("m")).first()["m"] + 1
     )
-    fetched = fetch_window(spark, start_id, window, fetcher).cache()
+    wrapped = with_retries(fetcher, retry_policy) if retry_policy else fetcher
+    fetched = fetch_window(spark, start_id, window, wrapped).cache()
     try:
         outcomes = [
-            (r["id"], r["_found"])
-            for r in fetched.select("id", "_found").orderBy("id").collect()
+            (r["id"], r["_found"], r["_error"])
+            for r in fetched.select("id", "_found", "_error").orderBy("id").collect()
         ]
         keep_ids, last_checked = cut_at_frontier(outcomes, start_id)
+        # only the error AT the frontier stop matters (ids beyond it were
+        # never "checked" under the sequential rule)
+        n_errors = sum(1 for o in outcomes if o[2] and o[0] <= last_checked + 1)
         # window-sized (small): materialize so the fetch cache can be
         # released before the merge plan executes downstream
         new_rows = (
             fetched.where(F.col("id").isin(keep_ids) & F.col("_found"))
-            .drop("_found")
+            .drop("_found", "_error")
             .localCheckpoint(eager=True)
         )
     finally:
@@ -237,6 +325,7 @@ def run_sync(
         checked=last_checked - start_id + 1,
         start_from=start_id,
         last_checked_id=last_checked,
+        fetch_errors=n_errors,
     )
 
 
