@@ -60,13 +60,20 @@ def assert_frames_equal(spark_df, duck_df, sort_cols=None):
     a = a.reindex(sorted(a.columns), axis=1)
     b = b.reindex(sorted(b.columns), axis=1)
 
+    def null_token(v):
+        # scalar-only pd.isna: an array-valued cell would return an array
+        # whose truth value raises (mirrors tools/check_oracle.py canon)
+        import numpy as np
+
+        if isinstance(v, (list, tuple, dict, np.ndarray)):
+            return str(v)
+        return "<NULL>" if (v is None or bool(pd.isna(v))) else str(v)
+
     def canon(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         for c in df.columns:
             if df[c].dtype == object:
-                df[c] = df[c].map(
-                    lambda v: "<NULL>" if (v is None or pd.isna(v)) else str(v)
-                )
+                df[c] = df[c].map(null_token)
         df = df.astype(str)
         # ALWAYS row-sort (collect() order is partition-nondeterministic);
         # sort_cols just picks the sort key instead of all columns

@@ -1,0 +1,38 @@
+"""Harness self-tests: the differential compare must canonicalize every
+cell shape the registry can emit (scalars, NULL flavors, arrays) without
+crashing — a harness crash reads as a query failure in CI."""
+
+import importlib.util
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+
+
+def _load_check_oracle():
+    p = Path(__file__).resolve().parent.parent / "tools" / "check_oracle.py"
+    spec = importlib.util.spec_from_file_location("check_oracle", p)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_canon_handles_array_and_null_cells():
+    canon = _load_check_oracle().canon
+    df = pd.DataFrame(
+        {
+            "a": [[1, 2], None, [3]],
+            "b": [np.array([1.0]), np.nan, np.array([])],
+            "c": ["x", None, float("nan")],
+        }
+    )
+    out = canon(df)  # must not raise "truth value is ambiguous"
+    assert (out["c"] == "<NULL>").sum() == 2
+    assert out.shape == (3, 3)
+
+
+def test_canon_distinguishes_null_from_empty_string():
+    canon = _load_check_oracle().canon
+    df = pd.DataFrame({"a": ["", None]})
+    out = canon(df)
+    assert set(out["a"]) == {"", "<NULL>"}

@@ -196,6 +196,38 @@ def test_no_unbounded_partitionless_window_anywhere(spark):
             )
 
 
+def test_spread_is_opt_in_and_enumerated():
+    """``load_table(spread=True)`` inserts a local-only round-robin
+    exchange that would be a no-op-to-harmful full-table shuffle on a
+    real cluster (sources/tables.py docstring). It must stay OFF by
+    default, and every opt-in site must be one of the enumerated heavy
+    map-stage pipelines — a new site means someone reached for it as a
+    general go-fast knob, which it is not."""
+    import inspect
+    import re as _re
+
+    from wvfoia_sync_spark.sources import tables as tables_mod
+
+    assert (
+        inspect.signature(tables_mod.load_table).parameters["spread"].default
+        is False
+    )
+    src = inspect.getsource(registry)
+    users = set()
+    for m in _re.finditer(r"spread=True\)", src):
+        defs = [
+            d for d in _re.finditer(r"^def (\w+)\(", src[: m.start()], _re.M)
+        ]
+        assert defs, "spread=True outside any function"
+        users.add(defs[-1].group(1))
+    assert users == {
+        "jaccard_near_dup",
+        "winnow_near_dup",
+        "curated_corpus",
+        "table_profile",
+    }, f"unexpected spread=True sites: {users}"
+
+
 def test_silver_partition_pruning(spark, silver_df):
     """A request-year filter over the partitioned silver table must prune
     at the partition level (PartitionFilters on request_year), not scan

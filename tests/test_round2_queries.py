@@ -56,14 +56,38 @@ def test_sessionization_stream_agrees_with_batch_session_counts(spark):
 
 
 def test_sessionization_stream_sessions_respect_gap(spark):
-    """No session may span a >30min internal gap, and session_end is
-    always start-of-last-event + 30min >= session_start + 30min."""
+    """The internal-gap invariant, actually asserted: re-derive each
+    user's event times and check that consecutive events INSIDE every
+    reported session are <= 30min apart, that the session covers exactly
+    its n_events, and that session_end = last event + 30min. (The r2
+    version only checked end >= start + 30min, which a merge-across-gap
+    regression would pass.)"""
     fmt = "%Y-%m-%d %H:%M:%S"
-    for r in registry.QUERIES["sessionization_stream"](spark, SF_DIR).collect():
+    gap = dt.timedelta(minutes=30)
+    by_user: dict = {}
+    for r in (
+        registry.load_table(spark, SF_DIR, "events")
+        .select("user_id", "ts")
+        .collect()
+    ):
+        by_user.setdefault(r["user_id"], []).append(r["ts"].replace(microsecond=0))
+    for evs in by_user.values():
+        evs.sort()
+    sessions = registry.QUERIES["sessionization_stream"](spark, SF_DIR).collect()
+    assert sessions
+    for r in sessions:
         start = dt.datetime.strptime(r["session_start"], fmt)
         end = dt.datetime.strptime(r["session_end"], fmt)
-        assert end >= start + dt.timedelta(minutes=30)
-        assert r["n_events"] >= 1
+        inside = [t for t in by_user[r["user_id"]] if start <= t <= end - gap]
+        assert inside, f"session {r} contains no events"
+        assert r["n_events"] == len(inside)
+        assert inside[0] == start and inside[-1] == end - gap
+        internal_gaps = [
+            b - a for a, b in zip(inside, inside[1:])
+        ]
+        assert all(g <= gap for g in internal_gaps), (
+            f"session {r} spans an internal gap > 30min"
+        )
 
 
 def test_customer_distribution_keeps_zero_order_customers(spark):
@@ -109,7 +133,9 @@ def test_salted_join_rejects_small_side_preserving_outer_joins(spark):
     cust = registry.load_table(spark, SF_DIR, "customer").select(
         "c_custkey", "c_mktsegment"
     )
-    for bad in ("right", "full", "full_outer", "right_outer"):
+    # 'cross' also rejected: the equi+salt condition always applies, so a
+    # requested cross join would silently get inner semantics
+    for bad in ("right", "full", "full_outer", "right_outer", "cross"):
         with _pytest.raises(ValueError):
             relational.salted_join(
                 ev, cust, "user_id", "c_custkey", salt_from="event_id", how=bad

@@ -29,11 +29,19 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     flavors (None, NaN, NaT) canonicalize to one token so a pandas object
     -> float upcast on one side can't fake a value diff."""
     df = df.reindex(sorted(df.columns), axis=1)
+
+    def null_token(v):
+        # pd.isna on a list/ndarray cell returns an ARRAY whose truth value
+        # raises — stringify containers directly, isna-map scalars only
+        import numpy as np
+
+        if isinstance(v, (list, tuple, dict, np.ndarray)):
+            return str(v)
+        return "<NULL>" if (v is None or bool(pd.isna(v))) else str(v)
+
     for c in df.columns:
         if df[c].dtype == object:
-            df[c] = df[c].map(
-                lambda v: "<NULL>" if (v is None or pd.isna(v)) else str(v)
-            )
+            df[c] = df[c].map(null_token)
     df = df.astype(str)
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 

@@ -273,8 +273,10 @@ def salted_join(
     are rejected: the replicas would emit each unmatched small row
     n_salts times, so the salted result would NOT equal the plain join.
     """
+    # no 'cross': the function always passes the equi+salt condition, so a
+    # requested cross join would silently run with inner semantics
     allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
-               "leftsemi", "left_anti", "leftanti", "semi", "anti", "cross"}
+               "leftsemi", "left_anti", "leftanti", "semi", "anti"}
     if how.lower() not in allowed:
         raise ValueError(
             f"salted_join: how={how!r} would duplicate unmatched small-side "

@@ -3794,7 +3794,8 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
            COUNT(DISTINCT o_totalprice),
-           CAST(MIN(o_totalprice) AS VARCHAR), CAST(MAX(o_totalprice) AS VARCHAR)
+           CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+           CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)
     FROM orders
     """,
 )
@@ -3805,11 +3806,21 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan — each profile is a conditional aggregate, so Spark computes the
     whole block map-side and shuffles one partial row per column set, vs
     the naive one-job-per-column loop. min/max surface as strings so one
-    schema covers heterogeneous column types. spread=True: the distinct
+    schema covers heterogeneous column types — FLOATING columns go
+    through an explicit DECIMAL(18,2) format first (mirrored in the
+    oracle), because a bare double->string cast renders scientific
+    notation in Spark (>= 1e7) but plain decimal in DuckDB: a latent
+    cross-engine false-fail at bigger SFs. spread=True: the distinct
     aggregates expand the scan 4x — worth the local round-robin exchange
     (1.92s -> 1.34s at sf0.1)."""
     o = load_table(spark, sf_dir, "orders", spread=True)
     cols = ["o_custkey", "o_orderstatus", "o_totalprice"]
+
+    def as_str(c, agg):
+        if dict(o.dtypes)[c] in ("double", "float"):
+            return agg.cast("decimal(18,2)").cast("string")
+        return agg.cast("string")
+
     profiled = o.agg(
         F.count("*").alias("n_rows"),
         *[
@@ -3818,8 +3829,8 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             for a in (
                 F.count(c).alias(f"nn_{c}"),
                 F.countDistinct(c).alias(f"nd_{c}"),
-                F.min(c).cast("string").alias(f"mn_{c}"),
-                F.max(c).cast("string").alias(f"mx_{c}"),
+                as_str(c, F.min(c)).alias(f"mn_{c}"),
+                as_str(c, F.max(c)).alias(f"mx_{c}"),
             )
         ],
     )
