@@ -88,6 +88,15 @@ HEADLINE = [
     "dq_checks",
     "returned_items",
     "promo_revenue",
+    "large_volume_customers",
+    "small_qty_revenue",
+    "inactive_rich_customers",
+    "top_supplier",
+    "market_share",
+    "product_profit",
+    "stream_stream_join",
+    "bigram_counts",
+    "approx_quantile_check",
 ]
 
 

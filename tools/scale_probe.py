@@ -49,6 +49,8 @@ PROBE_QUERIES = [
     "volume_shipping",
     "customer_distribution",
     "order_priority",
+    "returned_items",
+    "promo_revenue",
     "events_hourly",
     "sessionization",
     "events_sliding",

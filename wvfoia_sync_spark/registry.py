@@ -4009,3 +4009,423 @@ def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double").alias("promo_pct")
         )
     )
+
+
+@register(
+    "large_volume_customers",
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           strftime(CAST(o.o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
+           o.o_totalprice AS total_price,
+           CAST(q.qty AS DOUBLE) AS sum_qty
+    FROM (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,4))) AS qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 300) q
+    JOIN orders o   ON o.o_orderkey = q.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey ASC LIMIT 20
+    """,
+)
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): aggregate-as-filter.
+    The per-order quantity rollup happens FIRST (partial+final hash agg
+    on the fact table's natural key), the >300 HAVING then shrinks the
+    join input to a handful of orderkeys, and only those survivors join
+    orders / broadcast customer. At 100 TB the big fact table is touched
+    exactly once; the join fan-in is the filtered aggregate, not the raw
+    lineitem — the plan you want instead of join-then-aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("qty_d"))
+        .where(F.col("qty_d") > 300)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            _d("o_orderdate").alias("order_date"),
+            F.col("o_totalprice").alias("total_price"),
+            F.col("qty_d").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.col("total_price").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "small_qty_revenue",
+    oracle="""
+    SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                / 7.0 AS DOUBLE) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#2'
+      AND l.l_quantity < 0.2 * (
+            SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                   / COUNT(*)
+            FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    per-part AVG becomes one explicit aggregate over lineitem, broadcast
+    back onto the fact rows (2,000 parts -> a kilobyte-scale build side;
+    at 100 TB the per-part aggregate is still |part|-sized, so the
+    broadcast holds). Exact decimal sum / count double division keeps
+    the 0.2*avg threshold bit-identical across engines, so the strict
+    `<` filter can't flake on summation order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#2")
+    per_part = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
+            / F.count("*")
+        ).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(per_part), li.l_partkey == F.col("ap_partkey"))
+        .where(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast(
+                    "double"
+                )
+                / F.lit(7.0)
+            )
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "inactive_rich_customers",
+    oracle="""
+    WITH pos_avg AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+             / COUNT(*) AS a
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+             AS totacctbal
+    FROM customer c, pos_avg
+    WHERE c.c_acctbal > pos_avg.a
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND CAST(o.o_orderdate AS DATE) >= DATE '2000-06-01')
+    GROUP BY c.c_nationkey
+    ORDER BY c.c_nationkey
+    """,
+)
+def inactive_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): a scalar global
+    average (one tiny aggregate, broadcast as a 1-row cross join), an
+    anti join against the date-filtered orders (the NOT EXISTS), then a
+    small groupBy. The anti join's build side is only the filtered
+    orders' custkeys; the scalar never forces a single-reducer stage."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-06-01 00:00:00").cast("timestamp")
+    )
+    pos_avg = c.where(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double")
+            / F.count("*")
+        ).alias("a")
+    )
+    return (
+        c.join(o.select("o_custkey"), c.c_custkey == F.col("o_custkey"), "left_anti")
+        .crossJoin(F.broadcast(pos_avg))
+        .where(F.col("c_acctbal") > F.col("a"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("long").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@register(
+    "top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS rev_d
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(rev.rev_d AS DOUBLE) AS total_revenue
+    FROM rev
+    JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+    WHERE rev.rev_d = (SELECT MAX(rev_d) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+)
+def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): revenue rollup per supplier, then
+    keep the row(s) equal to the maximum — the max is a 1-row aggregate
+    broadcast back as a cross join + filter, NOT a global window sort
+    (the r2 verdict's latest_snapshot lesson applied from the start).
+    Equality compares exact decimals, so ties and float drift can't
+    diverge between engines."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    rev_expr = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum(rev_expr).alias("rev_d"))
+    mx = rev.agg(F.max("rev_d").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("rev_d") == F.col("mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("rev_d").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "market_share",
+    oracle="""
+    SELECT CAST(year(CAST(o.o_orderdate AS DATE)) AS BIGINT) AS o_year,
+           CAST(CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
+                    THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
+                         * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
+                    ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+                / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                           * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             AS DOUBLE) AS mkt_share
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+    JOIN region r   ON n1.n_regionkey = r.r_regionkey AND r.r_name = 'AMERICA'
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): one supplier nation's
+    slice of a customer region's revenue, per year. All five dims
+    broadcast; the only shuffle is the fact-fact orderkey join plus the
+    tiny per-year aggregate. The share is a conditional-sum ratio over
+    exact decimals surfaced as one double division."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    n1 = n.alias("n1")
+    n2 = n.select(
+        F.col("n_nationkey").alias("sn_nationkey"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    nation_rev = F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(
+        F.lit(0).cast("decimal(12,2)")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("n1.n_nationkey"))
+        .join(F.broadcast(r), F.col("n1.n_regionkey") == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("sn_nationkey"))
+        .groupBy(F.year(F.col("o_orderdate").cast("date")).cast("long").alias("o_year"))
+        .agg(
+            (F.sum(nation_rev).cast("double") / F.sum(rev).cast("double"))
+            .cast("double")
+            .alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "product_profit",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(year(CAST(o.o_orderdate AS DATE)) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
+                    - CAST(p.p_retailprice AS DECIMAL(12,2))
+                      * CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+             AS sum_profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%red%'
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): LIKE-filtered part dim
+    (pushed to the broadcast build side so the fact join prunes ~7/8 of
+    lineitem before the orderkey shuffle), profit as an exact decimal
+    difference of revenue and retail cost, grouped by supplier nation x
+    order year."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    profit = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)")
+    ) - F.col("p_retailprice").cast("decimal(12,2)") * F.col("l_quantity").cast(
+        "decimal(12,2)"
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year(F.col("o_orderdate").cast("date")).cast("long").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+        .orderBy("nation", "o_year")
+    )
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+    SELECT c.event_id AS click_id, v.event_id AS view_id
+    FROM events c
+    JOIN events v
+      ON c.event_type = 'click' AND v.event_type = 'view'
+     AND v.user_id = c.user_id
+     AND v.ts >= c.ts - INTERVAL 2 HOUR AND v.ts < c.ts
+    ORDER BY click_id, view_id
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST: watermark-bounded stream-stream interval join executed as a
+    REAL Structured Streaming query (two file-source streams, state on
+    both sides, append mode) — each click pairs with the same user's
+    views in the preceding 2 h. The time-bounded join condition lets the
+    state store expire rows on both sides, so buffered state is
+    O(watermark-window of events), not O(stream) — the property that
+    makes the operator runnable forever at 100 TB/day. Batch oracle: a
+    plain interval self-join over the same parquet."""
+    from .streaming import jobs
+
+    clicks = jobs.read_events_stream(spark, sf_dir, glob="events.parquet")
+    views = jobs.read_events_stream(spark, sf_dir, glob="events.parquet")
+    joined = jobs.click_view_attribution(clicks, views, lookback="2 hours")
+    out = jobs.run_available_now_append(joined, "stream_stream_join_sink")
+    return out.orderBy("click_id", "view_id")
+
+
+@register(
+    "bigram_counts",
+    oracle=f"""
+    WITH toks AS (
+      SELECT {_SQL_TOKENS.format(c='text')} AS t FROM documents
+    ), grams AS (
+      SELECT t[i] || ' ' || t[i + 1] AS bigram
+      FROM toks, LATERAL UNNEST(range(1, len(t))) AS u(i)
+    )
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM grams GROUP BY bigram
+    ORDER BY n DESC, bigram ASC LIMIT 20
+    """,
+)
+def bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram statistics (LLM-pipeline vocabulary/phrase mining):
+    tokens -> adjacent-pair transform (no UDF: sequence+transform stays
+    in codegen) -> explode -> count. One shuffle (the groupBy); top-20
+    via TakeOrderedAndProject, never a global sort. At 100 TB the
+    explode fan-out is ~|tokens| rows, the same cardinality any
+    tokenizing pass already handles, and partial aggregation collapses
+    each partition's counts before the exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(text_fns.tokens("text").alias("t"))
+    grams = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 2),
+                lambda i: F.concat_ws(" ", F.col("t")[i], F.col("t")[i + 1]),
+            )
+        ).alias("bigram")
+    ).where(F.size("t") >= 2)
+    return (
+        grams.groupBy("bigram")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "approx_quantile_check",
+    oracle="""
+    SELECT 'approx_percentile_rank_error' AS property, TRUE AS ok
+    """,
+)
+def approx_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-green gate for mergeable quantile sketches: Spark's
+    approx_percentile (Greenwald-Khanna, mergeable partial summaries —
+    the 100 TB path where exact percentile would need a full sort) must
+    land within the sketch's rank-error envelope of the EXACT
+    percentile, measured by rank distance on the exact sorted order:
+    for accuracy=1000 the guaranteed max rank error is n/1000; we gate
+    at 2x that for slack. Exact percentiles themselves stay oracled in
+    price_percentiles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qs = [0.1, 0.5, 0.9, 0.99]
+    approx = li.agg(
+        F.percentile_approx("l_extendedprice", qs, 1000).alias("ap")
+    )
+    n_and_ranks = li.crossJoin(F.broadcast(approx)).select(
+        F.col("l_extendedprice").alias("x"), "ap"
+    )
+    # rank of each approx answer within the exact distribution, per q
+    checks = []
+    for i, q in enumerate(qs):
+        below = F.sum(
+            F.when(F.col("x") <= F.col("ap")[i], 1).otherwise(0)
+        ).cast("double")
+        total = F.count("*").cast("double")
+        # |rank_fraction - q| <= 2/1000 + 1/n slack
+        checks.append(
+            (F.abs(below / total - F.lit(q)) <= F.lit(0.002) + 1.0 / total)
+            .alias(f"ok_{i}")
+        )
+    flags = n_and_ranks.agg(*checks)
+    ok = flags.select(
+        *_prop_row(
+            "approx_percentile_rank_error",
+            F.expr(" AND ".join(f"ok_{i}" for i in range(len(qs)))),
+        )
+    )
+    return ok

@@ -112,6 +112,47 @@ def session_aggregation(events: DataFrame, gap: str = "30 minutes") -> DataFrame
     )
 
 
+def click_view_attribution(
+    clicks: DataFrame,
+    views: DataFrame,
+    lookback: str = "2 hours",
+    watermark: str = "4 hours",
+) -> DataFrame:
+    """Stream-stream interval join: each click pairs with the same user's
+    view events in the preceding ``lookback`` window. Both sides carry an
+    event-time watermark and the join condition time-bounds the buffered
+    state, so Spark can expire rows from BOTH join-state stores — the
+    canonical bounded-state stream-stream join (without the time bound the
+    state grows forever). Append-mode output; batch-equivalence against a
+    plain interval self-join is the registry's ``stream_stream_join``
+    oracle check."""
+    c = (
+        clicks.withWatermark("ts", watermark)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    v = (
+        views.withWatermark("ts", watermark)
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+    )
+    return c.join(
+        v,
+        (F.col("c_user") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("c_ts") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("v_ts") < F.col("c_ts")),
+        "inner",
+    ).select("click_id", "view_id")
+
+
 def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
     """Execute a streaming plan over all currently-available input
     (micro-batch catch-up) into an in-memory sink; returns the result as a
@@ -167,6 +208,20 @@ def run_available_now_update(stream_df: DataFrame, query_name: str) -> DataFrame
         stream_df.writeStream.format("memory")
         .queryName(query_name)
         .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)
+
+
+def run_available_now_append(stream_df: DataFrame, query_name: str) -> DataFrame:
+    """Like run_available_now but with append output mode (required by
+    stream-stream joins, which emit each matched row exactly once)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )
