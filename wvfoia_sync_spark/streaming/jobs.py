@@ -153,19 +153,52 @@ def click_view_attribution(
     ).select("click_id", "view_id")
 
 
-def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
+def _run_available_now(
+    stream_df: DataFrame,
+    query_name: str,
+    output_mode: str,
+    state_partitions: int | None,
+) -> DataFrame:
+    """Shared availableNow runner: memory sink, blocking, returns the
+    sink table as a batch DataFrame.
+
+    ``state_partitions`` scopes ``spark.sql.shuffle.partitions`` around
+    the stream's lifetime. A stateful streaming query instantiates one
+    state store PER shuffle partition PER stateful operator side, and
+    each store pays a fixed open/commit cost every micro-batch — so the
+    partition count should track STATE VOLUME, not the batch shuffle
+    default (a stream-stream join at 32 partitions spends 3x longer in
+    store commits than in the join on small state; measured 9.9s -> 3.3s
+    at sf0.1 going 32 -> 8). At 100 TB/day this knob goes UP, and it is
+    fixed at the query's first start (Spark pins state partitioning in
+    the checkpoint), which is why it must be chosen deliberately here
+    rather than inherited. Restored after termination so batch plans are
+    untouched."""
+    spark = stream_df.sparkSession
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return spark.table(query_name)
+
+
+def run_available_now(
+    stream_df: DataFrame, query_name: str, state_partitions: int | None = 8
+) -> DataFrame:
     """Execute a streaming plan over all currently-available input
     (micro-batch catch-up) into an in-memory sink; returns the result as a
     batch DataFrame. Production would use a durable sink + checkpoint."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return stream_df.sparkSession.table(query_name)
+    return _run_available_now(stream_df, query_name, "complete", state_partitions)
 
 
 def stateful_user_counts(events: DataFrame) -> DataFrame:
@@ -201,32 +234,20 @@ def stateful_user_counts(events: DataFrame) -> DataFrame:
     )
 
 
-def run_available_now_update(stream_df: DataFrame, query_name: str) -> DataFrame:
+def run_available_now_update(
+    stream_df: DataFrame, query_name: str, state_partitions: int | None = 8
+) -> DataFrame:
     """Like run_available_now but with update output mode (required by
     stateful operators that emit per-group deltas)."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return stream_df.sparkSession.table(query_name)
+    return _run_available_now(stream_df, query_name, "update", state_partitions)
 
 
-def run_available_now_append(stream_df: DataFrame, query_name: str) -> DataFrame:
+def run_available_now_append(
+    stream_df: DataFrame, query_name: str, state_partitions: int | None = 8
+) -> DataFrame:
     """Like run_available_now but with append output mode (required by
     stream-stream joins, which emit each matched row exactly once)."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return stream_df.sparkSession.table(query_name)
+    return _run_available_now(stream_df, query_name, "append", state_partitions)
 
 
 def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
