@@ -97,6 +97,8 @@ HEADLINE = [
     "stream_stream_join",
     "bigram_counts",
     "approx_quantile_check",
+    "semantic_dedup",
+    "bloom_semi_join",
 ]
 
 

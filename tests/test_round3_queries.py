@@ -225,3 +225,45 @@ def test_bigram_counts_shape_and_order(spark):
 def test_approx_quantile_gate_holds(spark):
     rows = registry.QUERIES["approx_quantile_check"](spark, SF_DIR).collect()
     assert len(rows) == 1 and bool(rows[0]["ok"]) is True
+
+
+def test_semantic_dedup_drops_planted_twins_and_keeps_min_ids(spark):
+    """Every planted exact-copy twin (vec_id+100000) must be dropped with
+    a smaller-id partner; every duplicate clique keeps its minimum id
+    (the deterministic representative rule)."""
+    out = registry.QUERIES["semantic_dedup"](spark, SF_DIR).collect()
+    by_id = {r["vec_id"]: r for r in out}
+    n_base = load_table(spark, SF_DIR, "embeddings").count()
+    assert len(out) == 2 * n_base
+    for vid, r in by_id.items():
+        if vid >= 100000:  # planted twin of vid-100000
+            assert not r["kept"], f"planted twin {vid} survived"
+            assert r["dup_of"] < vid
+        if not r["kept"]:
+            # the partner it was folded into must itself be kept or
+            # transitively folded into something smaller — at minimum the
+            # clique's smallest id (which has no smaller partner) is kept
+            assert r["dup_of"] < vid
+    assert any(r["kept"] for r in out)
+
+
+def test_bloom_semi_join_equals_plain_semi_join(spark):
+    """The Bloom prefilter must be invisible in the result (no false
+    negatives; false positives erased by the exact join), and the plan
+    must show the bitset membership filter BEFORE the semi join."""
+    from wvfoia_sync_spark.operators import relational
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    o = load_table(spark, SF_DIR, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    bloomed = relational.bloom_semi_join(li, o, "l_orderkey", "o_orderkey")
+    exact = li.join(
+        o.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left_semi"
+    )
+    got = {(r["l_orderkey"], r["l_linenumber"]) for r in bloomed.collect()}
+    want = {(r["l_orderkey"], r["l_linenumber"]) for r in exact.collect()}
+    assert got == want
+    p = _plan(bloomed)
+    assert "shiftleft" in p  # the bit-test filter is in the plan
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

@@ -4429,3 +4429,101 @@ def approx_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ok
+
+
+@register("semantic_dedup")  # no SQL oracle: seeded k-means clustering
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication over the planted-twin
+    embedding corpus: seeded k-means cells bound the pairwise cosine
+    work (sum-of-cell^2, never n^2), keep-smallest-id per duplicate
+    clique. Rows-only in the driver gate (the clustering isn't
+    SQL-expressible); semdedup_property_check is its oracle-green twin
+    and tests/test_similarity_dedup.py pins planted-twin recall."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = emb.unionAll(
+        emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    )
+    return similarity.semantic_dedup(corpus, threshold=0.9, k=8).orderBy(
+        "vec_id"
+    )
+
+
+@register(
+    "semdedup_property_check",
+    oracle="""
+    SELECT 'semdedup_planted_complete' AS property, TRUE AS ok
+    UNION ALL
+    SELECT 'semdedup_sound' AS property, TRUE AS ok
+    ORDER BY property
+    """,
+)
+def semdedup_property_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-green twin of semantic_dedup:
+
+    - sound: every (dropped, dup_of) pair really has exact cosine >= 0.9,
+      re-derived by joining raw vectors back onto the decision table.
+    - planted_complete: every planted twin (vec_id+100000, an exact copy
+      with cosine 1.0) is dropped — identical vectors always land in the
+      same k-means cell, so missing one means the cell self-join broke.
+    """
+    from .functions.vectors import cosine as vcos
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = emb.unionAll(
+        emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    )
+    sd = similarity.semantic_dedup(corpus, threshold=0.9, k=8)
+    dropped = sd.where(~F.col("kept")).select("vec_id", "dup_of")
+    va = corpus.select(F.col("vec_id").alias("_ia"), F.col("embedding").alias("_va"))
+    vb = corpus.select(F.col("vec_id").alias("_ib"), F.col("embedding").alias("_vb"))
+    sound = (
+        dropped.join(va, dropped.vec_id == F.col("_ia"))
+        .join(vb, dropped.dup_of == F.col("_ib"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(vcos(F.col("_va"), F.col("_vb")) < 0.9, 1)
+                ),
+                F.lit(0),
+            ).alias("bad")
+        )
+        .select(*_prop_row("semdedup_sound", F.col("bad") == 0))
+    )
+    complete = (
+        emb.select((F.col("vec_id") + 100000).alias("twin"))
+        .join(dropped.select("vec_id"), F.col("twin") == F.col("vec_id"), "left_anti")
+        .agg(F.count("*").alias("missed"))
+        .select(*_prop_row("semdedup_planted_complete", F.col("missed") == 0))
+    )
+    return complete.unionAll(sound).orderBy("property")
+
+
+@register(
+    "bloom_semi_join",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag
+    FROM lineitem l
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_orderkey = l.l_orderkey
+                    AND o.o_orderpriority = '1-URGENT'
+                    AND CAST(o.o_orderdate AS DATE) >= DATE '2000-01-01')
+    ORDER BY l.l_orderkey, l.l_linenumber
+    """,
+)
+def bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit Bloom-prefiltered semi join (operators.relational
+    .bloom_semi_join): the small side's keys fold into a broadcast 64 Kbit
+    bitset that discards non-matching fact rows BEFORE the semi-join
+    shuffle; the exact join then erases false positives, so the result
+    hash-matches a plain EXISTS. The scale win is map-side: only
+    (matches + <1% fp) rows reach the exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+    )
+    return (
+        relational.bloom_semi_join(li, o, "l_orderkey", "o_orderkey")
+        .select("l_orderkey", "l_linenumber", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
