@@ -99,6 +99,8 @@ HEADLINE = [
     "approx_quantile_check",
     "semantic_dedup",
     "bloom_semi_join",
+    "fts_vocab",
+    "stream_static_join",
 ]
 
 

@@ -267,3 +267,42 @@ def test_bloom_semi_join_equals_plain_semi_join(spark):
     p = _plan(bloomed)
     assert "shiftleft" in p  # the bit-test filter is in the plan
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_stream_static_join_agrees_with_batch(spark):
+    """The per-micro-batch broadcast enrichment must produce the same
+    (nation, type) rollup as the plain batch join."""
+    got = {
+        (r["c_nationkey"], r["event_type"]): (r["n"], round(r["sum_value"], 6))
+        for r in registry.QUERIES["stream_static_join"](spark, SF_DIR).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events")
+    cust = load_table(spark, SF_DIR, "customer").select("c_custkey", "c_nationkey")
+    want = {
+        (r["c_nationkey"], r["event_type"]): (r["n"], round(r["sum_value"], 6))
+        for r in ev.join(cust, ev.user_id == cust.c_custkey)
+        .groupBy("c_nationkey", "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .collect()
+    }
+    assert got == want and got
+
+
+def test_fts_vocab_doc_and_cnt_invariants(spark):
+    """doc <= cnt (a doc contributes >= 1 occurrence), doc >= 1, and the
+    doc frequency for a probe term matches an independent LIKE count."""
+    rows = registry.QUERIES["fts_vocab"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["doc"] <= r["cnt"]
+    docs = load_table(spark, SF_DIR, "documents")
+    from wvfoia_sync_spark.functions.text import tokens
+
+    probe = rows[0]["term"]
+    want = docs.where(
+        F.array_contains(tokens(F.col("text")), probe)
+    ).count()
+    assert rows[0]["doc"] == want

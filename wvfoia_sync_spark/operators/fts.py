@@ -141,3 +141,24 @@ def bm25_scores(
         lambda acc, x: acc + x["s"],
     )
     return scored.groupBy("id").agg(F.round(folded, 6).alias("score"))
+
+
+def vocabulary(df: DataFrame, id_col: str, text_cols: list[str]) -> DataFrame:
+    """FTS vocabulary table (reference ``entries_fts_v``, fts5vocab 'row'
+    variant — migrations/0002_fts.sql:15): one row per distinct term with
+    ``doc`` = number of documents containing it and ``cnt`` = total
+    occurrences. One explode + one grouped aggregation; the distinct-doc
+    count is Spark's two-phase partial/final count-distinct, so the only
+    full-width shuffle is term-cardinality sized. At 100 TB this is the
+    same pass that builds the posting list — materialize both from one
+    tokenize."""
+    concatenated = F.concat_ws(
+        " ", *[F.coalesce(F.col(c), F.lit("")) for c in text_cols]
+    )
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(concatenated)).alias("term")
+    )
+    return toks.groupBy("term").agg(
+        F.countDistinct("id").alias("doc"),
+        F.count("*").cast("long").alias("cnt"),
+    )

@@ -4527,3 +4527,59 @@ def bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_linenumber", "l_returnflag")
         .orderBy("l_orderkey", "l_linenumber")
     )
+
+
+@register(
+    "fts_vocab",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_TOKENS.format(c='text')}) AS term
+      FROM documents
+    )
+    SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM tok GROUP BY term
+    ORDER BY doc DESC, term ASC LIMIT 50
+    """,
+)
+def fts_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5+: the FTS vocabulary surface (reference ``entries_fts_v``,
+    migrations/0002_fts.sql:15) — term -> document frequency + total
+    occurrences, the statistics BM25 consumes internally, exposed as a
+    first-class query (VERDICT r2 missing #3). Top-50 by doc frequency
+    via TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        fts.vocabulary(docs, "doc_id", ["text"])
+        .orderBy(F.col("doc").desc(), F.col("term").asc())
+        .limit(50)
+    )
+
+
+@register(
+    "stream_static_join",
+    oracle="""
+    SELECT c.c_nationkey, e.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST: stream-static enrichment join run as a REAL Structured
+    Streaming query — the events stream broadcast-joined per micro-batch
+    against the static customer dim (stateless, no watermark), then a
+    per-(nation, type) aggregate in complete mode. Batch oracle: the
+    plain join + group."""
+    from .streaming import jobs
+
+    stream = jobs.read_events_stream(spark, sf_dir, glob="events.parquet")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    enriched = jobs.static_enrichment(stream, cust, "user_id", "c_custkey")
+    agg = enriched.groupBy("c_nationkey", "event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+    )
+    return jobs.run_available_now(agg, "stream_static_join_sink")

@@ -315,3 +315,17 @@ def streaming_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
     for name, col in pii.pii_counts(F.col(text_col)).items():
         out = out.withColumn(name, col)  # counts BEFORE redaction
     return out.withColumn(text_col, pii.redact(F.col(text_col)))
+
+
+def static_enrichment(
+    events: DataFrame, dim: DataFrame, on_left: str, on_right: str
+) -> DataFrame:
+    """Stream-static join: enrich a stream with a batch dimension table.
+    Stateless on the stream side — each micro-batch plans a fresh join
+    against the CURRENT dim snapshot (broadcast when small), so no state
+    store, no watermark requirement, and dim updates between batches are
+    picked up automatically. The canonical 100 TB shape: a Kafka event
+    stream decorated with a slowly-changing reference table."""
+    return events.join(
+        F.broadcast(dim), events[on_left] == dim[on_right], "inner"
+    )
