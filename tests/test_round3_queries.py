@@ -267,6 +267,20 @@ def test_bloom_semi_join_equals_plain_semi_join(spark):
     p = _plan(bloomed)
     assert "shiftleft" in p  # the bit-test filter is in the plan
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # the prefilter must sit BELOW the semi join (on the big side's scan
+    # stage) — a literal filter can't be join-reordered above it, which a
+    # broadcast 1-row cross join formulation could be (and was, observed).
+    # simple mode keeps conditions on the tree lines, so ordering is
+    # line-index comparable
+    simple = bloomed._sc._jvm.PythonSQLUtils.explainString(
+        bloomed._jdf.queryExecution(), "simple"
+    )
+    lines = simple.splitlines()
+    join_at = min(i for i, l in enumerate(lines) if "LeftSemi" in l)
+    filt_at = min(
+        i for i, l in enumerate(lines) if "shiftleft" in l and "Filter" in l
+    )
+    assert filt_at > join_at, "bloom bit-test was reordered above the semi join"
 
 
 def test_stream_static_join_agrees_with_batch(spark):

@@ -307,40 +307,49 @@ def bloom_semi_join(
 ) -> DataFrame:
     """Semi join with an explicit Bloom-filter prefilter: the small
     side's keys are folded into an m-bit Bloom bitset (k xxhash64 probes
-    per key), the bitset rides to every big-side task as a broadcast
-    1-row array, and big rows that miss ANY probe are discarded BEFORE
-    the shuffle of the exact semi join that removes the false positives.
-    Result is exactly ``big LEFT SEMI JOIN small`` — the Bloom filter has
-    no false negatives, and the final semi join erases its false
-    positives.
+    per key), the bitset becomes a plain FILTER on the big side, and big
+    rows that miss ANY probe are discarded BEFORE the shuffle of the
+    exact semi join that removes the false positives. Result is exactly
+    ``big LEFT SEMI JOIN small`` — the Bloom filter has no false
+    negatives, and the final semi join erases its false positives.
 
     Why at 100 TB: a plain semi join shuffles the ENTIRE big side on the
     key; with a selective small side the Bloom pass drops most big rows
     map-side for the cost of k hashes + k bit tests per row, so the
-    exchange moves only (true matches + ~(n/2^?) false positives). Spark's
+    exchange moves only (true matches + ~1% false positives). Spark's
     own runtime row-filtering can inject a similar filter when stats look
-    right; this operator GUARANTEES it, with a tunable size. The whole
-    pipeline is Catalyst expressions — the bitset is built with a
-    bit_or aggregate (mergeable partials, map-side combined), packed into
-    one array<long> row, broadcast, and probed with shiftleft/bitwise-AND
-    inside codegen. No driver collect, no UDF.
+    right; this operator GUARANTEES it, with a tunable size.
+
+    Physical form: the bitset is built distributed — bit_or aggregate
+    over (word, mask) pairs, mergeable partials map-side combined — and
+    the packed words (m/64 longs, i.e. ~8 KB at the 64 Kbit default) are
+    collected and inlined as ONE array literal, so the membership test is
+    a pure scan-stage Filter codegen'd against a constant. A broadcast
+    1-row cross join would keep the bitset distributed, but Catalyst may
+    legally reorder that join ABOVE the semi join (observed), silently
+    voiding the prefilter; a literal filter cannot move. The constant-
+    size collect is the same pattern as the k-means centroids. Beyond
+    ~1M bits, switch to a broadcast variable + expression instead of a
+    literal.
 
     False-positive rate ~ (1 - e^{-k*n/m})^k; with the default 64 Kbit /
     k=3 it stays <1% up to ~10k distinct keys. Size m to the small side's
     distinct-key count (m ≈ 10 bits/key for ~1%)."""
     n_words = (m_bits + 63) // 64
-    kcol = F.col(small_key)
 
-    def positions(col):
-        return [
-            F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(m_bits))
-            for seed in range(k_hashes)
-        ]
-
-    # build: distinct word -> OR of masks, then pack into ONE dense
-    # array<long> row (index = word) via map lookup over the word range
+    # build: distributed bit_or over (word, mask), then ONE constant-size
+    # driver collect (n_words longs) to inline the bitset as a literal
     words = (
-        small.select(F.explode(F.array(*positions(kcol))).alias("pos"))
+        small.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(F.xxhash64(F.col(small_key), F.lit(s)), F.lit(m_bits))
+                        for s in range(k_hashes)
+                    ]
+                )
+            ).alias("pos")
+        )
         .select(
             (F.col("pos") / 64).cast("int").alias("word"),
             F.call_function(
@@ -350,32 +359,23 @@ def bloom_semi_join(
         .groupBy("word")
         .agg(F.bit_or("mask").alias("bits"))
     )
-    packed = words.agg(
-        F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("wm")
-    ).select(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(n_words - 1)),
-            lambda i: F.coalesce(F.element_at("wm", i.cast("int")), F.lit(0).cast("long")),
-        ).alias("_bloom")
-    )
+    bitset = [0] * n_words
+    for r in words.collect():
+        bitset[r["word"]] = r["bits"]
+    bloom = F.lit(bitset)  # one array<long> literal, ~m/8 bytes of plan
 
     probe_key = F.col(big_key)
     hit = None
     for seed in range(k_hashes):
         pos = F.pmod(F.xxhash64(probe_key, F.lit(seed)), F.lit(m_bits))
-        word = F.element_at("_bloom", (pos / 64).cast("int") + 1)
+        word = F.element_at(bloom, (pos / 64).cast("int") + 1)
         mask = F.call_function(
             "shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int")
         )
         test = word.bitwiseAND(mask) != F.lit(0).cast("long")
         hit = test if hit is None else (hit & test)
-    prefiltered = (
-        big.crossJoin(F.broadcast(packed))
-        .where(hit)
-        .drop("_bloom")
-    )
-    return prefiltered.join(
+    return big.where(hit).join(
         small.select(F.col(small_key)),
-        prefiltered[big_key] == F.col(small_key),
+        big[big_key] == F.col(small_key),
         "left_semi",
     )
