@@ -101,6 +101,8 @@ HEADLINE = [
     "bloom_semi_join",
     "fts_vocab",
     "stream_static_join",
+    "kmv_distinct_sketch",
+    "kmv_set_algebra",
 ]
 
 

@@ -30,3 +30,50 @@ def test_misra_gries_exact_when_capacity_covers_cardinality(spark):
         for r in sketch.heavy_hitters(df, "item", k=16, top=10).collect()
     }
     assert got == {"a": 3, "b": 2, "c": 1}
+
+
+def test_kmv_distinct_small_k_is_within_error_envelope(spark):
+    """Genuinely approximate regime: k=32 sketches over groups with
+    hundreds-to-thousands of distinct items must estimate within ~4
+    standard errors (4/sqrt(k-2) ~ 73%... in practice far tighter; gate
+    at 35% which k=32 has comfortable margin for on seeded data)."""
+    rows = [(f"g{g}", f"item{g}_{i % (200 * (g + 1))}") for g in range(3) for i in range(3000)]
+    df = spark.createDataFrame(rows, "grp_src string, item string").repartition(8)
+    est = {
+        r["grp"]: r["est"]
+        for r in sketch.kmv_distinct(df, "item", "grp_src", k=32).collect()
+    }
+    for g in range(3):
+        true = 200 * (g + 1)
+        assert abs(est[f"g{g}"] - true) / true < 0.35, (g, est[f"g{g}"], true)
+
+
+def test_kmv_exact_when_distinct_under_k(spark):
+    rows = [("a", f"x{i}") for i in range(50)] + [("b", f"y{i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "grp_src string, item string").repartition(4)
+    est = {
+        r["grp"]: r["est"]
+        for r in sketch.kmv_distinct(df, "item", "grp_src", k=256).collect()
+    }
+    assert est == {"a": 50.0, "b": 20.0}
+
+
+def test_kmv_set_estimates_recover_exact_overlap_when_degenerate(spark):
+    """Planted overlap: A = 0..79, B = 40..119 -> |A|=80, |B|=80,
+    |A∪B|=120, |A∩B|=40; k=256 keeps every sketch exact."""
+    rows = [("A", f"u{i}") for i in range(80)] + [("B", f"u{i}") for i in range(40, 120)]
+    df = spark.createDataFrame(rows, "seg string, item string").repartition(4)
+    r = sketch.kmv_set_estimates(df, "item", "seg", "A", "B", k=256).collect()[0]
+    assert (r["est_a"], r["est_b"], r["est_union"]) == (80.0, 80.0, 120.0)
+    assert abs(r["est_intersection"] - 40.0) < 1e-9
+
+
+def test_kmv_set_estimates_small_k_overlap_tolerance(spark):
+    """Approximate regime for the intersection: planted 50% overlap of
+    1000-item sets, k=64 -> intersection within 40% relative."""
+    rows = [("A", f"u{i}") for i in range(1000)] + [
+        ("B", f"u{i}") for i in range(500, 1500)
+    ]
+    df = spark.createDataFrame(rows, "seg string, item string").repartition(8)
+    r = sketch.kmv_set_estimates(df, "item", "seg", "A", "B", k=64).collect()[0]
+    assert abs(r["est_intersection"] - 500) / 500 < 0.4, r["est_intersection"]

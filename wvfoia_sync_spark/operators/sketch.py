@@ -68,3 +68,131 @@ def heavy_hitters(
         .limit(top)
         .select("item", F.col("est").cast("long").alias("est"))
     )
+
+
+def kmv_partials(
+    df: DataFrame, item_col: str, group_col: str, k: int = 256
+) -> DataFrame:
+    """KMV (k-minimum-values) distinct sketch, partial phase: per group,
+    the k smallest xxhash64 values of the items (Bar-Yossef et al. 2002;
+    mergeable per Agarwal et al. PODS'12 — the merge of two KMV sketches
+    is the k smallest of their union).
+
+    Physical form mirrors heavy_hitters: bounded per-partition state via
+    mapInPandas (a dict of <= k-long sorted arrays per group), then a
+    distinct + per-group rank to merge partials — the shuffle carries at
+    most k * n_partitions rows per group, never the raw items. Signed
+    hash order is fine: the estimator normalizes monotonically from
+    signed long to [0,1)."""
+    import numpy as np
+
+    hashed = df.select(
+        F.col(group_col).cast("string").alias("grp"),
+        F.xxhash64(F.col(item_col)).alias("h"),
+    )
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        state: dict[str, "np.ndarray"] = {}
+        for pdf in batches:
+            for grp, sub in pdf.groupby("grp"):
+                hs = np.unique(sub["h"].to_numpy())
+                cur = state.get(grp)
+                merged = hs if cur is None else np.union1d(cur, hs)
+                state[grp] = merged[:k]  # union1d is sorted ascending
+        for grp, hs in state.items():
+            yield pd.DataFrame({"grp": grp, "h": hs})
+
+    partials = hashed.mapInPandas(summarize, schema="grp string, h long")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("grp").orderBy("h")
+    return (
+        partials.distinct()
+        .withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= k)
+        .drop("_r")
+    )
+
+
+def _kmv_estimate(grp_sketch: DataFrame, k: int) -> DataFrame:
+    """(grp, est): (k-1)/u_k when the sketch is full, exact hash count
+    when distinct < k. u = (h + 2^63) / 2^64 maps signed long order
+    monotonically onto [0,1)."""
+    agg = grp_sketch.groupBy("grp").agg(
+        F.count("*").alias("m"), F.max("h").alias("hk")
+    )
+    u_k = (F.col("hk").cast("double") + F.lit(float(2**63))) / F.lit(
+        float(2**64)
+    )
+    return agg.select(
+        "grp",
+        F.when(F.col("m") < k, F.col("m").cast("double"))
+        .otherwise((F.lit(float(k - 1))) / u_k)
+        .alias("est"),
+    )
+
+
+def kmv_distinct(
+    df: DataFrame, item_col: str, group_col: str, k: int = 256
+) -> DataFrame:
+    """Approximate distinct items per group via KMV: (grp, est double).
+    Relative error ~ 1/sqrt(k-2); exact when a group's distinct count
+    stays under k (the registry gate exploits that degeneracy to keep a
+    deterministic oracle, like heavy_hitters)."""
+    return _kmv_estimate(kmv_partials(df, item_col, group_col, k), k)
+
+
+def kmv_set_estimates(
+    df: DataFrame,
+    item_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    k: int = 256,
+) -> DataFrame:
+    """Distinct-set algebra from two groups' KMV sketches alone — the
+    operation exact distinct counts cannot do without re-scanning raw
+    data: est_a, est_b, est_union (merged sketch), est_intersection
+    (Jaccard over the union sketch x est_union). One row output.
+
+    At 100 TB the sketches are the only thing ever co-located: k longs
+    per group, so segment-overlap questions (users in A and B) become
+    sketch-merge arithmetic instead of a distinct-distinct join."""
+    sk = kmv_partials(
+        df.where(F.col(group_col).isin([group_a, group_b])),
+        item_col,
+        group_col,
+        k,
+    ).cache()
+    a = sk.where(F.col("grp") == group_a)
+    b = sk.where(F.col("grp") == group_b)
+    est_a = _kmv_estimate(a, k).select(F.col("est").alias("est_a"))
+    est_b = _kmv_estimate(b, k).select(F.col("est").alias("est_b"))
+    # union sketch: k smallest distinct hashes across both sketches —
+    # orderBy+limit plans as TakeOrderedAndProject (per-partition top-k +
+    # merge), no global sort and no partition-less window; the input is
+    # two sketches (<= 2k rows) anyway
+    union_k = sk.select("h").distinct().orderBy("h").limit(k)
+    eu = _kmv_estimate(union_k.select(F.lit("u").alias("grp"), "h"), k).select(
+        F.col("est").alias("est_union")
+    )
+    in_a = union_k.join(a.select("h"), "h", "left_semi")
+    in_both = in_a.join(b.select("h"), "h", "left_semi")
+    counts = union_k.agg(F.count("*").alias("nu")).crossJoin(
+        in_both.agg(F.count("*").alias("nab"))
+    )
+    return (
+        est_a.crossJoin(est_b)
+        .crossJoin(eu)
+        .crossJoin(counts)
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            (
+                F.col("nab").cast("double")
+                / F.col("nu").cast("double")
+                * F.col("est_union")
+            ).alias("est_intersection"),
+        )
+    )

@@ -4583,3 +4583,56 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
     )
     return jobs.run_available_now(agg, "stream_static_join_sink")
+
+
+@register(
+    "kmv_distinct_sketch",
+    oracle="""
+    SELECT event_type AS grp,
+           CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS est
+    FROM events GROUP BY event_type ORDER BY grp
+    """,
+)
+def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct sketch per event type
+    (operators/sketch.py kmv_distinct): bounded per-partition state via
+    mapInPandas, partials merged as k-smallest-of-union. The oracle is
+    EXACT distinct counts — valid because k=256 exceeds the 150-user
+    population, so every sketch stays in its exact (m < k) regime and
+    the sketch path must reproduce the true counts; the genuinely
+    approximate small-k path is error-bound-tested in
+    tests/test_sketch.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return sketch.kmv_distinct(ev, "user_id", "event_type", k=256).orderBy(
+        "grp"
+    )
+
+
+@register(
+    "kmv_set_algebra",
+    oracle="""
+    WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+         b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+         u AS (SELECT COUNT(*) AS ucnt FROM (SELECT * FROM a UNION SELECT * FROM b)),
+         i AS (SELECT COUNT(*) AS icnt FROM (SELECT * FROM a INTERSECT SELECT * FROM b))
+    SELECT CAST((SELECT COUNT(*) FROM a) AS DOUBLE) AS est_a,
+           CAST((SELECT COUNT(*) FROM b) AS DOUBLE) AS est_b,
+           CAST(u.ucnt AS DOUBLE) AS est_union,
+           CAST(i.icnt AS DOUBLE) / CAST(u.ucnt AS DOUBLE)
+             * CAST(u.ucnt AS DOUBLE) AS est_intersection
+    FROM u, i
+    """,
+)
+def kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-set algebra from KMV sketches alone: |click users|,
+    |view users|, their union and intersection estimated by merging the
+    two k-long sketches — the segment-overlap question that exact
+    distinct counts need a raw-data re-scan for. Exact-degenerate at
+    k=256 > 150 users (same oracle trick as kmv_distinct_sketch); the
+    intersection expression (share-of-union x union estimate) is
+    mirrored operation-for-operation in the oracle so the doubles are
+    bit-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    return sketch.kmv_set_estimates(
+        ev, "user_id", "event_type", "click", "view", k=256
+    )
