@@ -103,6 +103,7 @@ HEADLINE = [
     "stream_static_join",
     "kmv_distinct_sketch",
     "kmv_set_algebra",
+    "stream_upsert",
 ]
 
 

@@ -309,3 +309,44 @@ def test_streaming_scrub_matches_batch_redaction(spark, tmp_path):
     assert got == exp
     any_text = next(iter(got.values()))[0]
     assert any_text.endswith("reach me: <EMAIL> or <PHONE>")
+
+
+def test_stream_upsert_sink_merges_across_micro_batches(spark, tmp_path):
+    """Three source files processed one per micro-batch
+    (maxFilesPerTrigger=1): later batches must OVERWRITE earlier keys
+    (update path) and add new ones (insert path) — the final table is
+    the last-writer-wins state across every batch, not the last batch
+    alone and not an append log."""
+    import pandas as pd
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # batch files: (key, version, payload) — k1 written in all three,
+    # k2 in the first, k3 only in the last
+    pd.DataFrame({"k": ["k1", "k2"], "v": [1, 1], "p": ["a", "b"]}).to_parquet(
+        src / "f1.parquet"
+    )
+    pd.DataFrame({"k": ["k1"], "v": [2], "p": ["c"]}).to_parquet(
+        src / "f2.parquet"
+    )
+    pd.DataFrame({"k": ["k1", "k3"], "v": [3, 1], "p": ["d", "e"]}).to_parquet(
+        src / "f3.parquet"
+    )
+    stream = (
+        spark.readStream.schema("k string, v long, p string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    jobs.stream_upsert_sink(
+        stream,
+        table_path=str(tmp_path / "table"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        key="k",
+        order_col="v",
+        query_name="t_upsert_multibatch",
+    )
+    got = {
+        r["k"]: (r["v"], r["p"])
+        for r in spark.read.parquet(str(tmp_path / "table")).collect()
+    }
+    assert got == {"k1": (3, "d"), "k2": (1, "b"), "k3": (1, "e")}

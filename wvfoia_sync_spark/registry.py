@@ -4636,3 +4636,40 @@ def kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch.kmv_set_estimates(
         ev, "user_id", "event_type", "click", "view", k=256
     )
+
+
+@register(
+    "stream_upsert",
+    oracle="""
+    SELECT user_id, event_id, event_type FROM events e
+    WHERE event_id = (SELECT MAX(i.event_id) FROM events i
+                      WHERE i.user_id = e.user_id)
+    ORDER BY user_id
+    """,
+)
+def stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST: foreachBatch keyed upsert sink — the CDC-to-lake shape. The
+    events stream MERGEs into a parquet table per micro-batch (max
+    event_id wins per user), so the sink converges to the latest-state
+    table the oracle computes with a correlated MAX. Exercises the
+    arbitrary-writer sink path (idempotent batch merge + atomic
+    directory swap) that memory-sink twins can't."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from .streaming import jobs
+
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:10]
+    base = f"{tempfile.gettempdir()}/spark_graft_stream_upsert_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    stream = jobs.read_events_stream(spark, sf_dir, glob="events.parquet")
+    jobs.stream_upsert_sink(
+        stream.select("user_id", "event_id", "event_type"),
+        table_path=f"{base}/table",
+        checkpoint_path=f"{base}/ckpt",
+        key="user_id",
+        order_col="event_id",
+        query_name=f"stream_upsert_{tag}",
+    )
+    return spark.read.parquet(f"{base}/table").orderBy("user_id")

@@ -329,3 +329,71 @@ def static_enrichment(
     return events.join(
         F.broadcast(dim), events[on_left] == dim[on_right], "inner"
     )
+
+
+def stream_upsert_sink(
+    stream_df: DataFrame,
+    table_path: str,
+    checkpoint_path: str,
+    key: str,
+    order_col: str,
+    query_name: str = "stream_upsert",
+    state_partitions: int | None = 8,
+):
+    """foreachBatch upsert sink: each micro-batch MERGEs into a parquet
+    table by key (anti-join + union + atomic directory swap — with Delta
+    or Iceberg this body becomes one MERGE INTO and the swap goes away).
+
+    Why foreachBatch: Spark's built-in file sink is append-only; keyed
+    upsert needs the batch handed to arbitrary writer code. The batch_id
+    argument makes retries idempotent at-least-once -> effectively-once
+    for deterministic batches (a re-run of batch N re-merges the same
+    rows to the same keys). Within a batch, the row with the max
+    ``order_col`` wins per key (deterministic last-writer-wins — a bare
+    dropDuplicates would keep an arbitrary row).
+
+    The swap is write-new -> atomic rename, the same pattern as
+    foia/export's staged artifacts: readers see the old table or the new
+    one, never a half-written directory."""
+    import os
+    import shutil
+
+    from pyspark.sql import Window as W
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        w = W.partitionBy(key).orderBy(F.col(order_col).desc())
+        dedup = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if os.path.isdir(table_path):
+            existing = spark.read.parquet(table_path)
+            kept = existing.join(dedup.select(key), key, "left_anti")
+            merged = kept.unionByName(dedup.select(*existing.columns))
+        else:
+            merged = dedup
+        tmp = table_path + f"._staged_{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        old = table_path + "._old"
+        if os.path.isdir(table_path):
+            os.rename(table_path, old)
+        os.rename(tmp, table_path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    spark = stream_df.sparkSession
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.foreachBatch(merge_batch)
+            .queryName(query_name)
+            .option("checkpointLocation", checkpoint_path)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
