@@ -104,6 +104,8 @@ HEADLINE = [
     "kmv_distinct_sketch",
     "kmv_set_algebra",
     "stream_upsert",
+    "pmi_collocations",
+    "skew_report",
 ]
 
 

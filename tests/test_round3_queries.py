@@ -320,3 +320,23 @@ def test_fts_vocab_doc_and_cnt_invariants(spark):
         F.array_contains(tokens(F.col("text")), probe)
     ).count()
     assert rows[0]["doc"] == want
+
+
+def test_pmi_collocations_ranked_by_lift(spark):
+    rows = registry.QUERIES["pmi_collocations"](spark, "/root/testdata/sf0.01").collect()
+    assert rows, "no collocations at sf0.01"
+    lifts = [r["lift"] for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
+    for r in rows:
+        assert r["c_ab"] >= 10
+        assert r["lift"] > 0
+
+
+def test_skew_report_invariants(spark):
+    r = registry.QUERIES["skew_report"](spark, SF_DIR).collect()[0]
+    li_rows = load_table(spark, SF_DIR, "lineitem").count()
+    assert r["n_rows"] == li_rows
+    assert r["p50"] <= r["p99"] <= r["mx"]
+    assert r["skew_factor"] >= 1.0
+    # mean * skew_factor == max by construction
+    assert abs(r["skew_factor"] * (r["n_rows"] / r["n_keys"]) - r["mx"]) < 1e-6

@@ -4673,3 +4673,125 @@ def stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_name=f"stream_upsert_{tag}",
     )
     return spark.read.parquet(f"{base}/table").orderBy("user_id")
+
+
+@register(
+    "pmi_collocations",
+    oracle=f"""
+    WITH toks AS (
+      SELECT {_SQL_TOKENS.format(c='text')} AS t FROM documents
+    ), uni AS (
+      SELECT unnest(t) AS w FROM toks
+    ), ucnt AS (
+      SELECT w, COUNT(*) AS c FROM uni GROUP BY w
+    ), total AS (
+      SELECT COUNT(*) AS n FROM uni
+    ), grams AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2
+      FROM toks, LATERAL UNNEST(range(1, len(t))) AS u(i)
+    ), gcnt AS (
+      SELECT w1, w2, COUNT(*) AS c_ab FROM grams GROUP BY w1, w2
+    )
+    SELECT g.w1 || ' ' || g.w2 AS bigram,
+           CAST(g.c_ab AS BIGINT) AS c_ab,
+           CAST(g.c_ab AS DOUBLE) * CAST(total.n AS DOUBLE)
+             / (CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE)) AS lift
+    FROM gcnt g
+    JOIN ucnt a ON a.w = g.w1
+    JOIN ucnt b ON b.w = g.w2
+    CROSS JOIN total
+    WHERE g.c_ab >= 10
+    ORDER BY lift DESC, bigram ASC LIMIT 20
+    """,
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining (corpus phrase discovery): bigram lift
+    c(ab)*N / (c(a)*c(b)) — exp(PMI) — over the token stream. The log is
+    deliberately NOT taken: ln differs in the last ulp across libm
+    implementations, so the monotone-equivalent ratio of exact integer
+    counts keeps the compare bit-deterministic cross-engine. One
+    tokenize feeds both the unigram and bigram rollups; the unigram
+    table (vocab-sized) broadcasts back onto the bigram counts, N rides
+    along as a 1-row cross join. Min-count 10 suppresses noise lifts."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(text_fns.tokens("text").alias("t"))
+    uni = toks.select(F.explode("t").alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count("*").alias("c"))
+    total = uni.agg(F.count("*").alias("n"))
+    grams = (
+        toks.where(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - 2),
+                    lambda i: F.struct(
+                        F.col("t")[i].alias("w1"), F.col("t")[i + 1].alias("w2")
+                    ),
+                )
+            ).alias("g")
+        )
+        .select("g.w1", "g.w2")
+    )
+    gcnt = (
+        grams.groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("c_ab"))
+        .where(F.col("c_ab") >= 10)
+    )
+    a = ucnt.select(F.col("w").alias("_wa"), F.col("c").alias("c_a"))
+    b = ucnt.select(F.col("w").alias("_wb"), F.col("c").alias("c_b"))
+    return (
+        gcnt.join(F.broadcast(a), F.col("w1") == F.col("_wa"))
+        .join(F.broadcast(b), F.col("w2") == F.col("_wb"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            "c_ab",
+            (
+                F.col("c_ab").cast("double")
+                * F.col("n").cast("double")
+                / (F.col("c_a").cast("double") * F.col("c_b").cast("double"))
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), F.col("bigram").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "skew_report",
+    oracle="""
+    WITH per_key AS (
+      SELECT l_orderkey, COUNT(*) AS c FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           quantile_cont(CAST(c AS DOUBLE), 0.5) AS p50,
+           quantile_cont(CAST(c AS DOUBLE), 0.99) AS p99,
+           CAST(MAX(c) AS DOUBLE) AS mx,
+           CAST(MAX(c) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)
+             / CAST(SUM(c) AS DOUBLE) AS skew_factor
+    FROM per_key
+    """,
+)
+def skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic (the pre-flight check before choosing
+    plain vs salted join): per-key count distribution for the fact
+    table's join key — key count, row count, p50/p99/max rows-per-key
+    and a skew factor (max/mean). Two aggregations, both partial-agg
+    map-side combined; the second input is key-cardinality sized. The
+    operators this report steers: salted_join / salted_group_agg when
+    skew_factor is high, AQE skew-split otherwise."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_orderkey").agg(F.count("*").alias("c"))
+    return per_key.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("c").cast("long").alias("n_rows"),
+        F.expr("percentile(CAST(c AS DOUBLE), 0.5)").alias("p50"),
+        F.expr("percentile(CAST(c AS DOUBLE), 0.99)").alias("p99"),
+        F.max("c").cast("double").alias("mx"),
+        (
+            F.max("c").cast("double")
+            * F.count("*").cast("double")
+            / F.sum("c").cast("double")
+        ).alias("skew_factor"),
+    )
