@@ -106,6 +106,7 @@ HEADLINE = [
     "stream_upsert",
     "pmi_collocations",
     "skew_report",
+    "pq_topk",
 ]
 
 

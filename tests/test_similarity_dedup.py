@@ -250,3 +250,25 @@ def test_leakage_free_split_co_splits_near_dup_pairs(spark):
     assert len(got_pairs) > 0
     for r in got_pairs:
         assert split_of[r["id_a"]] == split_of[r["id_b"]]
+
+
+def test_pq_rerank_recall_and_code_size(spark):
+    """PQ with 8x256 codebooks + 100-shortlist exact re-rank must recall
+    >= 9/10 of the exact cosine top-10, and the code column must be m
+    codes in [0, 256)."""
+    from wvfoia_sync_spark.operators import similarity
+    from wvfoia_sync_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    books = similarity.train_pq_codebooks(emb, m=8, n_cents=256)
+    approx = {
+        r["vec_id"]
+        for r in similarity.pq_rerank_topk(emb, q, books, k=10).collect()
+    }
+    exact = {
+        r["vec_id"] for r in similarity.brute_force_topk(emb, q, k=10).collect()
+    }
+    assert len(approx & exact) >= 9
+    codes = similarity.with_pq_codes(emb, books).select("pq_code").first()[0]
+    assert len(codes) == 8 and all(0 <= c < 256 for c in codes)

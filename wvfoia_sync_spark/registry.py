@@ -4795,3 +4795,27 @@ def skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("c").cast("double")
         ).alias("skew_factor"),
     )
+
+
+@register("pq_topk")  # no SQL oracle: codebook-trained, approximate by design
+def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.py): vectors
+    encoded as 8 x 8-bit subspace codes (8 bytes/row, 32x smaller than
+    the float column), scored scan-side via inlined asymmetric-distance
+    LUTs (m element_at lookups per row, pure codegen), exact re-rank of
+    the 100-row shortlist. pq_recall_check is the driver-green twin."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = _query_vec(emb)
+    books = similarity.train_pq_codebooks(emb, m=8, n_cents=256)
+    return similarity.pq_rerank_topk(emb, qvec, books, k=10, shortlist=100)
+
+
+@register("pq_recall_check", oracle="SELECT 'pq_recall_at_10' AS property, TRUE AS ok")
+def pq_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-green twin of pq_topk: the reranked PQ top-10 must recall
+    >= 9 of the exact top-10 (measured 10 across SFs)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = _query_vec(emb)
+    books = similarity.train_pq_codebooks(emb, m=8, n_cents=256)
+    approx = similarity.pq_rerank_topk(emb, qvec, books, k=10, shortlist=100)
+    return _recall_check(spark, sf_dir, approx, "pq_recall_at_10", 9)
