@@ -107,6 +107,9 @@ HEADLINE = [
     "pmi_collocations",
     "skew_report",
     "pq_topk",
+    "value_outliers",
+    "funnel_counts",
+    "cohort_retention",
 ]
 
 

@@ -340,3 +340,25 @@ def test_skew_report_invariants(spark):
     assert r["skew_factor"] >= 1.0
     # mean * skew_factor == max by construction
     assert abs(r["skew_factor"] * (r["n_rows"] / r["n_keys"]) - r["mx"]) < 1e-6
+
+
+def test_funnel_is_monotone_and_bounded_by_users(spark):
+    r = registry.QUERIES["funnel_counts"](spark, SF_DIR).collect()[0]
+    assert r["n_view"] >= r["n_view_click"] >= r["n_view_click_buy"] >= 0
+    n_users = (
+        load_table(spark, SF_DIR, "events").select("user_id").distinct().count()
+    )
+    assert r["n_view"] <= n_users
+
+
+def test_cohort_retention_week0_covers_each_cohort(spark):
+    """Every cohort must have a week-0 row (a user is active in their own
+    first week by construction) whose count equals the cohort size."""
+    rows = registry.QUERIES["cohort_retention"](spark, SF_DIR).collect()
+    by_cohort: dict[str, dict[int, int]] = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort"], {})[r["week_offset"]] = r["n_active"]
+    assert by_cohort
+    for cohort, offs in by_cohort.items():
+        assert 0 in offs, f"cohort {cohort} missing week 0"
+        assert all(n <= offs[0] for n in offs.values())

@@ -4819,3 +4819,148 @@ def pq_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = similarity.train_pq_codebooks(emb, m=8, n_cents=256)
     approx = similarity.pq_rerank_topk(emb, qvec, books, k=10, shortlist=100)
     return _recall_check(spark, sf_dir, approx, "pq_recall_at_10", 9)
+
+
+@register(
+    "value_outliers",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))
+                      * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s2
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           ROUND((CAST(e.value AS DOUBLE) - s.s1 / s.n)
+             / sqrt((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1)), 6) AS zscore
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    ORDER BY zscore DESC, e.event_id ASC LIMIT 20
+    """,
+)
+def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier ranking: mean/variance derived from
+    EXACT decimal sums (s1, s2) so both engines compute identical
+    moments — a built-in stddev would aggregate in engine-specific
+    float order and the z-scores would drift in the last ulps; the
+    residual 1-ulp drift of the decimal->double casts themselves is
+    erased by rounding the score to 6 decimals in both engines (the
+    unigram_surprisal trick), which also makes the DESC ordering
+    tie-stable. Group stats are |groups| rows broadcast back onto the
+    stream; the top-20 is TakeOrderedAndProject."""
+    ev = load_table(spark, sf_dir, "events")
+    vdec = F.col("value").cast("decimal(18,6)")
+    stats = ev.groupBy(F.col("event_type").alias("_et")).agg(
+        F.count("*").alias("n"),
+        F.sum(vdec).cast("double").alias("s1"),
+        F.sum(vdec * vdec).cast("double").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    return (
+        ev.join(F.broadcast(stats), ev.event_type == F.col("_et"))
+        .select(
+            "event_id",
+            "event_type",
+            F.round(
+                (F.col("value").cast("double") - mean) / F.sqrt(var), 6
+            ).alias("zscore"),
+        )
+        .orderBy(F.col("zscore").desc(), F.col("event_id").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "funnel_counts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(COUNT(t_view) AS BIGINT) AS n_view,
+           CAST(COUNT(CASE WHEN t_click > t_view THEN 1 END) AS BIGINT)
+             AS n_view_click,
+           CAST(COUNT(CASE WHEN t_click > t_view AND t_buy > t_click
+                           THEN 1 END) AS BIGINT) AS n_view_click_buy
+    FROM firsts
+    """,
+)
+def funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis (view -> click -> purchase, first
+    occurrences in order): ONE conditional-aggregate pass collapses each
+    user to three first-seen timestamps — no self-joins, no window — and
+    a count pass over the |users|-sized result. The classic funnel query
+    that naive SQL writes as a 3-way self-join with O(events^3) blowup;
+    here the shuffle carries one row per user."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_ts(t):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    firsts = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_buy"),
+    )
+    step2 = F.col("t_click") > F.col("t_view")
+    step3 = step2 & (F.col("t_buy") > F.col("t_click"))
+    return firsts.agg(
+        F.count("t_view").cast("long").alias("n_view"),
+        F.coalesce(F.sum(F.when(step2, 1)), F.lit(0))
+        .cast("long")
+        .alias("n_view_click"),
+        F.coalesce(F.sum(F.when(step3, 1)), F.lit(0))
+        .cast("long")
+        .alias("n_view_click_buy"),
+    )
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH weeks AS (
+      SELECT user_id, date_trunc('week', ts) AS w FROM events GROUP BY 1, 2
+    ), cohorts AS (
+      SELECT user_id, MIN(w) AS cohort_week FROM weeks GROUP BY user_id
+    )
+    SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort,
+           CAST(datediff('week', c.cohort_week, w.w) AS BIGINT) AS week_offset,
+           CAST(COUNT(DISTINCT w.user_id) AS BIGINT) AS n_active
+    FROM weeks w JOIN cohorts c ON w.user_id = c.user_id
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-active week,
+    counted per week offset. The (user, week) dedup happens FIRST (one
+    groupBy collapsing events to user-weeks), the cohort assignment is a
+    |users|-sized broadcast back onto user-weeks, and the final count is
+    group-cardinality. Week arithmetic is integer (datediff on
+    date_trunc'd weeks) — no float, no tz ambiguity (UTC session)."""
+    ev = load_table(spark, sf_dir, "events")
+    weeks = (
+        ev.select("user_id", F.date_trunc("week", "ts").alias("w"))
+        .distinct()
+    )
+    cohorts = weeks.groupBy("user_id").agg(F.min("w").alias("cohort_week"))
+    return (
+        weeks.join(F.broadcast(cohorts), "user_id")
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort"),
+            (
+                F.datediff(F.col("w").cast("date"), F.col("cohort_week").cast("date"))
+                / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("n_active"))
+        .orderBy("cohort", "week_offset")
+    )
