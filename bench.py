@@ -110,6 +110,7 @@ HEADLINE = [
     "value_outliers",
     "funnel_counts",
     "cohort_retention",
+    "scd2_asof_lookup",
 ]
 
 

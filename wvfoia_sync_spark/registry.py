@@ -4964,3 +4964,79 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").cast("long").alias("n_active"))
         .orderBy("cohort", "week_offset")
     )
+
+
+@register(
+    "scd2_asof_lookup",
+    oracle="""
+    WITH ordered AS (
+      SELECT o_custkey, o_orderstatus, CAST(o_orderdate AS DATE) AS d, o_orderkey,
+             lag(o_orderstatus) OVER (
+               PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+             ) AS prev_status
+      FROM orders
+    ), flagged AS (
+      SELECT *, CASE WHEN prev_status IS NULL
+                       OR prev_status <> o_orderstatus THEN 1 ELSE 0 END AS chg
+      FROM ordered
+    ), versioned AS (
+      SELECT *, SUM(chg) OVER (
+        PARTITION BY o_custkey ORDER BY d, o_orderkey ROWS UNBOUNDED PRECEDING
+      ) AS version
+      FROM flagged
+    ), spans AS (
+      SELECT o_custkey, CAST(version AS BIGINT) AS version, o_orderstatus,
+             MIN(d) AS vf, COUNT(*) AS n_orders
+      FROM versioned GROUP BY o_custkey, version, o_orderstatus
+    ), hist AS (
+      SELECT o_custkey, version, o_orderstatus,
+             strftime(vf, '%Y-%m-%d') AS valid_from,
+             strftime(COALESCE(
+               lead(vf) OVER (PARTITION BY o_custkey ORDER BY version),
+               DATE '9999-12-31'
+             ), '%Y-%m-%d') AS valid_to
+      FROM spans
+    )
+    SELECT l.l_orderkey, l.l_linenumber,
+           h.version, h.o_orderstatus AS status_at_ship
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN hist h ON h.o_custkey = o.o_custkey
+       AND strftime(CAST(l.l_shipdate AS DATE), '%Y-%m-%d') >= h.valid_from
+       AND strftime(CAST(l.l_shipdate AS DATE), '%Y-%m-%d') < h.valid_to
+    WHERE l.l_linenumber = 1
+    ORDER BY l.l_orderkey
+    """,
+)
+def scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup over the SCD2 history (the
+    warehouse staple: which version was valid when the fact happened):
+    each lineitem's ship date resolves to its customer's status version
+    via valid_from <= d < valid_to. The join carries the EQUI key
+    (custkey), so Spark plans a hash/sort-merge join with the range as a
+    residual filter — spans per customer are bounded by status flips, so
+    the residual fan-out is tiny; no bucketed interval trick needed
+    (contrast interval_attribution, where there is no equi key). ISO
+    date STRINGS compare lexicographically == chronologically, matching
+    the silver convention."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_linenumber") == 1)
+    hist = scd2_history(spark, sf_dir).select(
+        F.col("o_custkey").alias("h_custkey"),
+        "version",
+        F.col("o_orderstatus").alias("status_at_ship"),
+        "valid_from",
+        "valid_to",
+    )
+    ship = _d("l_shipdate")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(
+            hist,
+            (o.o_custkey == F.col("h_custkey"))
+            & (ship >= F.col("valid_from"))
+            & (ship < F.col("valid_to")),
+        )
+        .select("l_orderkey", "l_linenumber", "version", "status_at_ship")
+        .orderBy("l_orderkey")
+    )
