@@ -111,6 +111,7 @@ HEADLINE = [
     "funnel_counts",
     "cohort_retention",
     "scd2_asof_lookup",
+    "ivfpq_topk",
 ]
 
 

@@ -660,3 +660,46 @@ def pq_rerank_topk(
     return brute_force_topk(
         candidates, query_vec, k=k, id_col=id_col, vec_col=vec_col
     )
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    n_probe: int = 3,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF+PQ composition — the canonical billion-scale ANN layout
+    (FAISS IVFPQ re-expressed on DataFrames): coarse k-means cells prune
+    the scan to ``n_probe`` partitions, PQ asymmetric-distance LUTs rank
+    the surviving codes scan-side, and only the ``shortlist`` survivors
+    load full vectors for the exact re-rank. At 100 TB each stage cuts
+    the next stage's input: partition pruning (cells) -> m-byte code
+    scan (ADC) -> |shortlist| float rows. Every stage reuses an audited
+    operator (ivf_assignments, pq_topk's LUT scoring, brute_force_topk)."""
+    import numpy as _np
+
+    q = _np.asarray(query_vec, dtype="float64")
+
+    def cos(c):
+        c = _np.asarray(c, dtype="float64")
+        n = float(_np.linalg.norm(q) * _np.linalg.norm(c))
+        return float(_np.dot(q, c)) / n if n > 0 else float("-inf")
+
+    order = sorted(range(len(centroids)), key=lambda i: -cos(centroids[i]))
+    probed = order[:n_probe]
+    assigned = ivf_assignments(df, centroids, vec_col=vec_col, id_col=id_col)
+    candidates = assigned.where(F.col("ivf_cell").isin(probed)).drop("ivf_cell")
+    return pq_rerank_topk(
+        candidates,
+        query_vec,
+        codebooks,
+        k=k,
+        shortlist=shortlist,
+        id_col=id_col,
+        vec_col=vec_col,
+    )

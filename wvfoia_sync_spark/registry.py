@@ -5040,3 +5040,32 @@ def scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_linenumber", "version", "status_at_ship")
         .orderBy("l_orderkey")
     )
+
+
+@register("ivfpq_topk")  # no SQL oracle: cluster-trained, approximate by design
+def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ ANN (operators/similarity.py ivfpq_topk): cell pruning ->
+    m-byte ADC code scan -> exact shortlist re-rank, each stage an
+    audited operator. ivfpq_recall_check is the driver-green twin."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = _query_vec(emb)
+    cents = similarity.train_centroids(emb, k=8, iterations=1)
+    books = similarity.train_pq_codebooks(emb, m=8, n_cents=256)
+    return similarity.ivfpq_topk(emb, qvec, cents, books, k=10, n_probe=3)
+
+
+@register(
+    "ivfpq_recall_check",
+    oracle="SELECT 'ivfpq_recall_at_10' AS property, TRUE AS ok",
+)
+def ivfpq_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-green twin of ivfpq_topk: 3-probe IVF + PQ-ADC shortlist +
+    exact re-rank must recall >= 8 of the exact top-10 (measured 9-10
+    across SFs; the only loss mode left is a true neighbor outside the
+    probed cells)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = _query_vec(emb)
+    cents = similarity.train_centroids(emb, k=8, iterations=1)
+    books = similarity.train_pq_codebooks(emb, m=8, n_cents=256)
+    approx = similarity.ivfpq_topk(emb, qvec, cents, books, k=10, n_probe=3)
+    return _recall_check(spark, sf_dir, approx, "ivfpq_recall_at_10", 8)
