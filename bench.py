@@ -112,6 +112,7 @@ HEADLINE = [
     "cohort_retention",
     "scd2_asof_lookup",
     "ivfpq_topk",
+    "nation_pagerank",
 ]
 
 

@@ -362,3 +362,47 @@ def test_cohort_retention_week0_covers_each_cohort(spark):
     for cohort, offs in by_cohort.items():
         assert 0 in offs, f"cohort {cohort} missing week 0"
         assert all(n <= offs[0] for n in offs.values())
+
+
+def test_nation_pagerank_matches_pure_python_recurrence(spark):
+    """The Spark PageRank must equal a driver-side pure-Python run of
+    the same rounded recurrence over independently re-derived edges."""
+    li = load_table(spark, SF_DIR, "lineitem")
+    o = load_table(spark, SF_DIR, "orders")
+    c = load_table(spark, SF_DIR, "customer")
+    s = load_table(spark, SF_DIR, "supplier")
+    edges: dict[tuple[int, int], int] = {}
+    rows = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .select("c_nationkey", "s_nationkey")
+        .collect()
+    )
+    for r in rows:
+        k = (r["c_nationkey"], r["s_nationkey"])
+        edges[k] = edges.get(k, 0) + 1
+    outw: dict[int, int] = {}
+    for (src, _), w in edges.items():
+        outw[src] = outw.get(src, 0) + w
+    nations = {
+        r["n_nationkey"]: r["n_name"]
+        for r in load_table(spark, SF_DIR, "nation").collect()
+    }
+    ranks = {k: 1.0 for k in nations}
+    for _ in range(3):
+        incoming: dict[int, float] = {}
+        for (src, dst), w in edges.items():
+            incoming[dst] = incoming.get(dst, 0.0) + round(
+                ranks[src] * (w / outw[src]), 9
+            )
+        ranks = {
+            k: round(0.15 + 0.85 * incoming.get(k, 0.0), 9) for k in nations
+        }
+    got = {
+        r["nation"]: r["rank"]
+        for r in registry.QUERIES["nation_pagerank"](spark, SF_DIR).collect()
+    }
+    want = {nations[k]: v for k, v in ranks.items()}
+    for name in want:
+        assert abs(got[name] - want[name]) < 1e-9, name

@@ -5069,3 +5069,130 @@ def ivfpq_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = similarity.train_pq_codebooks(emb, m=8, n_cents=256)
     approx = similarity.ivfpq_topk(emb, qvec, cents, books, k=10, n_probe=3)
     return _recall_check(spark, sf_dir, approx, "ivfpq_recall_at_10", 8)
+
+
+def _pagerank_step(nodes, edges_norm, ranks, damping=0.85):
+    """One deterministic PageRank iteration: contributions are rounded
+    to 9 decimals and summed as EXACT decimals (order-independent), the
+    new rank is re-rounded — so partial-aggregation order can't leak
+    into the result, and a SQL engine unrolling the same arithmetic
+    gets bit-identical ranks."""
+    contrib = (
+        edges_norm.join(
+            F.broadcast(ranks), edges_norm.src == ranks.node
+        )
+        .select(
+            F.col("dst").alias("to_node"),
+            F.round(F.col("r") * F.col("wn"), 9)
+            .cast("decimal(28,9)")
+            .alias("c"),
+        )
+        .groupBy("to_node")
+        .agg(F.sum("c").cast("double").alias("in_sum"))
+    )
+    return (
+        nodes.join(F.broadcast(contrib), nodes.node == F.col("to_node"), "left")
+        .select(
+            "node",
+            F.round(
+                F.lit(1.0 - damping)
+                + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0)),
+                9,
+            ).alias("r"),
+        )
+    )
+
+
+@register(
+    "nation_pagerank",
+    oracle="""
+    WITH edges AS (
+      SELECT cn.n_nationkey AS src, sn.n_nationkey AS dst,
+             COUNT(*) AS w
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+      JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+      GROUP BY 1, 2
+    ), outw AS (
+      SELECT src, SUM(w) AS tw FROM edges GROUP BY src
+    ), en AS (
+      SELECT e.src, e.dst, CAST(e.w AS DOUBLE) / CAST(o.tw AS DOUBLE) AS wn
+      FROM edges e JOIN outw o ON o.src = e.src
+    ), nodes AS (
+      SELECT n_nationkey AS node, n_name FROM nation
+    ), it0 AS (
+      SELECT node, CAST(1.0 AS DOUBLE) AS r FROM nodes
+    ), it1 AS (
+      SELECT n.node,
+             ROUND(0.15 + 0.85 * COALESCE(CAST(s.t AS DOUBLE), 0.0), 9) AS r
+      FROM nodes n LEFT JOIN (
+        SELECT en.dst, SUM(CAST(ROUND(it0.r * en.wn, 9) AS DECIMAL(28,9))) AS t
+        FROM en JOIN it0 ON it0.node = en.src GROUP BY en.dst
+      ) s ON s.dst = n.node
+    ), it2 AS (
+      SELECT n.node,
+             ROUND(0.15 + 0.85 * COALESCE(CAST(s.t AS DOUBLE), 0.0), 9) AS r
+      FROM nodes n LEFT JOIN (
+        SELECT en.dst, SUM(CAST(ROUND(it1.r * en.wn, 9) AS DECIMAL(28,9))) AS t
+        FROM en JOIN it1 ON it1.node = en.src GROUP BY en.dst
+      ) s ON s.dst = n.node
+    ), it3 AS (
+      SELECT n.node,
+             ROUND(0.15 + 0.85 * COALESCE(CAST(s.t AS DOUBLE), 0.0), 9) AS r
+      FROM nodes n LEFT JOIN (
+        SELECT en.dst, SUM(CAST(ROUND(it2.r * en.wn, 9) AS DECIMAL(28,9))) AS t
+        FROM en JOIN it2 ON it2.node = en.src GROUP BY en.dst
+      ) s ON s.dst = n.node
+    )
+    SELECT nodes.n_name AS nation, it3.r AS rank
+    FROM it3 JOIN nodes ON nodes.node = it3.node
+    ORDER BY rank DESC, nation ASC
+    """,
+)
+def nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the nation trade graph (customer nation ->
+    supplier nation, edge weight = lineitem count), 3 unrolled
+    iterations. The iterative-algorithm template on Spark: the EXPENSIVE
+    step is the edge build (one fact-fact join + dims, aggregated down
+    to node-cardinality), after which every iteration is a broadcast
+    join over the |nodes| rank table — the iteration never touches raw
+    data again, so 100 TB of facts cost one pass regardless of iteration
+    count. Determinism: per-iteration ROUND(.,9) + exact decimal
+    contribution sums make the float arithmetic order-independent, which
+    is what lets a SQL engine unrolling the same recurrence hash-match
+    bit-for-bit (same trick as unigram_surprisal's rounded ln)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").cast("int").alias("src"),
+            F.col("s_nationkey").cast("int").alias("dst"),
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    outw = edges.groupBy(F.col("src").alias("ow_src")).agg(
+        F.sum("w").alias("tw")
+    )
+    en = edges.join(F.broadcast(outw), edges.src == F.col("ow_src")).select(
+        "src",
+        "dst",
+        (F.col("w").cast("double") / F.col("tw").cast("double")).alias("wn"),
+    )
+    nodes = n.select(F.col("n_nationkey").cast("int").alias("node"), "n_name")
+    ranks = nodes.select("node", F.lit(1.0).alias("r"))
+    for _ in range(3):
+        ranks = _pagerank_step(nodes.select("node"), en, ranks)
+    return (
+        ranks.join(F.broadcast(nodes), "node")
+        .select(F.col("n_name").alias("nation"), F.col("r").alias("rank"))
+        .orderBy(F.col("rank").desc(), F.col("nation").asc())
+    )
