@@ -465,7 +465,11 @@ def semantic_dedup(
     sizing already enforces; an oversized cell would chunk the matmul
     row-block by row-block."""
     cents = train_centroids(df, k=k, id_col=id_col, vec_col=vec_col, iterations=1)
-    assigned = ivf_assignments(df, cents, vec_col=vec_col, id_col=id_col)
+    # persist: the assignment (a cross-join cosine fold over the corpus)
+    # feeds BOTH the pair stage and the output join — without it one
+    # action evaluates the fold twice. Slim (id, cell, vec) rows; LRU
+    # evicts under pressure.
+    assigned = ivf_assignments(df, cents, vec_col=vec_col, id_col=id_col).persist()
     id_type = df.schema[id_col].dataType.simpleString()
 
     def cell_pairs(pdf):
