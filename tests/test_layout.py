@@ -62,3 +62,26 @@ def test_zorder_narrows_both_columns(spark, tmp_path):
     med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
     assert med(z_value) < 0.75 * med(naive_value)
     assert med(z_user) < 0.75 * users
+
+
+def test_compact_files_reduces_count_and_preserves_rows(spark, tmp_path):
+    """200 tiny files -> a handful of target-sized files with identical
+    content; the old directory is swapped atomically (no residue)."""
+    import os
+
+    from wvfoia_sync_spark.operators.layout import compact_files
+
+    path = str(tmp_path / "smallfiles")
+    df = spark.range(0, 20000).withColumn("v", F.col("id") * 2)
+    df.repartition(200).write.parquet(path)
+    n_parquet = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert n_parquet == 200
+    before_sum = spark.read.parquet(path).agg(F.sum("v")).first()[0]
+
+    before, after = compact_files(spark, path, target_bytes=1 << 20)
+    assert before == 200 and after < 20
+    got = spark.read.parquet(path)
+    assert got.count() == 20000
+    assert got.agg(F.sum("v")).first()[0] == before_sum
+    assert not os.path.isdir(path + "._compact_tmp")
+    assert not os.path.isdir(path + "._compact_old")

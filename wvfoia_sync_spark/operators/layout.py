@@ -87,3 +87,55 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_files(
+    spark,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    sort_within: list[str] | None = None,
+) -> tuple[int, int]:
+    """Small-file compaction (the OPTIMIZE/rewriteDataFiles maintenance
+    pass every lakehouse runs): rewrite a parquet directory into
+    ceil(total_bytes / target_bytes) files, optionally re-sorting within
+    files to restore data-skipping stats. Streaming sinks and frequent
+    small batch writes accrete kilobyte files; at 100 TB the scan's task
+    count — and the namenode/listing pressure — tracks FILE count, not
+    byte count, so compaction is what keeps `one task ~ one row group ~
+    128 MB` true over time.
+
+    Sizing uses the CURRENT on-disk bytes (compressed), not row counts —
+    the quantity the 128 MB row-group guidance is stated in. The rewrite
+    is write-new -> atomic rename (readers never see a partial table),
+    and returns (files_before, files_after)."""
+    import os
+    import shutil
+
+    files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    before = len(files)
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, -(-total // target_bytes))  # ceil
+    df = spark.read.parquet(path)
+    out = df.repartition(n_out)
+    if sort_within:
+        out = out.sortWithinPartitions(*sort_within)
+    tmp = path.rstrip("/") + "._compact_tmp"
+    out.write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + "._compact_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    after = len(
+        [
+            f
+            for dp, _, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+    )
+    return before, after
