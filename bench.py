@@ -113,6 +113,7 @@ HEADLINE = [
     "scd2_asof_lookup",
     "ivfpq_topk",
     "nation_pagerank",
+    "interpolate_series",
 ]
 
 

@@ -5196,3 +5196,98 @@ def nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("n_name").alias("nation"), F.col("r").alias("rank"))
         .orderBy(F.col("rank").desc(), F.col("nation").asc())
     )
+
+
+@register(
+    "interpolate_series",
+    oracle="""
+    WITH hours AS (
+      SELECT date_trunc('hour', ts) AS h,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), bounds AS (
+      SELECT MIN(h) AS lo, MAX(h) AS hi FROM hours
+    ), spine AS (
+      SELECT unnest(generate_series(bounds.lo, bounds.hi,
+                                    INTERVAL 1 HOUR)) AS h
+      FROM bounds
+    ), joined AS (
+      SELECT s.h, hrs.v FROM spine s LEFT JOIN hours hrs ON hrs.h = s.h
+    ), marked AS (
+      SELECT h, v,
+             COUNT(v) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING) AS grp
+      FROM joined
+    ), filled AS (
+      SELECT h, v, grp,
+             MAX(CASE WHEN v IS NOT NULL THEN h END) OVER
+               (ORDER BY h ROWS UNBOUNDED PRECEDING) AS prev_h,
+             first_value(v IGNORE NULLS) OVER
+               (ORDER BY h ROWS UNBOUNDED PRECEDING) AS _dummy,
+             last_value(v IGNORE NULLS) OVER
+               (ORDER BY h ROWS UNBOUNDED PRECEDING) AS prev_v,
+             first_value(v IGNORE NULLS) OVER
+               (ORDER BY h ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS next_v,
+             MIN(CASE WHEN v IS NOT NULL THEN h END) OVER
+               (ORDER BY h ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS next_h
+      FROM marked
+    )
+    SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_start,
+           CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN prev_v IS NULL THEN next_v
+             WHEN next_v IS NULL THEN prev_v
+             ELSE prev_v + (next_v - prev_v)
+                  * (CAST(datediff('hour', prev_h, h) AS DOUBLE)
+                     / CAST(datediff('hour', prev_h, next_h) AS DOUBLE))
+           END AS v_filled,
+           (v IS NULL) AS interpolated
+    FROM filled ORDER BY h
+    """,
+)
+def interpolate_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill with linear interpolation: hourly purchase
+    totals on a complete hour spine (sequence + explode, the J5 gap-fill
+    pattern), missing hours interpolated between the nearest real
+    neighbors via last(v, ignorenulls) forward / first(v, ignorenulls)
+    backward windows — both ORDERED but framed, and at 100 TB
+    partitioned by series key (one global series here, bounded at
+    spine cardinality = hours, not events). Interpolation arithmetic is
+    a + (b-a)*(dt/DT) on exact-decimal-derived doubles with integer hour
+    distances — mirrored op-for-op in the oracle."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    hours = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("v")
+    )
+    bounds = hours.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h")
+    )
+    joined = spine.join(hours, "h", "left")
+    w_back = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    w_fwd = Window.orderBy("h").rowsBetween(0, Window.unboundedFollowing)
+    prev_v = F.last("v", ignorenulls=True).over(w_back)
+    next_v = F.first("v", ignorenulls=True).over(w_fwd)
+    prev_h = F.max(F.when(F.col("v").isNotNull(), F.col("h"))).over(w_back)
+    next_h = F.min(F.when(F.col("v").isNotNull(), F.col("h"))).over(w_fwd)
+    dt = (F.unix_timestamp(F.col("h")) - F.unix_timestamp(prev_h)) / 3600
+    DT = (F.unix_timestamp(next_h) - F.unix_timestamp(prev_h)) / 3600
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(prev_v.isNull(), next_v)
+        .when(next_v.isNull(), prev_v)
+        .otherwise(prev_v + (next_v - prev_v) * (dt / DT))
+    )
+    return (
+        joined.select(
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            filled.alias("v_filled"),
+            F.col("v").isNull().alias("interpolated"),
+        )
+        .orderBy("hour_start")
+    )
