@@ -114,6 +114,9 @@ HEADLINE = [
     "ivfpq_topk",
     "nation_pagerank",
     "interpolate_series",
+    "weighted_sample",
+    "price_band_pairs",
+    "equidepth_hist",
 ]
 
 

@@ -5299,3 +5299,164 @@ def interpolate_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_start")
     )
+
+
+@register(
+    "weighted_sample",
+    oracle="""
+    WITH keyed AS (
+      SELECT event_id, event_type, value,
+             ROUND(
+               ln((CAST(CAST('0x' || substr(sha256(CAST(event_id AS VARCHAR)), 1, 6)
+                        AS BIGINT) AS DOUBLE) + 1.0) / 16777217.0)
+               / CAST(value AS DOUBLE), 9) AS sk
+      FROM events WHERE value > 0
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY event_type ORDER BY sk DESC, event_id ASC
+      ) AS rn
+      FROM keyed
+    )
+    SELECT event_type, event_id, value FROM ranked WHERE rn <= 20
+    ORDER BY event_type, event_id
+    """,
+)
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, per group (Efraimidis-
+    Spirakis A-Res): each row draws a deterministic pseudo-uniform u
+    from its content hash and ranks by ln(u)/w — the per-group top-k by
+    that key are an exact weighted-without-replacement sample. One
+    window per group (the shuffle any per-group top-k pays; at 100 TB
+    swap for per-partition heaps). Cross-engine determinism: u comes
+    from a sha256 hex prefix (identical in both engines — the
+    balanced_sample trick, numeric instead of ordinal), and ln(u)/w is
+    ROUNDed to 9 decimals on both sides so libm ulp drift can't reorder
+    near-ties; remaining ties break by id."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value") > 0)
+    hx = F.substring(F.sha2(F.col("event_id").cast("string"), 256), 1, 6)
+    u = (F.conv(hx, 16, 10).cast("double") + 1.0) / 16777217.0
+    sk = F.round(F.log(u) / F.col("value").cast("double"), 9)
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("sk").desc(), F.col("event_id").asc()
+    )
+    return (
+        ev.select("event_type", "event_id", "value", sk.alias("sk"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 20)
+        .select("event_type", "event_id", "value")
+        .orderBy("event_type", "event_id")
+    )
+
+
+@register(
+    "price_band_pairs",
+    oracle="""
+    SELECT a.o_orderkey AS key_a, b.o_orderkey AS key_b,
+           a.o_orderpriority AS priority
+    FROM orders a JOIN orders b
+      ON a.o_orderpriority = b.o_orderpriority
+     AND a.o_orderkey < b.o_orderkey
+     AND abs(a.o_totalprice - b.o_totalprice) < 1.0
+    ORDER BY key_a, key_b
+    """,
+)
+def price_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric band self-join (|x_a - x_b| < eps): the third non-equi
+    join family after point-in-interval (interval_attribution) and
+    as-of (asof_join). A raw theta join is a per-priority-group nested
+    loop; bucketing each row to floor(x/eps) turns the band condition
+    into an EQUI join on (group, bucket) probed at offsets {-1, 0, +1}
+    — a candidate within eps is at most one bucket away, so three
+    bucket probes cover the band exactly, the dedup falls out of
+    emitting each ordered pair from the LEFT row's bucket only, and the
+    exact |diff| filter discards the corner false candidates. Shuffle
+    moves (group, bucket)-partitioned slim rows; no nested loop
+    anywhere."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    eps = 1.0
+    bucket = F.floor(F.col("o_totalprice") / eps)
+    a = o.select(
+        F.col("o_orderkey").alias("key_a"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_totalprice").alias("price_a"),
+        bucket.alias("bucket_a"),
+    )
+    # probe the left row against its own bucket and both neighbors
+    probes = a.withColumn(
+        "bucket", F.explode(
+            F.array(
+                F.col("bucket_a") - 1, F.col("bucket_a"), F.col("bucket_a") + 1
+            )
+        )
+    )
+    b = o.select(
+        F.col("o_orderkey").alias("key_b"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_totalprice").alias("price_b"),
+        bucket.alias("bucket"),
+    )
+    return (
+        probes.join(b, ["priority", "bucket"])
+        .where(
+            (F.col("key_a") < F.col("key_b"))
+            & (F.abs(F.col("price_a") - F.col("price_b")) < eps)
+        )
+        .select("key_a", "key_b", "priority")
+        .orderBy("key_a", "key_b")
+    )
+
+
+@register(
+    "equidepth_hist",
+    oracle="""
+    WITH cuts AS (
+      SELECT quantile_cont(CAST(o_totalprice AS DOUBLE),
+                           [0.25, 0.5, 0.75]) AS q
+      FROM orders
+    )
+    SELECT CAST(CASE
+             WHEN CAST(o_totalprice AS DOUBLE) < q[1] THEN 0
+             WHEN CAST(o_totalprice AS DOUBLE) < q[2] THEN 1
+             WHEN CAST(o_totalprice AS DOUBLE) < q[3] THEN 2
+             ELSE 3 END AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+    FROM orders, cuts
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile-bucketed) histogram — the statistic CBOs
+    store per column, as a query: exact quartile cut points (one
+    aggregate), broadcast back as a 1-row cross join, bucket by
+    comparison chain, per-bucket count + bounds. Contrast
+    token_histogram's equi-WIDTH buckets: equi-depth keeps every bucket
+    population-balanced under skew. Exact percentile is a sort-based
+    aggregate — at 100 TB substitute approx_percentile and gate its
+    rank error like approx_quantile_check does."""
+    o = load_table(spark, sf_dir, "orders")
+    cuts = o.agg(
+        F.expr(
+            "percentile(CAST(o_totalprice AS DOUBLE), array(0.25, 0.5, 0.75))"
+        ).alias("q")
+    )
+    x = F.col("o_totalprice").cast("double")
+    bucket = (
+        F.when(x < F.col("q")[0], 0)
+        .when(x < F.col("q")[1], 1)
+        .when(x < F.col("q")[2], 2)
+        .otherwise(3)
+    )
+    return (
+        o.crossJoin(F.broadcast(cuts))
+        .groupBy(bucket.cast("long").alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("o_totalprice").cast("double").alias("lo"),
+            F.max("o_totalprice").cast("double").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
