@@ -406,3 +406,62 @@ def test_nation_pagerank_matches_pure_python_recurrence(spark):
     want = {nations[k]: v for k, v in ranks.items()}
     for name in want:
         assert abs(got[name] - want[name]) < 1e-9, name
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    """20 per group, and the weighted draw must skew heavy: the sampled
+    mean value per group exceeds the population mean (w in the rank key
+    ln(u)/w upweights large values; on 400+ candidates per group the
+    gap is far from noise)."""
+    out = registry.QUERIES["weighted_sample"](spark, "/root/testdata/sf0.01")
+    rows = out.collect()
+    by_type: dict[str, list[float]] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r["value"])
+    ev = load_table(spark, "/root/testdata/sf0.01", "events").where(
+        F.col("value") > 0
+    )
+    pop = {
+        r["event_type"]: r["m"]
+        for r in ev.groupBy("event_type").agg(F.avg("value").alias("m")).collect()
+    }
+    assert by_type and all(len(v) == 20 for v in by_type.values())
+    heavier = sum(
+        1 for t, vs in by_type.items() if sum(vs) / len(vs) > pop[t]
+    )
+    assert heavier >= len(by_type) - 1  # allow one small-population group
+
+
+def test_price_band_pairs_exact_and_complete(spark):
+    """Re-derive the band pairs with a plain driver-side loop: the
+    bucketed equi-join must produce exactly the |diff|<eps ordered
+    pairs (no bucket-boundary misses, no dupes from the 3 probes)."""
+    rows = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    ).collect()
+    want = set()
+    by_p: dict[str, list] = {}
+    for r in rows:
+        by_p.setdefault(r["o_orderpriority"], []).append(r)
+    for grp in by_p.values():
+        for i, a in enumerate(grp):
+            for b in grp[i + 1 :]:
+                if abs(a["o_totalprice"] - b["o_totalprice"]) < 1.0:
+                    k = (min(a["o_orderkey"], b["o_orderkey"]),
+                         max(a["o_orderkey"], b["o_orderkey"]))
+                    want.add(k)
+    got = {
+        (r["key_a"], r["key_b"])
+        for r in registry.QUERIES["price_band_pairs"](spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+def test_equidepth_hist_buckets_are_balanced_and_ordered(spark):
+    rows = registry.QUERIES["equidepth_hist"](spark, SF_DIR).collect()
+    assert [r["bucket"] for r in rows] == [0, 1, 2, 3]
+    total = sum(r["n"] for r in rows)
+    for r in rows:
+        assert abs(r["n"] - total / 4) <= total * 0.02 + 2  # equi-depth
+    for a, b in zip(rows, rows[1:]):
+        assert a["hi"] <= b["lo"] or abs(a["hi"] - b["lo"]) < 1e-9
