@@ -117,6 +117,7 @@ HEADLINE = [
     "weighted_sample",
     "price_band_pairs",
     "equidepth_hist",
+    "stream_dedup",
 ]
 
 

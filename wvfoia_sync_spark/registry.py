@@ -5460,3 +5460,33 @@ def equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "stream_dedup",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_unique
+    FROM (SELECT DISTINCT user_id, event_type, value FROM events)
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST: streaming ingest-time dedup run as a REAL streaming query —
+    dropDuplicatesWithinWatermark keyed by a null-safe struct hash,
+    state bounded by (watermark horizon x arrival rate). The output
+    counts survivors per type (which PARTICULAR duplicate instance
+    survives is arrival-order-dependent; the count is not), and must
+    equal batch COUNT(DISTINCT). Single availableNow batch here, so the
+    horizon covers the whole file and the dedup is exact."""
+    from .streaming import jobs
+
+    stream = jobs.read_events_stream(spark, sf_dir, glob="events.parquet")
+    deduped = jobs.streaming_dedup(stream)
+    kept = jobs.run_available_now_append(
+        deduped.select("event_type", "fp"), "stream_dedup_sink"
+    )
+    return (
+        kept.groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("n_unique"))
+        .orderBy("event_type")
+    )
