@@ -431,6 +431,7 @@ def semantic_dedup(
     k: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023 pattern,
     re-derived on DataFrames): cluster embeddings with the deterministic
@@ -464,7 +465,11 @@ def semantic_dedup(
     doubles plus the |cell|^2 score tile — the same bound the cluster
     sizing already enforces; an oversized cell would chunk the matmul
     row-block by row-block."""
-    cents = train_centroids(df, k=k, id_col=id_col, vec_col=vec_col, iterations=1)
+    cents = (
+        centroids
+        if centroids is not None
+        else train_centroids(df, k=k, id_col=id_col, vec_col=vec_col, iterations=1)
+    )
     # persist: the assignment (a cross-join cosine fold over the corpus)
     # feeds BOTH the pair stage and the output join — without it one
     # action evaluates the fold twice. Slim (id, cell, vec) rows; LRU
