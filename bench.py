@@ -118,6 +118,7 @@ HEADLINE = [
     "price_band_pairs",
     "equidepth_hist",
     "stream_dedup",
+    "cluster_best_pick",
 ]
 
 

@@ -60,6 +60,17 @@ PROBE_QUERIES = [
     "scd2_history",
     "cdc_apply",
     "incremental_rollup",
+    # round-3 shapes (agg/join-shaped: replication-safe, unlike the
+    # pairwise dedup ops excluded above)
+    "large_volume_customers",
+    "product_profit",
+    "bloom_semi_join",
+    "fts_vocab",
+    "bigram_counts",
+    "funnel_counts",
+    "cohort_retention",
+    "nation_pagerank",
+    "skew_report",
 ]
 
 OFFSET_KEYS = {

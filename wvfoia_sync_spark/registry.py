@@ -5521,3 +5521,58 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_unique"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "cluster_best_pick",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_DUP_PAIRS_085},
+    members AS (
+      SELECT c.component, c.id,
+             len(list_distinct({_SQL_TOKENS.format(c='d.text')})) AS n_tokens
+      FROM comp c JOIN documents d ON d.doc_id = c.id
+    ), ranked AS (
+      SELECT component, id, n_tokens,
+             row_number() OVER (PARTITION BY component
+                                ORDER BY n_tokens DESC, id ASC) AS rn
+      FROM members
+    )
+    SELECT CAST(component AS BIGINT) AS component,
+           CAST(id AS BIGINT) AS best_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM ranked WHERE rn = 1 ORDER BY component
+    """,
+)
+def cluster_best_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware duplicate-cluster curation: instead of dup_clusters'
+    keep-smallest-id, keep each cluster's RICHEST member (max distinct
+    tokens, min-id tiebreak) — the 'pick the best copy' policy real
+    curation pipelines use when near-dups differ in truncation. Argmax
+    via max(struct(quality, -id)) inside the component groupBy — shares
+    the one component-keyed aggregation, no window over the corpus; the
+    quality metric is an exact integer so both engines rank
+    identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs_auto(docs, "doc_id", "text", "source", 0.85)
+    cc = dedup.connected_components(pairs)
+    qual = docs.select(
+        F.col("doc_id").alias("qid"),
+        F.size(F.array_distinct(text_fns.tokens("text"))).cast("long").alias(
+            "n_tokens"
+        ),
+    )
+    return (
+        cc.join(qual, cc.id == F.col("qid"))
+        .groupBy("component")
+        .agg(
+            F.max(
+                F.struct(F.col("n_tokens"), (-F.col("id")).alias("_ni"))
+            ).alias("_b")
+        )
+        .select(
+            "component",
+            (-F.col("_b._ni")).cast("long").alias("best_id"),
+            F.col("_b.n_tokens").cast("long").alias("n_tokens"),
+        )
+        .orderBy("component")
+    )
