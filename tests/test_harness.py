@@ -36,3 +36,32 @@ def test_canon_distinguishes_null_from_empty_string():
     df = pd.DataFrame({"a": ["", None]})
     out = canon(df)
     assert set(out["a"]) == {"", "<NULL>"}
+
+
+def test_every_rows_only_query_has_a_driver_green_companion_gate():
+    """Policy gate: a registry query without a DuckDB oracle is invisible
+    to the driver's hash compare, so each one MUST name a hash-matched
+    companion (property/recall gate) that goes red when the approximate
+    path regresses. A new rows-only query without a companion fails here
+    instead of silently weakening CORRECTNESS coverage."""
+    from wvfoia_sync_spark import registry
+
+    companions = {
+        "minhash_near_dup": "minhash_property_check",
+        "simhash_dups": "simhash_property_check",
+        "embedding_lsh_topk": "lsh_recall_check",
+        "ivf_topk": "ivf_recall_check",
+        "sq8_topk": "sq8_recall_check",
+        "pq_topk": "pq_recall_check",
+        "ivfpq_topk": "ivfpq_recall_check",
+        "approx_distinct_users": "hll_error_check",
+        "semantic_dedup": "semdedup_property_check",
+    }
+    rows_only = set(registry.QUERIES) - set(registry.ORACLE)
+    unmapped = rows_only - set(companions)
+    assert not unmapped, f"rows-only queries without a companion gate: {sorted(unmapped)}"
+    for q, gate in companions.items():
+        assert q in registry.QUERIES, f"stale companion map entry: {q}"
+        assert gate in registry.ORACLE, (
+            f"{q}'s companion {gate} must itself be oracle-checked"
+        )
