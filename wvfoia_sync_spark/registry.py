@@ -1554,7 +1554,7 @@ def events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-identical results to the batch oracle."""
     from .streaming import jobs
 
-    stream = jobs.read_events_stream(spark, sf_dir, glob="events.parquet")
+    stream = jobs.events_stream(spark, sf_dir)
     return jobs.run_available_now(
         jobs.hourly_aggregation(stream), "events_hourly_stream_sink"
     )
@@ -3435,7 +3435,7 @@ def sessionization_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary gaps)."""
     from .streaming import jobs
 
-    stream = jobs.read_events_stream(spark, sf_dir, glob="events.parquet")
+    stream = jobs.events_stream(spark, sf_dir)
     return jobs.run_available_now(
         jobs.session_aggregation(stream), "sessionization_stream_sink"
     )
@@ -3658,7 +3658,7 @@ def stateful_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs SQL sequential order differ in last-ulp)."""
     from .streaming import jobs
 
-    stream = jobs.read_events_stream(spark, sf_dir, glob="events.parquet")
+    stream = jobs.events_stream(spark, sf_dir)
     updates = jobs.run_available_now_update(
         jobs.stateful_user_counts(stream), "stateful_counts_stream_sink"
     )
@@ -4362,8 +4362,8 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain interval self-join over the same parquet."""
     from .streaming import jobs
 
-    clicks = jobs.read_events_stream(spark, sf_dir, glob="events.parquet")
-    views = jobs.read_events_stream(spark, sf_dir, glob="events.parquet")
+    clicks = jobs.events_stream(spark, sf_dir)
+    views = jobs.events_stream(spark, sf_dir)
     joined = jobs.click_view_attribution(clicks, views, lookback="2 hours")
     out = jobs.run_available_now_append(joined, "stream_stream_join_sink")
     return out.orderBy("click_id", "view_id")
@@ -4604,7 +4604,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain join + group."""
     from .streaming import jobs
 
-    stream = jobs.read_events_stream(spark, sf_dir, glob="events.parquet")
+    stream = jobs.events_stream(spark, sf_dir)
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey"
     )
@@ -4694,7 +4694,7 @@ def stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:10]
     base = f"{tempfile.gettempdir()}/spark_graft_stream_upsert_{tag}"
     shutil.rmtree(base, ignore_errors=True)
-    stream = jobs.read_events_stream(spark, sf_dir, glob="events.parquet")
+    stream = jobs.events_stream(spark, sf_dir)
     jobs.stream_upsert_sink(
         stream.select("user_id", "event_id", "event_type"),
         table_path=f"{base}/table",
@@ -5511,7 +5511,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     horizon covers the whole file and the dedup is exact."""
     from .streaming import jobs
 
-    stream = jobs.read_events_stream(spark, sf_dir, glob="events.parquet")
+    stream = jobs.events_stream(spark, sf_dir)
     deduped = jobs.streaming_dedup(stream)
     kept = jobs.run_available_now_append(
         deduped.select("event_type", "fp"), "stream_dedup_sink"

@@ -397,3 +397,19 @@ def stream_upsert_sink(
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolve the events table inside a dataset directory for streaming,
+    tolerant of both physical layouts: a flat ``events.parquet`` FILE
+    beside other tables (the driver's testdata — needs a pathGlobFilter
+    so sibling tables don't pollute the source) and an ``events.parquet``
+    DIRECTORY of part files (any production/multifile layout — the
+    directory IS the source; a file-name glob would match nothing and
+    schema inference dies)."""
+    import os
+
+    p = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(p):
+        return read_events_stream(spark, p)
+    return read_events_stream(spark, sf_dir, glob="events.parquet")
