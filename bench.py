@@ -119,6 +119,8 @@ HEADLINE = [
     "equidepth_hist",
     "stream_dedup",
     "cluster_best_pick",
+    "price_qty_corr",
+    "revenue_trend",
 ]
 
 

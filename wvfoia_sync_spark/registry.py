@@ -5576,3 +5576,120 @@ def cluster_best_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component")
     )
+
+
+@register(
+    "price_qty_corr",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(
+             (CAST(COUNT(*) AS DOUBLE)
+                * CAST(SUM(CAST(l_quantity AS DECIMAL(24,4))
+                           * CAST(l_extendedprice AS DECIMAL(24,4))) AS DOUBLE)
+              - CAST(SUM(CAST(l_quantity AS DECIMAL(24,4))) AS DOUBLE)
+                * CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,4))) AS DOUBLE))
+             / (sqrt(CAST(COUNT(*) AS DOUBLE)
+                       * CAST(SUM(CAST(l_quantity AS DECIMAL(24,4))
+                                  * CAST(l_quantity AS DECIMAL(24,4))) AS DOUBLE)
+                     - CAST(SUM(CAST(l_quantity AS DECIMAL(24,4))) AS DOUBLE)
+                       * CAST(SUM(CAST(l_quantity AS DECIMAL(24,4))) AS DOUBLE))
+                * sqrt(CAST(COUNT(*) AS DOUBLE)
+                         * CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,4))
+                                    * CAST(l_extendedprice AS DECIMAL(24,4))) AS DOUBLE)
+                       - CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,4))) AS DOUBLE)
+                         * CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,4))) AS DOUBLE))),
+             9) AS pearson_r
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def price_qty_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Pearson correlation from EXACT decimal moments (n, Σx,
+    Σy, Σxy, Σx², Σy²) — never the built-in corr(), whose streaming
+    covariance accumulates in engine- and partition-order-dependent
+    float order. One partial-agg pass; the decimal->double boundary is
+    crossed once per group and the final value is rounded at 9 decimals
+    on both engines (cast-rounding ulp hygiene, as value_outliers)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(24,4)")
+    y = F.col("l_extendedprice").cast("decimal(24,4)")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ) * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    return agg.select(
+        "l_returnflag", F.round(num / den, 9).alias("pearson_r")
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "revenue_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT n.n_name AS nation,
+             CAST(datediff('day', DATE '1995-01-01',
+                           CAST(o.o_orderdate AS DATE)) AS BIGINT) AS x,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS y_d
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n   ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT nation,
+           ROUND(
+             (CAST(COUNT(*) AS DOUBLE)
+                * CAST(SUM(CAST(x AS DECIMAL(18,0)) * y_d) AS DOUBLE)
+              - CAST(SUM(CAST(x AS DECIMAL(18,0))) AS DOUBLE)
+                * CAST(SUM(y_d) AS DOUBLE))
+             / (CAST(COUNT(*) AS DOUBLE)
+                  * CAST(SUM(CAST(x AS DECIMAL(18,0))
+                             * CAST(x AS DECIMAL(18,0))) AS DOUBLE)
+                - CAST(SUM(CAST(x AS DECIMAL(18,0))) AS DOUBLE)
+                  * CAST(SUM(CAST(x AS DECIMAL(18,0))) AS DOUBLE)),
+             9) AS slope_per_day
+    FROM daily GROUP BY nation ORDER BY nation
+    """,
+)
+def revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS trend per nation (is revenue growing?): least-squares slope
+    of daily revenue against day index, from the same exact-decimal
+    moment machinery as price_qty_corr — the regression every BI layer
+    bolts on, as one partial-agg pass over a (nation, day) rollup whose
+    cardinality is dimension-sized. Rounded at 9 decimals both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    daily = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+            )
+            .cast("long")
+            .alias("x"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("y_d"))
+    )
+    xd = F.col("x").cast("decimal(18,0)")
+    agg = daily.groupBy("nation").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(xd).cast("double").alias("sx"),
+        F.sum(F.col("y_d")).cast("double").alias("sy"),
+        F.sum(xd * F.col("y_d")).cast("double").alias("sxy"),
+        F.sum(xd * xd).cast("double").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return agg.select(
+        "nation", F.round(slope, 9).alias("slope_per_day")
+    ).orderBy("nation")
