@@ -121,6 +121,8 @@ HEADLINE = [
     "cluster_best_pick",
     "price_qty_corr",
     "revenue_trend",
+    "modal_status",
+    "status_sequence",
 ]
 
 

@@ -5693,3 +5693,77 @@ def revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "nation", F.round(slope, 9).alias("slope_per_day")
     ).orderBy("nation")
+
+
+@register(
+    "modal_status",
+    oracle="""
+    WITH counts AS (
+      SELECT o_orderpriority, o_orderstatus, COUNT(*) AS c
+      FROM orders GROUP BY 1, 2
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY o_orderpriority ORDER BY c DESC, o_orderstatus ASC
+      ) AS rn
+      FROM counts
+    )
+    SELECT o_orderpriority, o_orderstatus AS modal_status,
+           CAST(c AS BIGINT) AS n
+    FROM ranked WHERE rn = 1 ORDER BY o_orderpriority
+    """,
+)
+def modal_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode (most frequent value) per group: count rollup, broadcast the
+    per-group max count back, keep the min status among max-count rows —
+    two tiny group-cardinality aggregates, no window over the fact
+    table (the oracle's window runs over the COUNT ROLLUP only). Ties
+    break deterministically toward the lexicographically smallest value
+    in both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("c")
+    )
+    mx = counts.groupBy("o_orderpriority").agg(F.max("c").alias("mc"))
+    return (
+        counts.join(
+            F.broadcast(mx),
+            (counts.o_orderpriority == mx.o_orderpriority)
+            & (counts.c == mx.mc),
+        )
+        .drop(mx.o_orderpriority)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.min("o_orderstatus").alias("modal_status"),
+            F.first("mc").cast("long").alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "status_sequence",
+    oracle="""
+    SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+             AS statuses,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def status_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered list aggregation (the reporting staple): distinct values
+    per group as one sorted delimited string. collect_set -> array_sort
+    -> array_join keeps the result partition-order-independent (a bare
+    collect_list + string agg would be nondeterministic under Spark's
+    parallel collection — the reason the sort is NOT optional)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("o_orderstatus")), ","
+            ).alias("statuses"),
+            F.countDistinct("o_orderstatus").cast("long").alias("n_statuses"),
+        )
+        .orderBy("o_orderpriority")
+    )
