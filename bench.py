@@ -123,6 +123,7 @@ HEADLINE = [
     "revenue_trend",
     "modal_status",
     "status_sequence",
+    "cycle_time",
 ]
 
 

@@ -5767,3 +5767,44 @@ def status_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "cycle_time",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(datediff('day', CAST(o.o_orderdate AS DATE),
+                                  CAST(l.l_shipdate AS DATE)) AS BIGINT))
+                AS DOUBLE) / COUNT(*) AS avg_days_to_ship,
+           CAST(MAX(datediff('day', CAST(o.o_orderdate AS DATE),
+                             CAST(l.l_shipdate AS DATE))) AS BIGINT)
+             AS max_days_to_ship
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def cycle_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship cycle time per priority (the ops 'how long do
+    things take' metric; the reference computes the same shape as FOIA
+    request->completion day counts via julianday, agencies.ts:58-66):
+    integer day differences summed exactly, the mean surfaced as one
+    exact-int/count double division. One fact-fact join + one
+    group-cardinality aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    days = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    ).cast("long")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            (F.sum(days).cast("double") / F.count("*")).alias(
+                "avg_days_to_ship"
+            ),
+            F.max(days).alias("max_days_to_ship"),
+        )
+        .orderBy("o_orderpriority")
+    )
