@@ -124,6 +124,10 @@ HEADLINE = [
     "modal_status",
     "status_sequence",
     "cycle_time",
+    "forecast_revenue",
+    "shipmode_priority",
+    "disjunctive_revenue",
+    "excess_qty_suppliers",
 ]
 
 

@@ -1,0 +1,159 @@
+"""Invariant + plan tests for the four queries that complete the TPC-H
+shape repertoire (Q6 forecast_revenue, Q12 shipmode_priority, Q19
+disjunctive_revenue, Q20 excess_qty_suppliers). Value-level correctness
+is the DuckDB oracle (tools/check_oracle.py); these pin the physical
+promises the docstrings make — full predicate pushdown, filter-before-
+join, factored-residual broadcast, single fact pass — because those are
+the properties that decide whether the plan survives 100 TB.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from wvfoia_sync_spark import registry
+from wvfoia_sync_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    df.sparkSession.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_forecast_revenue_is_pure_pushdown_scan(spark):
+    """Q6's whole point: no join, and every predicate — including the
+    CAST(shipdate AS DATE) range, which Catalyst must rewrite into
+    timestamp bounds — reaches the parquet scan as a PushedFilter."""
+    plan = _plan(registry.QUERIES["forecast_revenue"](spark, SF_DIR))
+    assert "Join" not in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed, "no PushedFilters line in plan"
+    line = pushed[0]
+    for frag in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount",
+        "LessThanOrEqual(l_discount",
+        "LessThan(l_quantity",
+    ):
+        assert frag in line, f"{frag} not pushed: {line}"
+    # map-side partial + final aggregate pair around one 1-row exchange
+    # (tree-form "HashAggregate (n)"; the detail section repeats nodes)
+    assert plan.count("HashAggregate (") == 2
+
+
+def test_shipmode_priority_filters_fact_before_join(spark):
+    """Q12: the one-year shipdate cut must reach the lineitem scan so
+    the orderkey shuffle carries a year of lines, not the table."""
+    plan = _plan(registry.QUERIES["shipmode_priority"](spark, SF_DIR))
+    pushed = [
+        ln
+        for ln in plan.splitlines()
+        if "PushedFilters" in ln and "l_shipdate" in ln
+    ]
+    assert any(
+        "GreaterThanOrEqual(l_shipdate" in ln and "LessThan(l_shipdate" in ln
+        for ln in pushed
+    ), f"shipdate range not pushed to the fact scan: {pushed}"
+
+
+def test_disjunctive_revenue_factored_residuals(spark):
+    """Q19: the hand-factored residuals of the OR-of-ANDs must appear as
+    (a) a pushed quantity range on the fact scan (union of the three
+    quantity bands) and (b) a broadcast build side already cut to the
+    three brands."""
+    plan = _plan(registry.QUERIES["disjunctive_revenue"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    fact_scan = [
+        ln
+        for ln in plan.splitlines()
+        if "PushedFilters" in ln and "l_quantity" in ln
+    ]
+    assert any(
+        "GreaterThanOrEqual(l_quantity,1" in ln
+        and "LessThanOrEqual(l_quantity,30" in ln
+        for ln in fact_scan
+    ), f"quantity union-range not pushed: {fact_scan}"
+    part_scan = [
+        ln
+        for ln in plan.splitlines()
+        if "PushedFilters" in ln and "p_brand" in ln
+    ]
+    assert any("In(p_brand" in ln for ln in part_scan), (
+        f"brand membership not pushed to part scan: {part_scan}"
+    )
+
+
+def test_disjunctive_revenue_residuals_lose_no_rows(spark):
+    """The factored pre-filters are supersets of the disjunction: the
+    answer must equal the unfactored join+OR evaluated directly."""
+    got = registry.QUERIES["disjunctive_revenue"](spark, SF_DIR).collect()[0]
+    li = load_table(spark, SF_DIR, "lineitem")
+    p = load_table(spark, SF_DIR, "part")
+    q = F.col("l_quantity")
+    disj = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size") >= 1)
+            & (F.col("p_size") <= 15)
+            & (q >= 1)
+            & (q <= 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & (F.col("p_size") >= 1)
+            & (F.col("p_size") <= 25)
+            & (q >= 10)
+            & (q <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("p_size") >= 1)
+            & (F.col("p_size") <= 35)
+            & (q >= 20)
+            & (q <= 30)
+        )
+    )
+    want = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .where(disj)
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+        )
+        .collect()[0]
+    )
+    assert got["n_lines"] == want["n_lines"]
+
+
+def test_excess_qty_suppliers_single_fact_pass_and_threshold(spark):
+    """Q20: (a) the plan scans lineitem exactly once (the window-over-
+    aggregate decorrelation; a two-branch groupBy would scan it twice),
+    and (b) every returned supplier really shipped >15% of some red
+    part's total."""
+    df = registry.QUERIES["excess_qty_suppliers"](spark, SF_DIR)
+    assert _plan(df).count("lineitem.parquet") == 1
+    got = {r["s_suppkey"] for r in df.collect()}
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    p = load_table(spark, SF_DIR, "part").where(
+        F.col("p_name").startswith("red")
+    )
+    sp = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .collect()
+    )
+    totals: dict[int, float] = {}
+    for r in sp:
+        totals[r["l_partkey"]] = totals.get(r["l_partkey"], 0.0) + r["qty"]
+    want = {
+        r["l_suppkey"]
+        for r in sp
+        if r["qty"] > 0.15 * totals[r["l_partkey"]]
+    }
+    assert got == want

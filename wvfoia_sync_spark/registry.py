@@ -5808,3 +5808,229 @@ def cycle_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+             AS revenue_delta,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecast revenue change): the pure scan-side
+    query — every predicate (shipdate year, discount band, quantity
+    cap) is a parquet-pushable comparison on the fact table, no join,
+    one global aggregate. At 100 TB this is the query whose entire cost
+    is I/O: row-group min/max statistics prune most files before a byte
+    of data decompresses, and the surviving rows fold in the map-side
+    partial aggregate (one 1-row exchange total). Revenue is the exact
+    decimal product sum surfaced as double; the discount band compares
+    the stored doubles themselves, identical bits in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = F.col("l_shipdate").cast("date")
+    return (
+        li.where(
+            (d >= F.lit("1997-01-01").cast("date"))
+            & (d < F.lit("1998-01-01").cast("date"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,4)")
+                * F.col("l_discount").cast("decimal(18,4)")
+            )
+            .cast("double")
+            .alias("revenue_delta"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "shipmode_priority",
+    oracle="""
+    SELECT l.l_linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE CAST(l.l_shipdate AS DATE) >= DATE '1998-01-01'
+      AND CAST(l.l_shipdate AS DATE) < DATE '1999-01-01'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping modes vs order priority; l_linestatus
+    stands in for the l_shipmode column the driver schema omits): the
+    year filter prunes the fact scan BEFORE the join, so the shuffle
+    carries one year of lines, not the table; the priority split is a
+    conditional count pair folded map-side. At 100 TB both sides
+    shuffle on orderkey (orders is too big to broadcast) — a plain
+    shuffled hash join whose input is already cut by pushdown, the
+    cheapest possible shape for a fact-fact equi-join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("l_shipdate").cast("date")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.where(
+            (d >= F.lit("1998-01-01").cast("date"))
+            & (d < F.lit("1999-01-01").cast("date"))
+        )
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
+    "disjunctive_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,4))))
+                AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+    """,
+)
+def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, disjunction of
+    conjunctions): the classic OR-of-ANDs predicate that naive planners
+    evaluate post-join. Two things matter at scale: (1) the
+    brand-membership disjunct `p_brand IN (1,2,3)` is factored out and
+    applied to the part dimension BEFORE the broadcast, so the build
+    side is ~12% of part, and (2) the quantity bounds' union
+    `l_quantity BETWEEN 1 AND 30` is applied to the fact scan as a
+    pushed-down range, so lines that no disjunct can accept never reach
+    the join. Catalyst doesn't derive either residual from an OR tree
+    on its own — factoring them out by hand is the difference between
+    scanning 100 TB and scanning the qualifying fraction."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+        & (F.col("p_size") >= 1)
+        & (F.col("p_size") <= 35)
+    )
+    q = F.col("l_quantity")
+    li = li.where((q >= 1) & (q <= 30))
+    disj = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size") <= 15)
+            & (q >= 1)
+            & (q <= 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & (F.col("p_size") <= 25)
+            & (q >= 10)
+            & (q <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("p_size") <= 35)
+            & (q >= 20)
+            & (q <= 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(disj)
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,4)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)"))
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "excess_qty_suppliers",
+    oracle="""
+    WITH sp AS (
+      SELECT l.l_suppkey AS suppkey, l.l_partkey AS partkey,
+             SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS qty
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_name LIKE 'red%'
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT partkey AS tpartkey, SUM(qty) AS total
+            FROM sp GROUP BY 1)
+    SELECT DISTINCT s.s_suppkey, s.s_name
+    FROM sp
+    JOIN tot ON tot.tpartkey = sp.partkey
+    JOIN supplier s ON s.s_suppkey = sp.suppkey
+    WHERE CAST(sp.qty AS DOUBLE) > 0.15 * CAST(tot.total AS DOUBLE)
+    ORDER BY s.s_suppkey
+    """,
+)
+def excess_qty_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion, adapted: the driver
+    schema has no partsupp, so 'availqty' becomes shipped quantity and
+    the question is which suppliers dominate a red part's supply —
+    shipped an outsized share — over 15% — of the part's total).
+    The correlated `> 0.15 * (SELECT ...)` decorrelates into the
+    per-(supplier,part) aggregate plus a per-part total computed as a
+    PARTITIONED window sum over that same aggregate — not a second
+    groupBy branch, which would make Spark re-run the fact join twice
+    (DataFrame lineage has no common-subexpression reuse across
+    branches). The window runs on dimension-cardinality data
+    (|supplier|x|red parts|, far below the fact table) partitioned by
+    partkey, so at 100 TB the only fact-sized pass is the single
+    filtered scan feeding the first groupBy. Exact decimal sums feed
+    the 0.15*total threshold via one double multiply, identical in
+    both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").startswith("red")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    sp = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("l_suppkey").alias("suppkey"),
+            F.col("l_partkey").alias("partkey"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("qty"))
+    )
+    total = F.sum("qty").over(Window.partitionBy("partkey"))
+    return (
+        sp.withColumn("total", total)
+        .where(
+            F.col("qty").cast("double")
+            > F.lit(0.15) * F.col("total").cast("double")
+        )
+        .join(s, F.col("suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name")
+        .distinct()
+        .orderBy("s_suppkey")
+    )
