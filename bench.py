@@ -128,6 +128,8 @@ HEADLINE = [
     "shipmode_priority",
     "disjunctive_revenue",
     "excess_qty_suppliers",
+    "partition_pruned_revenue",
+    "dpp_star_join",
 ]
 
 

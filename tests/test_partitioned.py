@@ -1,0 +1,80 @@
+"""Partition-pruning tests (sources/partitioned.py): the hive layout is
+answer-invariant, static pruning lands the year literal in
+PartitionFilters, and the star-join exercises a real runtime
+dynamicpruningexpression — the two layout-level mechanisms the 100 TB
+design uses where the reference used B-tree indexes.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+from wvfoia_sync_spark import registry
+from wvfoia_sync_spark.sources import partitioned
+from wvfoia_sync_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    df.sparkSession.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_layout_is_hive_partitioned_and_complete(spark):
+    """One `l_shipyear=YYYY` dir per ship year, and the layout holds
+    exactly the source's rows (partitioning may reorder, never drop)."""
+    path = partitioned.partitioned_lineitem_path(spark, SF_DIR)
+    dirs = {d for d in os.listdir(path) if d.startswith("l_shipyear=")}
+    li = load_table(spark, SF_DIR, "lineitem")
+    years = {
+        f"l_shipyear={r[0]}"
+        for r in li.select(
+            F.year(F.col("l_shipdate").cast("date"))
+        ).distinct().collect()
+    }
+    assert dirs == years
+    assert spark.read.parquet(path).count() == li.count()
+
+
+def test_static_pruning_hits_partition_filters(spark):
+    """The year literal must prune at planning time (PartitionFilters),
+    not as a data filter after listing every directory."""
+    plan = _plan(registry.QUERIES["partition_pruned_revenue"](spark, SF_DIR))
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("l_shipyear" in ln and "1998" in ln for ln in pf), pf
+
+
+def test_dpp_star_join_injects_runtime_pruning(spark):
+    """The era filter lives on the dimension, so the fact scan must
+    carry a dynamicpruningexpression — proof the plan prunes partitions
+    with the dim's surviving keys at runtime."""
+    plan = _plan(registry.QUERIES["dpp_star_join"](spark, SF_DIR))
+    assert "dynamicpruningexpression" in plan, plan[:2000]
+
+
+def test_dpp_join_matches_direct_computation(spark):
+    """Pruning is an optimization, never a semantic: the DPP join must
+    return exactly the unpartitioned join's aggregate."""
+    got = {
+        r["l_returnflag"]: (r["n_lines"], r["sum_qty"])
+        for r in registry.QUERIES["dpp_star_join"](spark, SF_DIR).collect()
+    }
+    li = load_table(spark, SF_DIR, "lineitem")
+    want = {
+        r["l_returnflag"]: (r["n_lines"], float(r["sum_qty"]))
+        for r in li.where(
+            F.year(F.col("l_shipdate").cast("date")) >= 1999
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum("l_quantity").alias("sum_qty"),
+        )
+        .collect()
+    }
+    assert got == want

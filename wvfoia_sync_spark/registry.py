@@ -6034,3 +6034,90 @@ def excess_qty_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("s_suppkey")
     )
+
+
+@register(
+    "partition_pruned_revenue",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l_discount AS DECIMAL(18,4))))
+                AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE YEAR(CAST(l_shipdate AS DATE)) = 1998
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def partition_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static partition pruning over the hive-partitioned lineitem
+    layout (sources/partitioned.py): the year literal lands in the
+    scan's PartitionFilters, so planning eliminates every other year's
+    DIRECTORY — no file listing, no row-group stats, no I/O at all for
+    pruned years. This is the layout-level analogue of the reference's
+    request_date B-tree index (0001_init.sql:20): at 100 TB a
+    date-partitioned fact makes one-year queries cost one year. Oracle
+    runs the same aggregate on the unpartitioned table — the layout
+    must be answer-invariant."""
+    from .sources import partitioned
+
+    li = partitioned.read_partitioned_lineitem(spark, sf_dir)
+    return (
+        li.where(F.col("l_shipyear") == 1998)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,4)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)"))
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "dpp_star_join",
+    oracle="""
+    WITH yd AS (
+      SELECT y AS year,
+             CASE WHEN y >= 1999 THEN 'modern' ELSE 'legacy' END AS era
+      FROM (SELECT unnest(generate_series(1995, 2002)) AS y)
+    )
+    SELECT l.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+             AS sum_qty
+    FROM lineitem l
+    JOIN yd ON YEAR(CAST(l.l_shipdate AS DATE)) = yd.year
+    WHERE yd.era = 'modern'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def dpp_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning, the star-schema workhorse: the filter
+    sits on the year DIMENSION's attribute (era), not the fact, so no
+    literal is available at plan time — instead Spark evaluates the dim
+    side first and injects the surviving join keys as a runtime
+    dynamicpruningexpression into the fact scan's PartitionFilters.
+    The fact never reads the legacy years' partitions even though the
+    query text never names a year. At 100 TB this is the difference
+    between scanning the decade and scanning the era — the mechanism
+    every date-dim/fact join in a warehouse leans on."""
+    from .sources import partitioned
+
+    li = partitioned.read_partitioned_lineitem(spark, sf_dir)
+    yd = partitioned.year_dim(spark).where(F.col("era") == "modern")
+    return (
+        li.join(yd, li.l_shipyear == yd.year)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )

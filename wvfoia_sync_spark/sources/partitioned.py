@@ -1,0 +1,76 @@
+"""Hive-partitioned table layouts: static partition pruning + dynamic
+partition pruning (DPP), the storage-side mechanisms that make
+star-schema queries viable at 100 TB (SURVEY §4's replacement for the
+reference's B-tree indexes, migrations/0001_init.sql:19-23, taken one
+step further than row-group min/max skipping).
+
+Static pruning: a literal predicate on the partition column eliminates
+whole directories at PLANNING time — the scan's PartitionFilters — so a
+one-year query over a decade of data never lists the other years' files.
+
+Dynamic pruning: when the filter sits on a DIMENSION (``WHERE
+year_dim.era = 'modern'``) and the fact is partitioned by the join key,
+Spark inserts a runtime subquery that first evaluates the dim side, then
+prunes fact partitions with the surviving keys (the
+``dynamicpruningexpression`` in the fact scan). That turns "scan the
+fact table, then join away 80% of it" into "never read 80% of it".
+
+Layouts are derived state (like the reference's FTS index): rebuilt
+deterministically from the source parquet, cached under /tmp keyed by
+source dir, written to a temp dir and atomically renamed so a crashed
+writer can't leave a half-layout that a later run mistakes for done.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .tables import load_table
+
+
+def _cache_tag(sf_dir: str) -> str:
+    return re.sub(r"[^A-Za-z0-9_.-]+", "_", sf_dir.strip("/"))
+
+
+def partitioned_lineitem_path(spark: SparkSession, sf_dir: str) -> str:
+    """Lineitem hive-partitioned by ship year (`l_shipyear=YYYY/` dirs,
+    ~7 partitions at any SF). Idempotent: first call per (machine,
+    sf_dir) writes the layout, later calls return the cached path."""
+    out = f"/tmp/spark_graft_part_lineitem_{_cache_tag(sf_dir)}"
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out
+    tmp = out + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "l_shipyear", F.year(F.col("l_shipdate").cast("date"))
+    )
+    # one file per partition-dir at test scale; a cluster job would
+    # leave the natural task parallelism per partition instead
+    li.repartition("l_shipyear").write.mode("overwrite").partitionBy(
+        "l_shipyear"
+    ).parquet(tmp)
+    # mark completeness via the atomic dir rename, not _SUCCESS alone
+    shutil.rmtree(out, ignore_errors=True)
+    os.rename(tmp, out)
+    return out
+
+
+def read_partitioned_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(partitioned_lineitem_path(spark, sf_dir))
+
+
+def year_dim(spark: SparkSession) -> DataFrame:
+    """A tiny derived date dimension over the data's ship-year domain:
+    (year, era) with era = 'modern' for 1999+, 'legacy' before. The
+    star-schema dim whose attribute filter exercises DPP."""
+    return spark.range(1995, 2003).select(
+        F.col("id").cast("int").alias("year"),
+        F.when(F.col("id") >= 1999, F.lit("modern"))
+        .otherwise(F.lit("legacy"))
+        .alias("era"),
+    )
