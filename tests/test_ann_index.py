@@ -1,0 +1,91 @@
+"""Stored ANN index tests (operators/ann_index.py): the cell-partitioned
+code table is complete and answer-preserving — index-backed PQ/IVFPQ
+must return exactly what the encode-per-query operator path returns —
+and the probe is a real PartitionFilter, not a data filter.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+from wvfoia_sync_spark import registry
+from wvfoia_sync_spark.operators import ann_index, similarity
+from wvfoia_sync_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _artifacts(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = registry._ivf_centroids(emb, SF_DIR, k=8, iterations=1)
+    books = registry._pq_codebooks(emb, SF_DIR, m=8, n_cents=256)
+    qvec = registry._query_vec(emb)
+    return emb, cents, books, qvec
+
+
+def test_index_layout_and_completeness(spark):
+    """Every vector appears exactly once, under its assigned cell dir."""
+    emb, cents, books, _ = _artifacts(spark)
+    idx = registry._ann_index_df(spark, emb, SF_DIR)
+    assert idx.count() == emb.count()
+    assert idx.select("vec_id").distinct().count() == emb.count()
+    path = ann_index.index_path(SF_DIR, n_cells=8, m=8, n_cents=256)
+    dirs = {d for d in os.listdir(path) if d.startswith("ivf_cell=")}
+    cells = {
+        f"ivf_cell={r[0]}"
+        for r in similarity.ivf_assignments(emb, cents)
+        .select("ivf_cell")
+        .distinct()
+        .collect()
+    }
+    assert dirs == cells
+
+
+def test_index_backed_matches_operator_path(spark):
+    """The stored codes are the same codes with_pq_codes derives, so the
+    index-backed top-k must equal the encode-per-query top-k, id for id,
+    for both PQ-rerank and IVFPQ."""
+    emb, cents, books, qvec = _artifacts(spark)
+    idx = registry._ann_index_df(spark, emb, SF_DIR)
+
+    direct = similarity.pq_rerank_topk(emb, qvec, books, k=10, shortlist=50)
+    backed = similarity.pq_rerank_topk(
+        emb, qvec, books, k=10, shortlist=50,
+        coded=idx.select("vec_id", "pq_code"),
+    )
+    assert [r["vec_id"] for r in direct.collect()] == [
+        r["vec_id"] for r in backed.collect()
+    ]
+
+    direct = similarity.ivfpq_topk(emb, qvec, cents, books, k=10, n_probe=3)
+    backed = similarity.ivfpq_topk(
+        emb, qvec, cents, books, k=10, n_probe=3, index=idx
+    )
+    assert [r["vec_id"] for r in direct.collect()] == [
+        r["vec_id"] for r in backed.collect()
+    ]
+
+
+def test_ivfpq_probe_is_partition_filter(spark):
+    """n_probe cell selection must prune index partitions at planning
+    time — the scan carries `ivf_cell IN (...)` as a PartitionFilter."""
+    df = registry.QUERIES["ivfpq_topk"](spark, SF_DIR)
+    df.sparkSession.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("ivf_cell" in ln and " IN " in ln for ln in pf), pf
+
+
+def test_index_build_is_idempotent(spark):
+    """A second build call must return the cached path without rewriting
+    (mtime unchanged) — the atomic-rename completeness contract."""
+    emb, cents, books, _ = _artifacts(spark)
+    path = ann_index.index_path(SF_DIR, n_cells=8, m=8, n_cents=256)
+    ann_index.build_ann_index(emb, cents, books, path)
+    mtime = os.path.getmtime(os.path.join(path, "_SUCCESS"))
+    ann_index.build_ann_index(emb, cents, books, path)
+    assert os.path.getmtime(os.path.join(path, "_SUCCESS")) == mtime

@@ -170,9 +170,13 @@ def test_no_unbounded_partitionless_window_anywhere(spark):
     work, not a scale hazard.
 
     Detection: formatted-plan 'Window' blocks carry Arguments of
-    [exprs], [partSpec], [orderSpec] (3 bracket groups) when partitioned,
-    [exprs], [orderSpec] (2) when not. WindowGroupLimit blocks are the
-    partitioned top-k pushdown and never match the exact node name."""
+    [exprs], [partSpec], [orderSpec] (3 bracket groups) when partitioned
+    AND ordered; a partitioned window with no ORDER BY prints only
+    [exprs], [partSpec] (2 groups) — distinguished from the unpartitioned
+    [exprs], [orderSpec] form by the absence of ASC/DESC markers, which
+    every order-spec entry carries and partition columns never do.
+    WindowGroupLimit blocks are the partitioned top-k pushdown and never
+    match the exact node name."""
     import re
 
     skip = {
@@ -211,6 +215,14 @@ def test_no_unbounded_partitionless_window_anywhere(spark):
             )
             if _bracket_groups(args) >= 3:
                 continue  # partitioned — fine
+            last = args[args.rstrip().rfind("["):].strip(" []")
+            if (
+                _bracket_groups(args) == 2
+                and last
+                and " ASC" not in last
+                and " DESC" not in last
+            ):
+                continue  # [exprs], [partSpec]: partitioned, no ORDER BY
             assert any(b < wid for b in bounded_ids), (
                 f"{name}: unbounded partition-less Window "
                 f"(single-reducer global sort): {args[:160]}"

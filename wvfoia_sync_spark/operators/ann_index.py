@@ -1,0 +1,77 @@
+"""Stored ANN index: the (vec_id, ivf_cell, pq_code) table materialized
+to parquet, hive-partitioned by IVF cell — the production shape of
+IVF+PQ, where training (k-means, codebooks) AND encoding happen once at
+build time and queries only scan stored codes.
+
+Why this exists: the pure-DataFrame operators (similarity.pq_topk,
+ivfpq_topk without an index) re-encode the corpus per query through an
+Arrow mapInPandas — correct, but it pays the build cost on every call.
+At 100 TB that is the difference between an 8-byte/row code scan and
+re-streaming every float vector through Python per query. The registry's
+PQ/IVFPQ queries load this index; n_probe cell selection becomes a
+PartitionFilter on the `ivf_cell=` directories (the same mechanism as
+sources/partitioned.py), so a 3-of-8-cell probe never lists the other
+five cells' files.
+
+Derived state, same contract as the FTS index and the partitioned
+layouts: rebuilt deterministically from the embeddings table + trained
+artifacts, cached under /tmp keyed by source dir and index params,
+written to a temp dir and atomically renamed.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from . import similarity
+
+
+def _cache_tag(sf_dir: str) -> str:
+    return re.sub(r"[^A-Za-z0-9_.-]+", "_", sf_dir.strip("/"))
+
+
+def index_path(sf_dir: str, n_cells: int, m: int, n_cents: int) -> str:
+    return (
+        f"/tmp/spark_graft_ann_idx_{_cache_tag(sf_dir)}"
+        f"_c{n_cells}_m{m}_k{n_cents}"
+    )
+
+
+def build_ann_index(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    out: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Materialize (id, pq_code) partitioned by ivf_cell. Idempotent:
+    an existing complete index (atomic-rename marker) is returned as-is."""
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out
+    tmp = out + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    assigned = similarity.ivf_assignments(
+        emb, centroids, vec_col=vec_col, id_col=id_col
+    ).select(id_col, "ivf_cell")
+    coded = similarity.with_pq_codes(
+        emb, codebooks, id_col=id_col, vec_col=vec_col
+    )
+    idx = coded.join(assigned, id_col)
+    # one file per cell at test scale; a cluster build keeps task
+    # parallelism per cell instead
+    idx.repartition("ivf_cell").write.mode("overwrite").partitionBy(
+        "ivf_cell"
+    ).parquet(tmp)
+    shutil.rmtree(out, ignore_errors=True)
+    os.rename(tmp, out)
+    return out
+
+
+def load_ann_index(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)

@@ -597,32 +597,28 @@ def with_pq_codes(
     return out.select(F.col("id").alias(id_col), F.col("code").alias(out_col))
 
 
-def pq_topk(
-    df: DataFrame,
+def pq_adc_topk(
+    coded: DataFrame,
     query_vec: list[float],
     codebooks: list[list[list[float]]],
     k: int = 10,
     id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    code_col: str = "pq_code",
 ) -> DataFrame:
-    """PQ approximate top-k by cosine via asymmetric distance
-    computation: the query stays full-precision; per subspace a LUT of
+    """ADC scoring over an ALREADY-CODED table — the query-time half of
+    PQ, split from encoding so a stored code table (ann_index.py) pays
+    encoding once at build time, the way FAISS/production ANN serves
+    queries. The query stays full-precision; per subspace a LUT of
     (query_sub . centroid) and |centroid|^2 is inlined as a literal
     array, and each row's score is m element_at lookups summed — pure
     codegen, no floats scanned. cosine ~ sum(dotLUT[code]) /
-    (|q| * sqrt(sum(normLUT[code]))). At 100 TB the scan reads ONLY the
-    code column (m bytes/row); the LUTs are m*n_cents doubles of plan.
-    Ties and reconstruction error are approximate by design — recall is
-    gated by pq_recall_check / tests, not an exact oracle."""
-    import math
-
+    (|q| * sqrt(sum(normLUT[code])))."""
     import numpy as np
 
     q = np.asarray(query_vec, dtype=np.float64)
     qnorm = float(np.linalg.norm(q))
     m = len(codebooks)
     dsub = len(codebooks[0][0])
-    coded = with_pq_codes(df, codebooks, id_col=id_col, vec_col=vec_col)
 
     dot_expr = F.lit(0.0)
     n2_expr = F.lit(0.0)
@@ -631,7 +627,7 @@ def pq_topk(
         qs = q[s * dsub : (s + 1) * dsub]
         dot_lut = F.lit([float(x) for x in book @ qs])
         n2_lut = F.lit([float(x) for x in (book * book).sum(axis=1)])
-        code_s = F.col("pq_code")[s] + 1  # element_at is 1-based
+        code_s = F.col(code_col)[s] + 1  # element_at is 1-based
         dot_expr = dot_expr + F.element_at(dot_lut, code_s)
         n2_expr = n2_expr + F.element_at(n2_lut, code_s)
     score = F.when(
@@ -646,6 +642,27 @@ def pq_topk(
     )
 
 
+def pq_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ approximate top-k by cosine: encode (with_pq_codes) then ADC
+    (pq_adc_topk). At 100 TB the scan reads ONLY the code column
+    (m bytes/row); the LUTs are m*n_cents doubles of plan. Ties and
+    reconstruction error are approximate by design — recall is gated by
+    pq_recall_check / tests, not an exact oracle. Single-shot path:
+    repeated queries over a stored index should go through ann_index.py
+    and pay encoding once."""
+    coded = with_pq_codes(df, codebooks, id_col=id_col, vec_col=vec_col)
+    return pq_adc_topk(
+        coded, query_vec, codebooks, k=k, id_col=id_col, code_col="pq_code"
+    )
+
+
 def pq_rerank_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -654,6 +671,7 @@ def pq_rerank_topk(
     shortlist: int = 100,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    coded: DataFrame | None = None,
 ) -> DataFrame:
     """The production PQ recipe: ADC over the code column builds a
     ``shortlist`` (cheap — the scan reads m bytes/row), then ONLY the
@@ -661,9 +679,12 @@ def pq_rerank_topk(
     Measured recall@10 jumps from 7/10 (raw ADC, m=8 x 256 centroids) to
     10/10 with a 100-row shortlist, while the full-precision scan cost
     drops from |corpus| to |shortlist| rows — the asymmetry that makes
-    PQ the memory-bound-scan winner at 100 TB."""
-    ids = pq_topk(
-        df, query_vec, codebooks, k=shortlist, id_col=id_col, vec_col=vec_col
+    PQ the memory-bound-scan winner at 100 TB. Pass ``coded`` (a stored
+    (id, pq_code) table, ann_index.py) to skip per-query encoding."""
+    if coded is None:
+        coded = with_pq_codes(df, codebooks, id_col=id_col, vec_col=vec_col)
+    ids = pq_adc_topk(
+        coded, query_vec, codebooks, k=shortlist, id_col=id_col
     ).select(id_col)
     candidates = df.join(F.broadcast(ids), id_col, "left_semi")
     return brute_force_topk(
@@ -681,6 +702,7 @@ def ivfpq_topk(
     shortlist: int = 100,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """IVF+PQ composition — the canonical billion-scale ANN layout
     (FAISS IVFPQ re-expressed on DataFrames): coarse k-means cells prune
@@ -689,7 +711,11 @@ def ivfpq_topk(
     load full vectors for the exact re-rank. At 100 TB each stage cuts
     the next stage's input: partition pruning (cells) -> m-byte code
     scan (ADC) -> |shortlist| float rows. Every stage reuses an audited
-    operator (ivf_assignments, pq_topk's LUT scoring, brute_force_topk)."""
+    operator (ivf_assignments, pq_adc_topk's LUT scoring,
+    brute_force_topk). Pass ``index`` (the stored (id, ivf_cell,
+    pq_code) table, ann_index.py) and the probe filter becomes a
+    partition-pruned scan of the code column — no assignment or
+    encoding at query time."""
     import numpy as _np
 
     q = _np.asarray(query_vec, dtype="float64")
@@ -701,6 +727,20 @@ def ivfpq_topk(
 
     order = sorted(range(len(centroids)), key=lambda i: -cos(centroids[i]))
     probed = order[:n_probe]
+    if index is not None:
+        coded = index.where(F.col("ivf_cell").isin(probed)).select(
+            id_col, "pq_code"
+        )
+        return pq_rerank_topk(
+            df,
+            query_vec,
+            codebooks,
+            k=k,
+            shortlist=shortlist,
+            id_col=id_col,
+            vec_col=vec_col,
+            coded=coded,
+        )
     assigned = ivf_assignments(df, centroids, vec_col=vec_col, id_col=id_col)
     candidates = assigned.where(F.col("ivf_cell").isin(probed)).drop("ivf_cell")
     return pq_rerank_topk(

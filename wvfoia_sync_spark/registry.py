@@ -68,6 +68,22 @@ def _pq_codebooks(emb, sf_dir: str, m: int = 8, n_cents: int = 256):
     return _TRAINED[key]
 
 
+def _ann_index_df(
+    spark: SparkSession, emb: DataFrame, sf_dir: str
+) -> DataFrame:
+    """The stored (vec_id, ivf_cell, pq_code) index for this dataset
+    (operators/ann_index.py), built once per (machine, sf_dir) from the
+    memoized trained artifacts — queries scan stored codes, they never
+    re-encode the corpus."""
+    from .operators import ann_index
+
+    cents = _ivf_centroids(emb, sf_dir, k=8, iterations=1)
+    books = _pq_codebooks(emb, sf_dir, m=8, n_cents=256)
+    path = ann_index.index_path(sf_dir, n_cells=8, m=8, n_cents=256)
+    ann_index.build_ann_index(emb, cents, books, path)
+    return ann_index.load_ann_index(spark, path)
+
+
 def _query_vec(emb: DataFrame, vec_id: int = 0) -> list[float]:
     """The shared ANN query vector (one eager lookup; explicit error when
     the probe id is missing, instead of an opaque NoneType crash)."""
@@ -4834,11 +4850,16 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoded as 8 x 8-bit subspace codes (8 bytes/row, 32x smaller than
     the float column), scored scan-side via inlined asymmetric-distance
     LUTs (m element_at lookups per row, pure codegen), exact re-rank of
-    the 100-row shortlist. pq_recall_check is the driver-green twin."""
+    the 100-row shortlist. Codes come from the STORED index
+    (operators/ann_index.py) — query time scans 8 bytes/row, it never
+    re-encodes the corpus. pq_recall_check is the driver-green twin."""
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = _query_vec(emb)
     books = _pq_codebooks(emb, sf_dir, m=8, n_cents=256)
-    return similarity.pq_rerank_topk(emb, qvec, books, k=10, shortlist=100)
+    coded = _ann_index_df(spark, emb, sf_dir).select("vec_id", "pq_code")
+    return similarity.pq_rerank_topk(
+        emb, qvec, books, k=10, shortlist=100, coded=coded
+    )
 
 
 @register("pq_recall_check", oracle="SELECT 'pq_recall_at_10' AS property, TRUE AS ok")
@@ -4848,7 +4869,10 @@ def pq_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = _query_vec(emb)
     books = _pq_codebooks(emb, sf_dir, m=8, n_cents=256)
-    approx = similarity.pq_rerank_topk(emb, qvec, books, k=10, shortlist=100)
+    coded = _ann_index_df(spark, emb, sf_dir).select("vec_id", "pq_code")
+    approx = similarity.pq_rerank_topk(
+        emb, qvec, books, k=10, shortlist=100, coded=coded
+    )
     return _recall_check(spark, sf_dir, approx, "pq_recall_at_10", 9)
 
 
@@ -5077,12 +5101,18 @@ def scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF+PQ ANN (operators/similarity.py ivfpq_topk): cell pruning ->
     m-byte ADC code scan -> exact shortlist re-rank, each stage an
-    audited operator. ivfpq_recall_check is the driver-green twin."""
+    audited operator. The probe runs over the STORED cell-partitioned
+    index (operators/ann_index.py), so the 3-of-8-cell selection is a
+    PartitionFilter — unprobed cells' files are never listed.
+    ivfpq_recall_check is the driver-green twin."""
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = _query_vec(emb)
     cents = _ivf_centroids(emb, sf_dir, k=8, iterations=1)
     books = _pq_codebooks(emb, sf_dir, m=8, n_cents=256)
-    return similarity.ivfpq_topk(emb, qvec, cents, books, k=10, n_probe=3)
+    idx = _ann_index_df(spark, emb, sf_dir)
+    return similarity.ivfpq_topk(
+        emb, qvec, cents, books, k=10, n_probe=3, index=idx
+    )
 
 
 @register(
@@ -5098,7 +5128,10 @@ def ivfpq_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = _query_vec(emb)
     cents = _ivf_centroids(emb, sf_dir, k=8, iterations=1)
     books = _pq_codebooks(emb, sf_dir, m=8, n_cents=256)
-    approx = similarity.ivfpq_topk(emb, qvec, cents, books, k=10, n_probe=3)
+    idx = _ann_index_df(spark, emb, sf_dir)
+    approx = similarity.ivfpq_topk(
+        emb, qvec, cents, books, k=10, n_probe=3, index=idx
+    )
     return _recall_check(spark, sf_dir, approx, "ivfpq_recall_at_10", 8)
 
 
