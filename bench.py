@@ -95,6 +95,7 @@ HEADLINE = [
     "market_share",
     "product_profit",
     "stream_stream_join",
+    "stream_stream_outer_join",
     "bigram_counts",
     "approx_quantile_check",
     "semantic_dedup",

@@ -136,6 +136,7 @@ def test_registry_wide_plan_hygiene(spark):
         "sessionization_stream",
         "stateful_counts_stream",
         "stream_stream_join",
+        "stream_stream_outer_join",
         "stream_static_join",
         "stream_upsert",
     }
@@ -184,6 +185,7 @@ def test_no_unbounded_partitionless_window_anywhere(spark):
         "sessionization_stream",
         "stateful_counts_stream",
         "stream_stream_join",
+        "stream_stream_outer_join",
         "stream_static_join",
         "stream_upsert",
         # interpolate_series: forward/backward fill windows run over the

@@ -465,3 +465,40 @@ def test_equidepth_hist_buckets_are_balanced_and_ordered(spark):
         assert abs(r["n"] - total / 4) <= total * 0.02 + 2  # equi-depth
     for a, b in zip(rows, rows[1:]):
         assert a["hi"] <= b["lo"] or abs(a["hi"] - b["lo"]) < 1e-9
+
+
+def test_stream_stream_outer_join_matches_batch_left_join(spark):
+    """The LEFT OUTER stream-stream join must emit (a) exactly the inner
+    pairs of the batch interval join and (b) a null-view row for every
+    unmatched click — including the stream's NEWEST clicks, which only
+    surface because the sentinel flush pushes the final watermark past
+    their state expiry. A tail regression (un-flushed state) shows up as
+    missing null rows here."""
+    out = registry.QUERIES["stream_stream_outer_join"](spark, SF_DIR)
+    stream_pairs = {(r["click_id"], r["view_id"]) for r in out.collect()}
+    ev = load_table(spark, SF_DIR, "events")
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("cts"),
+    )
+    v = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("vu"),
+        F.col("ts").alias("vts"),
+    )
+    batch_pairs = {
+        (r["click_id"], r["view_id"])
+        for r in c.join(
+            v,
+            (F.col("cu") == F.col("vu"))
+            & (F.col("vts") >= F.col("cts") - F.expr("INTERVAL 2 HOURS"))
+            & (F.col("vts") < F.col("cts")),
+            "left_outer",
+        ).collect()
+    }
+    assert stream_pairs == batch_pairs
+    assert any(view is None for _, view in stream_pairs), (
+        "degenerate: every click attributed at sf0.001"
+    )
+    assert all(click >= 0 for click, _ in stream_pairs), "sentinel leaked"

@@ -4386,6 +4386,42 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stream_outer_join",
+    oracle="""
+    SELECT c.event_id AS click_id, v.event_id AS view_id
+    FROM events c
+    LEFT JOIN events v
+      ON v.event_type = 'view'
+     AND v.user_id = c.user_id
+     AND v.ts >= c.ts - INTERVAL 2 HOUR AND v.ts < c.ts
+    WHERE c.event_type = 'click'
+    ORDER BY click_id, view_id
+    """,
+)
+def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST: watermark-bounded stream-stream LEFT OUTER interval join —
+    unattributed clicks surface as null-view rows, which an inner join
+    cannot express. The null row for a click is emittable only once the
+    watermark proves no matching view can still arrive, so the sources
+    are sentinel-flushed (events_stream_flushed): a far-future
+    click/view pair advances the final watermark past every real row's
+    expiry and the closing no-data micro-batch drains the outer state.
+    Sentinels (negative ids) are filtered on the SINK table — an
+    in-plan filter gets pushed below the watermark node and would
+    un-flush the tail (jobs.click_view_attribution_outer docstring).
+    Batch oracle: the plain left interval self-join."""
+    from .streaming import jobs
+
+    clicks = jobs.events_stream_flushed(spark, sf_dir)
+    views = jobs.events_stream_flushed(spark, sf_dir)
+    joined = jobs.click_view_attribution_outer(clicks, views, lookback="2 hours")
+    out = jobs.run_available_now_append(
+        joined, "stream_stream_outer_join_sink"
+    )
+    return out.where(F.col("click_id") >= 0).orderBy("click_id", "view_id")
+
+
+@register(
     "bigram_counts",
     oracle=f"""
     WITH toks AS (

@@ -153,6 +153,116 @@ def click_view_attribution(
     ).select("click_id", "view_id")
 
 
+def click_view_attribution_outer(
+    clicks: DataFrame,
+    views: DataFrame,
+    lookback: str = "2 hours",
+    watermark: str = "4 hours",
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: like
+    click_view_attribution, but clicks with NO view in the lookback
+    window still emit — with a null view_id — once the watermark passes
+    their state-expiry point. This is the semantics inner joins can't
+    give ("which clicks were unattributed?") and the reason outer
+    stream-stream joins need the time bound even more than inner ones:
+    the null row can only be emitted when the engine can PROVE no
+    matching view can still arrive, which is exactly watermark >
+    click_ts + lookback. Feed it watermark-advancing sources
+    (events_stream_flushed) or the tail of the stream stays buffered.
+
+    Do NOT filter sentinel rows (negative event ids) inside this plan:
+    Catalyst pushes even a post-join `click_id >= 0` into the left side
+    and below the EventTimeWatermark node (measured), so the sentinel
+    stops advancing the watermark and the tail stays buffered again.
+    The sentinel click's own null row is never emitted anyway (the
+    watermark ends `delay` short of the sentinel's ts, so its state
+    never expires) — callers that still want belt-and-braces filtering
+    must apply it to the SINK table, outside the streaming plan."""
+    c = (
+        clicks.withWatermark("ts", watermark)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    v = (
+        views.withWatermark("ts", watermark)
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+    )
+    return c.join(
+        v,
+        (F.col("c_user") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("c_ts") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("v_ts") < F.col("c_ts")),
+        "left_outer",
+    ).select("click_id", "view_id")
+
+
+def events_stream_flushed(
+    spark: SparkSession, sf_dir: str, pad_hours: int = 240
+) -> DataFrame:
+    """Events stream plus far-future SENTINEL events (ts = max(ts) +
+    pad_hours) that exist only to advance the final watermark past every
+    real row's state-expiry point. Outer joins and other event-time
+    state can then emit their last results in the closing no-data
+    micro-batch — without it, an availableNow run ends with the final
+    watermark-window of state silently unemitted (the outer join would
+    "lose" its newest unmatched rows).
+
+    The sentinels carry REAL event types ('click', 'view') with negative
+    event/user ids, one per type a consumer filters on. A neutral
+    '__flush__' type does NOT work: the consumer's event_type filter is
+    pushed below the EventTimeWatermark node by Catalyst, so a row the
+    filter drops never reaches the watermark accumulator — measured: the
+    tail clicks' null rows stayed buffered. Negative user ids keep
+    sentinels from joining real rows; consumers exclude them AFTER the
+    join (click_view_attribution_outer's `click_id >= 0`). The padded
+    copy is derived state cached under /tmp (atomic rename), same
+    contract as the partitioned layouts."""
+    import os
+    import re
+    import shutil
+
+    from ..sources.tables import load_table
+
+    tag = re.sub(r"[^A-Za-z0-9_.-]+", "_", sf_dir.strip("/"))
+    out = f"/tmp/spark_graft_flushstream_v2_{tag}"
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        tmp = out + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        ev = load_table(spark, sf_dir, "events")
+        mx = ev.agg(F.max("ts").alias("_mx"))
+        sentinels = [
+            mx.select(
+                F.lit(-1 - i).cast("long").alias("event_id"),
+                (
+                    F.col("_mx") + F.expr(f"INTERVAL {int(pad_hours)} HOURS")
+                ).alias("ts"),
+                F.lit(-1).cast("long").alias("user_id"),
+                F.lit(etype).alias("event_type"),
+                F.lit(0.0).alias("value"),
+                F.lit(None).cast("string").alias("props"),
+            )
+            for i, etype in enumerate(["click", "view"])
+        ]
+        base = ev.select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        )
+        for s in sentinels:
+            base = base.unionByName(s)
+        base.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(out, ignore_errors=True)
+        os.rename(tmp, out)
+    return read_events_stream(spark, out)
+
+
 def _run_available_now(
     stream_df: DataFrame,
     query_name: str,
