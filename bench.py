@@ -131,6 +131,7 @@ HEADLINE = [
     "excess_qty_suppliers",
     "partition_pruned_revenue",
     "dpp_star_join",
+    "k_anonymity",
 ]
 
 

@@ -82,3 +82,43 @@ def test_redaction_is_complete_and_idempotent(spark):
     )
     bad = twice.where((F.col("resid") != 0) | (F.col("r1") != F.col("r2")))
     assert bad.count() == 0
+
+
+def test_k_anonymize_property_and_plan(spark):
+    """After suppression every UNMASKED quasi-identifier combination is
+    shared by >= k rows, masked rows really were in sub-k groups, and
+    non-quasi columns pass through untouched. Plan: group sizes come
+    from a broadcast aggregate, never a per-row window."""
+    from wvfoia_sync_spark.sources.tables import load_table
+
+    k = 12
+    c = load_table(spark, "/root/testdata/sf0.01", "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    out = pii.k_anonymize(c, ["c_nationkey", "c_mktsegment"], k=k)
+    assert out.count() == c.count()
+
+    kept = out.where(F.col("c_nationkey") != "*")
+    sizes = {
+        (r["c_nationkey"], r["c_mktsegment"]): r["n"]
+        for r in c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for r in kept.select("c_nationkey", "c_mktsegment").distinct().collect():
+        n = sizes[(int(r["c_nationkey"]), r["c_mktsegment"])]
+        assert n >= k, f"kept combo below k: {r} ({n})"
+    for r in (
+        out.where(F.col("c_nationkey") == "*")
+        .join(c.select("c_custkey", F.col("c_nationkey").alias("orig_n"),
+                       F.col("c_mktsegment").alias("orig_m")), "c_custkey")
+        .select("orig_n", "orig_m").distinct().collect()
+    ):
+        assert sizes[(r["orig_n"], r["orig_m"])] < k
+
+    out.sparkSession.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "Window" not in plan

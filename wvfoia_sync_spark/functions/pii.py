@@ -57,3 +57,46 @@ def redact(col: Column | str) -> Column:
     for pat, tag in REDACTIONS:
         c = F.regexp_replace(c, pat, tag)
     return c
+
+
+def k_anonymize(
+    df,
+    quasi_cols: list[str],
+    k: int,
+    mask: str = "*",
+):
+    """k-anonymity suppression: rows whose quasi-identifier combination
+    appears fewer than ``k`` times get those columns masked, so every
+    surviving combination is shared by >= k rows (re-identification by
+    quasi-identifier lookup never narrows below k candidates; the
+    release-safety property privacy reviews ask of user-adjacent
+    training data).
+
+    Physical shape for 100 TB: group sizes come from ONE aggregate at
+    quasi-identifier cardinality, broadcast back onto the fact rows —
+    never a per-row window, which would shuffle every full row just to
+    count its group (the aggregate moves combo-cardinality rows; the
+    fact table is touched by a map-side broadcast probe only). Masked
+    columns are cast to string (the mask value must inhabit the type).
+    """
+    counts = (
+        df.groupBy(*quasi_cols)
+        .count()
+        .where(F.col("count") < k)
+        .select(
+            *[F.col(c).alias(f"_viol_{c}") for c in quasi_cols],
+            F.lit(True).alias("_violates"),
+        )
+    )
+    cond = None
+    for c in quasi_cols:
+        eq = df[c].eqNullSafe(F.col(f"_viol_{c}"))
+        cond = eq if cond is None else (cond & eq)
+    out = df.join(F.broadcast(counts), cond, "left")
+    suppressed = F.coalesce(F.col("_violates"), F.lit(False))
+    for c in quasi_cols:
+        out = out.withColumn(
+            c,
+            F.when(suppressed, F.lit(mask)).otherwise(F.col(c).cast("string")),
+        )
+    return out.drop("_violates", *[f"_viol_{c}" for c in quasi_cols])

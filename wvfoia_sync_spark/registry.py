@@ -6190,3 +6190,37 @@ def dpp_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "k_anonymity",
+    oracle="""
+    WITH sized AS (
+      SELECT c_custkey, c_nationkey, c_mktsegment, c_acctbal,
+             COUNT(*) OVER (PARTITION BY c_nationkey, c_mktsegment) AS n
+      FROM customer
+    )
+    SELECT c_custkey,
+           CASE WHEN n < 12 THEN '*'
+                ELSE CAST(c_nationkey AS VARCHAR) END AS c_nationkey,
+           CASE WHEN n < 12 THEN '*' ELSE c_mktsegment END AS c_mktsegment,
+           c_acctbal
+    FROM sized ORDER BY c_custkey
+    """,
+)
+def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity suppression over the customer table's
+    (nationkey, mktsegment) quasi-identifiers (functions/pii.py
+    k_anonymize): combinations shared by fewer than k=12 customers are
+    masked, so no released row's quasi-identifiers narrow it to fewer
+    than 12 candidates. The oracle expresses the same semantics as a
+    window count; the engine deliberately does NOT — group sizes come
+    from one combo-cardinality aggregate broadcast back onto the rows,
+    because a per-row window would shuffle every full row to count its
+    group (the plan difference that matters at fact-table scale)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    return pii.k_anonymize(
+        c, ["c_nationkey", "c_mktsegment"], k=12
+    ).orderBy("c_custkey")
