@@ -71,6 +71,17 @@ PROBE_QUERIES = [
     "cohort_retention",
     "nation_pagerank",
     "skew_report",
+    # round-3 additions: the TPC-H completions (scan-bound Q6, fact-fact
+    # Q12, factored-disjunction Q19, window-decorrelated Q20), the
+    # partition-pruning pair (their layouts rebuild against the replica
+    # dir, so the probe measures pruning at 10x too), and k-anonymity
+    "forecast_revenue",
+    "shipmode_priority",
+    "disjunctive_revenue",
+    "excess_qty_suppliers",
+    "partition_pruned_revenue",
+    "dpp_star_join",
+    "k_anonymity",
 ]
 
 OFFSET_KEYS = {
