@@ -132,6 +132,8 @@ HEADLINE = [
     "partition_pruned_revenue",
     "dpp_star_join",
     "k_anonymity",
+    "multiset_except",
+    "multiset_intersect",
 ]
 
 
@@ -191,18 +193,22 @@ def main() -> None:
     for name in HEADLINE:
         fn = registry.QUERIES[name]
         best = float("inf")
+        last_err = None
         for _ in range(2):
             try:
                 t0 = time.time()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 best = min(best, time.time() - t0)
             except Exception as exc:  # one broken query must not kill the run
-                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
-                break
-        # a query is either timed or errored, never both (a flaky second
-        # run must not leave a phantom timing in the total)
-        if best < float("inf") and name not in errors:
+                # keep trying: a transient Python-worker crash on run 1
+                # must not discard a query whose run 2 succeeds
+                last_err = f"{type(exc).__name__}: {exc}"[:300]
+        # a query is either timed or errored, never both; only queries
+        # that failed EVERY attempt are recorded as errors
+        if best < float("inf"):
             timings[name] = round(best, 3)
+        elif last_err is not None:
+            errors[name] = last_err
 
     total = round(sum(timings.values()), 3)
     out = {

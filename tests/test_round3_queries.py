@@ -502,3 +502,33 @@ def test_stream_stream_outer_join_matches_batch_left_join(spark):
         "degenerate: every click attributed at sf0.001"
     )
     assert all(click >= 0 for click, _ in stream_pairs), "sentinel leaked"
+
+
+def test_multiset_ops_respect_multiplicity(spark):
+    """EXCEPT ALL keeps max(0, a-b) copies per value and INTERSECT ALL
+    keeps min(a,b) — the multiplicity semantics `.distinct()`-based set
+    ops flatten away. Verified per value against the two sides' counts."""
+    li = load_table(spark, SF_DIR, "lineitem")
+    ca = {
+        r["l_partkey"]: r["n"]
+        for r in li.where(F.col("l_returnflag") == "A")
+        .groupBy("l_partkey").agg(F.count("*").alias("n")).collect()
+    }
+    cr = {
+        r["l_partkey"]: r["n"]
+        for r in li.where(F.col("l_returnflag") == "R")
+        .groupBy("l_partkey").agg(F.count("*").alias("n")).collect()
+    }
+
+    def counted(name):
+        out: dict[int, int] = {}
+        for r in registry.QUERIES[name](spark, SF_DIR).collect():
+            out[r["l_partkey"]] = out.get(r["l_partkey"], 0) + 1
+        return out
+
+    exc = counted("multiset_except")
+    for k in set(ca) | set(cr) | set(exc):
+        assert exc.get(k, 0) == max(0, ca.get(k, 0) - cr.get(k, 0)), k
+    inter = counted("multiset_intersect")
+    for k in set(ca) | set(cr) | set(inter):
+        assert inter.get(k, 0) == min(ca.get(k, 0), cr.get(k, 0)), k

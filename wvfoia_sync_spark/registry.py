@@ -6224,3 +6224,46 @@ def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii.k_anonymize(
         c, ["c_nationkey", "c_mktsegment"], k=12
     ).orderBy("c_custkey")
+
+
+@register(
+    "multiset_except",
+    oracle="""
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+    EXCEPT ALL
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+    ORDER BY l_partkey
+    """,
+)
+def multiset_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — multiset difference with multiplicity (a part
+    returned 5 times against 3 'R' lines keeps 2 rows), the set-op
+    shape `.distinct()`-based EXCEPT cannot express. Spark's exceptAll
+    plans this as a counted anti-semantics: tag each side ±1, sum
+    counts per value, re-generate surviving multiplicity — one shuffle
+    on the value, group-cardinality state, no row-pairing join. At
+    100 TB that's the same cost profile as a groupBy count, which is
+    exactly right."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_returnflag") == "A").select("l_partkey")
+    r = li.where(F.col("l_returnflag") == "R").select("l_partkey")
+    return a.exceptAll(r).orderBy("l_partkey")
+
+
+@register(
+    "multiset_intersect",
+    oracle="""
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+    INTERSECT ALL
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+    ORDER BY l_partkey
+    """,
+)
+def multiset_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — multiset intersection keeping min(multiplicity)
+    per value across the two sides; same counted plan shape as
+    multiset_except (one value-keyed shuffle, generate min counts)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_returnflag") == "A").select("l_partkey")
+    r = li.where(F.col("l_returnflag") == "R").select("l_partkey")
+    return a.intersectAll(r).orderBy("l_partkey")

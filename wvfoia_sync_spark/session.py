@@ -75,7 +75,14 @@ def get_spark(app_name: str = "wvfoia-sync-spark", cpus: int | None = None) -> S
 
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(f"local[{cpus}]")
+        # local[N, 2]: allow ONE task retry. Python worker reuse
+        # occasionally kills a worker mid-handshake (observed ~once per
+        # 100-query bench run as a read_udfs PythonException); local
+        # mode's default maxFailures=1 turns that single hiccup into a
+        # query failure, where any cluster deployment would just retry
+        # the task. One retry restores cluster semantics without masking
+        # genuine errors (a real failure still fails, one retry later).
+        .master(f"local[{cpus}, 2]")
         .config("spark.sql.shuffle.partitions", str(max(cpus, 4)))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
