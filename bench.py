@@ -134,6 +134,7 @@ HEADLINE = [
     "k_anonymity",
     "multiset_except",
     "multiset_intersect",
+    "observed_scan_metrics",
 ]
 
 

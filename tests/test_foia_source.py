@@ -1,0 +1,107 @@
+"""Python DataSource tests (sources/foia_source.py): the S1 remote fetch
+as spark.read.format("wvfoia") — parse parity with the sync path, miss
+handling, range-partition planning, and id-predicate pushdown into the
+Python reader.
+"""
+
+from __future__ import annotations
+
+import os
+
+from wvfoia_sync_spark.foia import fixtures
+from wvfoia_sync_spark.sources import foia_source
+from wvfoia_sync_spark.sources.foia_source import FoiaEntriesReader
+
+
+def _fixture(tmp_path, start_id=100):
+    src = fixtures.make_sync_source(start_id=start_id)
+    fx = os.path.join(tmp_path, "pages.parquet")
+    src.to_parquet(fx)
+    return src, fx
+
+
+def test_source_reads_and_parses_like_sync(spark, tmp_path):
+    """Found pages become rows (normalized M/D/YYYY dates, amended flag),
+    404/302 misses and unparsable pages yield nothing — the reference's
+    null-return semantics (sync.ts:132-154)."""
+    src, fx = _fixture(tmp_path)
+    foia_source.register(spark)
+    df = (
+        spark.read.format("wvfoia")
+        .option("start", 100)
+        .option("end", 100 + len(src))
+        .option("slice", 4)
+        .option("fixture", fx)
+        .load()
+    )
+    rows = {r["id"]: r for r in df.collect()}
+    # 4 found + post-gap + 5 beyond-frontier; gap/unparsable/missing absent
+    assert sorted(rows) == [100, 101, 102, 103, 105, 110, 111, 112, 113, 114]
+    assert rows[100]["request_date"].count("-") == 2  # M/D/YYYY -> ISO
+    assert rows[101]["is_amended"] == 1  # the k==1 amended page
+    assert rows[100]["is_amended"] == 0
+    assert rows[105]["subject"] == "post-gap entry"
+
+
+def test_pushdown_narrows_partition_planning(tmp_path):
+    """id range predicates absorbed by pushFilters must shrink the
+    planned partitions BEFORE any fetch — the Python-source analogue of
+    parquet PushedFilters."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThanOrEqual,
+        IsNotNull,
+        LessThan,
+    )
+
+    reader = FoiaEntriesReader(
+        {"start": "1", "end": "1001", "slice": "100", "fixture": "unused"}
+    )
+    leftover = list(
+        reader.pushFilters(
+            [
+                GreaterThanOrEqual(("id",), 350),
+                LessThan(("id",), 420),
+                IsNotNull(("agency",)),  # not absorbable
+            ]
+        )
+    )
+    # every filter is re-yielded (post-scan re-check is free and guards
+    # against a backend returning out-of-range ids)
+    assert len(leftover) == 3
+    parts = reader.partitions()
+    assert parts[0].lo == 350 and parts[-1].hi == 420
+    assert sum(p.hi - p.lo for p in parts) == 70
+
+    point = FoiaEntriesReader(
+        {"start": "1", "end": "1001", "slice": "100", "fixture": "unused"}
+    )
+    list(point.pushFilters([EqualTo(("id",), 777)]))
+    parts = point.partitions()
+    assert len(parts) == 1 and (parts[0].lo, parts[0].hi) == (777, 778)
+
+
+def test_end_to_end_filter_returns_exact_rows(spark, tmp_path):
+    src, fx = _fixture(tmp_path)
+    foia_source.register(spark)
+    df = (
+        spark.read.format("wvfoia")
+        .option("start", 100)
+        .option("end", 100 + len(src))
+        .option("slice", 3)
+        .option("fixture", fx)
+        .load()
+    )
+    assert [r["id"] for r in df.where("id = 105").collect()] == [105]
+    assert sorted(
+        r["id"] for r in df.where("id >= 110 AND id < 113").collect()
+    ) == [110, 111, 112]
+
+
+def test_source_requires_backend_and_end(tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError, match="end"):
+        FoiaEntriesReader({"fixture": "x"})
+    with pytest.raises(ValueError, match="fixture|base_url"):
+        FoiaEntriesReader({"end": "10"})

@@ -65,3 +65,35 @@ def test_every_rows_only_query_has_a_driver_green_companion_gate():
         assert gate in registry.ORACLE, (
             f"{q}'s companion {gate} must itself be oracle-checked"
         )
+
+
+def test_queries_run_with_non_repo_cwd():
+    """Closures that reference module-level helpers are cloudpickled by
+    REFERENCE, so Python workers must import wvfoia_sync_spark — which
+    only happens by accident when the worker cwd is the repo root,
+    unless configure_session ships the package (addPyFile). Regression:
+    run the by-reference query (heavy_hitters' mapInPandas) from a
+    foreign cwd in a fresh interpreter; without the pyFiles shipping it
+    dies with ModuleNotFoundError mid-query."""
+    import subprocess
+    import sys
+
+    script = (
+        "import sys; sys.path.insert(0, '/root/repo')\n"
+        "from pyspark.sql import SparkSession\n"
+        "spark = SparkSession.builder.master('local[4]').getOrCreate()\n"
+        "import __spark_entry__ as e\n"
+        "n = e.queries()['heavy_hitters_sketch']"
+        "(spark, '/root/testdata/sf0.001').count()\n"
+        "assert n == 10, n\n"
+        "print('OK')\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        cwd="/tmp",
+        capture_output=True,
+        text=True,
+        timeout=240,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "OK" in proc.stdout

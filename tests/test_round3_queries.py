@@ -532,3 +532,33 @@ def test_multiset_ops_respect_multiplicity(spark):
     inter = counted("multiset_intersect")
     for k in set(ca) | set(cr) | set(inter):
         assert inter.get(k, 0) == min(ca.get(k, 0), cr.get(k, 0)), k
+
+
+def test_observed_metrics_equal_recomputation_and_ride_the_plan(spark):
+    """Observation metrics must (a) equal a plain recomputation of the
+    same aggregates and (b) attach to the pass as a CollectMetrics node
+    (side-channel accumulators), not a separate aggregation job."""
+    from pyspark.sql import Observation
+
+    o = load_table(spark, SF_DIR, "orders")
+    obs = Observation("t_obs")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+    assert "CollectMetrics" in observed._sc._jvm.PythonSQLUtils.explainString(
+        observed._jdf.queryExecution(), "formatted"
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    direct = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_price"),
+    ).collect()[0]
+    got = obs.get
+    assert got["n_rows"] == direct["n_rows"]
+    assert got["sum_price"] == direct["sum_price"]

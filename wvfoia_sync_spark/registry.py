@@ -6267,3 +6267,46 @@ def multiset_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = li.where(F.col("l_returnflag") == "A").select("l_partkey")
     r = li.where(F.col("l_returnflag") == "R").select("l_partkey")
     return a.intersectAll(r).orderBy("l_partkey")
+
+
+@register(
+    "observed_scan_metrics",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_big,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS sum_price
+    FROM orders
+    """,
+)
+def observed_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass side-channel metrics via the Observation API: the
+    data-quality numbers (row count, threshold count, exact total) are
+    accumulated DURING a real pass over the table — here a noop-sink
+    write standing in for the production ETL write — instead of a second
+    scan. At 100 TB this is how a pipeline gets its DQ dashboard for
+    free: observe() attaches accumulator-backed aggregates to the plan
+    the job already runs, no extra read, no extra shuffle (metrics merge
+    driver-side from per-task partials). The oracle recomputes the same
+    aggregates as a plain query — observation must equal recomputation."""
+    from pyspark.sql import Observation
+
+    o = load_table(spark, sf_dir, "orders")
+    obs = Observation("scan_metrics")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("o_totalprice") > 100000, 1).otherwise(0)).alias(
+            "n_big"
+        ),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(int(m["n_rows"]), int(m["n_big"]), float(m["sum_price"]))],
+        "n_rows long, n_big long, sum_price double",
+    )

@@ -23,11 +23,51 @@ _RUNTIME_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Deterministic wall-clock semantics for the oracle comparison.
     "spark.sql.session.timeZone": "UTC",
+    # Python DataSource filter pushdown (sources/foia_source.py absorbs id
+    # range predicates before partition planning; off by default in 4.1).
+    "spark.sql.python.filterPushdown.enabled": "true",
     # Runtime re-planning: coalesce tiny shuffle partitions, handle skew.
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
 }
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship this package to the Python workers via addPyFile.
+
+    Closures that reference module-level helpers (e.g. operators.sketch's
+    Misra-Gries trim inside its mapInPandas) are cloudpickled BY
+    REFERENCE, so the worker process must be able to import
+    ``wvfoia_sync_spark``. Locally that silently works only while the
+    worker's cwd happens to be the repo root (cwd is on sys.path) — run
+    the driver from anywhere else and every by-reference closure dies
+    with ModuleNotFoundError mid-query; on a real cluster it never
+    works without shipping. addPyFile is the cluster-correct fix: the
+    zip rides to every executor and lands on worker sys.path, cwd- and
+    deploy-mode-independent."""
+    import tempfile
+    import zipfile
+
+    pkg_root = os.path.dirname(os.path.abspath(__file__))
+    sc = spark.sparkContext
+    marker = "spark_graft_pkg.zip"
+    try:
+        if any(marker in p for p in sc._python_includes):
+            return
+    except Exception:
+        pass
+    tmpdir = tempfile.mkdtemp(prefix="spark-graft-pyfiles-")
+    zip_path = os.path.join(tmpdir, marker)
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for dirpath, _dirnames, filenames in os.walk(pkg_root):
+            for fn in filenames:
+                if not fn.endswith(".py"):
+                    continue
+                full = os.path.join(dirpath, fn)
+                rel = os.path.relpath(full, os.path.dirname(pkg_root))
+                zf.write(full, rel)
+    sc.addPyFile(zip_path)
 
 
 def configure_session(spark: SparkSession) -> SparkSession:
@@ -39,6 +79,13 @@ def configure_session(spark: SparkSession) -> SparkSession:
             # Conf not settable on this build — engine degrades gracefully
             # (only the events nanos reader strictly requires its conf).
             pass
+    try:
+        _ship_package(spark)
+    except Exception:
+        # no sparkContext access (e.g. Connect) — closures that only
+        # capture by value still work; by-reference ones need pyFiles
+        # provided by the deployment instead
+        pass
     try:
         # Partition-size-to-data sizing (SURVEY §6 / scale brief): the
         # local test corpus is ~10 MB/table, so the 128 MB default collapses

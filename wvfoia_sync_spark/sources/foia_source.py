@@ -1,0 +1,167 @@
+"""S1 as a first-class Spark data source: ``spark.read.format("wvfoia")``.
+
+The reference's remote entry fetch (src/lib/sync.ts:132-154) re-expressed
+through PySpark 4's Python DataSource API instead of a mapInPandas helper:
+the id domain is split into range partitions (one fetch wave per task, the
+1000-executor fan-out shape), each task resolves its ids against the
+source and parses the HTML into rows (src/lib/sync.ts:83-130 semantics via
+foia.sync.parse_entry — single implementation, no drift between the sync
+path and this source).
+
+Two things make this more than a wrapper:
+
+- **Filter pushdown INTO the Python source** (``pushFilters``): `id`
+  range/equality predicates narrow the probed id window BEFORE partition
+  planning, so `spark.read.format("wvfoia").load().where("id > 52000")`
+  never fetches the ids the filter would discard — the Python-source
+  analogue of parquet PushedFilters. Unsupported filters are returned to
+  Spark and evaluated post-scan as usual.
+- **Partition planning = fetch batching**: one InputPartition per id
+  slice; Spark schedules the slices across executors and retries a failed
+  slice independently (a transient fetch error re-runs one wave, not the
+  whole read).
+
+Missing ids (the reference's 301/302/404 "missing" sentinel and unparsable
+pages) yield no row — exactly the reference's null return. The sequential
+3-miss STOPPING rule is deliberately NOT in the source: stopping is sync
+policy, applied by foia.sync.cut_at_frontier over this source's output
+(the source reads a declared window; the frontier cut decides how much of
+it to keep).
+
+Backends, chosen by options:
+- ``fixture`` (tests / replay): a parquet file of (id, html) pages read
+  per-partition via pyarrow — no Spark session needed executor-side.
+- ``base_url`` (production): HTTP GET per id via urllib with a timeout;
+  non-200 statuses and network errors are misses. Not exercised in tests
+  (no network in the harness) but kept trivially small.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterable, Iterator, List
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import StructType
+
+
+@dataclass
+class IdRangePartition(InputPartition):
+    lo: int  # inclusive
+    hi: int  # exclusive
+
+
+class FoiaEntriesReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.start = int(options.get("start", 1))
+        if "end" not in options:
+            raise ValueError("wvfoia source requires an 'end' option (exclusive id bound)")
+        self.end = int(options["end"])
+        self.slice_size = max(1, int(options.get("slice", 256)))
+        self.fixture = options.get("fixture")
+        self.base_url = options.get("base_url")
+        self.timeout = float(options.get("timeout", 10.0))
+        if not self.fixture and not self.base_url:
+            raise ValueError("wvfoia source needs 'fixture' or 'base_url'")
+
+    # -------------------------------------------------- filter pushdown --
+    def pushFilters(self, filters: List[Filter]) -> Iterable[Filter]:
+        """Narrow [start, end) with id predicates; everything else is
+        handed back to Spark. A filter we absorb must NOT be yielded —
+        yielding means 'evaluate it again post-scan'. We re-yield even
+        absorbed range filters anyway: re-checking a range costs nothing
+        and keeps the source correct if a backend ever returns an id
+        outside its partition (defense against a buggy fixture)."""
+        for f in filters:
+            if isinstance(f, GreaterThan) and f.attribute == ("id",):
+                self.start = max(self.start, int(f.value) + 1)
+            elif isinstance(f, GreaterThanOrEqual) and f.attribute == ("id",):
+                self.start = max(self.start, int(f.value))
+            elif isinstance(f, LessThan) and f.attribute == ("id",):
+                self.end = min(self.end, int(f.value))
+            elif isinstance(f, LessThanOrEqual) and f.attribute == ("id",):
+                self.end = min(self.end, int(f.value) + 1)
+            elif isinstance(f, EqualTo) and f.attribute == ("id",):
+                self.start = max(self.start, int(f.value))
+                self.end = min(self.end, int(f.value) + 1)
+            yield f
+
+    # ------------------------------------------------ partition planning --
+    def partitions(self) -> List[IdRangePartition]:
+        return [
+            IdRangePartition(lo, min(lo + self.slice_size, self.end))
+            for lo in range(self.start, self.end, self.slice_size)
+        ]
+
+    # --------------------------------------------------------- read wave --
+    def read(self, partition: IdRangePartition) -> Iterator[tuple]:
+        from ..foia.schema import ENTRY_COLUMNS
+        from ..foia.sync import parse_entry
+
+        pages = self._fetch_slice(partition.lo, partition.hi)
+        for entry_id in range(partition.lo, partition.hi):
+            row = parse_entry(pages.get(entry_id), entry_id)
+            if row is not None:
+                yield tuple(row[c] for c in ENTRY_COLUMNS)
+
+    def _fetch_slice(self, lo: int, hi: int) -> dict[int, str | None]:
+        if self.fixture:
+            import pyarrow.dataset as pads
+
+            ds = pads.dataset(self.fixture, format="parquet")
+            tbl = ds.to_table(
+                columns=["id", "html"],
+                filter=(pads.field("id") >= lo) & (pads.field("id") < hi),
+            )
+            return dict(zip(tbl["id"].to_pylist(), tbl["html"].to_pylist()))
+        import urllib.error
+        import urllib.request
+
+        pages: dict[int, str | None] = {}
+        for entry_id in range(lo, hi):
+            try:
+                with urllib.request.urlopen(
+                    f"{self.base_url.rstrip('/')}/{entry_id}", timeout=self.timeout
+                ) as resp:
+                    pages[entry_id] = (
+                        resp.read().decode("utf-8", "replace")
+                        if resp.status == 200
+                        else None
+                    )
+            except (urllib.error.URLError, OSError):
+                pages[entry_id] = None  # miss, like the reference's 404 path
+        return pages
+
+
+class FoiaEntriesDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "wvfoia"
+
+    def schema(self) -> StructType:
+        from ..foia.schema import ENTRIES_SCHEMA
+
+        return ENTRIES_SCHEMA
+
+    def reader(self, schema: StructType) -> FoiaEntriesReader:
+        return FoiaEntriesReader(dict(self.options))
+
+
+def register(spark) -> None:
+    """Idempotently register the source so
+    ``spark.read.format("wvfoia")`` resolves; enables the Python-source
+    filter-pushdown conf the reader's pushFilters depends on (a reader
+    that implements pushFilters ERRORS when the conf is off, rather than
+    silently skipping pushdown)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(FoiaEntriesDataSource)
