@@ -105,3 +105,63 @@ def test_source_requires_backend_and_end(tmp_path):
         FoiaEntriesReader({"fixture": "x"})
     with pytest.raises(ValueError, match="fixture|base_url"):
         FoiaEntriesReader({"end": "10"})
+
+
+def test_stream_source_frontier_and_checkpoint_resume(spark, tmp_path):
+    """The streaming form of the source: (a) a run ingests found pages
+    and stops the OFFSET at the 3-miss frontier — beyond-frontier ids
+    are never ingested even though the fixture contains them; (b) a
+    restart against the same checkpoint resumes from the committed
+    frontier, and once the upstream publishes the missing pages the next
+    run ingests exactly the newly-available entries (the reference's
+    daily re-probe, expressed as checkpointed stream offsets)."""
+    import pandas as pd
+
+    src = fixtures.make_sync_source(start_id=100)
+    fx = os.path.join(tmp_path, "pages.parquet")
+    src.to_parquet(fx)
+    foia_source.register(spark)
+    ckpt = os.path.join(tmp_path, "ckpt")
+
+    out = os.path.join(tmp_path, "synced")
+
+    def run():
+        stream = (
+            spark.readStream.format("wvfoia")
+            .option("start", 100)
+            .option("slice", 64)
+            .option("fixture", fx)
+            .load()
+        )
+        # file sink (not memory): supports checkpoint RECOVERY, which is
+        # the property under test
+        q = (
+            stream.writeStream.format("parquet")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(r["id"] for r in spark.read.parquet(out).collect())
+
+    # fixture statuses at 100+: TTTT F T F(unparsable) FFF then 5 found
+    # beyond the frontier -> frontier at the first 3-miss run
+    assert run() == [100, 101, 102, 103, 105]
+
+    # restart with nothing new upstream: no progress past the frontier
+    assert run() == [100, 101, 102, 103, 105]
+
+    # upstream fills the gap: the frontier run's pages appear
+    filled = src.copy()
+    tmpl = src[src["status"] == 200].iloc[0]["html"]
+    for idx in filled.index[filled["id"].isin([106, 107, 108])]:
+        filled.loc[idx, "status"] = 200
+        filled.loc[idx, "html"] = tmpl
+    filled.to_parquet(fx)
+    got = run()
+    # newly available: 106-108 plus the previously-beyond-frontier 110+
+    # block, up to the new frontier (109 is still missing: one miss only,
+    # not a stopping run)
+    assert got == [100, 101, 102, 103, 105, 106, 107, 108, 110, 111, 112, 113, 114]
