@@ -135,6 +135,7 @@ HEADLINE = [
     "multiset_except",
     "multiset_intersect",
     "observed_scan_metrics",
+    "triangle_count",
 ]
 
 

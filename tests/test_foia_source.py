@@ -165,3 +165,53 @@ def test_stream_source_frontier_and_checkpoint_resume(spark, tmp_path):
     # block, up to the new frontier (109 is still missing: one miss only,
     # not a stopping run)
     assert got == [100, 101, 102, 103, 105, 106, 107, 108, 110, 111, 112, 113, 114]
+
+
+def test_http_backend_against_local_server(spark, tmp_path):
+    """The production backend (base_url): serve the fixture pages from an
+    in-process HTTP server; 200 pages parse to rows, 404s are misses —
+    the reference's fetchRemoteEntry semantics (sync.ts:132-154) over a
+    real socket."""
+    import http.server
+    import threading
+
+    src = fixtures.make_sync_source(start_id=100)
+    pages = {int(r.id): (int(r.status), r.html) for r in src.itertuples()}
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            entry_id = int(self.path.strip("/"))
+            status, html = pages.get(entry_id, (404, None))
+            if status == 200 and html is not None:
+                body = html.encode()
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                # urllib raises HTTPError for 404/302-without-location;
+                # the reader treats both as misses
+                self.send_response(404)
+                self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        foia_source.register(spark)
+        df = (
+            spark.read.format("wvfoia")
+            .option("start", 100)
+            .option("end", 100 + len(src))
+            .option("slice", 5)
+            .option("base_url", f"http://127.0.0.1:{port}")
+            .load()
+        )
+        got = sorted(r["id"] for r in df.collect())
+    finally:
+        server.shutdown()
+    assert got == [100, 101, 102, 103, 105, 110, 111, 112, 113, 114]

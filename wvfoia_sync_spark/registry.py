@@ -6310,3 +6310,98 @@ def observed_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(m["n_rows"]), int(m["n_big"]), float(m["sum_price"]))],
         "n_rows long, n_big long, sum_price double",
     )
+
+
+@register(
+    "triangle_count",
+    oracle="""
+    WITH e0 AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT CAST(SUM(w) AS DOUBLE) / COUNT(*) AS avg_w FROM e0
+    ),
+    e AS (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM e0, m WHERE w >= 1.2 * m.avg_w AND src <> dst
+    ),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    parts AS (
+      SELECT x AS nationkey FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    )
+    SELECT CAST(nationkey AS INT) AS nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM parts GROUP BY 1 ORDER BY 1
+    """,
+)
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the thresholded nation trade graph — the
+    third graph shape beside PageRank and connected components. The
+    classic distributed recipe: canonicalize edges to a < b (kills
+    duplicate orientations AND makes every triangle countable exactly
+    once as a<b<c), then two self-joins — wedge build (a-b, b-c) plus
+    the closing-edge check (a-c). Each participating node is credited
+    via explode. At 100 TB the wedge join is the quadratic hazard; the
+    canonical ordering means each wedge is built once not six times, and
+    the heavy-hitter guard is the weight threshold — 1.2x the mean edge
+    weight, data-relative so the graph stays comparably sparse at every
+    SF (a broadcast scalar, identical IEEE arithmetic both engines;
+    production would also degree-cap). Node-cardinality joins here: the only fact-sized
+    pass is the edge build, shared shape with nation_pagerank."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    e0 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").cast("int").alias("src"),
+            F.col("s_nationkey").cast("int").alias("dst"),
+        )
+        .agg(F.count("*").alias("w"))
+        # persist: the edge aggregate feeds BOTH the mean-threshold
+        # scalar and the filtered edge set — without it the fact join
+        # lineage runs twice (same pattern as nation_pagerank's edges;
+        # node^2-bounded rows, the table production would checkpoint)
+        .persist()
+    )
+    thr = e0.agg(
+        (F.sum("w").cast("double") / F.count("*")).alias("avg_w")
+    )
+    e0 = e0.join(F.broadcast(thr)).where(
+        (F.col("w") >= F.lit(1.2) * F.col("avg_w"))
+        & (F.col("src") != F.col("dst"))
+    )
+    e = e0.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y2"), F.col("b").alias("z"))
+    e3 = e.select(F.col("a").alias("x3"), F.col("b").alias("z3"))
+    tri = (
+        e1.join(e2, F.col("y") == F.col("y2"))
+        .join(e3, (F.col("x") == F.col("x3")) & (F.col("z") == F.col("z3")))
+        .select("x", "y", "z")
+    )
+    return (
+        tri.select(
+            F.explode(F.array("x", "y", "z")).alias("nationkey")
+        )
+        .groupBy("nationkey")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+        .orderBy("nationkey")
+    )
