@@ -136,6 +136,7 @@ HEADLINE = [
     "multiset_intersect",
     "observed_scan_metrics",
     "triangle_count",
+    "snapshot_cdc_diff",
 ]
 
 

@@ -1,0 +1,63 @@
+"""Snapshot/time-travel tests (plans/snapshots.py): immutable versions,
+read-at-version, retention sweep, atomic manifest replace, and the
+snapshot-derived CDC diff.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+from wvfoia_sync_spark.plans import snapshots
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id long, val string")
+
+
+def test_time_travel_reads_old_versions(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    v0 = snapshots.write_snapshot(_df(spark, [(1, "a"), (2, "b")]), t)
+    v1 = snapshots.write_snapshot(
+        _df(spark, [(1, "a"), (2, "B"), (3, "c")]), t
+    )
+    assert (v0, v1) == (0, 1)
+    assert snapshots.current_version(t) == 1
+    cur = {r["id"]: r["val"] for r in snapshots.read_snapshot(spark, t).collect()}
+    assert cur == {1: "a", 2: "B", 3: "c"}
+    old = {
+        r["id"]: r["val"]
+        for r in snapshots.read_snapshot(spark, t, version=0).collect()
+    }
+    assert old == {1: "a", 2: "b"}  # immutable history
+
+
+def test_retention_sweeps_old_and_orphan_dirs(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    for i in range(4):
+        snapshots.write_snapshot(_df(spark, [(i, "x")]), t, retain=2)
+    kept = sorted(d for d in os.listdir(t) if d.startswith("v"))
+    assert kept == ["v00002", "v00003"]
+    # a crashed writer's orphan dir is removed by the next write
+    os.makedirs(os.path.join(t, "v99999"))
+    snapshots.write_snapshot(_df(spark, [(9, "y")]), t, retain=2)
+    assert "v99999" not in os.listdir(t)
+    # reading an expired version is an explicit error, not silent data
+    import pytest
+
+    with pytest.raises(ValueError, match="not available"):
+        snapshots.read_snapshot(spark, t, version=0)
+
+
+def test_snapshot_diff_is_a_cdc_feed(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    snapshots.write_snapshot(_df(spark, [(1, "a"), (2, "b"), (4, "d")]), t)
+    snapshots.write_snapshot(
+        _df(spark, [(1, "a"), (2, "B"), (3, "c")]), t
+    )
+    changes = {
+        r["id"]: r["change"]
+        for r in snapshots.snapshot_diff(spark, t, 0, 1, key="id").collect()
+    }
+    assert changes == {2: "update", 3: "insert", 4: "delete"}

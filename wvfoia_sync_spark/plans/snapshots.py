@@ -1,0 +1,132 @@
+"""Versioned table snapshots with time travel on plain parquet — the
+storage behaviors the reference delegates to D1 time-travel bookmarks
+(export change-detection, .github/workflows/export-db-sqlite.yml:42-91)
+and that a lakehouse format (Delta/Iceberg) provides natively. This
+module is the minimal manifest-based equivalent so the engine's upsert
+and export paths get: immutable versions, read-at-version, version diff,
+and retention — without adding a table-format dependency the container
+doesn't have.
+
+Layout:
+    table_dir/
+      v00000/ ... v00042/   immutable version directories (parquet)
+      MANIFEST.json          {"current": 42, "versions": [...]}
+
+Write protocol (crash-safe, same discipline as the streaming upsert
+sink and the partitioned layouts): write the new version dir fully,
+fsync-rename nothing in place, then atomically REPLACE the manifest via
+write-temp + os.replace. A reader always sees a manifest that points at
+a fully-written version; a crashed writer leaves at most an orphan
+version dir that the next write's retention sweep removes.
+
+At 100 TB each version holds full files only for CHANGED partitions when
+combined with the partitioned layouts — this module tracks whole-table
+versions because the reference's tables are snapshot-replaced per sync
+(gold rebuild, SURVEY §2.10 C1-C3); a production lakehouse would swap in
+Delta here with the same call sites.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _manifest_path(table_dir: str) -> str:
+    return os.path.join(table_dir, "MANIFEST.json")
+
+
+def _read_manifest(table_dir: str) -> dict:
+    p = _manifest_path(table_dir)
+    if not os.path.exists(p):
+        return {"current": None, "versions": []}
+    with open(p) as f:
+        return json.load(f)
+
+
+def _write_manifest(table_dir: str, manifest: dict) -> None:
+    fd, tmp = tempfile.mkstemp(dir=table_dir, prefix=".manifest_")
+    with os.fdopen(fd, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, _manifest_path(table_dir))  # atomic on POSIX
+
+
+def write_snapshot(df: DataFrame, table_dir: str, retain: int = 5) -> int:
+    """Write ``df`` as the next version; returns the new version number.
+    Keeps the latest ``retain`` versions, removes older dirs AND any
+    orphan dirs a crashed writer left (present on disk, absent from the
+    manifest, not the one being written)."""
+    os.makedirs(table_dir, exist_ok=True)
+    m = _read_manifest(table_dir)
+    version = 0 if m["current"] is None else m["current"] + 1
+    vdir = os.path.join(table_dir, f"v{version:05d}")
+    df.write.mode("overwrite").parquet(vdir)
+    m["versions"] = (m["versions"] + [version])[-retain:]
+    m["current"] = version
+    _write_manifest(table_dir, m)
+    keep = {f"v{v:05d}" for v in m["versions"]}
+    for name in os.listdir(table_dir):
+        if name.startswith("v") and name not in keep:
+            shutil.rmtree(os.path.join(table_dir, name), ignore_errors=True)
+    return version
+
+
+def read_snapshot(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Read the current version, or time-travel to an explicit one."""
+    m = _read_manifest(table_dir)
+    if m["current"] is None:
+        raise FileNotFoundError(f"no snapshot written yet in {table_dir}")
+    v = m["current"] if version is None else version
+    if v not in m["versions"]:
+        raise ValueError(
+            f"version {v} not available (retained: {m['versions']})"
+        )
+    return spark.read.parquet(os.path.join(table_dir, f"v{v:05d}"))
+
+
+def current_version(table_dir: str) -> int | None:
+    return _read_manifest(table_dir)["current"]
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    table_dir: str,
+    from_version: int,
+    to_version: int,
+    key: str,
+) -> DataFrame:
+    """Row-level diff between two retained versions keyed by ``key``:
+    returns (key, change) with change in {'insert','delete','update'} —
+    the CDC feed a lakehouse's change-data-feed would provide, derived
+    here from the snapshots themselves (full outer join on the key, any
+    non-key column difference = update)."""
+    import pyspark.sql.functions as F
+
+    old = read_snapshot(spark, table_dir, from_version)
+    new = read_snapshot(spark, table_dir, to_version)
+    cols = [c for c in new.columns if c != key]
+    o = old.select(
+        F.col(key).alias("_ok"),
+        F.xxhash64(*[F.col(c) for c in cols]).alias("_oh"),
+    )
+    n = new.select(
+        F.col(key).alias("_nk"),
+        F.xxhash64(*[F.col(c) for c in cols]).alias("_nh"),
+    )
+    j = o.join(n, o["_ok"] == n["_nk"], "full_outer")
+    return (
+        j.select(
+            F.coalesce("_nk", "_ok").alias(key),
+            F.when(F.col("_ok").isNull(), "insert")
+            .when(F.col("_nk").isNull(), "delete")
+            .when(F.col("_oh") != F.col("_nh"), "update")
+            .alias("change"),
+        )
+        .where(F.col("change").isNotNull())
+    )

@@ -6405,3 +6405,66 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_triangles"))
         .orderBy("nationkey")
     )
+
+
+@register(
+    "snapshot_cdc_diff",
+    oracle="""
+    WITH v0 AS (
+      SELECT o_orderkey, o_orderstatus FROM orders
+      WHERE o_orderkey % 89 <> 0
+    ),
+    v1 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 97 = 0 THEN 'X'
+                  ELSE o_orderstatus END AS o_orderstatus
+      FROM orders
+    )
+    SELECT COALESCE(v1.o_orderkey, v0.o_orderkey) AS o_orderkey,
+           CASE WHEN v0.o_orderkey IS NULL THEN 'insert'
+                WHEN v1.o_orderkey IS NULL THEN 'delete'
+                WHEN v0.o_orderstatus <> v1.o_orderstatus THEN 'update'
+           END AS change
+    FROM v0 FULL OUTER JOIN v1 ON v0.o_orderkey = v1.o_orderkey
+    WHERE CASE WHEN v0.o_orderkey IS NULL THEN 'insert'
+               WHEN v1.o_orderkey IS NULL THEN 'delete'
+               WHEN v0.o_orderstatus <> v1.o_orderstatus THEN 'update'
+          END IS NOT NULL
+    ORDER BY o_orderkey
+    """,
+)
+def snapshot_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel + change-data-feed on plain parquet
+    (plans/snapshots.py): two table versions are WRITTEN as immutable
+    snapshots (manifest-tracked, atomic replace, retention-swept) and
+    the row-level diff is derived from the snapshots themselves — the
+    Delta/Iceberg CDF contract without the format dependency. v0 drops
+    every 89th order (deletes-to-be), v1 flips every 97th order's
+    status (updates); the diff joins version hashes full-outer on the
+    key, so at 100 TB it moves two key+hash columns, never the payload.
+    The oracle recomputes the identical diff from the same derivations
+    directly — the stored snapshots must be a faithful memory of both
+    versions."""
+    import os
+    import re as _re
+
+    from .plans import snapshots
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    v0_df = o.where(F.col("o_orderkey") % 89 != 0)
+    v1_df = o.withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    tag = _re.sub(r"[^A-Za-z0-9_.-]+", "_", sf_dir.strip("/"))
+    tdir = os.path.join("/tmp", f"spark_graft_snapshots_{tag}")
+    a = snapshots.write_snapshot(v0_df, tdir)
+    b = snapshots.write_snapshot(v1_df, tdir)
+    return (
+        snapshots.snapshot_diff(spark, tdir, a, b, key="o_orderkey")
+        .orderBy("o_orderkey")
+    )
