@@ -1,0 +1,64 @@
+"""Schema-evolution tests (sources/evolution.py): merged reads see the
+evolved column as null on pre-evolution files, a pinned schema enforces
+the contract shape, and by-name union never silently matches columns
+positionally.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import types as T
+
+from wvfoia_sync_spark.sources import evolution
+
+
+def _write_drifted_table(spark, path):
+    """Batch 1: (id, agency). Batch 2 adds a `fee` column — the upstream
+    evolved; batch 1's files predate it."""
+    spark.createDataFrame(
+        [(1, "DEP"), (2, "WVSOS")], "id long, agency string"
+    ).write.mode("append").parquet(path)
+    spark.createDataFrame(
+        [(3, "DEP", "$25.00")], "id long, agency string, fee string"
+    ).write.mode("append").parquet(path)
+
+
+def test_merged_read_sees_evolved_column_with_nulls(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    _write_drifted_table(spark, path)
+    df = evolution.read_evolving(spark, path)
+    assert "fee" in df.columns
+    rows = {r["id"]: r["fee"] for r in df.collect()}
+    assert rows == {1: None, 2: None, 3: "$25.00"}
+
+
+def test_pinned_schema_enforces_contract(spark, tmp_path):
+    """A catalog-pinned schema makes the read shape independent of which
+    files exist — including a column NO file has yet (all null)."""
+    path = str(tmp_path / "tbl")
+    _write_drifted_table(spark, path)
+    pinned = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("agency", T.StringType()),
+            T.StructField("fee", T.StringType()),
+            T.StructField("resolution", T.StringType()),  # future column
+        ]
+    )
+    df = evolution.read_evolving(spark, path, schema=pinned)
+    assert df.columns == ["id", "agency", "fee", "resolution"]
+    assert df.where(F.col("resolution").isNotNull()).count() == 0
+    assert df.count() == 3
+
+
+def test_union_evolving_matches_by_name_not_position(spark):
+    """The drifted frames put their shared columns at DIFFERENT
+    positions; by-name union must still line them up (positional union
+    would swap agency into fee)."""
+    a = spark.createDataFrame([(1, "DEP")], "id long, agency string")
+    b = spark.createDataFrame(
+        [("$5", 2, "WVSOS")], "fee string, id long, agency string"
+    )
+    out = evolution.union_evolving([a, b]).orderBy("id")
+    rows = [(r["id"], r["agency"], r["fee"]) for r in out.collect()]
+    assert rows == [(1, "DEP", None), (2, "WVSOS", "$5")]

@@ -1,0 +1,54 @@
+"""Schema evolution for file-backed tables (the lakehouse behavior the
+reference never needs — its SQLite schema is migration-managed,
+migrations/0001_init.sql — but any long-lived parquet table does: the
+upstream adds a column and history keeps the old files).
+
+Two primitives:
+
+- ``read_evolving``: parquet read with ``mergeSchema`` ON. Without it
+  Spark infers the schema from a SAMPLE of file footers, so whether the
+  new column exists in the DataFrame depends on which files the sample
+  hit — the classic silently-flaky read. mergeSchema unions all footers:
+  the new column exists everywhere, null where a file predates it. At
+  100 TB footer-merging costs one metadata pass (no data), and a real
+  deployment pins the merged schema in a catalog instead of re-deriving
+  it per read — which is what the explicit ``schema`` parameter models.
+
+- ``union_evolving``: unionByName(allowMissingColumns=True) across
+  DataFrames whose column sets drifted — the in-memory form of the same
+  contract (missing columns become nulls, order-independent matching by
+  NAME, never by position: positional union is how a reordered upstream
+  silently swaps two string columns).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_evolving(
+    spark: SparkSession, path: str, schema: StructType | None = None
+) -> DataFrame:
+    """Read a parquet directory whose files were written under different
+    schema versions. With ``schema`` given, that exact shape is enforced
+    (catalog-pinned contract); otherwise footers are merged."""
+    reader = spark.read.option("mergeSchema", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def union_evolving(frames: list[DataFrame]) -> DataFrame:
+    """Union by NAME across drifted column sets; absent columns are null.
+
+    Column matching by name is the whole point: ``union`` (positional)
+    on drifted frames either errors or — worse — silently maps column i
+    of one frame onto a differently-named column i of another."""
+    if not frames:
+        raise ValueError("union_evolving needs at least one frame")
+    return reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), frames
+    )
