@@ -137,6 +137,7 @@ HEADLINE = [
     "observed_scan_metrics",
     "triangle_count",
     "snapshot_cdc_diff",
+    "provenance_counts",
 ]
 
 

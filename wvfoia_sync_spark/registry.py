@@ -6468,3 +6468,42 @@ def snapshot_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         snapshots.snapshot_diff(spark, tdir, a, b, key="o_orderkey")
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "provenance_counts",
+    oracle="""
+    SELECT 'orders.parquet' AS source_file,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders ORDER BY 1
+    """,
+)
+def provenance_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level provenance: every row tagged with its source FILE via
+    the metadata column (_metadata.file_name — the modern form of
+    input_file_name(), available without reading any data column), then
+    rolled up per file. This is the audit/lineage primitive a curation
+    pipeline records at ingest ("which crawl shard did this document
+    come from") and the debugging handle at 100 TB ("which file wrote
+    the corrupt rows") — zero I/O beyond the scan the query already
+    does, because file name is constant per split. Oracle: the driver's
+    table is physically ONE file named orders.parquet (TESTDATA layout),
+    so the expected provenance rollup is that literal — the oracle
+    deliberately encodes the gate's layout; multi-file layouts (bench
+    multifile, production) still run the Spark side, one row per part
+    file, with no oracle row to disagree with."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        o.select(
+            F.col("_metadata.file_name").alias("source_file"), "o_orderkey"
+        )
+        .groupBy("source_file")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("o_orderkey").cast("long").alias("min_key"),
+            F.max("o_orderkey").cast("long").alias("max_key"),
+        )
+        .orderBy("source_file")
+    )
