@@ -215,3 +215,52 @@ def test_http_backend_against_local_server(spark, tmp_path):
     finally:
         server.shutdown()
     assert got == [100, 101, 102, 103, 105, 110, 111, 112, 113, 114]
+
+
+def test_continuous_sync_composition_stream_to_bronze(spark, tmp_path):
+    """The full continuous-sync pipeline composed from the engine's own
+    parts: wvfoia streaming source (frontier offsets) -> foreachBatch
+    upsert sink -> bronze table. First run lands the pre-frontier
+    entries; after the upstream fills the gap, the SAME pipeline
+    (same checkpoint) catches bronze up with only the new entries —
+    the reference's daily cron sync as one restartable streaming job."""
+    from wvfoia_sync_spark.streaming import jobs
+
+    src = fixtures.make_sync_source(start_id=100)
+    fx = os.path.join(tmp_path, "pages.parquet")
+    src.to_parquet(fx)
+    foia_source.register(spark)
+    bronze = os.path.join(tmp_path, "bronze")
+    ckpt = os.path.join(tmp_path, "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.format("wvfoia")
+            .option("start", 100)
+            .option("slice", 64)
+            .option("fixture", fx)
+            .load()
+        )
+        jobs.stream_upsert_sink(
+            stream,
+            table_path=bronze,
+            checkpoint_path=ckpt,
+            key="id",
+            order_col="id",
+            query_name="t_continuous_sync",
+        )
+        return sorted(
+            r["id"] for r in spark.read.parquet(bronze).collect()
+        )
+
+    assert run() == [100, 101, 102, 103, 105]
+
+    filled = src.copy()
+    tmpl = src[src["status"] == 200].iloc[0]["html"]
+    for idx in filled.index[filled["id"].isin([106, 107, 108])]:
+        filled.loc[idx, "status"] = 200
+        filled.loc[idx, "html"] = tmpl
+    filled.to_parquet(fx)
+    assert run() == [
+        100, 101, 102, 103, 105, 106, 107, 108, 110, 111, 112, 113, 114,
+    ]
