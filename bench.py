@@ -138,6 +138,8 @@ HEADLINE = [
     "triangle_count",
     "snapshot_cdc_diff",
     "provenance_counts",
+    "centroid_classify",
+    "sql_interface",
 ]
 
 
