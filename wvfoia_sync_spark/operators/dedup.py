@@ -330,6 +330,21 @@ def _minhash_permutations(k: int, seed: int = 7) -> list[tuple[int, int]]:
     return out
 
 
+def spread_for_python_stage(df: DataFrame) -> DataFrame:
+    """Repartition a frame about to enter a CPU-bound Python/Arrow stage
+    up to the session's default parallelism IF the upstream left it with
+    too few splits (single-file scans yield 1-2). Unlike the opt-in
+    ``load_table(spread=...)`` (a local-layout workaround), this is
+    correct at any scale: pre-shuffling slim rows once is always cheaper
+    than serializing a per-row Python stage onto a couple of cores, and
+    it is a no-op when the upstream is already parallel."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 <= target:
+        return df.repartition(target)
+    return df
+
+
 def hashed_shingles(df: DataFrame, id_col: str, text_col: str, shingle_size: int = 3) -> DataFrame:
     """(id, hs: array<long>) distinct word-n-gram shingles hashed into
     [0, 2^31).
@@ -443,6 +458,14 @@ def minhash_signatures(
     Arrow-batched numpy UDF; ``False`` uses the pure-Catalyst aggregate
     fold (zero Python dependency in the plan — useful where Python
     workers are undesirable). Both produce identical signatures."""
+    if vectorized:
+        # CPU-bound pipeline (regex tokenize + shingle hashing + Arrow
+        # numpy mins): inherit too few splits (a single-file upstream
+        # gives 1-2) and the whole thing serializes onto 2 cores.
+        # Spreading the INPUT is cluster-safe — the shuffle moves raw
+        # (id, text) rows once, far below the per-row compute it unlocks
+        # parallelism for — and a no-op on already-parallel upstreams.
+        df = spread_for_python_stage(df)
     hashed = hashed_shingles(df, id_col, text_col, shingle_size)
     if vectorized:
         sig = _sig_from_hashed_pandas(num_hashes)(F.col("hs"))
