@@ -307,6 +307,11 @@ def jaccard_pairs_auto(
     dictionary fits (dense small-alphabet corpora), prefix filtering
     otherwise (open-vocabulary text, where candidate pruning — not set
     representation — is what kills the O(n^2) pair scan)."""
+    # the tokenize/encode stage is compute-heavy and runs at the INPUT's
+    # parallelism; a single-file upstream pins it to 1-2 cores (measured
+    # 2.3s -> 1.7s warm at sf0.1 with the spread; no-op when already
+    # parallel)
+    df = spread_for_python_stage(df)
     out = jaccard_pairs_bitset(df, id_col, text_col, bucket_col, threshold)
     if out is not None:
         return out
