@@ -140,6 +140,7 @@ HEADLINE = [
     "provenance_counts",
     "centroid_classify",
     "sql_interface",
+    "important_parts",
 ]
 
 

@@ -6669,3 +6669,74 @@ def sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY n.n_name, ship_year
         """
     )
+
+
+@register(
+    "important_parts",
+    oracle="""
+    WITH pv AS (
+      SELECT l.l_partkey AS partkey,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS value
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      WHERE s.s_nationkey = (SELECT s_nationkey FROM supplier
+                             WHERE s_suppkey = (SELECT MIN(s_suppkey)
+                                                FROM supplier))
+      GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(value) AS DOUBLE) AS total,
+                   COUNT(*) AS n FROM pv)
+    SELECT pv.partkey,
+           CAST(pv.value AS DOUBLE) AS value
+    FROM pv, tot
+    WHERE CAST(pv.value AS DOUBLE) > 2.0 * tot.total / tot.n
+    ORDER BY value DESC, partkey ASC
+    """,
+)
+def important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock, adapted: no partsupp table, so
+    'stock value' becomes shipped value through one nation's suppliers):
+    a grouped aggregate filtered by a GLOBAL fraction-of-total scalar —
+    the HAVING > scalar-subquery pattern. The total comes from a second
+    aggregate over the SAME per-part aggregate, broadcast as one row; as
+    in Q20, the per-part table is persisted so the fact join lineage
+    runs once for both the total and the filter (dimension-cardinality
+    rows cached, one fact pass). The cut is data-relative — twice the
+    MEAN per-part value — so the result is non-degenerate at every SF;
+    exact decimal sums feed it through identical double arithmetic in
+    both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    # target nation = the one owning the smallest supplier key: a
+    # deterministic anchor that exists at every SF (a min-by-NAME nation
+    # can own zero suppliers in a small sample)
+    target = s.orderBy("s_suppkey").limit(1).select(
+        F.col("s_nationkey").alias("tn")
+    )
+    sn = (
+        s.join(F.broadcast(target), s.s_nationkey == F.col("tn"))
+        .select("s_suppkey")
+    )
+    pv = (
+        li.join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias(
+                "value"
+            )
+        )
+        .persist()
+    )
+    tot = pv.agg(
+        F.sum("value").cast("double").alias("total"),
+        F.count("*").alias("n_parts"),
+    )
+    return (
+        pv.join(F.broadcast(tot))
+        .where(
+            F.col("value").cast("double")
+            > F.lit(2.0) * F.col("total") / F.col("n_parts")
+        )
+        .select("partkey", F.col("value").cast("double").alias("value"))
+        .orderBy(F.col("value").desc(), F.col("partkey").asc())
+    )
