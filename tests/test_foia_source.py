@@ -264,3 +264,84 @@ def test_continuous_sync_composition_stream_to_bronze(spark, tmp_path):
     assert run() == [
         100, 101, 102, 103, 105, 106, 107, 108, 110, 111, 112, 113, 114,
     ]
+
+
+def test_filter_excluding_all_rows_returns_empty_not_error(spark, tmp_path):
+    """A pushed-down predicate that narrows the id window to nothing must
+    yield an empty result: partitions() returns a degenerate zero-width
+    slice (an empty list would make PySpark call read(None))."""
+    src, fx = _fixture(tmp_path)
+    foia_source.register(spark)
+    df = (
+        spark.read.format("wvfoia")
+        .option("start", 100)
+        .option("end", 100 + len(src))
+        .option("slice", 4)
+        .option("fixture", fx)
+        .load()
+    )
+    assert df.where("id > 99999").count() == 0
+    assert df.where("id < 100").count() == 0
+
+
+def test_stream_frontier_gap_split_across_windows(spark, tmp_path):
+    """A >=drift miss run split across micro-batch windows (2 trailing
+    misses ending one slice + 1 leading the next) must still halt the
+    frontier at the gap's head: the offset never commits past trailing
+    misses, so the re-probed next window sees the whole run. With
+    slice=8 the fixture's 106-108 gap splits exactly 2+1."""
+    src = fixtures.make_sync_source(start_id=100)
+    fx = os.path.join(tmp_path, "pages.parquet")
+    src.to_parquet(fx)
+    foia_source.register(spark)
+    ckpt = os.path.join(tmp_path, "ckpt")
+    out = os.path.join(tmp_path, "synced")
+
+    def run():
+        stream = (
+            spark.readStream.format("wvfoia")
+            .option("start", 100)
+            .option("slice", 8)
+            .option("fixture", fx)
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(r["id"] for r in spark.read.parquet(out).collect())
+
+    # frontier must stop at 106 (gap head), never ingesting the 110+
+    # block past the boundary-spanning gap
+    assert run() == [100, 101, 102, 103, 105]
+    assert run() == [100, 101, 102, 103, 105]
+
+    # upstream fills the gap -> the same pipeline catches up
+    filled = src.copy()
+    tmpl = src[src["status"] == 200].iloc[0]["html"]
+    for idx in filled.index[filled["id"].isin([106, 107, 108])]:
+        filled.loc[idx, "status"] = 200
+        filled.loc[idx, "html"] = tmpl
+    filled.to_parquet(fx)
+    # availableNow falls back to one micro-batch per run for this source,
+    # so the catch-up arrives one 8-id window at a time
+    assert run() == [
+        100, 101, 102, 103, 105, 106, 107, 108, 110, 111, 112, 113,
+    ]
+    assert run() == [
+        100, 101, 102, 103, 105, 106, 107, 108, 110, 111, 112, 113, 114,
+    ]
+
+
+def test_stream_rejects_slice_smaller_than_drift():
+    import pytest
+
+    from wvfoia_sync_spark.sources.foia_source import FoiaEntriesStreamReader
+
+    with pytest.raises(ValueError, match="slice"):
+        FoiaEntriesStreamReader({"slice": "2", "drift": "3", "fixture": "x"})

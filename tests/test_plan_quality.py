@@ -326,3 +326,74 @@ def test_knn_join_broadcasts_query_batch(spark):
     p = plan(registry.QUERIES["knn_join"](spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_no_pinned_broadcast_of_fact_scaled_tables(spark):
+    """An explicit F.broadcast() hint PINS the strategy — AQE can never
+    degrade it to a shuffled join, so a hint on a build side that grows
+    with the data is a guaranteed OOM at some scale (the round-3 verdict's
+    systemic finding). Gate: no ResolvedHint(broadcast) subtree in any
+    registry query's analyzed plan may scan an sf-proportional table
+    (customer/supplier/orders/lineitem/part/events/documents/embeddings)
+    unless the subtree bounds it to a constant size (an Aggregate node —
+    1-row anchors, vocab LMs, per-label centroids — or a Limit) or the
+    query carries a documented allowlist justification."""
+    import re
+
+    # signature columns that identify an sf-proportional base relation
+    fact_sig = re.compile(
+        r"\b(c_custkey|s_suppkey|o_orderkey|l_orderkey|p_partkey"
+        r"|event_id|doc_id|vec_id|embedding)#"
+    )
+    allow = {
+        # brand+container-filtered part slice (~0.1% of part) + its
+        # per-partkey avg: bounded by the brand filter, documented
+        "small_qty_revenue",
+        # p_name LIKE-filtered part slice, the Q20 shape's probe side
+        "excess_qty_suppliers",
+        # eval-set shingles: fixed-size benchmark in production; the
+        # doc_id % 50 slice is the test stand-in
+        "decontam_overlap",
+        # query batch is an absolute id slice (vec_id < 20): constant
+        # cardinality at any SF, asserted broadcast by its own plan test
+        "knn_join",
+    }
+    skip = {
+        "events_hourly_stream",
+        "sessionization_stream",
+        "stateful_counts_stream",
+        "stream_stream_join",
+        "stream_stream_outer_join",
+        "stream_static_join",
+        "stream_upsert",
+    }
+
+    def content_start(line: str) -> int:
+        m = re.match(r"^[\s:+|-]*", line)
+        return m.end()
+
+    for name, fn in registry.QUERIES.items():
+        if name in skip or name in allow:
+            continue
+        tree = fn(spark, SF_DIR)._jdf.queryExecution().analyzed().toString()
+        lines = tree.splitlines()
+        for i, ln in enumerate(lines):
+            if "ResolvedHint" not in ln or "broadcast" not in ln:
+                continue
+            depth = content_start(ln)
+            subtree, bounded = [], False
+            for child in lines[i + 1:]:
+                if content_start(child) <= depth:
+                    break
+                subtree.append(child)
+                if re.search(r"\bAggregate \[", child) or re.search(
+                    r"\b(GlobalLimit|LocalLimit|Limit) ", child
+                ):
+                    bounded = True
+            if bounded:
+                continue
+            offending = [c for c in subtree if fact_sig.search(c)]
+            assert not offending, (
+                f"{name}: pinned broadcast hint over an sf-proportional "
+                f"scan (no bounding aggregate): {offending[0].strip()[:140]}"
+            )

@@ -73,11 +73,15 @@ def k_anonymize(
     training data).
 
     Physical shape for 100 TB: group sizes come from ONE aggregate at
-    quasi-identifier cardinality, broadcast back onto the fact rows —
-    never a per-row window, which would shuffle every full row just to
-    count its group (the aggregate moves combo-cardinality rows; the
-    fact table is touched by a map-side broadcast probe only). Masked
-    columns are cast to string (the mask value must inhabit the type).
+    quasi-identifier cardinality, joined back onto the fact rows — never
+    a per-row window, which would shuffle every full row just to count
+    its group. The join strategy is deliberately UNHINTED: in the usual
+    regime (few violating combos) AQE picks a broadcast probe, but in
+    the common k-anonymity worst case most combinations violate
+    (cardinality approaching row count) and a pinned broadcast would
+    blow driver/executor memory — the null-safe equi-join then degrades
+    to a shuffled hash join instead. Masked columns are cast to string
+    (the mask value must inhabit the type).
     """
     counts = (
         df.groupBy(*quasi_cols)
@@ -92,7 +96,7 @@ def k_anonymize(
     for c in quasi_cols:
         eq = df[c].eqNullSafe(F.col(f"_viol_{c}"))
         cond = eq if cond is None else (cond & eq)
-    out = df.join(F.broadcast(counts), cond, "left")
+    out = df.join(counts, cond, "left")
     suppressed = F.coalesce(F.col("_violates"), F.lit(False))
     for c in quasi_cols:
         out = out.withColumn(

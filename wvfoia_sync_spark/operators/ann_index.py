@@ -14,31 +14,30 @@ sources/partitioned.py), so a 3-of-8-cell probe never lists the other
 five cells' files.
 
 Derived state, same contract as the FTS index and the partitioned
-layouts: rebuilt deterministically from the embeddings table + trained
-artifacts, cached under /tmp keyed by source dir and index params,
-written to a temp dir and atomically renamed.
+layouts (sources/derived.py): cached under /tmp keyed by source dir,
+index params, AND a content fingerprint of the embeddings table — so
+regenerating the dataset in place never serves a stale index — built in
+a builder-unique temp dir and published rename-if-absent (no shared-path
+rmtree race between concurrent builders).
 """
 
 from __future__ import annotations
 
 import os
-import re
-import shutil
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from ..sources import derived
 from . import similarity
 
 
-def _cache_tag(sf_dir: str) -> str:
-    return re.sub(r"[^A-Za-z0-9_.-]+", "_", sf_dir.strip("/"))
-
-
 def index_path(sf_dir: str, n_cells: int, m: int, n_cents: int) -> str:
-    return (
-        f"/tmp/spark_graft_ann_idx_{_cache_tag(sf_dir)}"
-        f"_c{n_cells}_m{m}_k{n_cents}"
+    return derived.derived_path(
+        "ann_idx",
+        sf_dir,
+        params=f"c{n_cells}_m{m}_k{n_cents}",
+        fingerprint_of=[os.path.join(sf_dir, "embeddings.parquet")],
     )
 
 
@@ -51,26 +50,23 @@ def build_ann_index(
     vec_col: str = "embedding",
 ) -> str:
     """Materialize (id, pq_code) partitioned by ivf_cell. Idempotent:
-    an existing complete index (atomic-rename marker) is returned as-is."""
-    if os.path.exists(os.path.join(out, "_SUCCESS")):
-        return out
-    tmp = out + ".tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
-    assigned = similarity.ivf_assignments(
-        emb, centroids, vec_col=vec_col, id_col=id_col
-    ).select(id_col, "ivf_cell")
-    coded = similarity.with_pq_codes(
-        emb, codebooks, id_col=id_col, vec_col=vec_col
-    )
-    idx = coded.join(assigned, id_col)
-    # one file per cell at test scale; a cluster build keeps task
-    # parallelism per cell instead
-    idx.repartition("ivf_cell").write.mode("overwrite").partitionBy(
-        "ivf_cell"
-    ).parquet(tmp)
-    shutil.rmtree(out, ignore_errors=True)
-    os.rename(tmp, out)
-    return out
+    an existing complete index (published marker) is returned as-is."""
+
+    def build(tmp: str) -> None:
+        assigned = similarity.ivf_assignments(
+            emb, centroids, vec_col=vec_col, id_col=id_col
+        ).select(id_col, "ivf_cell")
+        coded = similarity.with_pq_codes(
+            emb, codebooks, id_col=id_col, vec_col=vec_col
+        )
+        idx = coded.join(assigned, id_col)
+        # one file per cell at test scale; a cluster build keeps task
+        # parallelism per cell instead
+        idx.repartition("ivf_cell").write.mode("overwrite").partitionBy(
+            "ivf_cell"
+        ).parquet(tmp)
+
+    return derived.publish(build, out)
 
 
 def load_ann_index(spark: SparkSession, path: str) -> DataFrame:

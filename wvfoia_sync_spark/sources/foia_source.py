@@ -99,6 +99,12 @@ class FoiaEntriesReader(DataSourceReader):
 
     # ------------------------------------------------ partition planning --
     def partitions(self) -> List[IdRangePartition]:
+        if self.end <= self.start:
+            # Pushed filters excluded every id. An empty partition LIST
+            # makes PySpark hand read() a None partition (AttributeError);
+            # a single zero-width slice keeps the contract "a filter that
+            # matches nothing returns an empty result, not an error".
+            return [IdRangePartition(self.start, self.start)]
         return [
             IdRangePartition(lo, min(lo + self.slice_size, self.end))
             for lo in range(self.start, self.end, self.slice_size)
@@ -108,6 +114,9 @@ class FoiaEntriesReader(DataSourceReader):
     def read(self, partition: IdRangePartition) -> Iterator[tuple]:
         from ..foia.schema import ENTRY_COLUMNS
         from ..foia.sync import parse_entry
+
+        if partition is None or partition.hi <= partition.lo:
+            return  # degenerate/absent slice: empty scan, never a crash
 
         pages = self._fetch_slice(partition.lo, partition.hi)
         for entry_id in range(partition.lo, partition.hi):
@@ -163,6 +172,12 @@ class FoiaEntriesStreamReader(SimpleDataSourceStreamReader):
         self.start = int(options.get("start", 1))
         self.slice_size = max(1, int(options.get("slice", 64)))
         self.drift = int(options.get("drift", 3))
+        if self.slice_size < self.drift:
+            # With slice >= drift, a frontier gap split across windows is
+            # always re-assembled: the trailing-miss cap below re-probes
+            # the gap's head, and the next window then holds the whole
+            # >=drift run. A smaller slice could stall without stopping.
+            raise ValueError("wvfoia stream requires slice >= drift")
         # reuse the batch reader's backends for the actual page fetch;
         # a far 'end' bound — the stream's real bound is the frontier
         self._fetch = FoiaEntriesReader(
@@ -198,6 +213,14 @@ class FoiaEntriesStreamReader(SimpleDataSourceStreamReader):
             if run >= self.drift:
                 frontier = lo + i - self.drift + 1
                 break
+        else:
+            # No stopping run INSIDE the window — but a trailing miss run
+            # may continue into the next window (a >=drift gap split
+            # across slices). Never commit past trailing misses: cap the
+            # frontier before them so the next trigger re-probes the
+            # gap's head and an in-window run check can stop there
+            # (reference DRIFT_TOLERANCE, src/lib/sync.ts:8,187-200).
+            frontier = hi - run
         out = [r for eid, r in rows if eid < frontier]
         return iter(out), {"id": frontier}
 

@@ -17,47 +17,46 @@ fact table, then join away 80% of it" into "never read 80% of it".
 
 Layouts are derived state (like the reference's FTS index): rebuilt
 deterministically from the source parquet, cached under /tmp keyed by
-source dir, written to a temp dir and atomically renamed so a crashed
-writer can't leave a half-layout that a later run mistakes for done.
+source dir + a content fingerprint (sources/derived.py — regenerating
+the dataset in place gets a fresh layout, never a stale one), built in
+a builder-unique temp dir and published rename-if-absent so a crashed
+or concurrent writer can neither leave a half-layout nor delete one a
+reader just resolved.
 """
 
 from __future__ import annotations
 
 import os
-import re
-import shutil
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from . import derived
 from .tables import load_table
-
-
-def _cache_tag(sf_dir: str) -> str:
-    return re.sub(r"[^A-Za-z0-9_.-]+", "_", sf_dir.strip("/"))
 
 
 def partitioned_lineitem_path(spark: SparkSession, sf_dir: str) -> str:
     """Lineitem hive-partitioned by ship year (`l_shipyear=YYYY/` dirs,
     ~7 partitions at any SF). Idempotent: first call per (machine,
-    sf_dir) writes the layout, later calls return the cached path."""
-    out = f"/tmp/spark_graft_part_lineitem_{_cache_tag(sf_dir)}"
-    if os.path.exists(os.path.join(out, "_SUCCESS")):
-        return out
-    tmp = out + ".tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
-    li = load_table(spark, sf_dir, "lineitem").withColumn(
-        "l_shipyear", F.year(F.col("l_shipdate").cast("date"))
+    sf_dir, lineitem-content) writes the layout, later calls return the
+    cached path."""
+    out = derived.derived_path(
+        "part_lineitem",
+        sf_dir,
+        fingerprint_of=[os.path.join(sf_dir, "lineitem.parquet")],
     )
-    # one file per partition-dir at test scale; a cluster job would
-    # leave the natural task parallelism per partition instead
-    li.repartition("l_shipyear").write.mode("overwrite").partitionBy(
-        "l_shipyear"
-    ).parquet(tmp)
-    # mark completeness via the atomic dir rename, not _SUCCESS alone
-    shutil.rmtree(out, ignore_errors=True)
-    os.rename(tmp, out)
-    return out
+
+    def build(tmp: str) -> None:
+        li = load_table(spark, sf_dir, "lineitem").withColumn(
+            "l_shipyear", F.year(F.col("l_shipdate").cast("date"))
+        )
+        # one file per partition-dir at test scale; a cluster job would
+        # leave the natural task parallelism per partition instead
+        li.repartition("l_shipyear").write.mode("overwrite").partitionBy(
+            "l_shipyear"
+        ).parquet(tmp)
+
+    return derived.publish(build, out)
 
 
 def read_partitioned_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:

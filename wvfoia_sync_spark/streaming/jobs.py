@@ -224,19 +224,21 @@ def events_stream_flushed(
     tail clicks' null rows stayed buffered. Negative user ids keep
     sentinels from joining real rows; consumers exclude them AFTER the
     join (click_view_attribution_outer's `click_id >= 0`). The padded
-    copy is derived state cached under /tmp (atomic rename), same
-    contract as the partitioned layouts."""
+    copy is derived state (sources/derived.py: content-fingerprinted
+    cache key, rename-if-absent publication), same contract as the
+    partitioned layouts."""
     import os
-    import re
-    import shutil
 
+    from ..sources import derived
     from ..sources.tables import load_table
 
-    tag = re.sub(r"[^A-Za-z0-9_.-]+", "_", sf_dir.strip("/"))
-    out = f"/tmp/spark_graft_flushstream_v2_{tag}"
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        tmp = out + ".tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
+    out = derived.derived_path(
+        "flushstream_v2",
+        sf_dir,
+        fingerprint_of=[os.path.join(sf_dir, "events.parquet")],
+    )
+
+    def build(tmp: str) -> None:
         ev = load_table(spark, sf_dir, "events")
         mx = ev.agg(F.max("ts").alias("_mx"))
         sentinels = [
@@ -258,8 +260,8 @@ def events_stream_flushed(
         for s in sentinels:
             base = base.unionByName(s)
         base.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(out, ignore_errors=True)
-        os.rename(tmp, out)
+
+    derived.publish(build, out)
     return read_events_stream(spark, out)
 
 
