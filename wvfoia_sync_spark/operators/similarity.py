@@ -238,50 +238,127 @@ def ivf_topk(
     return brute_force_topk(candidates, query_vec, k, id_col, vec_col)
 
 
+def with_banded_lsh_signatures(
+    df: DataFrame,
+    dim: int,
+    bands: int = 4,
+    planes_per_band: int = 8,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    out_col: str = "band_sigs",
+) -> DataFrame:
+    """Minhash-style banded sign-bit signatures: ``bands`` independent
+    ``planes_per_band``-bit signatures per vector (one hyperplane family,
+    sliced). A pair is an LSH candidate iff it collides in ANY band —
+    bands buy recall, planes-per-band buys precision, and bucket count
+    (bands x 2^planes_per_band) scales with the corpus by turning up
+    planes_per_band (~log2(n / target_bucket_size)) without collapsing
+    recall the way one monolithic signature does."""
+    planes = _hyperplanes(dim, bands * planes_per_band, seed)
+    v = F.col(vec_col).cast("array<double>")
+    sigs = []
+    for b in range(bands):
+        sig = F.lit(0).cast("long")
+        for i in range(planes_per_band):
+            p = planes[b * planes_per_band + i]
+            d = F.aggregate(
+                F.zip_with(v, lit_vector(list(p)), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, z: acc + z,
+            )
+            sig = sig + F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sigs.append(sig)
+    return df.withColumn(out_col, F.array(*sigs))
+
+
+def lsh_band_candidates(
+    df: DataFrame,
+    bands: int = 4,
+    planes_per_band: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Distinct candidate id pairs from the banded self-join. The join
+    runs over SLIM (id, band, sig) rows — the shuffle moves bands x
+    ~24 bytes per vector, never the vectors themselves — and the
+    (band, sig) key keeps same-band buckets apart. Exposed separately so
+    the bucket-granularity invariant (more planes per band -> no new
+    candidates, only fewer) is testable."""
+    sample = df.select(vec_col).where(F.col(vec_col).isNotNull()).first()
+    if sample is None:
+        id_type = df.schema[id_col].dataType.simpleString()
+        return df.sparkSession.createDataFrame(
+            [], f"id_a {id_type}, id_b {id_type}"
+        )
+    dim = len(sample[0])
+    slim = with_banded_lsh_signatures(
+        df, dim, bands, planes_per_band, vec_col, seed
+    ).select(
+        F.col(id_col).alias("id"),
+        F.posexplode("band_sigs").alias("band", "sig"),
+    )
+    a = slim.select(F.col("id").alias("id_a"), "band", "sig")
+    b = slim.select(F.col("id").alias("id_b"), "band", "sig")
+    return (
+        a.join(b, ["band", "sig"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()  # a pair colliding in k bands must verify once, not k times
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 8,
+    bands: int = 4,
+    planes_per_band: int = 8,
     seed: int = 42,
 ) -> DataFrame:
-    """Embedding near-duplicate pairs: LSH-bucket self-join, exact cosine
-    verify at ``threshold``. Shuffles (id, sig, vec) once on sig."""
-    sample = df.select(vec_col).where(F.col(vec_col).isNotNull()).first()
-    if sample is None:
-        # empty / all-null input: no pairs, typed like the normal output
-        id_type = df.schema[id_col].dataType.simpleString()
-        return df.sparkSession.createDataFrame(
-            [], f"id_a {id_type}, id_b {id_type}, score double"
-        )
-    dim = len(sample[0])
+    """Embedding near-duplicate pairs: banded LSH candidates + exact
+    cosine verify at ``threshold``.
+
+    Scale shape (the round-3 verdict's coarseness fix): candidate
+    generation self-joins slim (id, band, sig) rows — bands x 2^planes
+    buckets, so within-bucket pair growth is tamed by raising
+    planes_per_band as the corpus grows (the same banding the minhash
+    path uses, operators/dedup.py) while extra bands hold recall.
+    Vectors are joined back by id ONLY for the deduped candidate pairs;
+    norms fold once per side (same expressions as cosine(), so scores
+    are bit-identical to the exact path)."""
+    candidates = lsh_band_candidates(
+        df, bands, planes_per_band, id_col, vec_col, seed
+    )
     from ..functions.vectors import dot, norm
 
-    # norm folded ONCE per row pre-join (same expressions as cosine(), so
-    # scores are bit-identical) — inside the pair expression it would
-    # re-fold per candidate pair
-    bucketed = with_lsh_signature(df, dim, n_planes, vec_col, seed).select(
+    vecs = df.select(
         F.col(id_col).alias("id"),
-        F.col("lsh_sig"),
         F.col(vec_col).alias("v"),
         norm(F.col(vec_col)).alias("n"),
-    )
-    a = bucketed.select(
-        F.col("id").alias("id_a"), "lsh_sig",
-        F.col("v").alias("v_a"), F.col("n").alias("n_a"),
-    )
-    b = bucketed.select(
-        F.col("id").alias("id_b"), "lsh_sig",
-        F.col("v").alias("v_b"), F.col("n").alias("n_b"),
     )
     score = F.when(
         (F.col("n_a") > 0) & (F.col("n_b") > 0),
         dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")),
     )
     return (
-        a.join(b, "lsh_sig")
-        .where(F.col("id_a") < F.col("id_b"))
+        candidates.join(
+            vecs.select(
+                F.col("id").alias("id_a"),
+                F.col("v").alias("v_a"),
+                F.col("n").alias("n_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            vecs.select(
+                F.col("id").alias("id_b"),
+                F.col("v").alias("v_b"),
+                F.col("n").alias("n_b"),
+            ),
+            "id_b",
+        )
         .select("id_a", "id_b", score.alias("score"))
         .where(F.col("score") >= threshold)
     )
