@@ -1,0 +1,192 @@
+"""Minimal pure-stdlib PNG codec (zlib + struct) for the multimodal
+decode seam.
+
+This container ships no image library, but PNG's core is stdlib-sized:
+chunked container + zlib-inflated scanlines + 5 byte-filters. Supporting
+8-bit gray/RGB/RGBA non-interlaced images is enough to make
+``decode_image`` REAL — fixture payloads round-trip encode->decode with
+verified dimensions and pixels — while anything fancier (16-bit,
+palette, interlace, JPEG/WebP) stays behind the explicit
+NotImplementedError seam for a production codec (PIL plugs into
+``operators.multimodal.decode_image`` without touching the plumbing).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from dataclasses import dataclass
+
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+_CHANNELS = {0: 1, 2: 3, 6: 4}  # gray, RGB, RGBA
+
+
+@dataclass
+class DecodedImage:
+    width: int
+    height: int
+    channels: int
+    pixels: bytes  # row-major, no padding: height * width * channels
+
+
+def _chunks(data: bytes):
+    pos = len(PNG_SIGNATURE)
+    while pos + 8 <= len(data):
+        length, ctype = struct.unpack(">I4s", data[pos : pos + 8])
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated PNG chunk")
+        yield ctype, body
+        pos += 12 + length  # len + type + body + crc
+        if ctype == b"IEND":
+            return
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytes:
+    stride = width * bpp
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG scanline data has the wrong length")
+    out = bytearray(height * stride)
+    prev_start = -1
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        cur = y * stride
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            if y:
+                for i in range(stride):
+                    line[i] = (line[i] + out[prev_start + i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                up = out[prev_start + i] if y else 0
+                line[i] = (line[i] + ((left + up) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                up = out[prev_start + i] if y else 0
+                ul = out[prev_start + i - bpp] if (y and i >= bpp) else 0
+                line[i] = (line[i] + _paeth(left, up, ul)) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[cur : cur + stride] = line
+        prev_start = cur
+    return bytes(out)
+
+
+def decode_png(data: bytes) -> DecodedImage:
+    """Decode an 8-bit gray/RGB/RGBA non-interlaced PNG."""
+    if not data.startswith(PNG_SIGNATURE):
+        raise ValueError("not a PNG (bad signature)")
+    width = height = None
+    color_type = None
+    idat = bytearray()
+    for ctype, body in _chunks(data):
+        if ctype == b"IHDR":
+            width, height, depth, color_type, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", body)
+            )
+            if depth != 8:
+                raise NotImplementedError(f"PNG bit depth {depth} unsupported")
+            if color_type not in _CHANNELS:
+                raise NotImplementedError(
+                    f"PNG color type {color_type} unsupported"
+                )
+            if interlace:
+                raise NotImplementedError("interlaced PNG unsupported")
+            if comp or filt:
+                raise ValueError("invalid PNG compression/filter method")
+        elif ctype == b"IDAT":
+            idat.extend(body)
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    channels = _CHANNELS[color_type]
+    raw = zlib.decompress(bytes(idat))
+    pixels = _unfilter(raw, width, height, channels)
+    return DecodedImage(width, height, channels, pixels)
+
+
+def encode_png(
+    width: int,
+    height: int,
+    pixels: bytes,
+    channels: int = 3,
+    filter_type: int = 0,
+) -> bytes:
+    """Encode row-major 8-bit pixels as a valid PNG. ``filter_type``
+    applies one filter to every scanline (0 is the natural choice; the
+    others exist so the decoder's unfilter paths are testable against
+    genuinely-filtered files)."""
+    color_type = {1: 0, 3: 2, 4: 6}[channels]
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixel buffer does not match dimensions")
+    stride = width * channels
+    rows = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        line = pixels[y * stride : (y + 1) * stride]
+        rows.append(filter_type)
+        if filter_type == 0:
+            rows.extend(line)
+        elif filter_type == 1:
+            rows.extend(
+                (line[i] - (line[i - channels] if i >= channels else 0)) & 0xFF
+                for i in range(stride)
+            )
+        elif filter_type == 2:
+            rows.extend((line[i] - prev[i]) & 0xFF for i in range(stride))
+        elif filter_type == 3:
+            rows.extend(
+                (
+                    line[i]
+                    - (((line[i - channels] if i >= channels else 0) + prev[i]) >> 1)
+                )
+                & 0xFF
+                for i in range(stride)
+            )
+        elif filter_type == 4:
+            rows.extend(
+                (
+                    line[i]
+                    - _paeth(
+                        line[i - channels] if i >= channels else 0,
+                        prev[i],
+                        prev[i - channels] if i >= channels else 0,
+                    )
+                )
+                & 0xFF
+                for i in range(stride)
+            )
+        else:
+            raise ValueError(f"unknown PNG filter type {filter_type}")
+        prev = line
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(rows), 6))
+        + chunk(b"IEND", b"")
+    )

@@ -8,11 +8,16 @@ stages so each Arrow batch crosses the JVM<->Python boundary once. At
 100 TB the media table is partitioned by (modality, shard) and the UDF
 stages scale linearly with executors; nothing here shuffles.
 
-The actual codecs (PIL/librosa/ffmpeg) are NOT in this container, so
-``decode_image`` raises NotImplementedError by design; the *plumbing* —
+Decode is REAL for PNG: ``decode_image`` prefers PIL when installed and
+otherwise uses the stdlib codec in ``functions.png`` (zlib-inflated
+scanlines, all 5 filters, 8-bit gray/RGB/RGBA), so fixture payloads
+round-trip encode->decode with verified dimensions and pixels. Other
+formats (JPEG/WebP/16-bit/interlaced) stay behind an explicit
+NotImplementedError seam for a production codec. The *plumbing* —
 schema, batch shape, UDF signature, deterministic metadata extraction —
-is real and oracle-checked (the fake feature extractor derives values
-only from payload bytes, mirrored in SQL by the registry oracle).
+is oracle-checked (the fake feature extractor derives values only from
+payload bytes, mirrored in SQL by the registry oracle; the decode stage
+is mirrored by computing expected dimensions from the id).
 """
 
 from __future__ import annotations
@@ -53,11 +58,87 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def decode_image(payload: bytes):
-    """Real decoder slot — requires an image codec not present in this
-    container. The pipeline stubs it with ``extract_features``' fake."""
+    """Decode an image payload to (width, height, channels, pixels).
+
+    Backend order: PIL when installed (production), else the stdlib PNG
+    codec (functions/png.py — real inflate + unfilter, 8-bit
+    gray/RGB/RGBA). Non-PNG payloads without PIL stay an explicit
+    NotImplementedError: the seam where a production codec plugs in."""
+    try:  # optional production codec
+        import io
+
+        from PIL import Image  # type: ignore[import-not-found]
+
+        img = Image.open(io.BytesIO(payload))
+        img.load()
+        channels = len(img.getbands())
+        from ..functions.png import DecodedImage
+
+        return DecodedImage(
+            img.width, img.height, channels, img.tobytes()
+        )
+    except ImportError:
+        pass
+    from ..functions.png import PNG_SIGNATURE, decode_png
+
+    if payload[: len(PNG_SIGNATURE)] == PNG_SIGNATURE:
+        return decode_png(payload)
     raise NotImplementedError(
-        "image codecs unavailable in this environment; wire PIL/torchvision "
-        "here in production"
+        "only PNG decodes without an image library; wire PIL/torchvision "
+        "here for JPEG/WebP in production"
+    )
+
+
+DECODED_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("channels", T.LongType()),
+        T.StructField("px_sum", T.LongType()),
+    ]
+)
+
+
+def decoded_meta(media: DataFrame) -> DataFrame:
+    """REAL decode stage: decode each payload (PNG via decode_image) and
+    emit measured dimensions + a pixel checksum. Same mapInPandas shape
+    as extract_features — one Arrow batch across the boundary, no
+    shuffle; undecodable payloads yield NULL columns rather than failing
+    the batch (the production skip-and-log posture)."""
+    from pyspark import cloudpickle
+    import sys as _sys
+
+    cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, ws, hs, cs, sums = [], [], [], [], []
+            for mid, p in zip(b["media_id"], b["payload"]):
+                ids.append(mid)
+                try:
+                    img = decode_image(bytes(p) if p is not None else b"")
+                    ws.append(img.width)
+                    hs.append(img.height)
+                    cs.append(img.channels)
+                    sums.append(sum(img.pixels))
+                except (NotImplementedError, ValueError):
+                    ws.append(None)
+                    hs.append(None)
+                    cs.append(None)
+                    sums.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "width": pd.array(ws, dtype="Int64"),
+                    "height": pd.array(hs, dtype="Int64"),
+                    "channels": pd.array(cs, dtype="Int64"),
+                    "px_sum": pd.array(sums, dtype="Int64"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, DECODED_META_SCHEMA
     )
 
 

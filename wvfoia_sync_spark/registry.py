@@ -1549,15 +1549,71 @@ def agency_rss_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing (training-pipeline op): binary payload column +
-    mapInPandas feature extraction over Arrow batches. The decode is a
-    deterministic fake (real codecs absent here — operators.multimodal
-    stubs decode_image with NotImplementedError); schema/batch plumbing is
-    real and oracle-checked byte-for-byte."""
+    mapInPandas feature extraction over Arrow batches. The feature stage
+    here is a deterministic payload-byte fake so the oracle mirrors it in
+    SQL byte-for-byte; the REAL decode path is image_decode_meta."""
     from .operators import multimodal
 
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.as_media_table(docs, "doc_id", "text")
     return multimodal.extract_features(media)
+
+
+@register(
+    "image_decode_meta",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id AS media_id,
+             1 + doc_id % 16 AS width,
+             1 + (doc_id * 3) % 16 AS height
+      FROM documents WHERE doc_id < 200
+    ), px AS (
+      SELECT d.media_id, d.width, d.height, u.i
+      FROM dims d, UNNEST(range(0, d.width * d.height * 3)) AS u(i)
+    )
+    SELECT media_id, CAST(width AS BIGINT) AS width,
+           CAST(height AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS channels,
+           CAST(SUM((media_id + i) % 256) AS BIGINT) AS px_sum
+    FROM px GROUP BY 1, 2, 3 ORDER BY media_id
+    """,
+)
+def image_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode through the multimodal seam: deterministic PNGs
+    (dimensions + pixels derived from the id) are ENCODED in one
+    mapInPandas stage and DECODED in another (operators.multimodal.
+    decode_image -> functions/png.py: stdlib inflate + unfilter; PIL
+    when installed), and the measured width/height/channels/pixel-sum
+    hash-match an oracle that computes the same values arithmetically —
+    if the codec mis-decoded a single byte, px_sum diverges. Plumbing
+    identical to production: binary payloads, Arrow batches, no
+    shuffle."""
+    import pandas as _pd
+
+    from .operators import multimodal
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") < 200)
+    )
+
+    def enc(batches):
+        from wvfoia_sync_spark.functions.png import encode_png
+
+        for b in batches:
+            payloads = []
+            for did in b["doc_id"]:
+                w = 1 + int(did) % 16
+                h = 1 + (int(did) * 3) % 16
+                px = bytes((int(did) + i) % 256 for i in range(w * h * 3))
+                payloads.append(encode_png(w, h, px, 3))
+            yield _pd.DataFrame(
+                {"media_id": b["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    media = docs.mapInPandas(enc, "media_id long, payload binary")
+    return multimodal.decoded_meta(media).orderBy("media_id")
 
 
 @register(
