@@ -188,13 +188,6 @@ def test_no_unbounded_partitionless_window_anywhere(spark):
         "stream_stream_outer_join",
         "stream_static_join",
         "stream_upsert",
-        # interpolate_series: forward/backward fill windows run over the
-        # HOUR SPINE (sequence(min,max) of a 1-row bounds aggregate),
-        # never over events — input is spine-cardinality by construction,
-        # and the docstring commits to partitioning by series key at
-        # scale. The Limit-below heuristic can't see an aggregate-bounded
-        # input, so this documented exception lives here instead.
-        "interpolate_series",
     }
     bounding = {"CollectLimit", "GlobalLimit", "LocalLimit", "TakeOrderedAndProject"}
     for name, fn in registry.QUERIES.items():

@@ -5391,38 +5391,36 @@ def nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "interpolate_series",
     oracle="""
     WITH hours AS (
-      SELECT date_trunc('hour', ts) AS h,
+      SELECT event_type, date_trunc('hour', ts) AS h,
              CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
-      FROM events WHERE event_type = 'purchase' GROUP BY 1
+      FROM events GROUP BY 1, 2
     ), bounds AS (
-      SELECT MIN(h) AS lo, MAX(h) AS hi FROM hours
+      SELECT event_type, MIN(h) AS lo, MAX(h) AS hi FROM hours GROUP BY 1
     ), spine AS (
-      SELECT unnest(generate_series(bounds.lo, bounds.hi,
-                                    INTERVAL 1 HOUR)) AS h
-      FROM bounds
+      SELECT b.event_type,
+             unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS h
+      FROM bounds b
     ), joined AS (
-      SELECT s.h, hrs.v FROM spine s LEFT JOIN hours hrs ON hrs.h = s.h
-    ), marked AS (
-      SELECT h, v,
-             COUNT(v) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING) AS grp
-      FROM joined
+      SELECT s.event_type, s.h, hrs.v
+      FROM spine s LEFT JOIN hours hrs
+        ON hrs.event_type = s.event_type AND hrs.h = s.h
     ), filled AS (
-      SELECT h, v, grp,
+      SELECT event_type, h, v,
              MAX(CASE WHEN v IS NOT NULL THEN h END) OVER
-               (ORDER BY h ROWS UNBOUNDED PRECEDING) AS prev_h,
-             first_value(v IGNORE NULLS) OVER
-               (ORDER BY h ROWS UNBOUNDED PRECEDING) AS _dummy,
+               (PARTITION BY event_type ORDER BY h
+                ROWS UNBOUNDED PRECEDING) AS prev_h,
              last_value(v IGNORE NULLS) OVER
-               (ORDER BY h ROWS UNBOUNDED PRECEDING) AS prev_v,
+               (PARTITION BY event_type ORDER BY h
+                ROWS UNBOUNDED PRECEDING) AS prev_v,
              first_value(v IGNORE NULLS) OVER
-               (ORDER BY h ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
-               AS next_v,
+               (PARTITION BY event_type ORDER BY h
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
              MIN(CASE WHEN v IS NOT NULL THEN h END) OVER
-               (ORDER BY h ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
-               AS next_h
-      FROM marked
+               (PARTITION BY event_type ORDER BY h
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_h
+      FROM joined
     )
-    SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_start,
+    SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_start,
            CASE
              WHEN v IS NOT NULL THEN v
              WHEN prev_v IS NULL THEN next_v
@@ -5432,34 +5430,47 @@ def nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / CAST(datediff('hour', prev_h, next_h) AS DOUBLE))
            END AS v_filled,
            (v IS NULL) AS interpolated
-    FROM filled ORDER BY h
+    FROM filled ORDER BY event_type, hour_start
     """,
 )
 def interpolate_series(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-series gap fill with linear interpolation: hourly purchase
-    totals on a complete hour spine (sequence + explode, the J5 gap-fill
-    pattern), missing hours interpolated between the nearest real
-    neighbors via last(v, ignorenulls) forward / first(v, ignorenulls)
-    backward windows — both ORDERED but framed, and at 100 TB
-    partitioned by series key (one global series here, bounded at
-    spine cardinality = hours, not events). Interpolation arithmetic is
-    a + (b-a)*(dt/DT) on exact-decimal-derived doubles with integer hour
-    distances — mirrored op-for-op in the oracle."""
-    ev = load_table(spark, sf_dir, "events").where(
-        F.col("event_type") == "purchase"
-    )
-    hours = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+    """Per-series time-series gap fill with linear interpolation: hourly
+    totals per event_type on that series' complete hour spine (per-series
+    sequence + explode, the J5 gap-fill pattern), missing hours
+    interpolated between the nearest real neighbors via
+    last(v, ignorenulls) forward / first(v, ignorenulls) backward
+    windows. Every window is PARTITIONED BY the series key — fill work
+    distributes across series and no single reducer ever sees the whole
+    spine (the round-3 carve-out in test_plan_quality is gone).
+    Interpolation arithmetic is a + (b-a)*(dt/DT) on
+    exact-decimal-derived doubles with integer hour distances —
+    mirrored op-for-op in the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    hours = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("v")
     )
-    bounds = hours.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    bounds = hours.groupBy("event_type").agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
     spine = bounds.select(
+        "event_type",
         F.explode(
             F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
-        ).alias("h")
+        ).alias("h"),
     )
-    joined = spine.join(hours, "h", "left")
-    w_back = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
-    w_fwd = Window.orderBy("h").rowsBetween(0, Window.unboundedFollowing)
+    joined = spine.join(hours, ["event_type", "h"], "left")
+    w_back = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
     prev_v = F.last("v", ignorenulls=True).over(w_back)
     next_v = F.first("v", ignorenulls=True).over(w_fwd)
     prev_h = F.max(F.when(F.col("v").isNotNull(), F.col("h"))).over(w_back)
@@ -5474,11 +5485,12 @@ def interpolate_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         joined.select(
+            "event_type",
             F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
             filled.alias("v_filled"),
             F.col("v").isNull().alias("interpolated"),
         )
-        .orderBy("hour_start")
+        .orderBy("event_type", "hour_start")
     )
 
 
