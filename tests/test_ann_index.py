@@ -89,3 +89,74 @@ def test_index_build_is_idempotent(spark):
     mtime = os.path.getmtime(os.path.join(path, "_SUCCESS"))
     ann_index.build_ann_index(emb, cents, books, path)
     assert os.path.getmtime(os.path.join(path, "_SUCCESS")) == mtime
+
+
+def test_upsert_equals_rebuild(spark, tmp_path):
+    """Incremental maintenance contract: build(base) + upsert(delta) must
+    produce EXACTLY the rows of build(base+delta) — same cells, same PQ
+    codes — because both paths encode with the same trained artifacts,
+    and the upsert encodes only the delta (O(|delta|), no corpus re-read)."""
+    emb, cents, books, _ = _artifacts(spark)
+    base = emb.where(F.col("vec_id") % 2 == 0)
+    delta = emb.where(F.col("vec_id") % 2 == 1)
+
+    inc_dir = str(tmp_path / "inc_idx")
+    full_dir = str(tmp_path / "full_idx")
+    ann_index.build_ann_index(base, cents, books, inc_dir)
+    ann_index.upsert_ann_index(delta, cents, books, inc_dir)
+    ann_index.build_ann_index(emb, cents, books, full_dir)
+
+    def rows(path):
+        return {
+            (r["vec_id"], r["ivf_cell"], tuple(r["pq_code"]))
+            for r in ann_index.load_ann_index(spark, path).collect()
+        }
+
+    assert rows(inc_dir) == rows(full_dir)
+
+
+def test_upsert_keeps_partition_pruning(spark, tmp_path):
+    """After an upsert the probe must still be a PartitionFilter — the
+    appended part files land under their ivf_cell= dirs, not beside them."""
+    emb, cents, books, _ = _artifacts(spark)
+    base = emb.where(F.col("vec_id") % 2 == 0)
+    delta = emb.where(F.col("vec_id") % 2 == 1)
+    d = str(tmp_path / "idx")
+    ann_index.build_ann_index(base, cents, books, d)
+    ann_index.upsert_ann_index(delta, cents, books, d)
+    df = ann_index.load_ann_index(spark, d).where(F.col("ivf_cell").isin([0, 1]))
+    df.sparkSession.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("ivf_cell" in ln for ln in pf), pf
+
+
+def test_upsert_rejects_drifted_delta(spark, tmp_path):
+    """A delta that no longer fits the trained centroids (here: negated
+    vectors, which invert every cosine) must raise CentroidDriftError
+    rather than silently poisoning n_probe recall; an in-distribution
+    delta must score ~zero drift."""
+    import pytest
+
+    emb, cents, books, _ = _artifacts(spark)
+    base = emb.where(F.col("vec_id") % 2 == 0)
+    d = str(tmp_path / "idx")
+    ann_index.build_ann_index(base, cents, books, d)
+
+    ok_delta = emb.where(F.col("vec_id") % 2 == 1)
+    assert abs(ann_index.check_centroid_drift(ok_delta, cents, d)) < 0.1
+
+    bad_delta = ok_delta.withColumn(
+        "embedding", F.transform("embedding", lambda x: -x)
+    )
+    # negation costs ~25% of centroid fit on this corpus — an order of
+    # magnitude beyond the in-distribution delta's <1% wobble
+    assert ann_index.check_centroid_drift(bad_delta, cents, d) > 0.2
+    with pytest.raises(ann_index.CentroidDriftError):
+        ann_index.upsert_ann_index(
+            bad_delta, cents, books, d, drift_tolerance=0.2
+        )
+    # the failed upsert wrote nothing
+    assert ann_index.load_ann_index(spark, d).count() == base.count()

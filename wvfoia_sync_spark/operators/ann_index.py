@@ -23,6 +23,7 @@ rmtree race between concurrent builders).
 
 from __future__ import annotations
 
+import json
 import os
 
 import pyspark.sql.functions as F
@@ -41,6 +42,63 @@ def index_path(sf_dir: str, n_cells: int, m: int, n_cents: int) -> str:
     )
 
 
+STATS_FILE = "_ann_stats.json"
+
+
+def cell_similarity_stats(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict[int, dict[str, float]]:
+    """Per-cell (n, mean cosine-to-assigned-centroid): the centroid-fit
+    statistic the drift check compares against. One broadcast cross-join
+    + argmax + cell aggregate — cell-cardinality output, driver-trivial."""
+    from ..functions.vectors import cosine
+
+    spark = emb.sparkSession
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        ["ivf_cell", "_cent"],
+    )
+    score = F.coalesce(
+        cosine(F.col(vec_col), F.col("_cent")), F.lit(float("-inf"))
+    )
+    best = (
+        emb.select(F.col(id_col).alias("_aid"), F.col(vec_col))
+        .crossJoin(F.broadcast(cents))
+        .select("_aid", "ivf_cell", score.alias("_s"))
+        .groupBy("_aid")
+        .agg(F.max(F.struct(F.col("_s"), F.col("ivf_cell"))).alias("_b"))
+        .select(F.col("_b.ivf_cell").alias("ivf_cell"), F.col("_b._s").alias("_s"))
+    )
+    rows = (
+        best.groupBy("ivf_cell")
+        .agg(F.count("*").alias("n"), F.avg("_s").alias("mean_sim"))
+        .collect()
+    )
+    return {
+        int(r["ivf_cell"]): {"n": int(r["n"]), "mean_sim": float(r["mean_sim"])}
+        for r in rows
+    }
+
+
+def _encode(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    assigned = similarity.ivf_assignments(
+        emb, centroids, vec_col=vec_col, id_col=id_col
+    ).select(id_col, "ivf_cell")
+    coded = similarity.with_pq_codes(
+        emb, codebooks, id_col=id_col, vec_col=vec_col
+    )
+    return coded.join(assigned, id_col)
+
+
 def build_ann_index(
     emb: DataFrame,
     centroids: list[list[float]],
@@ -49,24 +107,106 @@ def build_ann_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> str:
-    """Materialize (id, pq_code) partitioned by ivf_cell. Idempotent:
+    """Materialize (id, pq_code) partitioned by ivf_cell, plus the
+    per-cell centroid-fit stats the upsert drift check reads. Idempotent:
     an existing complete index (published marker) is returned as-is."""
 
     def build(tmp: str) -> None:
-        assigned = similarity.ivf_assignments(
-            emb, centroids, vec_col=vec_col, id_col=id_col
-        ).select(id_col, "ivf_cell")
-        coded = similarity.with_pq_codes(
-            emb, codebooks, id_col=id_col, vec_col=vec_col
-        )
-        idx = coded.join(assigned, id_col)
+        idx = _encode(emb, centroids, codebooks, id_col, vec_col)
         # one file per cell at test scale; a cluster build keeps task
         # parallelism per cell instead
         idx.repartition("ivf_cell").write.mode("overwrite").partitionBy(
             "ivf_cell"
         ).parquet(tmp)
+        stats = cell_similarity_stats(emb, centroids, vec_col, id_col)
+        with open(os.path.join(tmp, STATS_FILE), "w") as f:
+            json.dump({str(k): v for k, v in stats.items()}, f)
 
     return derived.publish(build, out)
+
+
+class CentroidDriftError(RuntimeError):
+    """New vectors fit the trained centroids markedly worse than the
+    build-time corpus did — the coarse quantizer is stale; retrain."""
+
+
+def check_centroid_drift(
+    delta: DataFrame,
+    centroids: list[list[float]],
+    index_dir: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> float:
+    """Drift metric for an upsert batch: 1 - (delta's count-weighted mean
+    cosine-to-assigned-centroid / build-time corpus mean). ~0 when the
+    delta looks like the trained distribution, positive as centroid fit
+    degrades, capped semantics left to the caller's tolerance."""
+    with open(os.path.join(index_dir, STATS_FILE)) as f:
+        built = json.load(f)
+    total_n = sum(v["n"] for v in built.values())
+    built_mean = (
+        sum(v["n"] * v["mean_sim"] for v in built.values()) / total_n
+    )
+    delta_stats = cell_similarity_stats(delta, centroids, vec_col, id_col)
+    d_n = sum(v["n"] for v in delta_stats.values())
+    if d_n == 0:
+        return 0.0
+    delta_mean = sum(v["n"] * v["mean_sim"] for v in delta_stats.values()) / d_n
+    if built_mean <= 0:
+        return 0.0
+    return 1.0 - (delta_mean / built_mean)
+
+
+def upsert_ann_index(
+    delta: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    drift_tolerance: float = 0.25,
+) -> str:
+    """Incremental index maintenance: encode ONLY the delta (assignment +
+    PQ codes — identical trained artifacts, so codes are byte-identical
+    to a full rebuild's) and append its rows into the existing cell
+    partitions. The corpus is never re-read or re-encoded: upsert cost is
+    O(|delta|), the property that keeps a 100 TB index maintainable
+    against a daily feed. Guarded by the centroid-drift check: a delta
+    whose centroid fit is worse than build time by more than
+    ``drift_tolerance`` raises CentroidDriftError instead of silently
+    degrading recall (n_probe pruning assumes vectors actually live near
+    their assigned centroid). Cell stats are merged count-weighted.
+
+    Appends go through the parquet committer (new part files land under
+    their `ivf_cell=` dirs only at task commit); a crashed upsert leaves
+    orphan temp files, not corrupt data — a table format (Delta/Iceberg)
+    supplies full transactionality in production."""
+    drift = check_centroid_drift(delta, centroids, index_dir, vec_col, id_col)
+    if drift > drift_tolerance:
+        raise CentroidDriftError(
+            f"delta centroid fit degraded {drift:.1%} vs build time "
+            f"(tolerance {drift_tolerance:.0%}); retrain centroids and "
+            "rebuild instead of upserting"
+        )
+    idx = _encode(delta, centroids, codebooks, id_col, vec_col)
+    idx.repartition("ivf_cell").write.mode("append").partitionBy(
+        "ivf_cell"
+    ).parquet(index_dir)
+    # merge per-cell stats count-weighted
+    with open(os.path.join(index_dir, STATS_FILE)) as f:
+        built = json.load(f)
+    for cell, s in cell_similarity_stats(
+        delta, centroids, vec_col, id_col
+    ).items():
+        b = built.get(str(cell), {"n": 0, "mean_sim": 0.0})
+        n = b["n"] + s["n"]
+        built[str(cell)] = {
+            "n": n,
+            "mean_sim": (b["n"] * b["mean_sim"] + s["n"] * s["mean_sim"]) / n,
+        }
+    with open(os.path.join(index_dir, STATS_FILE), "w") as f:
+        json.dump(built, f)
+    return index_dir
 
 
 def load_ann_index(spark: SparkSession, path: str) -> DataFrame:
