@@ -240,14 +240,24 @@ def test_spread_is_opt_in_and_enumerated():
         inspect.signature(tables_mod.load_table).parameters["spread"].default
         is False
     )
-    src = inspect.getsource(registry)
+    import pkgutil
+
+    from wvfoia_sync_spark import queries as queries_pkg
+
+    srcs = [inspect.getsource(registry)]
+    for info in pkgutil.iter_modules(queries_pkg.__path__):
+        mod = __import__(
+            f"wvfoia_sync_spark.queries.{info.name}", fromlist=[info.name]
+        )
+        srcs.append(inspect.getsource(mod))
     users = set()
-    for m in _re.finditer(r"spread=True\)", src):
-        defs = [
-            d for d in _re.finditer(r"^def (\w+)\(", src[: m.start()], _re.M)
-        ]
-        assert defs, "spread=True outside any function"
-        users.add(defs[-1].group(1))
+    for src in srcs:
+        for m in _re.finditer(r"spread=True\)", src):
+            defs = [
+                d for d in _re.finditer(r"^def (\w+)\(", src[: m.start()], _re.M)
+            ]
+            assert defs, "spread=True outside any function"
+            users.add(defs[-1].group(1))
     assert users == {
         "jaccard_near_dup",
         "winnow_near_dup",

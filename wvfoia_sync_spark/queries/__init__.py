@@ -1,0 +1,18 @@
+"""Per-domain query modules (split from registry.py, round 4).
+
+Importing this package registers every query into
+wvfoia_sync_spark.registry.QUERIES/ORACLE; module import order fixes the
+registration order of the dict tail (the driver-checked head is curated
+independently in __spark_entry__.DRIVER_WINDOW).
+"""
+
+from . import (  # noqa: F401
+    app_surface,
+    relational_tpch,
+    aggregates_windows,
+    corpus_text,
+    dedup_queries,
+    vectors_multimodal,
+    streaming_incremental,
+    graph_queries,
+)

@@ -1,0 +1,1304 @@
+"""Aggregations, windows, set ops, table statistics, time series (SURVEY §2.4/2.5/2.7).
+
+Split from the monolithic registry.py (round 4, verdict item 8) —
+mechanical move, no query renames; in-module order preserves the
+original registration order. Queries register into wvfoia_sync_spark.
+registry's QUERIES/ORACLE via the shared @register decorator.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..functions import pii
+from ..functions import text as text_fns
+from ..functions.text import BPE_SPLIT_RE, STOPWORDS, lang_id, quality_metrics
+from ..operators import dedup, fts, relational, similarity, sketch, textops, timeline
+from ..registry import (
+    _SQL_FEE,
+    _SQL_SLUG,
+    _SQL_STOPWORDS,
+    _SQL_TOKENS,
+    _TRAINED,
+    _ann_index_df,
+    _d,
+    _ivf_centroids,
+    _money_sum,
+    _pq_codebooks,
+    _query_vec,
+    _SQL_DUP_CORPUS,
+    _SQL_DUP_PAIRS_085,
+    _dup_corpus,
+    _prop_row,
+    _recall_check,
+    register,
+)
+from ..sources.tables import load_table
+
+@register(
+    "events_hourly",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST-family: tumbling 1-hour windowed aggregation over the event
+    stream (batch form of the streaming.events job — same window()
+    semantics under Structured Streaming with a watermark)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "sessionization",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), flagged AS (
+      SELECT user_id,
+             CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    )
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions
+    FROM flagged GROUP BY user_id
+    """,
+)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap): lag window + gap flag +
+    count. In streaming this is applyInPandasWithState / session_window;
+    the batch form shares the same gap rule."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (F.unix_micros("ts") - F.unix_micros("prev_ts") > 1800000000),
+            1,
+        ).otherwise(0),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_session").cast("long").alias("n_sessions")
+    )
+
+
+@register(
+    "window_totals",
+    oracle="""
+    WITH bounds AS (
+      SELECT max(CAST(o_orderdate AS DATE)) - 89 AS lo, max(CAST(o_orderdate AS DATE)) AS hi
+      FROM orders
+    ), counts AS (
+      SELECT COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS status_f,
+             COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS status_o,
+             COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS status_p,
+             COUNT(*) AS total
+      FROM orders, bounds
+      WHERE CAST(o_orderdate AS DATE) BETWEEN lo AND hi
+    )
+    SELECT CAST(total AS BIGINT) AS total,
+           CAST(status_f AS BIGINT) AS status_f,
+           CAST(status_o AS BIGINT) AS status_o,
+           CAST(status_p AS BIGINT) AS status_p,
+           CAST(status_f AS DOUBLE) / total AS status_f_pct,
+           CAST(status_o AS DOUBLE) / total AS status_o_pct,
+           CAST(status_p AS DOUBLE) / total AS status_p_pct
+    FROM counts
+    """,
+)
+def window_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 timeline window totals + share-of-total percentages
+    ([slug].astro:43-78, pct at :190) over the 90-day status timeline."""
+    from .app_surface import status_timeline
+
+    tl = status_timeline(spark, sf_dir)
+    agg = timeline.window_totals(
+        tl.withColumnsRenamed(
+            {"status_f": "F", "status_o": "O", "status_p": "P"}
+        ),
+        ["F", "O", "P"],
+    )
+    return agg.select(
+        F.col("total"),
+        F.col("F").alias("status_f"),
+        F.col("O").alias("status_o"),
+        F.col("P").alias("status_p"),
+        F.col("F_pct").alias("status_f_pct"),
+        F.col("O_pct").alias("status_o_pct"),
+        F.col("P_pct").alias("status_p_pct"),
+    )
+
+
+@register(
+    "salted_agg",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase salted aggregation (SURVEY §4 spill/skew note;
+    the 100 TB answer for a hot agency/token key): results identical to a
+    direct groupBy — the oracle IS the direct groupBy."""
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "_q", F.col("l_quantity").cast("decimal(18,4)")
+    )
+    out = relational.salted_group_agg(
+        li,
+        "l_returnflag",
+        "l_orderkey",
+        # COUNT over the unique salt-source column == COUNT(*): counting
+        # the group-key column itself would report 0 for a NULL-key group
+        # while the oracle's COUNT(*) counts its rows
+        {"n": ("l_orderkey", "count"), "sum_qty": ("_q", "sum")},
+        buckets=16,
+    )
+    return out.select(
+        "l_returnflag", F.col("n").cast("long").alias("n"),
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+    )
+
+
+@register(
+    "events_sliding",
+    oracle="""
+    WITH slides AS (
+      SELECT e.event_type, e.value,
+             date_trunc('hour', e.ts) - INTERVAL 45 MINUTE
+               + (s.off * INTERVAL 15 MINUTE)
+               + CAST(floor(date_part('minute', e.ts) / 15) AS INT) * INTERVAL 15 MINUTE
+               AS win_start
+      FROM events e CROSS JOIN (SELECT unnest([0,1,2,3]) AS off) s
+    )
+    SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM slides GROUP BY win_start, event_type
+    """,
+)
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (1h length, 15min slide): each event
+    belongs to 4 overlapping windows — F.window's sliding form, the
+    batch twin of the streaming hop-window aggregation. Oracle expands
+    the 4 membership offsets explicitly."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "price_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) AS p50,
+           quantile_cont(CAST(o_totalprice AS DOUBLE), 0.9) AS p90,
+           quantile_cont(CAST(o_totalprice AS DOUBLE), 0.99) AS p99,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS mx
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped quantiles (linear interpolation — Spark `percentile`
+    and DuckDB `quantile_cont` share the definition). Exact percentile is
+    a full sort per group; the 100 TB path swaps in approx_percentile
+    (t-digest sketch, mergeable partials, one pass) — same API shape,
+    bounded error; see tests for the sketch-vs-exact tolerance check."""
+    o = load_table(spark, sf_dir, "orders")
+    v = F.col("o_totalprice").cast("double")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile(v, F.lit(0.5)).alias("p50"),
+        F.percentile(v, F.lit(0.9)).alias("p90"),
+        F.percentile(v, F.lit(0.99)).alias("p99"),
+        F.max(v).alias("mx"),
+    )
+
+
+@register(
+    "status_cube",
+    oracle="""
+    SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+           COALESCE(l_linestatus, '<all>') AS linestatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all 4 rollup combinations in one pass —
+    Spark expands to a single expanded-aggregate, one shuffle, vs 4
+    separate groupBys). Labels coalesced so subtotal rows are
+    distinguishable without relying on engine-specific grouping-id bit
+    order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "price_quartiles",
+    oracle="""
+    WITH q AS (
+      SELECT o_orderpriority AS priority,
+             ntile(4) OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS quartile,
+             o_totalprice
+      FROM orders
+    )
+    SELECT priority, quartile, COUNT(*) AS n,
+           MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+    FROM q GROUP BY priority, quartile
+    """,
+)
+def price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile window (rank-based quartile assignment, deterministic via
+    the orderkey tiebreak) + per-bucket bounds — the distribution-summary
+    shape (§2.5 generalization; one shuffle on the partition key)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            F.col("o_orderpriority").alias("priority"),
+            F.ntile(4).over(w).alias("quartile"),
+            "o_totalprice",
+        )
+        .groupBy("priority", "quartile")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+
+
+@register(
+    "status_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus AS status, o_orderpriority AS priority,
+           GROUPING(o_orderstatus, o_orderpriority) AS gid,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def status_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind rollup/cube —
+    §2.4 extension): per-status, per-priority, and grand-total rows in
+    ONE pass (one expand + one shuffle, vs three scans unioned);
+    grouping-id distinguishes a NULL group value from an aggregated-out
+    column."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus AS status, o_orderpriority AS priority,
+               grouping_id(o_orderstatus, o_orderpriority) AS gid,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "set_ops_funnel",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 90
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'error'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'signup' AND value > 80
+    """,
+)
+def set_ops_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 set operators as first-class plan nodes: purchasers who also
+    hit errors but never signed up (INTERSECT then EXCEPT, ANSI
+    precedence). Catalyst executes both as aggregated semi/anti joins —
+    each is one shuffle on the already-projected key column."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def uid(t, min_value=None):
+        d = ev.where(F.col("event_type") == t)
+        if min_value is not None:
+            d = d.where(F.col("value") > min_value)
+        return d.select("user_id")
+
+    return uid("purchase", 90).intersect(uid("error")).subtract(uid("signup", 80))
+
+
+@register("approx_distinct_users")  # no SQL oracle: HLL sketches differ by
+# engine; tests/test_similarity_dedup.py bounds the error vs exact
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch path for distinct counting (approx_count_distinct, HLL++,
+    rsd=2%): at 100 TB the exact countDistinct is a full shuffle of the
+    key universe, the sketch is a constant-size mergeable state per
+    partition. Emits exact alongside for the tolerance check."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
+@register(
+    "events_rolling_hour",
+    oracle="""
+    SELECT event_id,
+           COUNT(*) OVER w AS n_hr,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS val_hr
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def events_rolling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling event-time window per user (trailing 1 hour inclusive)
+    via rangeBetween over epoch micros — ONE shuffle on user_id, no
+    self-join or interval explode; RANGE frames include equal-ts peers
+    on both engines. Sum carried as DECIMAL so the frame reduction is
+    order-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        F.count("*").over(w).alias("n_hr"),
+        F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double").alias("val_hr"),
+    )
+
+
+@register(
+    "price_percent_rank",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority AS priority,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+    """,
+)
+def price_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-standing analytics: percent_rank ((rank-1)/(n-1)) and
+    cume_dist per priority group — both exact integer ratios, so the
+    doubles are engine-identical without rounding. Peers (equal price)
+    share values, making the output deterministic under ties."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+@register(
+    "metrics_unpivot",
+    oracle=f"""
+    WITH wide AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(len({_SQL_TOKENS.format(c='text')})) AS BIGINT) AS total_tokens,
+             CAST(MAX(length(text)) AS BIGINT) AS max_chars
+      FROM documents GROUP BY source
+    )
+    UNPIVOT wide ON n_docs, total_tokens, max_chars
+    INTO NAME metric VALUE val
+    """,
+)
+def metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt (wide metrics -> long (source, metric, val) form —
+    the feed shape for metric stores and charting): a zero-shuffle
+    expand on top of one aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    wide = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(text_fns.tokens(F.col("text")))).cast("long").alias("total_tokens"),
+        F.max(F.length("text")).cast("long").alias("max_chars"),
+    )
+    return wide.unpivot("source", ["n_docs", "total_tokens", "max_chars"], "metric", "val")
+
+
+@register(
+    "props_json_stats",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+           CAST(COUNT(*) FILTER (WHERE json_extract(props, '$.k') IS NULL) AS BIGINT) AS n_missing
+    FROM events GROUP BY event_type
+    """,
+)
+def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column handling: parse the JSON props payload with
+    a typed from_json schema (JVM-side Jackson, codegen-friendly — not a
+    Python json UDF) and aggregate the extracted field; missing-key rows
+    surface as nulls and are counted instead of dropped."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json("props", "k long")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+            F.count(F.when(F.col("k").isNull(), 1)).cast("long").alias("n_missing"),
+        )
+    )
+
+
+@register(
+    "events_time_rollup",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           CASE WHEN GROUPING(hour(ts)) = 0
+                THEN CAST(hour(ts) AS BIGINT) ELSE -1 END AS hour,
+           event_type, COUNT(*) AS n
+    FROM events
+    GROUP BY GROUPING SETS (
+      (date_trunc('day', ts), hour(ts), event_type),
+      (date_trunc('day', ts), event_type)
+    )
+    """,
+)
+def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: one pass emits BOTH the
+    hourly and the daily grain via grouping sets over the time hierarchy
+    (the rollup a TSDB maintains incrementally; here one partial-agg
+    shuffle). The coarse grain marks hour = -1 via GROUPING()."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        F.hour("ts").alias("hr"),
+        "event_type",
+    )
+    d, h, e = F.col("day"), F.col("hr"), F.col("event_type")
+    rolled = base.groupingSets([[d, h, e], [d, e]], d, h, e).agg(
+        F.count("*").alias("n"), F.grouping(h).alias("_g")
+    )
+    return rolled.select(
+        "day",
+        F.when(F.col("_g") == 0, h.cast("long")).otherwise(F.lit(-1)).alias("hour"),
+        "event_type",
+        "n",
+    )
+
+
+@register(
+    "table_profile",
+    oracle="""
+    SELECT 'o_custkey' AS col, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(o_custkey) AS n_nulls,
+           COUNT(DISTINCT o_custkey) AS n_distinct,
+           CAST(MIN(o_custkey) AS VARCHAR) AS min_val,
+           CAST(MAX(o_custkey) AS VARCHAR) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus),
+           CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+           COUNT(DISTINCT o_totalprice),
+           CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+           CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)
+    FROM orders
+    """,
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profiling (the stats pass every warehouse/
+    catalog runs before planning and every data pipeline runs at intake):
+    per-column row/null/distinct counts and min/max, ALL columns in ONE
+    scan — each profile is a conditional aggregate, so Spark computes the
+    whole block map-side and shuffles one partial row per column set, vs
+    the naive one-job-per-column loop. min/max surface as strings so one
+    schema covers heterogeneous column types — FLOATING columns go
+    through an explicit DECIMAL(18,2) format first (mirrored in the
+    oracle), because a bare double->string cast renders scientific
+    notation in Spark (>= 1e7) but plain decimal in DuckDB: a latent
+    cross-engine false-fail at bigger SFs. spread=True: the distinct
+    aggregates expand the scan 4x — worth the local round-robin exchange
+    (1.92s -> 1.34s at sf0.1)."""
+    o = load_table(spark, sf_dir, "orders", spread=True)
+    cols = ["o_custkey", "o_orderstatus", "o_totalprice"]
+
+    def as_str(c, agg):
+        if dict(o.dtypes)[c] in ("double", "float"):
+            return agg.cast("decimal(18,2)").cast("string")
+        return agg.cast("string")
+
+    profiled = o.agg(
+        F.count("*").alias("n_rows"),
+        *[
+            a
+            for c in cols
+            for a in (
+                F.count(c).alias(f"nn_{c}"),
+                F.countDistinct(c).alias(f"nd_{c}"),
+                as_str(c, F.min(c)).alias(f"mn_{c}"),
+                as_str(c, F.max(c)).alias(f"mx_{c}"),
+            )
+        ],
+    )
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col"),
+                F.col("n_rows").alias("n_rows"),
+                (F.col("n_rows") - F.col(f"nn_{c}")).alias("n_nulls"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+                F.col(f"mn_{c}").alias("min_val"),
+                F.col(f"mx_{c}").alias("max_val"),
+            )
+            for c in cols
+        ]
+    )
+    return profiled.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+@register(
+    "skew_report",
+    oracle="""
+    WITH per_key AS (
+      SELECT l_orderkey, COUNT(*) AS c FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           quantile_cont(CAST(c AS DOUBLE), 0.5) AS p50,
+           quantile_cont(CAST(c AS DOUBLE), 0.99) AS p99,
+           CAST(MAX(c) AS DOUBLE) AS mx,
+           CAST(MAX(c) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)
+             / CAST(SUM(c) AS DOUBLE) AS skew_factor
+    FROM per_key
+    """,
+)
+def skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic (the pre-flight check before choosing
+    plain vs salted join): per-key count distribution for the fact
+    table's join key — key count, row count, p50/p99/max rows-per-key
+    and a skew factor (max/mean). Two aggregations, both partial-agg
+    map-side combined; the second input is key-cardinality sized. The
+    operators this report steers: salted_join / salted_group_agg when
+    skew_factor is high, AQE skew-split otherwise."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_orderkey").agg(F.count("*").alias("c"))
+    return per_key.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("c").cast("long").alias("n_rows"),
+        F.expr("percentile(CAST(c AS DOUBLE), 0.5)").alias("p50"),
+        F.expr("percentile(CAST(c AS DOUBLE), 0.99)").alias("p99"),
+        F.max("c").cast("double").alias("mx"),
+        (
+            F.max("c").cast("double")
+            * F.count("*").cast("double")
+            / F.sum("c").cast("double")
+        ).alias("skew_factor"),
+    )
+
+
+@register(
+    "value_outliers",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))
+                      * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s2
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           ROUND((CAST(e.value AS DOUBLE) - s.s1 / s.n)
+             / sqrt((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1)), 6) AS zscore
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    ORDER BY zscore DESC, e.event_id ASC LIMIT 20
+    """,
+)
+def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier ranking: mean/variance derived from
+    EXACT decimal sums (s1, s2) so both engines compute identical
+    moments — a built-in stddev would aggregate in engine-specific
+    float order and the z-scores would drift in the last ulps; the
+    residual 1-ulp drift of the decimal->double casts themselves is
+    erased by rounding the score to 6 decimals in both engines (the
+    unigram_surprisal trick), which also makes the DESC ordering
+    tie-stable. Group stats are |groups| rows broadcast back onto the
+    stream; the top-20 is TakeOrderedAndProject."""
+    ev = load_table(spark, sf_dir, "events")
+    vdec = F.col("value").cast("decimal(18,6)")
+    stats = ev.groupBy(F.col("event_type").alias("_et")).agg(
+        F.count("*").alias("n"),
+        F.sum(vdec).cast("double").alias("s1"),
+        F.sum(vdec * vdec).cast("double").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    return (
+        ev.join(F.broadcast(stats), ev.event_type == F.col("_et"))
+        .select(
+            "event_id",
+            "event_type",
+            F.round(
+                (F.col("value").cast("double") - mean) / F.sqrt(var), 6
+            ).alias("zscore"),
+        )
+        .orderBy(F.col("zscore").desc(), F.col("event_id").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "funnel_counts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(COUNT(t_view) AS BIGINT) AS n_view,
+           CAST(COUNT(CASE WHEN t_click > t_view THEN 1 END) AS BIGINT)
+             AS n_view_click,
+           CAST(COUNT(CASE WHEN t_click > t_view AND t_buy > t_click
+                           THEN 1 END) AS BIGINT) AS n_view_click_buy
+    FROM firsts
+    """,
+)
+def funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis (view -> click -> purchase, first
+    occurrences in order): ONE conditional-aggregate pass collapses each
+    user to three first-seen timestamps — no self-joins, no window — and
+    a count pass over the |users|-sized result. The classic funnel query
+    that naive SQL writes as a 3-way self-join with O(events^3) blowup;
+    here the shuffle carries one row per user."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_ts(t):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    firsts = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_buy"),
+    )
+    step2 = F.col("t_click") > F.col("t_view")
+    step3 = step2 & (F.col("t_buy") > F.col("t_click"))
+    return firsts.agg(
+        F.count("t_view").cast("long").alias("n_view"),
+        F.coalesce(F.sum(F.when(step2, 1)), F.lit(0))
+        .cast("long")
+        .alias("n_view_click"),
+        F.coalesce(F.sum(F.when(step3, 1)), F.lit(0))
+        .cast("long")
+        .alias("n_view_click_buy"),
+    )
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH weeks AS (
+      SELECT user_id, date_trunc('week', ts) AS w FROM events GROUP BY 1, 2
+    ), cohorts AS (
+      SELECT user_id, MIN(w) AS cohort_week FROM weeks GROUP BY user_id
+    )
+    SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort,
+           CAST(datediff('week', c.cohort_week, w.w) AS BIGINT) AS week_offset,
+           CAST(COUNT(DISTINCT w.user_id) AS BIGINT) AS n_active
+    FROM weeks w JOIN cohorts c ON w.user_id = c.user_id
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-active week,
+    counted per week offset. The (user, week) dedup happens FIRST (one
+    groupBy collapsing events to user-weeks), the cohort assignment is a
+    |users|-sized join back onto user-weeks (unhinted: user cardinality
+    scales with the data, so AQE broadcasts it only while it fits), and
+    the final count is
+    group-cardinality. Week arithmetic is integer (datediff on
+    date_trunc'd weeks) — no float, no tz ambiguity (UTC session)."""
+    ev = load_table(spark, sf_dir, "events")
+    weeks = (
+        ev.select("user_id", F.date_trunc("week", "ts").alias("w"))
+        .distinct()
+    )
+    cohorts = weeks.groupBy("user_id").agg(F.min("w").alias("cohort_week"))
+    return (
+        weeks.join(cohorts, "user_id")
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort"),
+            (
+                F.datediff(F.col("w").cast("date"), F.col("cohort_week").cast("date"))
+                / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("n_active"))
+        .orderBy("cohort", "week_offset")
+    )
+
+
+@register(
+    "interpolate_series",
+    oracle="""
+    WITH hours AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT event_type, MIN(h) AS lo, MAX(h) AS hi FROM hours GROUP BY 1
+    ), spine AS (
+      SELECT b.event_type,
+             unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS h
+      FROM bounds b
+    ), joined AS (
+      SELECT s.event_type, s.h, hrs.v
+      FROM spine s LEFT JOIN hours hrs
+        ON hrs.event_type = s.event_type AND hrs.h = s.h
+    ), filled AS (
+      SELECT event_type, h, v,
+             MAX(CASE WHEN v IS NOT NULL THEN h END) OVER
+               (PARTITION BY event_type ORDER BY h
+                ROWS UNBOUNDED PRECEDING) AS prev_h,
+             last_value(v IGNORE NULLS) OVER
+               (PARTITION BY event_type ORDER BY h
+                ROWS UNBOUNDED PRECEDING) AS prev_v,
+             first_value(v IGNORE NULLS) OVER
+               (PARTITION BY event_type ORDER BY h
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+             MIN(CASE WHEN v IS NOT NULL THEN h END) OVER
+               (PARTITION BY event_type ORDER BY h
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_h
+      FROM joined
+    )
+    SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_start,
+           CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN prev_v IS NULL THEN next_v
+             WHEN next_v IS NULL THEN prev_v
+             ELSE prev_v + (next_v - prev_v)
+                  * (CAST(datediff('hour', prev_h, h) AS DOUBLE)
+                     / CAST(datediff('hour', prev_h, next_h) AS DOUBLE))
+           END AS v_filled,
+           (v IS NULL) AS interpolated
+    FROM filled ORDER BY event_type, hour_start
+    """,
+)
+def interpolate_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series time-series gap fill with linear interpolation: hourly
+    totals per event_type on that series' complete hour spine (per-series
+    sequence + explode, the J5 gap-fill pattern), missing hours
+    interpolated between the nearest real neighbors via
+    last(v, ignorenulls) forward / first(v, ignorenulls) backward
+    windows. Every window is PARTITIONED BY the series key — fill work
+    distributes across series and no single reducer ever sees the whole
+    spine (the round-3 carve-out in test_plan_quality is gone).
+    Interpolation arithmetic is a + (b-a)*(dt/DT) on
+    exact-decimal-derived doubles with integer hour distances —
+    mirrored op-for-op in the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    hours = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("v")
+    )
+    bounds = hours.groupBy("event_type").agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    joined = spine.join(hours, ["event_type", "h"], "left")
+    w_back = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    prev_v = F.last("v", ignorenulls=True).over(w_back)
+    next_v = F.first("v", ignorenulls=True).over(w_fwd)
+    prev_h = F.max(F.when(F.col("v").isNotNull(), F.col("h"))).over(w_back)
+    next_h = F.min(F.when(F.col("v").isNotNull(), F.col("h"))).over(w_fwd)
+    dt = (F.unix_timestamp(F.col("h")) - F.unix_timestamp(prev_h)) / 3600
+    DT = (F.unix_timestamp(next_h) - F.unix_timestamp(prev_h)) / 3600
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(prev_v.isNull(), next_v)
+        .when(next_v.isNull(), prev_v)
+        .otherwise(prev_v + (next_v - prev_v) * (dt / DT))
+    )
+    return (
+        joined.select(
+            "event_type",
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            filled.alias("v_filled"),
+            F.col("v").isNull().alias("interpolated"),
+        )
+        .orderBy("event_type", "hour_start")
+    )
+
+
+@register(
+    "weighted_sample",
+    oracle="""
+    WITH keyed AS (
+      SELECT event_id, event_type, value,
+             ROUND(
+               ln((CAST(CAST('0x' || substr(sha256(CAST(event_id AS VARCHAR)), 1, 6)
+                        AS BIGINT) AS DOUBLE) + 1.0) / 16777217.0)
+               / CAST(value AS DOUBLE), 9) AS sk
+      FROM events WHERE value > 0
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY event_type ORDER BY sk DESC, event_id ASC
+      ) AS rn
+      FROM keyed
+    )
+    SELECT event_type, event_id, value FROM ranked WHERE rn <= 20
+    ORDER BY event_type, event_id
+    """,
+)
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, per group (Efraimidis-
+    Spirakis A-Res): each row draws a deterministic pseudo-uniform u
+    from its content hash and ranks by ln(u)/w — the per-group top-k by
+    that key are an exact weighted-without-replacement sample. One
+    window per group (the shuffle any per-group top-k pays; at 100 TB
+    swap for per-partition heaps). Cross-engine determinism: u comes
+    from a sha256 hex prefix (identical in both engines — the
+    balanced_sample trick, numeric instead of ordinal), and ln(u)/w is
+    ROUNDed to 9 decimals on both sides so libm ulp drift can't reorder
+    near-ties; remaining ties break by id."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value") > 0)
+    hx = F.substring(F.sha2(F.col("event_id").cast("string"), 256), 1, 6)
+    u = (F.conv(hx, 16, 10).cast("double") + 1.0) / 16777217.0
+    sk = F.round(F.log(u) / F.col("value").cast("double"), 9)
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("sk").desc(), F.col("event_id").asc()
+    )
+    return (
+        ev.select("event_type", "event_id", "value", sk.alias("sk"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 20)
+        .select("event_type", "event_id", "value")
+        .orderBy("event_type", "event_id")
+    )
+
+
+@register(
+    "equidepth_hist",
+    oracle="""
+    WITH cuts AS (
+      SELECT quantile_cont(CAST(o_totalprice AS DOUBLE),
+                           [0.25, 0.5, 0.75]) AS q
+      FROM orders
+    )
+    SELECT CAST(CASE
+             WHEN CAST(o_totalprice AS DOUBLE) < q[1] THEN 0
+             WHEN CAST(o_totalprice AS DOUBLE) < q[2] THEN 1
+             WHEN CAST(o_totalprice AS DOUBLE) < q[3] THEN 2
+             ELSE 3 END AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+    FROM orders, cuts
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile-bucketed) histogram — the statistic CBOs
+    store per column, as a query: exact quartile cut points (one
+    aggregate), broadcast back as a 1-row cross join, bucket by
+    comparison chain, per-bucket count + bounds. Contrast
+    token_histogram's equi-WIDTH buckets: equi-depth keeps every bucket
+    population-balanced under skew. Exact percentile is a sort-based
+    aggregate — at 100 TB substitute approx_percentile and gate its
+    rank error like approx_quantile_check does."""
+    o = load_table(spark, sf_dir, "orders")
+    cuts = o.agg(
+        F.expr(
+            "percentile(CAST(o_totalprice AS DOUBLE), array(0.25, 0.5, 0.75))"
+        ).alias("q")
+    )
+    x = F.col("o_totalprice").cast("double")
+    bucket = (
+        F.when(x < F.col("q")[0], 0)
+        .when(x < F.col("q")[1], 1)
+        .when(x < F.col("q")[2], 2)
+        .otherwise(3)
+    )
+    return (
+        o.crossJoin(F.broadcast(cuts))
+        .groupBy(bucket.cast("long").alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("o_totalprice").cast("double").alias("lo"),
+            F.max("o_totalprice").cast("double").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "price_qty_corr",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(
+             (CAST(COUNT(*) AS DOUBLE)
+                * CAST(SUM(CAST(l_quantity AS DECIMAL(24,4))
+                           * CAST(l_extendedprice AS DECIMAL(24,4))) AS DOUBLE)
+              - CAST(SUM(CAST(l_quantity AS DECIMAL(24,4))) AS DOUBLE)
+                * CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,4))) AS DOUBLE))
+             / (sqrt(CAST(COUNT(*) AS DOUBLE)
+                       * CAST(SUM(CAST(l_quantity AS DECIMAL(24,4))
+                                  * CAST(l_quantity AS DECIMAL(24,4))) AS DOUBLE)
+                     - CAST(SUM(CAST(l_quantity AS DECIMAL(24,4))) AS DOUBLE)
+                       * CAST(SUM(CAST(l_quantity AS DECIMAL(24,4))) AS DOUBLE))
+                * sqrt(CAST(COUNT(*) AS DOUBLE)
+                         * CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,4))
+                                    * CAST(l_extendedprice AS DECIMAL(24,4))) AS DOUBLE)
+                       - CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,4))) AS DOUBLE)
+                         * CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,4))) AS DOUBLE))),
+             9) AS pearson_r
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def price_qty_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Pearson correlation from EXACT decimal moments (n, Σx,
+    Σy, Σxy, Σx², Σy²) — never the built-in corr(), whose streaming
+    covariance accumulates in engine- and partition-order-dependent
+    float order. One partial-agg pass; the decimal->double boundary is
+    crossed once per group and the final value is rounded at 9 decimals
+    on both engines (cast-rounding ulp hygiene, as value_outliers)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(24,4)")
+    y = F.col("l_extendedprice").cast("decimal(24,4)")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ) * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    return agg.select(
+        "l_returnflag", F.round(num / den, 9).alias("pearson_r")
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "modal_status",
+    oracle="""
+    WITH counts AS (
+      SELECT o_orderpriority, o_orderstatus, COUNT(*) AS c
+      FROM orders GROUP BY 1, 2
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY o_orderpriority ORDER BY c DESC, o_orderstatus ASC
+      ) AS rn
+      FROM counts
+    )
+    SELECT o_orderpriority, o_orderstatus AS modal_status,
+           CAST(c AS BIGINT) AS n
+    FROM ranked WHERE rn = 1 ORDER BY o_orderpriority
+    """,
+)
+def modal_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode (most frequent value) per group: count rollup, broadcast the
+    per-group max count back, keep the min status among max-count rows —
+    two tiny group-cardinality aggregates, no window over the fact
+    table (the oracle's window runs over the COUNT ROLLUP only). Ties
+    break deterministically toward the lexicographically smallest value
+    in both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("c")
+    )
+    mx = counts.groupBy("o_orderpriority").agg(F.max("c").alias("mc"))
+    return (
+        counts.join(
+            F.broadcast(mx),
+            (counts.o_orderpriority == mx.o_orderpriority)
+            & (counts.c == mx.mc),
+        )
+        .drop(mx.o_orderpriority)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.min("o_orderstatus").alias("modal_status"),
+            F.first("mc").cast("long").alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "status_sequence",
+    oracle="""
+    SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+             AS statuses,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def status_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered list aggregation (the reporting staple): distinct values
+    per group as one sorted delimited string. collect_set -> array_sort
+    -> array_join keeps the result partition-order-independent (a bare
+    collect_list + string agg would be nondeterministic under Spark's
+    parallel collection — the reason the sort is NOT optional)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("o_orderstatus")), ","
+            ).alias("statuses"),
+            F.countDistinct("o_orderstatus").cast("long").alias("n_statuses"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "cycle_time",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(datediff('day', CAST(o.o_orderdate AS DATE),
+                                  CAST(l.l_shipdate AS DATE)) AS BIGINT))
+                AS DOUBLE) / COUNT(*) AS avg_days_to_ship,
+           CAST(MAX(datediff('day', CAST(o.o_orderdate AS DATE),
+                             CAST(l.l_shipdate AS DATE))) AS BIGINT)
+             AS max_days_to_ship
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def cycle_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship cycle time per priority (the ops 'how long do
+    things take' metric; the reference computes the same shape as FOIA
+    request->completion day counts via julianday, agencies.ts:58-66):
+    integer day differences summed exactly, the mean surfaced as one
+    exact-int/count double division. One fact-fact join + one
+    group-cardinality aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    days = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    ).cast("long")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            (F.sum(days).cast("double") / F.count("*")).alias(
+                "avg_days_to_ship"
+            ),
+            F.max(days).alias("max_days_to_ship"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+             AS revenue_delta,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecast revenue change): the pure scan-side
+    query — every predicate (shipdate year, discount band, quantity
+    cap) is a parquet-pushable comparison on the fact table, no join,
+    one global aggregate. At 100 TB this is the query whose entire cost
+    is I/O: row-group min/max statistics prune most files before a byte
+    of data decompresses, and the surviving rows fold in the map-side
+    partial aggregate (one 1-row exchange total). Revenue is the exact
+    decimal product sum surfaced as double; the discount band compares
+    the stored doubles themselves, identical bits in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = F.col("l_shipdate").cast("date")
+    return (
+        li.where(
+            (d >= F.lit("1997-01-01").cast("date"))
+            & (d < F.lit("1998-01-01").cast("date"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,4)")
+                * F.col("l_discount").cast("decimal(18,4)")
+            )
+            .cast("double")
+            .alias("revenue_delta"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "multiset_except",
+    oracle="""
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+    EXCEPT ALL
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+    ORDER BY l_partkey
+    """,
+)
+def multiset_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — multiset difference with multiplicity (a part
+    returned 5 times against 3 'R' lines keeps 2 rows), the set-op
+    shape `.distinct()`-based EXCEPT cannot express. Spark's exceptAll
+    plans this as a counted anti-semantics: tag each side ±1, sum
+    counts per value, re-generate surviving multiplicity — one shuffle
+    on the value, group-cardinality state, no row-pairing join. At
+    100 TB that's the same cost profile as a groupBy count, which is
+    exactly right."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_returnflag") == "A").select("l_partkey")
+    r = li.where(F.col("l_returnflag") == "R").select("l_partkey")
+    return a.exceptAll(r).orderBy("l_partkey")
+
+
+@register(
+    "multiset_intersect",
+    oracle="""
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+    INTERSECT ALL
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+    ORDER BY l_partkey
+    """,
+)
+def multiset_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — multiset intersection keeping min(multiplicity)
+    per value across the two sides; same counted plan shape as
+    multiset_except (one value-keyed shuffle, generate min counts)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_returnflag") == "A").select("l_partkey")
+    r = li.where(F.col("l_returnflag") == "R").select("l_partkey")
+    return a.intersectAll(r).orderBy("l_partkey")
+
+
+@register(
+    "observed_scan_metrics",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_big,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS sum_price
+    FROM orders
+    """,
+)
+def observed_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass side-channel metrics via the Observation API: the
+    data-quality numbers (row count, threshold count, exact total) are
+    accumulated DURING a real pass over the table — here a noop-sink
+    write standing in for the production ETL write — instead of a second
+    scan. At 100 TB this is how a pipeline gets its DQ dashboard for
+    free: observe() attaches accumulator-backed aggregates to the plan
+    the job already runs, no extra read, no extra shuffle (metrics merge
+    driver-side from per-task partials). The oracle recomputes the same
+    aggregates as a plain query — observation must equal recomputation."""
+    from pyspark.sql import Observation
+
+    o = load_table(spark, sf_dir, "orders")
+    obs = Observation("scan_metrics")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("o_totalprice") > 100000, 1).otherwise(0)).alias(
+            "n_big"
+        ),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(int(m["n_rows"]), int(m["n_big"]), float(m["sum_price"]))],
+        "n_rows long, n_big long, sum_price double",
+    )
+

@@ -1,0 +1,981 @@
+"""Text-corpus analysis and curation: tokenization, quality, LM stats, PII, decontamination, sampling/splits (LLM-pipeline ops).
+
+Split from the monolithic registry.py (round 4, verdict item 8) —
+mechanical move, no query renames; in-module order preserves the
+original registration order. Queries register into wvfoia_sync_spark.
+registry's QUERIES/ORACLE via the shared @register decorator.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..functions import pii
+from ..functions import text as text_fns
+from ..functions.text import BPE_SPLIT_RE, STOPWORDS, lang_id, quality_metrics
+from ..operators import dedup, fts, relational, similarity, sketch, textops, timeline
+from ..registry import (
+    _SQL_FEE,
+    _SQL_SLUG,
+    _SQL_STOPWORDS,
+    _SQL_TOKENS,
+    _TRAINED,
+    _ann_index_df,
+    _d,
+    _ivf_centroids,
+    _money_sum,
+    _pq_codebooks,
+    _query_vec,
+    _SQL_DUP_CORPUS,
+    _SQL_DUP_PAIRS_085,
+    _dup_corpus,
+    _prop_row,
+    _recall_check,
+    register,
+)
+from ..sources.tables import load_table
+
+@register(
+    "token_stats",
+    oracle=f"""
+    WITH t AS (SELECT lang, len({_SQL_TOKENS.format(c='text')}) AS n FROM documents)
+    SELECT lang AS grp, COUNT(*) AS docs,
+           CAST(SUM(n) AS BIGINT) AS total_tokens,
+           CAST(SUM(n) AS DOUBLE) / COUNT(*) AS avg_tokens,
+           CAST(MIN(n) AS BIGINT) AS min_tokens,
+           CAST(MAX(n) AS BIGINT) AS max_tokens
+    FROM t GROUP BY lang
+    """,
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (training-pipeline op): per-language token-count
+    distribution over the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.token_count_stats(docs, "lang")
+
+
+@register(
+    "quality_scores",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, {_SQL_TOKENS.format(c='text')} AS toks FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CASE WHEN length(text) > 0
+                THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                     / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS alpha_ratio,
+           CASE WHEN len(toks) > 0
+                THEN CAST(len(list_filter(toks, x -> list_contains({_SQL_STOPWORDS}, x))) AS DOUBLE)
+                     / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS stopword_ratio,
+           CASE WHEN len(toks) > 0
+                THEN CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE)
+                     / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS avg_token_len
+    FROM t
+    """,
+)
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (training-pipeline op): exact-integer-ratio features
+    per document; used by textops.quality_filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    qm = quality_metrics("text")
+    return docs.select(
+        "doc_id",
+        qm["n_tokens"].alias("n_tokens"),
+        qm["n_chars"].alias("n_chars"),
+        qm["alpha_ratio"].alias("alpha_ratio"),
+        qm["stopword_ratio"].alias("stopword_ratio"),
+        qm["avg_token_len"].alias("avg_token_len"),
+    )
+
+
+@register(
+    "lang_id_confusion",
+    oracle=f"""
+    WITH scored AS (
+      SELECT lang, {_SQL_TOKENS.format(c='text')} AS toks FROM documents
+    ), hits AS (
+      SELECT lang,
+        len(list_filter(toks, x -> list_contains(['der','die','das','und','ist'], x))) AS h_de,
+        len(list_filter(toks, x -> list_contains(['the','a','of','and','is'], x))) AS h_en,
+        len(list_filter(toks, x -> list_contains(['el','la','de','que','es'], x))) AS h_es,
+        len(list_filter(toks, x -> list_contains(['le','la','de','et','est'], x))) AS h_fr
+      FROM scored
+    ), guessed AS (
+      SELECT lang,
+        CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'unknown'
+             WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+             WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+             WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+             ELSE 'fr' END AS lang_guess
+      FROM hits
+    )
+    SELECT lang, lang_guess, COUNT(*) AS n FROM guessed GROUP BY lang, lang_guess
+    """,
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (training-pipeline op): marker-word argmax
+    with alphabetical tie-break; output is the label-vs-guess confusion."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", lang_id("text").alias("lang_guess"))
+        .groupBy("lang", "lang_guess")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+
+
+@register(
+    "token_histogram",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({_SQL_TOKENS.format(c='text')}) AS token FROM documents
+    )
+    SELECT token, COUNT(*) AS freq FROM toks GROUP BY token
+    ORDER BY freq DESC, token ASC LIMIT 50
+    """,
+)
+def token_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-frequency table (textops.token_histogram), top-50 with
+    deterministic tiebreak — the classic wordcount shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        textops.token_histogram(docs, "text")
+        .orderBy(F.col("freq").desc(), F.col("token").asc())
+        .limit(50)
+    )
+
+
+_SQL_BPE_RE = BPE_SPLIT_RE.replace("'", "''")
+
+
+@register(
+    "bpe_token_stats",
+    oracle=f"""
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(text, '{_SQL_BPE_RE}'))) AS BIGINT) AS total_tokens,
+           CAST(MAX(len(regexp_extract_all(text, '{_SQL_BPE_RE}'))) AS BIGINT) AS max_tokens
+    FROM documents GROUP BY source
+    """,
+)
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-token budgeting: GPT-2-style pre-tokenizer counts per source
+    (regexp_count, JVM-side — the 'how many tokens is this corpus'
+    estimator without a vocab file). Pattern restricted to constructs with
+    identical Java-regex/RE2 semantics."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = text_fns.bpe_token_count("text")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(c).cast("long").alias("total_tokens"),
+        F.max(c).cast("long").alias("max_tokens"),
+    )
+
+
+@register(
+    "bm25_rank",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id AS id, {_SQL_TOKENS.format(c='text')} AS t FROM documents
+    ),
+    dl AS (SELECT id, len(t) AS dl FROM toks),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ),
+    tf AS (
+      SELECT id, term, COUNT(*) AS tf
+      FROM (SELECT id, unnest(t) AS term FROM toks)
+      WHERE term IN ('spark', 'stream')
+      GROUP BY id, term
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS dfreq FROM tf GROUP BY term),
+    scored AS (
+      SELECT id, term,
+             ln(1.0e0 + (n_docs - dfreq + 0.5e0) / (dfreq + 0.5e0))
+               * (tf * 2.2e0)
+               / (tf + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * dl / avgdl)) AS s
+      FROM tf JOIN dfreq USING (term) JOIN dl USING (id) CROSS JOIN stats
+    )
+    SELECT id, round(list_reduce(list_prepend(0.0e0, list(s ORDER BY term)),
+                                 (a, v) -> a + v), 6) AS score
+    FROM scored GROUP BY id
+    """,
+)
+def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked full-text retrieval beyond the reference's boolean FTS5
+    match: Okapi BM25 (k1=1.2, b=0.75, Robertson/Lucene idf) over the
+    same unicode61-style tokens. Per-doc term scores fold in sorted-term
+    order so the float sum is engine-reproducible."""
+    docs = load_table(spark, sf_dir, "documents")
+    return fts.bm25_scores(docs, "doc_id", ["text"], "Spark stream")
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id AS id, {_SQL_TOKENS.format(c='text')} AS t FROM documents
+    ),
+    tf AS (
+      SELECT id, term, COUNT(*) AS tf
+      FROM (SELECT id, unnest(t) AS term FROM toks)
+      WHERE term NOT IN {_SQL_STOPWORDS.replace('[', '(').replace(']', ')')}
+      GROUP BY id, term
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS dfreq FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM toks),
+    ranked AS (
+      SELECT id, term,
+             row_number() OVER (
+               PARTITION BY id
+               ORDER BY tf * ln(CAST(n_docs AS DOUBLE) / dfreq) DESC, term
+             ) AS rnk
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT id, term, rnk FROM ranked WHERE rnk <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Characteristic-term extraction: top-3 non-stopword terms per doc
+    by tf-idf. Output is rank-only (no float column): the score feeds
+    ORDER BY, where ties are mathematically exact (equal tf and df) and
+    broken by term, so the result is engine-deterministic without float
+    hashing. dfreq is a broadcast dim; one window shuffle on doc id."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id").alias("id"), text_fns.tokens(F.col("text")).alias("t")
+    )
+    tf = (
+        toks.select("id", F.explode("t").alias("term"))
+        .where(~F.col("term").isin(sorted(STOPWORDS)))
+        .groupBy("id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("dfreq"))
+    n_docs = toks.agg(F.count("*").alias("n_docs"))
+    score = F.col("tf") * F.log(
+        F.col("n_docs").cast("double") / F.col("dfreq")
+    )
+    w = Window.partitionBy("id").orderBy(score.desc(), "term")
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("id", "term", "rnk")
+    )
+
+
+@register(
+    "train_test_split",
+    oracle="""
+    WITH s AS (
+      SELECT source,
+             CASE WHEN substr(sha256(text), 1, 1) IN
+                    ('0','1','2','3','4','5','6','7','8','9','a','b') THEN 'train'
+                  WHEN substr(sha256(text), 1, 1) IN ('c','d') THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT source, split, COUNT(*) AS n_docs
+    FROM s GROUP BY source, split
+    """,
+)
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash train/val/test split (75/12.5/12.5 by
+    the fingerprint's first hex nibble) — the reproducible,
+    order-independent split a training pipeline needs: a doc lands in
+    the same split on any cluster, any partitioning, any day, and exact
+    duplicates land in the same split by construction (no train/test
+    leakage from dup pairs). Pure projection + one groupBy; no
+    sampling-state or RNG."""
+    docs = load_table(spark, sf_dir, "documents")
+    nibble = F.substring(F.sha2(F.col("text"), 256), 1, 1)
+    split = (
+        F.when(nibble.isin(*"0123456789ab"), "train")
+        .when(nibble.isin("c", "d"), "val")
+        .otherwise("test")
+    )
+    return docs.groupBy("source", split.alias("split")).agg(
+        F.count("*").alias("n_docs")
+    )
+
+
+@register(
+    "curated_corpus",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, text, {_SQL_TOKENS.format(c='text')} AS toks
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, source, toks, len(toks) AS n_tokens,
+             CASE WHEN length(text) > 0
+                  THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                       / length(text) ELSE 0.0 END AS alpha_ratio,
+             sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+      FROM t
+    ),
+    lang AS (
+      SELECT doc_id,
+        len(list_filter(toks, x -> list_contains(['der','die','das','und','ist'], x))) AS h_de,
+        len(list_filter(toks, x -> list_contains(['the','a','of','and','is'], x))) AS h_en,
+        len(list_filter(toks, x -> list_contains(['el','la','de','que','es'], x))) AS h_es,
+        len(list_filter(toks, x -> list_contains(['le','la','de','et','est'], x))) AS h_fr
+      FROM m
+    ),
+    keep AS (SELECT fp, MIN(doc_id) AS keep_id FROM m GROUP BY fp)
+    SELECT m.source, COUNT(*) AS n_docs,
+           CAST(SUM(m.n_tokens) AS BIGINT) AS total_tokens
+    FROM m
+    JOIN keep ON m.fp = keep.fp AND m.doc_id = keep.keep_id
+    JOIN lang ON lang.doc_id = m.doc_id
+    WHERE greatest(h_de, h_en, h_es, h_fr) > 0
+      AND h_en = greatest(h_de, h_en, h_es, h_fr)
+      AND NOT h_de = greatest(h_de, h_en, h_es, h_fr)
+      AND m.n_tokens BETWEEN 10 AND 5000
+      AND m.alpha_ratio >= 0.5
+    GROUP BY m.source
+    """,
+)
+def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation composition a pretraining pipeline runs:
+    exact-dedup survivors (min-id per normalized fingerprint over the
+    FULL corpus) -> language gate (en) -> quality gate (token count in
+    [10, 5000], alpha ratio >= 0.5) -> per-source doc/token budget.
+    One fingerprint shuffle + one broadcast-able survivor join + one
+    final groupBy; every stage reuses an already-verified operator.
+    spread=True: lang-id + quality + fingerprint all evaluate in the map
+    stage over both join branches (2.95s -> 2.53s at sf0.1)."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    m = quality_metrics("text")
+    d = docs.select(
+        "doc_id",
+        "source",
+        lang_id("text").alias("lg"),
+        m["n_tokens"].alias("n_tokens"),
+        m["alpha_ratio"].alias("alpha_ratio"),
+        text_fns.fingerprint("text").alias("fp"),
+    )
+    keep = d.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    survivors = d.join(keep, ["fp", "doc_id"], "left_semi")
+    return (
+        survivors.where(
+            (F.col("lg") == "en")
+            & F.col("n_tokens").between(10, 5000)
+            & (F.col("alpha_ratio") >= 0.5)
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )
+
+
+_PII_DIRTY_SQL = """
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 7 = 0
+                  THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                  ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                  THEN ' call (304) 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  ELSE '' END
+             || CASE WHEN doc_id % 13 = 0
+                  THEN ' ssn ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                       || '-' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                       || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  ELSE '' END AS t
+      FROM documents
+"""
+
+
+def _pii_dirty_col() -> F.Column:
+    """Deterministic PII-injection twin of _PII_DIRTY_SQL (the synthetic
+    documents are word salad with no real PII, so the query plants some,
+    keyed off doc_id, identically on both engines)."""
+    did = F.col("doc_id")
+    s = did.cast("string")
+    return F.concat(
+        F.col("text"),
+        F.when(
+            did % 7 == 0,
+            F.concat(F.lit(" contact user"), s, F.lit("@example.com")),
+        ).otherwise(""),
+        F.when(
+            did % 11 == 0,
+            F.concat(
+                F.lit(" call (304) 555-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(""),
+        F.when(
+            did % 13 == 0,
+            F.concat(
+                F.lit(" ssn "),
+                F.lpad((did % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad((did % 100).cast("string"), 2, "0"),
+                F.lit("-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(""),
+    )
+
+
+@register(
+    "pii_scrub",
+    oracle=f"""
+    WITH d AS ({_PII_DIRTY_SQL})
+    SELECT * FROM (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(t, '{pii.EMAIL_RE}')) AS BIGINT) AS n_email,
+             CAST(len(regexp_extract_all(t, '{pii.PHONE_RE}')) AS BIGINT) AS n_phone,
+             CAST(len(regexp_extract_all(t, '{pii.SSN_RE}')) AS BIGINT) AS n_ssn,
+             md5(regexp_replace(regexp_replace(regexp_replace(t,
+                 '{pii.EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{pii.PHONE_RE}', '<PHONE>', 'g'),
+                 '{pii.SSN_RE}', '<SSN>', 'g')) AS redacted_md5
+      FROM d
+    ) WHERE n_email + n_phone + n_ssn > 0
+    """,
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact over the corpus (functions/pii.py): regex
+    counts per class and an md5 of the scrubbed text, JVM-side regex
+    only — at 100 TB this is a pure scan stage, no shuffle, no UDF,
+    pipelined into WholeStageCodegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = _pii_dirty_col()
+    counts = pii.pii_counts(t)
+    return (
+        docs.select(
+            "doc_id",
+            counts["n_email"].alias("n_email"),
+            counts["n_phone"].alias("n_phone"),
+            counts["n_ssn"].alias("n_ssn"),
+            F.md5(pii.redact(t)).alias("redacted_md5"),
+        )
+        .where(F.col("n_email") + F.col("n_phone") + F.col("n_ssn") > 0)
+    )
+
+
+@register(
+    "decontam_overlap",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS.format(c='text')} AS toks FROM documents),
+    x AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 2)) AS i
+          FROM t WHERE len(toks) >= 4),
+    g AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+3], ' ') AS gram FROM x)
+    SELECT tr.doc_id,
+           CAST(COUNT(DISTINCT tr.gram) AS BIGINT) AS n_shared_grams,
+           CAST(COUNT(DISTINCT ev.doc_id) AS BIGINT) AS n_eval_docs
+    FROM g tr JOIN g ev ON tr.gram = ev.gram
+    WHERE tr.doc_id % 50 <> 0 AND ev.doc_id % 50 = 0
+    GROUP BY tr.doc_id
+    """,
+)
+def decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any token
+    4-gram with the held-out eval slice (doc_id % 50 == 0 stands in for
+    a test set; production uses 8-13-grams — 4 keeps the differential
+    check non-trivial on the 31-word synthetic vocab). Shape: distinct
+    n-gram shingles per doc, broadcast the (small) eval side, equi-join
+    on the shingle — no cross product; at 100 TB the eval set is still
+    dimension-sized, so the broadcast holds and the scan stays one pass."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", text_fns.tokens("text").alias("toks")
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(text_fns.ngrams("toks", 4))).alias("gram"),
+    )
+    ev = grams.where(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("eval_id"), "gram"
+    )
+    tr = grams.where(F.col("doc_id") % 50 != 0)
+    return tr.join(F.broadcast(ev), "gram").groupBy("doc_id").agg(
+        F.countDistinct("gram").alias("n_shared_grams"),
+        F.countDistinct("eval_id").alias("n_eval_docs"),
+    )
+
+
+@register(
+    "gopher_repetition",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS.format(c='text')} AS toks FROM documents),
+    d AS (SELECT doc_id, len(toks) AS n_tokens,
+                 len(list_distinct(toks)) AS n_distinct, toks
+          FROM t WHERE len(toks) >= 2),
+    b AS (SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1,
+                 unnest(toks[2:len(toks)]) AS w2 FROM d),
+    m AS (SELECT doc_id, MAX(cnt) AS max_cnt FROM (
+            SELECT doc_id, w1 || ' ' || w2 AS gram, COUNT(*) AS cnt
+            FROM b GROUP BY doc_id, gram) GROUP BY doc_id)
+    SELECT d.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_distinct AS DOUBLE) / n_tokens AS uniq_ratio,
+           CAST(2 * max_cnt AS DOUBLE) / n_tokens AS top_bigram_frac
+    FROM d JOIN m USING (doc_id)
+    """,
+)
+def gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals: distinct-token ratio and
+    the token fraction covered by the most frequent bigram (both exact
+    integer ratios -> bit-identical doubles). Bigram counts shuffle on
+    (doc_id, gram) then reduce to one row per doc — partial aggregation
+    does most of the work map-side; no window, no cross product."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", text_fns.tokens("text").alias("toks"))
+        .where(F.size("toks") >= 2)
+    )
+    doc_stats = docs.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
+    )
+    bigrams = docs.select(
+        "doc_id", F.explode(text_fns.ngrams("toks", 2)).alias("gram")
+    )
+    top = (
+        bigrams.groupBy("doc_id", "gram")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("max_cnt"))
+    )
+    return doc_stats.join(top, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_distinct").cast("double") / F.col("n_tokens")).alias("uniq_ratio"),
+        ((F.col("max_cnt") * 2).cast("double") / F.col("n_tokens")).alias(
+            "top_bigram_frac"
+        ),
+    )
+
+
+@register(
+    "token_chunks",
+    oracle=f"""
+    WITH t0 AS (SELECT doc_id, {_SQL_TOKENS.format(c='text')} AS toks FROM documents),
+    t AS (SELECT * FROM t0 WHERE len(toks) >= 1),
+    x AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 48)) AS s FROM t)
+    SELECT doc_id,
+           CAST((s - 1) // 48 AS BIGINT) AS chunk_idx,
+           CAST(len(toks[s:least(s + 63, len(toks))]) AS BIGINT) AS n_toks,
+           md5(array_to_string(toks[s:least(s + 63, len(toks))], ' ')) AS chunk_md5
+    FROM x
+    """,
+)
+def token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-document splitting into 64-token windows every 48 tokens
+    (16-token overlap) — the context-window packing precursor. Pure
+    narrow transform (transform + posexplode): chunking is per-row, no
+    shuffle at any scale; output carries an md5 per chunk so the
+    differential check pins exact window boundaries."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", text_fns.tokens("text").alias("toks"))
+        .where(F.size("toks") >= 1)
+    )
+    return docs.select(
+        "doc_id",
+        F.posexplode(text_fns.token_chunks("toks", size=64, stride=48)).alias(
+            "chunk_idx", "chunk"
+        ),
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size("chunk").cast("long").alias("n_toks"),
+        F.md5(F.array_join("chunk", " ")).alias("chunk_md5"),
+    )
+
+
+@register(
+    "balanced_sample",
+    oracle="""
+    SELECT doc_id, lang, CAST(rnk AS BIGINT) AS rnk FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY sha256(text), doc_id) AS rnk
+      FROM documents
+    ) WHERE rnk <= 50
+    """,
+)
+def balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified balanced downsample: exactly 50 docs per language,
+    chosen by content-hash rank — deterministic on any cluster/day, no
+    RNG state, and stable under repartitioning (the usual per-stratum
+    cap when one language dominates a crawl). One shuffle on lang; at
+    100 TB swap row_number for a per-stratum hash threshold (no global
+    sort within giant strata) — same contract."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.sha2(F.col("text"), 256), "doc_id")
+    return (
+        docs.select(
+            "doc_id", "lang", F.row_number().over(w).cast("long").alias("rnk")
+        )
+        .where(F.col("rnk") <= 50)
+    )
+
+
+@register(
+    "pack_bins",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source,
+                      len({_SQL_TOKENS.format(c='text')}) AS n_tok
+               FROM documents),
+    c AS (SELECT source, doc_id, n_tok,
+                 SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+          FROM t)
+    SELECT source, CAST((cum - n_tok) // 512 AS BIGINT) AS bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM c GROUP BY source, bin_id
+    """,
+)
+def pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: concatenate each source's docs in doc_id order
+    and cut every 512 tokens — a doc's bin is where its first token
+    lands (greedy contiguous packing, the concat-then-chunk layout used
+    to build pretraining batches). The running sum partitions by source,
+    so no global single-partition window; per-source prefix sums scale
+    as long as sources are many, and a skewed source only serializes its
+    own partition."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", text_fns.token_count("text").alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("n_tok").over(w)
+    return (
+        docs.select(
+            "source",
+            "n_tok",
+            F.floor((cum - F.col("n_tok")) / 512).cast("long").alias("bin_id"),
+        )
+        .groupBy("source", "bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )
+
+
+@register(
+    "leakage_free_split",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_DUP_PAIRS_085},
+    with_rep AS (
+      SELECT d.doc_id, d.source, COALESCE(c.component, d.doc_id) AS rep_id
+      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    ), rep_fp AS (
+      SELECT doc_id AS rep_id, substr(sha256(text), 1, 1) AS nibble
+      FROM documents
+    )
+    SELECT w.source,
+           CASE WHEN f.nibble IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+                  THEN 'train'
+                WHEN f.nibble IN ('c','d') THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs
+    FROM with_rep w JOIN rep_fp f ON w.rep_id = f.rep_id
+    GROUP BY 1, 2
+    """,
+)
+def leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/val/test split: the content-hash split keyed
+    by each doc's duplicate-CLUSTER representative, so near-duplicate
+    pairs (not just exact copies) land in the same split — the
+    train/test-leakage guard a pretraining pipeline actually needs.
+    Pipeline: near-dup pairs -> connected components -> rep per doc
+    (singletons are their own rep) -> split by the rep's text
+    fingerprint nibble. Co-split of every near-dup pair is asserted in
+    tests; the oracle rebuilds the same clusters with a recursive
+    transitive-closure CTE, so the driver hash-matches values too."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs_auto(docs, "doc_id", "text", "source", 0.85)
+    comp = dedup.connected_components(pairs)  # (id, component=min member)
+    with_rep = docs.join(
+        comp.withColumnRenamed("id", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        "source",
+        F.coalesce("component", "doc_id").alias("rep_id"),
+    )
+    rep_fp = docs.select(
+        F.col("doc_id").alias("rep_id"),
+        F.substring(F.sha2(F.col("text"), 256), 1, 1).alias("nibble"),
+    )
+    split = (
+        F.when(F.col("nibble").isin(*"0123456789ab"), "train")
+        .when(F.col("nibble").isin("c", "d"), "val")
+        .otherwise("test")
+    )
+    return (
+        with_rep.join(rep_fp, "rep_id")
+        .groupBy("source", split.alias("split"))
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+
+
+@register(
+    "unigram_surprisal",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKENS.format(c='text')}) AS tok FROM documents
+    ), freq AS (
+      SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+    ), tot AS (
+      SELECT COUNT(*) AS total FROM toks
+    )
+    SELECT t.doc_id, COUNT(*) AS n_tok,
+           CAST(CAST(SUM(CAST(ROUND(-ln(CAST(f.cnt AS DOUBLE) / (SELECT total FROM tot)), 6)
+                              AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_nll
+    FROM toks t JOIN freq f ON t.tok = f.tok
+    GROUP BY t.doc_id
+    """,
+)
+def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KenLM-style corpus-LM quality score without a model file: train a
+    unigram LM from the corpus itself (token -> count), then score every
+    doc by mean negative log-probability of its tokens. High avg_nll =
+    rare-token-heavy (gibberish, OCR noise, wrong-language) — the
+    perplexity-filter stage of a pretraining pipeline.
+
+    Physical form: one explode -> count agg builds the LM (vocab-sized,
+    BROADCAST back against the token stream — the corpus shuffles once
+    for the doc-level re-agg only). At 100 TB with an open vocab, swap
+    the broadcast for a shuffle join on token; the plan is otherwise
+    unchanged. Determinism: per-token surprisal is rounded to 6dp and
+    summed as DECIMAL (order-free exact sum), so the engines can't drift
+    in float accumulation order; ln() itself agrees to < 1 ulp, far from
+    the 6dp rounding boundaries on this corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(text_fns.tokens("text")).alias("tok")
+    )
+    # LM normalizer derived from the freq table itself: agg to a 1-row
+    # total and broadcast-cross-join it back over the vocab-sized freq
+    # frame. Still lazy (no eager count() job at plan-build time) and the
+    # corpus tokenizes twice (freq build + join side), not thrice — but
+    # unlike the r2 global-window form, nothing ever funnels the vocab
+    # through a SinglePartition WindowExec.
+    counts = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    freq = counts.crossJoin(F.broadcast(total))
+    surprisal = F.round(
+        -F.log(F.col("cnt").cast("double") / F.col("total")), 6
+    ).cast("decimal(18,6)")
+    return (
+        toks.join(F.broadcast(freq), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tok"),
+            (F.sum(surprisal).cast("double") / F.count("*")).alias("avg_nll"),
+        )
+    )
+
+
+@register(
+    "mixture_sample",
+    oracle=r"""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source ORDER BY sha256(text), doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT doc_id, source FROM ranked
+    WHERE rn <= CASE WHEN TRY_CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 2 = 0
+                     THEN 16 ELSE 8 END
+    """,
+)
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source-mixture sampling (the domain-weighting stage
+    of corpus assembly: upsample some sources, downsample others, to hit
+    a target mixture): per-source quota filled by content-hash rank —
+    reproducible across runs/engines, no rand(). One shuffle on source;
+    at 100 TB quotas come from a broadcast weights table and the
+    hash-rank top-k runs as the same WindowGroupLimit pre-prune as any
+    rank filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.sha2(F.col("text"), 256), F.col("doc_id")
+    )
+    quota = F.when(
+        F.regexp_extract("source", r"([0-9]+)", 1).cast("int") % 2 == 0, 16
+    ).otherwise(8)
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= quota)
+        .select("doc_id", "source")
+    )
+
+
+@register(
+    "bigram_counts",
+    oracle=f"""
+    WITH toks AS (
+      SELECT {_SQL_TOKENS.format(c='text')} AS t FROM documents
+    ), grams AS (
+      SELECT t[i] || ' ' || t[i + 1] AS bigram
+      FROM toks, LATERAL UNNEST(range(1, len(t))) AS u(i)
+    )
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM grams GROUP BY bigram
+    ORDER BY n DESC, bigram ASC LIMIT 20
+    """,
+)
+def bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram statistics (LLM-pipeline vocabulary/phrase mining):
+    tokens -> adjacent-pair transform (no UDF: sequence+transform stays
+    in codegen) -> explode -> count. One shuffle (the groupBy); top-20
+    via TakeOrderedAndProject, never a global sort. At 100 TB the
+    explode fan-out is ~|tokens| rows, the same cardinality any
+    tokenizing pass already handles, and partial aggregation collapses
+    each partition's counts before the exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(text_fns.tokens("text").alias("t"))
+    grams = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 2),
+                lambda i: F.concat_ws(" ", F.col("t")[i], F.col("t")[i + 1]),
+            )
+        ).alias("bigram")
+    ).where(F.size("t") >= 2)
+    return (
+        grams.groupBy("bigram")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "pmi_collocations",
+    oracle=f"""
+    WITH toks AS (
+      SELECT {_SQL_TOKENS.format(c='text')} AS t FROM documents
+    ), uni AS (
+      SELECT unnest(t) AS w FROM toks
+    ), ucnt AS (
+      SELECT w, COUNT(*) AS c FROM uni GROUP BY w
+    ), total AS (
+      SELECT COUNT(*) AS n FROM uni
+    ), grams AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2
+      FROM toks, LATERAL UNNEST(range(1, len(t))) AS u(i)
+    ), gcnt AS (
+      SELECT w1, w2, COUNT(*) AS c_ab FROM grams GROUP BY w1, w2
+    )
+    SELECT g.w1 || ' ' || g.w2 AS bigram,
+           CAST(g.c_ab AS BIGINT) AS c_ab,
+           CAST(g.c_ab AS DOUBLE) * CAST(total.n AS DOUBLE)
+             / (CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE)) AS lift
+    FROM gcnt g
+    JOIN ucnt a ON a.w = g.w1
+    JOIN ucnt b ON b.w = g.w2
+    CROSS JOIN total
+    WHERE g.c_ab >= 10
+    ORDER BY lift DESC, bigram ASC LIMIT 20
+    """,
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining (corpus phrase discovery): bigram lift
+    c(ab)*N / (c(a)*c(b)) — exp(PMI) — over the token stream. The log is
+    deliberately NOT taken: ln differs in the last ulp across libm
+    implementations, so the monotone-equivalent ratio of exact integer
+    counts keeps the compare bit-deterministic cross-engine. One
+    tokenize feeds both the unigram and bigram rollups; the unigram
+    table (vocab-sized) broadcasts back onto the bigram counts, N rides
+    along as a 1-row cross join. Min-count 10 suppresses noise lifts."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(text_fns.tokens("text").alias("t"))
+    uni = toks.select(F.explode("t").alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count("*").alias("c"))
+    total = uni.agg(F.count("*").alias("n"))
+    grams = (
+        toks.where(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - 2),
+                    lambda i: F.struct(
+                        F.col("t")[i].alias("w1"), F.col("t")[i + 1].alias("w2")
+                    ),
+                )
+            ).alias("g")
+        )
+        .select("g.w1", "g.w2")
+    )
+    gcnt = (
+        grams.groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("c_ab"))
+        .where(F.col("c_ab") >= 10)
+    )
+    a = ucnt.select(F.col("w").alias("_wa"), F.col("c").alias("c_a"))
+    b = ucnt.select(F.col("w").alias("_wb"), F.col("c").alias("c_b"))
+    return (
+        gcnt.join(F.broadcast(a), F.col("w1") == F.col("_wa"))
+        .join(F.broadcast(b), F.col("w2") == F.col("_wb"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            "c_ab",
+            (
+                F.col("c_ab").cast("double")
+                * F.col("n").cast("double")
+                / (F.col("c_a").cast("double") * F.col("c_b").cast("double"))
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), F.col("bigram").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "k_anonymity",
+    oracle="""
+    WITH sized AS (
+      SELECT c_custkey, c_nationkey, c_mktsegment, c_acctbal,
+             COUNT(*) OVER (PARTITION BY c_nationkey, c_mktsegment) AS n
+      FROM customer
+    )
+    SELECT c_custkey,
+           CASE WHEN n < 12 THEN '*'
+                ELSE CAST(c_nationkey AS VARCHAR) END AS c_nationkey,
+           CASE WHEN n < 12 THEN '*' ELSE c_mktsegment END AS c_mktsegment,
+           c_acctbal
+    FROM sized ORDER BY c_custkey
+    """,
+)
+def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity suppression over the customer table's
+    (nationkey, mktsegment) quasi-identifiers (functions/pii.py
+    k_anonymize): combinations shared by fewer than k=12 customers are
+    masked, so no released row's quasi-identifiers narrow it to fewer
+    than 12 candidates. The oracle expresses the same semantics as a
+    window count; the engine deliberately does NOT — group sizes come
+    from one combo-cardinality aggregate broadcast back onto the rows,
+    because a per-row window would shuffle every full row to count its
+    group (the plan difference that matters at fact-table scale)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    return pii.k_anonymize(
+        c, ["c_nationkey", "c_mktsegment"], k=12
+    ).orderBy("c_custkey")
+

@@ -1,0 +1,490 @@
+"""Deduplication family: exact, Jaccard/minhash/simhash/winnowing, connected components, semantic dedup (LLM-pipeline ops).
+
+Split from the monolithic registry.py (round 4, verdict item 8) —
+mechanical move, no query renames; in-module order preserves the
+original registration order. Queries register into wvfoia_sync_spark.
+registry's QUERIES/ORACLE via the shared @register decorator.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..functions import pii
+from ..functions import text as text_fns
+from ..functions.text import BPE_SPLIT_RE, STOPWORDS, lang_id, quality_metrics
+from ..operators import dedup, fts, relational, similarity, sketch, textops, timeline
+from ..registry import (
+    _SQL_FEE,
+    _SQL_SLUG,
+    _SQL_STOPWORDS,
+    _SQL_TOKENS,
+    _TRAINED,
+    _ann_index_df,
+    _d,
+    _ivf_centroids,
+    _money_sum,
+    _pq_codebooks,
+    _query_vec,
+    _SQL_DUP_CORPUS,
+    _SQL_DUP_PAIRS_085,
+    _dup_corpus,
+    _prop_row,
+    _recall_check,
+    register,
+)
+from ..sources.tables import load_table
+
+
+
+
+
+
+
+@register(
+    "exact_dedup",
+    oracle=f"""
+    WITH corpus AS ({_SQL_DUP_CORPUS}),
+    fp AS (
+      SELECT doc_id, sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+      FROM corpus
+    )
+    SELECT fingerprint, COUNT(*) AS dup_count, CAST(MIN(doc_id) AS BIGINT) AS keep_id
+    FROM fp GROUP BY fingerprint HAVING COUNT(*) > 1
+    """,
+)
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via normalized-sha256 fingerprint groupBy — uniform hash
+    key, skew-free single shuffle. Run on a corpus with planted
+    whitespace-mutant duplicates."""
+    return dedup.exact_duplicates(_dup_corpus(spark, sf_dir), "doc_id", "text")
+
+
+@register(
+    "jaccard_near_dup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, list_distinct({_SQL_TOKENS.format(c='text')}) AS t
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+             / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))) AS jaccard
+    FROM toks a JOIN toks b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)) > 0
+      AND CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+            / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))) >= 0.72
+    """,
+)
+def jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard near-dup within a bucket (source), via the
+    adaptive strategy: dictionary-encoded bitsets (popcount intersects,
+    ~40x smaller shuffle) when the vocabulary fits, PPJoin-style prefix
+    filtering otherwise. All strategies return the identical exact pair
+    set (tests/test_dedup_similarity.py asserts three-way equality).
+    spread=True: the tokenize+bitset map stage is the hot loop — worth
+    the local round-robin exchange (1.99s -> 1.39s at sf0.1)."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return dedup.jaccard_pairs_auto(docs, "doc_id", "text", "source", 0.72)
+
+
+@register("minhash_near_dup")  # no SQL oracle: xxhash64 signatures
+def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup (sign -> band -> candidate -> verify) on the
+    planted-duplicate corpus. Verified in tests against exact Jaccard
+    (recall==1.0 for exact dups); driver records rows-only."""
+    return dedup.minhash_dedup_pairs(
+        _dup_corpus(spark, sf_dir), "doc_id", "text", threshold=0.9
+    ).select("id_a", "id_b")
+
+
+@register("simhash_dups")  # no SQL oracle: xxhash64 signatures
+def simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signature collisions on the planted-duplicate corpus."""
+    return dedup.simhash_duplicates(_dup_corpus(spark, sf_dir), "doc_id", "text")
+
+
+
+
+@register(
+    "embedding_near_dup",
+    oracle="""
+    WITH corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000 AS vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.9
+    """,
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup via LSH buckets + exact verify, on a
+    corpus with planted exact-copy vectors (cosine 1.0 >> 0.9 threshold,
+    so the float compare is far from the boundary in both engines)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = emb.unionAll(
+        emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    )
+    return similarity.cosine_near_dup_pairs(corpus, threshold=0.9).select(
+        "id_a", "id_b"
+    )
+
+
+
+
+
+
+
+@register(
+    "dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_DUP_PAIRS_085}
+    SELECT CAST(component AS BIGINT) AS component, COUNT(*) AS size,
+           CAST(MIN(id) AS BIGINT) AS keep_id
+    FROM comp GROUP BY component
+    """,
+)
+def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster extraction: exact-Jaccard near-dup pairs ->
+    connected components -> (component, size, keep_id). The pipeline form
+    of 'dedup the corpus': survivors = corpus anti-join (members minus
+    keep_ids). Iterative min-label propagation with per-round lineage
+    checkpoints; see operators/dedup.py for the O(log n) alternative at
+    pathological diameters. Oracle: the same components via a recursive
+    transitive-closure CTE (min reachable id per vertex) — exact because
+    the 0.85-threshold pair set is itself integer-ratio deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs_auto(docs, "doc_id", "text", "source", 0.85)
+    return dedup.duplicate_clusters(pairs)
+
+
+@register(
+    "winnow_stats",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+      FROM documents
+    ),
+    codes AS (
+      SELECT doc_id, list_transform(string_split(t, ''), x -> ascii(x)) AS cs
+      FROM base
+    ),
+    h AS (
+      SELECT doc_id,
+        CASE WHEN len(cs) < 5 THEN []::BIGINT[]
+        ELSE list_transform(range(1, len(cs)-5+2),
+          i -> list_reduce(list_prepend(0::BIGINT, list_slice(cs, i, i+4)),
+                           (acc, x) -> (acc*257+x) % 1000000007))
+        END AS hs
+      FROM codes
+    ),
+    wm AS (
+      SELECT doc_id,
+        CASE WHEN len(hs) = 0 THEN []::BIGINT[]
+        ELSE list_distinct(list_transform(
+               range(1, greatest(len(hs)-4+1, 1)+1),
+               i -> list_min(list_slice(hs, i, i+3))))
+        END AS fps
+      FROM h
+    )
+    SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
+           list_min(fps) AS min_fp, list_max(fps) AS max_fp,
+           CAST(list_sum(fps) AS BIGINT) AS fp_sum
+    FROM wm
+    """,
+)
+def winnow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (MOSS): rolling-hash k-gram (k=5) minima
+    over w=4 windows — paragraph-granularity copy detection. The oracle
+    replays the identical integer arithmetic through DuckDB list lambdas,
+    so fingerprints hash-match bit-for-bit; compared as per-doc
+    order-insensitive aggregates (count/min/max/sum) because engines
+    order list_distinct differently."""
+    docs = load_table(spark, sf_dir, "documents")
+    fps = text_fns.winnow_fingerprints("text")
+    d = docs.select("doc_id", fps.alias("fps"))
+    return d.select(
+        "doc_id",
+        F.size("fps").cast("long").alias("n_fp"),
+        F.array_min("fps").alias("min_fp"),
+        F.array_max("fps").alias("max_fp"),
+        F.when(F.size("fps") == 0, F.lit(None).cast("long"))
+        .otherwise(
+            F.aggregate("fps", F.lit(0).cast("long"), lambda acc, x: acc + x)
+        )
+        .alias("fp_sum"),
+    )
+
+
+@register(
+    "winnow_near_dup",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+      FROM documents
+    ),
+    codes AS (
+      SELECT doc_id, list_transform(string_split(t, ''), x -> ascii(x)) AS cs
+      FROM base
+    ),
+    h AS (
+      SELECT doc_id,
+        CASE WHEN len(cs) < 5 THEN []::BIGINT[]
+        ELSE list_transform(range(1, len(cs)-5+2),
+          i -> list_reduce(list_prepend(0::BIGINT, list_slice(cs, i, i+4)),
+                           (acc, x) -> (acc*257+x) % 1000000007))
+        END AS hs
+      FROM codes
+    ),
+    wm AS (
+      SELECT doc_id,
+        CASE WHEN len(hs) = 0 THEN []::BIGINT[]
+        ELSE list_distinct(list_transform(
+               range(1, greatest(len(hs)-4+1, 1)+1),
+               i -> list_min(list_slice(hs, i, i+3))))
+        END AS fps
+      FROM h
+    ),
+    fp AS (SELECT doc_id AS id, unnest(fps) AS fp FROM wm),
+    kept AS (
+      SELECT id, fp FROM fp
+      WHERE fp IN (SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) <= 50)
+    ),
+    sizes AS (SELECT id, COUNT(*) AS n_fp FROM fp GROUP BY id),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS shared_fp
+      FROM kept a JOIN kept b ON a.fp = b.fp AND a.id < b.id
+      GROUP BY a.id, b.id HAVING COUNT(*) >= 8
+    )
+    SELECT id_a, id_b, CAST(shared_fp AS BIGINT) AS shared_fp,
+           CAST(sa.n_fp AS BIGINT) AS n_a, CAST(sb.n_fp AS BIGINT) AS n_b
+    FROM pairs
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    """,
+)
+def winnow_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style local copy detection: doc pairs sharing >= 8 winnowing
+    fingerprints, stop-fingerprints (doc freq > 50) dropped pre-join as
+    the skew guard. Complements MinHash (whole-doc) with
+    paragraph-granularity overlap; n_a/n_b sizes let callers derive
+    containment = shared/min(n). spread=True: the rolling-hash pandas-UDF
+    fingerprint stage is the hot loop (2.19s -> 1.81s at sf0.1)."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return dedup.winnow_overlap_pairs(
+        docs, "doc_id", "text", min_shared=8, max_fp_doc_freq=50
+    )
+
+
+@register(
+    "minhash_property_check",
+    oracle="""
+    SELECT 'minhash_sound' AS property, TRUE AS ok
+    UNION ALL
+    SELECT 'minhash_planted_complete' AS property, TRUE AS ok
+    ORDER BY property
+    """,
+)
+def minhash_property_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-green twin of minhash_near_dup, cartesian-free:
+
+    - sound: every reported pair really has exact 3-shingle Jaccard >=
+      0.9 (shingle sets equi-joined back onto the pair list — the verify
+      stage's own guarantee, re-derived independently).
+    - planted_complete: every planted (doc, doc+100000) near-identical
+      twin (Jaccard 1.0) is reported — identical shingle sets collide in
+      every band, so missing one means the band join broke.
+
+    Full mh == exact equality (needs the all-pairs exact set) stays in
+    tests/test_similarity_dedup.py; these two properties are the
+    oracle-checkable projection of it."""
+    corpus = _dup_corpus(spark, sf_dir)
+    mh = dedup.minhash_dedup_pairs(
+        corpus, "doc_id", "text", threshold=0.9
+    ).select("id_a", "id_b")
+    hashed = dedup.hashed_shingles(corpus, "doc_id", "text", 3)
+    a = hashed.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"))
+    b = hashed.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"))
+    inter = F.size(F.array_intersect("hs_a", "hs_b")).cast("double")
+    union = (F.size("hs_a") + F.size("hs_b")).cast("double") - inter
+    verified = (
+        mh.join(a, "id_a")
+        .join(b, "id_b")
+        .select((inter / union >= 0.9).alias("is_true_pair"))
+    )
+    sound = verified.agg(
+        F.coalesce(F.sum(F.when(~F.col("is_true_pair"), 1)), F.lit(0)).alias(
+            "bad"
+        )
+    ).select(*_prop_row("minhash_sound", F.col("bad") == 0))
+    base = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 100000).alias("id_b"),
+    )
+    found = base.join(mh, ["id_a", "id_b"], "left_anti").agg(
+        F.count("*").alias("missed")
+    )
+    complete = found.select(
+        *_prop_row("minhash_planted_complete", F.col("missed") == 0)
+    )
+    return sound.unionAll(complete).orderBy("property")
+
+
+@register(
+    "simhash_property_check",
+    oracle="SELECT 'simhash_planted_collide' AS property, TRUE AS ok",
+)
+def simhash_property_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-green twin of simhash_dups: each planted twin differs only
+    in trailing whitespace, so its token stream — and therefore its
+    SimHash signature — must be identical to its base doc's. Violations
+    (differing signatures across a planted pair) must be zero."""
+    corpus = _dup_corpus(spark, sf_dir)
+    sigs = dedup.simhash(corpus, "doc_id", "text")
+    a = sigs.select(F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"))
+    b = sigs.select(
+        (F.col("id") - 100000).alias("id_a"), F.col("simhash").alias("sig_b")
+    ).where(F.col("id_a") >= 0)
+    bad = (
+        a.join(b, "id_a")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("sig_a") != F.col("sig_b"), 1)), F.lit(0)
+            ).alias("bad")
+        )
+    )
+    return bad.select(*_prop_row("simhash_planted_collide", F.col("bad") == 0))
+
+
+@register("semantic_dedup")  # no SQL oracle: seeded k-means clustering
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication over the planted-twin
+    embedding corpus: seeded k-means cells bound the pairwise cosine
+    work (sum-of-cell^2, never n^2), keep-smallest-id per duplicate
+    clique. Rows-only in the driver gate (the clustering isn't
+    SQL-expressible); semdedup_property_check is its oracle-green twin
+    and tests/test_similarity_dedup.py pins planted-twin recall."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = emb.unionAll(
+        emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    )
+    key = ("semdedup_cents", sf_dir)
+    if key not in _TRAINED:
+        _TRAINED[key] = similarity.train_centroids(corpus, k=8, iterations=1)
+    return similarity.semantic_dedup(
+        corpus, threshold=0.9, k=8, centroids=_TRAINED[key]
+    ).orderBy("vec_id")
+
+
+@register(
+    "semdedup_property_check",
+    oracle="""
+    SELECT 'semdedup_planted_complete' AS property, TRUE AS ok
+    UNION ALL
+    SELECT 'semdedup_sound' AS property, TRUE AS ok
+    ORDER BY property
+    """,
+)
+def semdedup_property_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-green twin of semantic_dedup:
+
+    - sound: every (dropped, dup_of) pair really has exact cosine >= 0.9,
+      re-derived by joining raw vectors back onto the decision table.
+    - planted_complete: every planted twin (vec_id+100000, an exact copy
+      with cosine 1.0) is dropped — identical vectors always land in the
+      same k-means cell, so missing one means the cell self-join broke.
+    """
+    from ..functions.vectors import cosine as vcos
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = emb.unionAll(
+        emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    )
+    key = ("semdedup_cents", sf_dir)
+    if key not in _TRAINED:
+        _TRAINED[key] = similarity.train_centroids(corpus, k=8, iterations=1)
+    sd = similarity.semantic_dedup(
+        corpus, threshold=0.9, k=8, centroids=_TRAINED[key]
+    )
+    dropped = sd.where(~F.col("kept")).select("vec_id", "dup_of")
+    va = corpus.select(F.col("vec_id").alias("_ia"), F.col("embedding").alias("_va"))
+    vb = corpus.select(F.col("vec_id").alias("_ib"), F.col("embedding").alias("_vb"))
+    sound = (
+        dropped.join(va, dropped.vec_id == F.col("_ia"))
+        .join(vb, dropped.dup_of == F.col("_ib"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(vcos(F.col("_va"), F.col("_vb")) < 0.9, 1)
+                ),
+                F.lit(0),
+            ).alias("bad")
+        )
+        .select(*_prop_row("semdedup_sound", F.col("bad") == 0))
+    )
+    complete = (
+        emb.select((F.col("vec_id") + 100000).alias("twin"))
+        .join(dropped.select("vec_id"), F.col("twin") == F.col("vec_id"), "left_anti")
+        .agg(F.count("*").alias("missed"))
+        .select(*_prop_row("semdedup_planted_complete", F.col("missed") == 0))
+    )
+    return complete.unionAll(sound).orderBy("property")
+
+
+@register(
+    "cluster_best_pick",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_DUP_PAIRS_085},
+    members AS (
+      SELECT c.component, c.id,
+             len(list_distinct({_SQL_TOKENS.format(c='d.text')})) AS n_tokens
+      FROM comp c JOIN documents d ON d.doc_id = c.id
+    ), ranked AS (
+      SELECT component, id, n_tokens,
+             row_number() OVER (PARTITION BY component
+                                ORDER BY n_tokens DESC, id ASC) AS rn
+      FROM members
+    )
+    SELECT CAST(component AS BIGINT) AS component,
+           CAST(id AS BIGINT) AS best_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM ranked WHERE rn = 1 ORDER BY component
+    """,
+)
+def cluster_best_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware duplicate-cluster curation: instead of dup_clusters'
+    keep-smallest-id, keep each cluster's RICHEST member (max distinct
+    tokens, min-id tiebreak) — the 'pick the best copy' policy real
+    curation pipelines use when near-dups differ in truncation. Argmax
+    via max(struct(quality, -id)) inside the component groupBy — shares
+    the one component-keyed aggregation, no window over the corpus; the
+    quality metric is an exact integer so both engines rank
+    identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs_auto(docs, "doc_id", "text", "source", 0.85)
+    cc = dedup.connected_components(pairs)
+    qual = docs.select(
+        F.col("doc_id").alias("qid"),
+        F.size(F.array_distinct(text_fns.tokens("text"))).cast("long").alias(
+            "n_tokens"
+        ),
+    )
+    return (
+        cc.join(qual, cc.id == F.col("qid"))
+        .groupBy("component")
+        .agg(
+            F.max(
+                F.struct(F.col("n_tokens"), (-F.col("id")).alias("_ni"))
+            ).alias("_b")
+        )
+        .select(
+            "component",
+            (-F.col("_b._ni")).cast("long").alias("best_id"),
+            F.col("_b.n_tokens").cast("long").alias("n_tokens"),
+        )
+        .orderBy("component")
+    )
+

@@ -1,0 +1,1565 @@
+"""Join shapes and the TPC-H repertoire: dim chains, semi/anti/asof/interval/band/salted/fuzzy joins, Q1-Q22 analogues (SURVEY §2.3).
+
+Split from the monolithic registry.py (round 4, verdict item 8) —
+mechanical move, no query renames; in-module order preserves the
+original registration order. Queries register into wvfoia_sync_spark.
+registry's QUERIES/ORACLE via the shared @register decorator.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..functions import pii
+from ..functions import text as text_fns
+from ..functions.text import BPE_SPLIT_RE, STOPWORDS, lang_id, quality_metrics
+from ..operators import dedup, fts, relational, similarity, sketch, textops, timeline
+from ..registry import (
+    _SQL_FEE,
+    _SQL_SLUG,
+    _SQL_STOPWORDS,
+    _SQL_TOKENS,
+    _TRAINED,
+    _ann_index_df,
+    _d,
+    _ivf_centroids,
+    _money_sum,
+    _pq_codebooks,
+    _query_vec,
+    _SQL_DUP_CORPUS,
+    _SQL_DUP_PAIRS_085,
+    _dup_corpus,
+    _prop_row,
+    _recall_check,
+    register,
+)
+from ..sources.tables import load_table
+
+@register(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '2001-08-06'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship conditional-aggregate scan (TPC-H Q1 shape; exercises the
+    A5/A6-family sum/avg/count plumbing on one wide hash aggregate).
+
+    Determinism note: decimals are cast from RAW 2-dp inputs only — casting
+    a *computed* double to decimal rounds at the 4-dp midpoint differently
+    across engines; exact decimal products never do."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    one = F.lit(1).cast("decimal(3,2)")
+    disc_price = price * (one - F.col("l_discount").cast("decimal(4,2)"))
+    charge = disc_price * (one + F.col("l_tax").cast("decimal(4,2)"))
+    return (
+        li.where(F.col("l_shipdate").cast("date") <= F.lit("2001-08-06").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(dec("l_extendedprice")).cast("double") / F.count("*")).alias(
+                "avg_price"
+            ),
+            (F.sum(dec("l_discount")).cast("double") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "top3_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def top3_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 window-function ranking (the engine's generalization of the
+    reference's latest-snapshot pattern): top-3 orders per customer."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+
+
+@register(
+    "semi_join",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 48)
+    """,
+)
+def semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 FTS-style semi-join: orders with any qualifying lineitem
+    (id IN (subquery), entries.ts:25)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    hits = li.where(F.col("l_quantity") >= 48).select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    return o.join(hits, "o_orderkey", "left_semi").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+@register(
+    "anti_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND CAST(o.o_orderdate AS DATE) >= (SELECT max(CAST(o_orderdate AS DATE)) - 365 FROM orders)
+    )
+    """,
+)
+def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no orders in the last 365 days
+    (upsert sink's not-matched branch uses the same shape, SURVEY §2.1 S7)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    anchor = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("anchor"))
+    recent = (
+        o.crossJoin(F.broadcast(anchor))
+        .where(F.col("o_orderdate").cast("date") >= F.date_sub("anchor", 365))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return c.join(recent, "c_custkey", "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "region_revenue",
+    oracle="""
+    SELECT r.r_name AS region,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS line_count
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/J4 dimension chain: fact scan joined through nation/region with
+    explicit broadcast hints (true constant-size dims); the supplier
+    side is sf-proportional and therefore unhinted — AQE picks broadcast
+    below the threshold, shuffle above (no fact-side shuffle until agg
+    at bench sizes)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count("*").alias("line_count"),
+        )
+    )
+
+
+@register(
+    "asof_join",
+    oracle="""
+    SELECT p.event_id AS purchase_event_id, s.event_id AS signup_event_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+)
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (each purchase -> latest signup at-or-before it, per
+    user), built as a union + last(ignorenulls) running carry — ONE shuffle
+    on user_id, no range-join explosion; this is the scalable pattern vs.
+    a theta join at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    both = ev.where(F.col("event_type").isin("signup", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        # signup sorts before purchase at equal ts (ASOF >= semantics)
+        F.when(F.col("event_type") == "signup", 0).otherwise(1).alias("kind"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = both.withColumn(
+        "signup_event_id",
+        F.last(
+            F.when(F.col("event_type") == "signup", F.col("event_id")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return (
+        carried.where(
+            (F.col("event_type") == "purchase") & F.col("signup_event_id").isNotNull()
+        )
+        .select(
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("signup_event_id"),
+        )
+    )
+
+
+@register(
+    "shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey AS orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+           strftime(CAST(o.o_orderdate AS DATE), '%Y-%m-%d') AS orderdate,
+           o.o_orderpriority AS priority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-06-01'
+      AND l.l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, orderdate, orderkey
+    LIMIT 10
+    """,
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape — the big-big shuffle-join path (vs region_revenue's
+    broadcast-dim chain): filtered customer ⋈ orders ⋈ lineitem on their
+    keys, decimal-exact revenue per order, deterministic top-10
+    (TakeOrderedAndProject — no global sort). At cluster scale both joins
+    shuffle on their join keys; AQE picks broadcast for the filtered
+    customer side when it fits. Revenue summed as DECIMAL so the top-10
+    cut is exact and engine-reproducible."""
+    cutoff = F.lit("1998-06-01").cast("timestamp")
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            _d("o_orderdate").alias("orderdate"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("orderkey", "revenue", "orderdate", "priority")
+        .orderBy(F.desc("revenue"), "orderdate", "orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "interval_attribution",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, event_id AS purchase_event_id,
+             ts - INTERVAL 15 MINUTE AS s, ts + INTERVAL 15 MINUTE AS e
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT purchase_event_id,
+           COUNT(*) AS n_nearby,
+           COUNT(DISTINCT ev.event_type) AS n_types
+    FROM p JOIN events ev
+      ON ev.user_id = p.user_id AND ev.ts >= p.s AND ev.ts <= p.e
+     AND ev.event_id <> p.purchase_event_id
+    GROUP BY purchase_event_id
+    """,
+)
+def interval_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join via the bucketed equi-join operator (Spark
+    executes a raw ts-BETWEEN join as a per-key nested loop; the bucket
+    explode turns it into a shuffle-partitionable equi-join): events
+    within +/-15 min of each same-user purchase, counted per purchase."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_event_id"),
+        (F.col("ts") - F.expr("INTERVAL 15 MINUTES")).alias("_s"),
+        (F.col("ts") + F.expr("INTERVAL 15 MINUTES")).alias("_e"),
+    )
+    pts = ev.select("user_id", "event_id", "ts", "event_type")
+    j = relational.interval_join(
+        pts, purchases, "user_id", "ts", "_s", "_e", bucket_seconds=900
+    )
+    return (
+        j.where(F.col("event_id") != F.col("purchase_event_id"))
+        .groupBy("purchase_event_id")
+        .agg(
+            F.count("*").alias("n_nearby"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+    )
+
+
+@register(
+    "above_avg_orders",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority AS priority
+    FROM orders o
+    WHERE CAST(o_totalprice AS DECIMAL(18,4))
+            * (SELECT COUNT(*) FROM orders i
+               WHERE i.o_orderpriority = o.o_orderpriority)
+          > 2 * (SELECT SUM(CAST(i.o_totalprice AS DECIMAL(18,4)))
+                 FROM orders i
+                 WHERE i.o_orderpriority = o.o_orderpriority)
+    """,
+)
+def above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries (orders above 2x their priority
+    group's mean), written in SQL so Catalyst's decorrelation rewrites
+    them into ONE aggregate + broadcast join instead of a per-row
+    subquery execution. The avg compare is algebraically rearranged to
+    price*count > 2*sum so every operand stays decimal-exact (a double
+    mean would make boundary rows engine-dependent)."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_aao_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_orderpriority AS priority
+        FROM _aao_orders o
+        WHERE CAST(o_totalprice AS DECIMAL(18,4))
+                * (SELECT COUNT(*) FROM _aao_orders i
+                   WHERE i.o_orderpriority = o.o_orderpriority)
+              > 2 * (SELECT SUM(CAST(i.o_totalprice AS DECIMAL(18,4)))
+                     FROM _aao_orders i
+                     WHERE i.o_orderpriority = o.o_orderpriority)
+        """
+    )
+
+
+@register(
+    "fuzzy_name_match",
+    oracle="""
+    WITH canon AS (SELECT DISTINCT n_name FROM nation),
+    dirty AS (
+      SELECT DISTINCT concat(substr(n_name, 1, 2), substr(n_name, 4)) AS m
+      FROM nation
+    )
+    SELECT d.m AS dirty, c.n_name AS canonical,
+           CAST(levenshtein(d.m, c.n_name) AS BIGINT) AS dist
+    FROM dirty d JOIN canon c
+      ON abs(length(d.m) - length(c.n_name)) <= 2
+    WHERE levenshtein(d.m, c.n_name) <= 2
+    """,
+)
+def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy alias resolution beyond exact normalization: nation names
+    with the 3rd character dropped (deterministic typo corpus) matched
+    back to canonical names within edit distance 2, via length-band
+    blocking instead of a raw theta-join cross product."""
+    n = load_table(spark, sf_dir, "nation")
+    dirty = n.select(
+        F.concat(
+            F.substring("n_name", 1, 2), F.expr("substring(n_name, 4)")
+        ).alias("n_name")
+    )
+    out = relational.fuzzy_match(dirty, n.select("n_name"), "n_name", max_dist=2)
+    return out.select(
+        "dirty", "canonical", F.col("dist").cast("long").alias("dist")
+    )
+
+
+
+
+@register(
+    "min_cost_supplier",
+    oracle="""
+    SELECT DISTINCT p.p_partkey, s.s_name, n.n_name AS nation,
+           CAST(l.l_extendedprice AS DOUBLE) AS price
+    FROM part p
+    JOIN lineitem l ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_size < 10
+      AND l.l_extendedprice = (SELECT MIN(l2.l_extendedprice)
+                               FROM lineitem l2
+                               WHERE l2.l_partkey = p.p_partkey)
+    """,
+)
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: cheapest offer per part, resolved to its supplier
+    and nation. Spark-first formulation: the correlated MIN becomes a
+    partial-aggregated groupBy re-joined on the fact's own join key (no
+    decorrelation needed); the size-filtered part slice and supplier are
+    sf-proportional, so those joins are unhinted (AQE broadcasts them
+    while small); nation keeps its hint — one shuffle total, for
+    the part-key aggregate. MIN equality on raw doubles is safe: no
+    accumulation, both engines compare the same bit pattern."""
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_size") < 10)
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").join(
+        parts, F.col("l_partkey") == F.col("p_partkey")
+    )
+    minp = li.groupBy("l_partkey").agg(F.min("l_extendedprice").alias("_minp"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(minp, "l_partkey")
+        .where(F.col("l_extendedprice") == F.col("_minp"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select(
+            "p_partkey",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            F.col("l_extendedprice").cast("double").alias("price"),
+        )
+        .distinct()
+    )
+
+
+@register(
+    "blame_supplier",
+    oracle="""
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey AND l1.l_returnflag = 'R'
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+                 AND o.o_orderpriority = '1-URGENT'
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    """,
+)
+def blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the sole supplier at fault — a returned line on
+    an urgent multi-supplier order where no OTHER supplier returned.
+    EXISTS -> left-semi self-join, NOT EXISTS -> left-anti self-join,
+    both on l_orderkey with the <> suppkey residual; the orders filter
+    is applied before its join so only urgent orderkeys shuffle; the
+    sf-proportional supplier join is unhinted (AQE-sized). Self-joins
+    co-partition on l_orderkey —
+    AQE reuses the exchange at scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    l1 = (
+        li.where(F.col("l_returnflag") == "R")
+        .alias("a")
+        .join(urgent, F.col("a.l_orderkey") == F.col("o_orderkey"))
+    )
+    other = li.select("l_orderkey", "l_suppkey").alias("b")
+    other_r = (
+        li.where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .alias("c")
+    )
+    blamed = (
+        l1.join(
+            other,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
+            "leftsemi",
+        )
+        .join(
+            other_r,
+            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+            & (F.col("a.l_suppkey") != F.col("c.l_suppkey")),
+            "leftanti",
+        )
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        blamed.join(s, F.col("s_suppkey") == F.col("a.l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+@register(
+    "order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o_orderdate AS DATE) < DATE '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+)
+def order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS decorrelated to a LEFT SEMI join. The
+    date filter prunes the orders scan BEFORE the join (pushdown), and the
+    semi join carries only l_orderkey from lineitem — at 100 TB the semi
+    side shuffles one slim column, never the fact payload."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    # raw-timestamp bounds (not cast-to-date) so the range reaches the
+    # parquet reader as PushedFilters; equivalent because date >= D iff
+    # ts >= D 00:00:00 and date < D iff ts < D 00:00:00
+    in_window = o.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    returned = li.where(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        in_window.join(returned, in_window.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "customer_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join with a join-side (not WHERE-side)
+    filter — customers with zero qualifying orders must survive with
+    count 0 — then a distribution over the grouped counts. Two shuffles
+    (custkey, then c_count); the second input is one row per customer."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "volume_shipping",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(CAST(l.l_shipdate AS DATE)) AS BIGINT) AS l_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND CAST(l.l_shipdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+    GROUP BY 1, 2, 3
+    """,
+)
+def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: the one genuinely big-big join here is
+    lineitem⋈orders (both fact-sized, shuffle on orderkey). The nation
+    dims carry broadcast hints; the two-nation supplier/customer slices
+    are sf-proportional and unhinted (AQE broadcasts them while they fit,
+    shuffles beyond). The nation filter is applied to the supplier and
+    customer sides FIRST so the fact rows that survive the dim joins are
+    already the two-nation subset — no post-join filter over the full
+    cross traffic. Revenue is decimal-exact then surfaced as double."""
+    # raw-timestamp bounds: BETWEEN dates '1996-01-01'..'1997-12-31' on
+    # the date projection == [1996-01-01 00:00, 1998-01-01 00:00) on the
+    # raw timestamp, and the raw form pushes down to the parquet scan
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    pair = ["NATION_1", "NATION_2"]
+    n1 = n.where(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.where(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    sup = s.join(F.broadcast(n1), s.s_nationkey == F.col("s_nk")).select(
+        "s_suppkey", "supp_nation"
+    )
+    cust = c.join(F.broadcast(n2), c.c_nationkey == F.col("c_nk")).select(
+        "c_custkey", "cust_nation"
+    )
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(cust, o.o_custkey == cust.c_custkey)
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year(F.col("l_shipdate").cast("date")).cast("long").alias("l_year"),
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "skew_salted_join",
+    oracle="""
+    SELECT c.c_mktsegment, COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted equi-join (events fan onto 150 hot customer keys
+    out of 1500 — the textbook hot-key profile): big side salted
+    deterministically from event_id, small side replicated 8x, identical
+    result set to the plain join the oracle runs. The salt only reshapes
+    partitioning, so the decimal-exact aggregate hash-matches."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = relational.salted_join(
+        ev, cust, big_key="user_id", small_key="c_custkey",
+        salt_from="event_id", n_salts=8,
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        _money_sum("value").alias("sum_value"),
+    )
+
+
+@register(
+    "dq_checks",
+    oracle="""
+    SELECT 'orderkey_unique' AS check_name,
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'custkey_not_null', CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'status_in_domain',
+           CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'price_positive',
+           CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_have_customer',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+    """,
+)
+def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (deequ-shaped; the admission control
+    a pipeline runs before promoting a batch): uniqueness, non-null,
+    domain, range, and referential-integrity checks, each reported as a
+    violation count. The scalar checks fold into ONE aggregate pass over
+    the table; the FK check is an anti-join whose customer build side is
+    unhinted (sf-proportional: AQE broadcasts small, shuffles at scale). A production gate
+    compares n_violations to thresholds and fails the batch."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    scalar = o.agg(
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("orderkey_unique"),
+        (F.count("*") - F.count("o_custkey")).alias("custkey_not_null"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("F", "O", "P"), 1).otherwise(0)
+        ).alias("status_in_domain"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias(
+            "price_positive"
+        ),
+    )
+    melted = scalar.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(n).alias("check_name"),
+                        F.col(n).cast("long").alias("n_violations"),
+                    )
+                    for n in (
+                        "orderkey_unique",
+                        "custkey_not_null",
+                        "status_in_domain",
+                        "price_positive",
+                    )
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
+    orphans = (
+        o.join(
+            c.select("c_custkey"),
+            o.o_custkey == F.col("c_custkey"),
+            "left_anti",
+        )
+        .agg(F.count("*").cast("long").alias("n_violations"))
+        .select(F.lit("orders_have_customer").alias("check_name"), "n_violations")
+    )
+    return melted.unionByName(orphans)
+
+
+@register(
+    "returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+           c.c_acctbal
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1996-07-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+    ORDER BY revenue DESC, c.c_custkey ASC LIMIT 20
+    """,
+)
+def returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): fact⋈fact shuffle join
+    on orderkey with the returnflag + order-date filters pushed to both
+    scans, nation hint-broadcast and the sf-proportional customer join
+    left to AQE, top-20 via TakeOrderedAndProject —
+    the 'which customers are returning the most' revenue ranking."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "n_name", "revenue", "c_acctbal")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "promo_revenue",
+    oracle="""
+    SELECT CAST(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                     THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
+                     ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+           AS DOUBLE) AS promo_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(l.l_shipdate AS DATE) < DATE '1996-04-01'
+    """,
+)
+def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): unhinted part join (part is
+    sf-proportional; AQE broadcasts it below threshold), one
+    conditional-aggregate pass, ratio of two DECIMAL-exact sums surfaced
+    as a double division (bit-deterministic on exact inputs)."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(12,2)")
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(rev).cast("double")
+            ).cast("double").alias("promo_pct")
+        )
+    )
+
+
+@register(
+    "large_volume_customers",
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           strftime(CAST(o.o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
+           o.o_totalprice AS total_price,
+           CAST(q.qty AS DOUBLE) AS sum_qty
+    FROM (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,4))) AS qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 300) q
+    JOIN orders o   ON o.o_orderkey = q.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey ASC LIMIT 20
+    """,
+)
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): aggregate-as-filter.
+    The per-order quantity rollup happens FIRST (partial+final hash agg
+    on the fact table's natural key), the >300 HAVING then shrinks the
+    join input to a handful of orderkeys, and only those survivors join
+    orders and customer (both unhinted; AQE sizes them). At 100 TB the big fact table is touched
+    exactly once; the join fan-in is the filtered aggregate, not the raw
+    lineitem — the plan you want instead of join-then-aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("qty_d"))
+        .where(F.col("qty_d") > 300)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            _d("o_orderdate").alias("order_date"),
+            F.col("o_totalprice").alias("total_price"),
+            F.col("qty_d").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.col("total_price").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "small_qty_revenue",
+    oracle="""
+    SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                / 7.0 AS DOUBLE) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#2'
+      AND l.l_quantity < 0.2 * (
+            SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                   / COUNT(*)
+            FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    per-part AVG becomes one explicit aggregate over lineitem, broadcast
+    back onto the fact rows (2,000 parts -> a kilobyte-scale build side;
+    at 100 TB the per-part aggregate is still |part|-sized, so the
+    broadcast holds). Exact decimal sum / count double division keeps
+    the 0.2*avg threshold bit-identical across engines, so the strict
+    `<` filter can't flake on summation order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#2")
+    per_part = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
+            / F.count("*")
+        ).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(per_part), li.l_partkey == F.col("ap_partkey"))
+        .where(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast(
+                    "double"
+                )
+                / F.lit(7.0)
+            )
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "inactive_rich_customers",
+    oracle="""
+    WITH pos_avg AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+             / COUNT(*) AS a
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+             AS totacctbal
+    FROM customer c, pos_avg
+    WHERE c.c_acctbal > pos_avg.a
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND CAST(o.o_orderdate AS DATE) >= DATE '2000-06-01')
+    GROUP BY c.c_nationkey
+    ORDER BY c.c_nationkey
+    """,
+)
+def inactive_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): a scalar global
+    average (one tiny aggregate, broadcast as a 1-row cross join), an
+    anti join against the date-filtered orders (the NOT EXISTS), then a
+    small groupBy. The anti join's build side is only the filtered
+    orders' custkeys; the scalar never forces a single-reducer stage."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-06-01 00:00:00").cast("timestamp")
+    )
+    pos_avg = c.where(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double")
+            / F.count("*")
+        ).alias("a")
+    )
+    return (
+        c.join(o.select("o_custkey"), c.c_custkey == F.col("o_custkey"), "left_anti")
+        .crossJoin(F.broadcast(pos_avg))
+        .where(F.col("c_acctbal") > F.col("a"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("long").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@register(
+    "top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS rev_d
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(rev.rev_d AS DOUBLE) AS total_revenue
+    FROM rev
+    JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+    WHERE rev.rev_d = (SELECT MAX(rev_d) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+)
+def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): revenue rollup per supplier, then
+    keep the row(s) equal to the maximum — the max is a 1-row aggregate
+    broadcast back as a cross join + filter, NOT a global window sort
+    (the r2 verdict's latest_snapshot lesson applied from the start).
+    Equality compares exact decimals, so ties and float drift can't
+    diverge between engines."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    rev_expr = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum(rev_expr).alias("rev_d"))
+    mx = rev.agg(F.max("rev_d").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("rev_d") == F.col("mx"))
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("rev_d").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "market_share",
+    oracle="""
+    SELECT CAST(year(CAST(o.o_orderdate AS DATE)) AS BIGINT) AS o_year,
+           CAST(CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
+                    THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
+                         * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
+                    ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+                / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                           * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             AS DOUBLE) AS mkt_share
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+    JOIN region r   ON n1.n_regionkey = r.r_regionkey AND r.r_name = 'AMERICA'
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): one supplier nation's
+    slice of a customer region's revenue, per year. The constant-size
+    nation/region dims are hint-broadcast; customer and supplier scale
+    with SF and are unhinted (AQE chooses). The only shuffle is the
+    fact-fact orderkey join plus the
+    tiny per-year aggregate. The share is a conditional-sum ratio over
+    exact decimals surfaced as one double division."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    n1 = n.alias("n1")
+    n2 = n.select(
+        F.col("n_nationkey").alias("sn_nationkey"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    nation_rev = F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(
+        F.lit(0).cast("decimal(12,2)")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("n1.n_nationkey"))
+        .join(F.broadcast(r), F.col("n1.n_regionkey") == r.r_regionkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("sn_nationkey"))
+        .groupBy(F.year(F.col("o_orderdate").cast("date")).cast("long").alias("o_year"))
+        .agg(
+            (F.sum(nation_rev).cast("double") / F.sum(rev).cast("double"))
+            .cast("double")
+            .alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "product_profit",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(year(CAST(o.o_orderdate AS DATE)) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
+                    - CAST(p.p_retailprice AS DECIMAL(12,2))
+                      * CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+             AS sum_profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%red%'
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): LIKE-filtered part slice
+    (the filter lands on the build side so the fact join prunes ~7/8 of
+    lineitem before the orderkey shuffle; part and supplier are
+    sf-proportional, so both joins are unhinted and AQE-sized), profit as an exact decimal
+    difference of revenue and retail cost, grouped by supplier nation x
+    order year."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    profit = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)")
+    ) - F.col("p_retailprice").cast("decimal(12,2)") * F.col("l_quantity").cast(
+        "decimal(12,2)"
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year(F.col("o_orderdate").cast("date")).cast("long").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+        .orderBy("nation", "o_year")
+    )
+
+
+@register(
+    "bloom_semi_join",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag
+    FROM lineitem l
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_orderkey = l.l_orderkey
+                    AND o.o_orderpriority = '1-URGENT'
+                    AND CAST(o.o_orderdate AS DATE) >= DATE '2000-01-01')
+    ORDER BY l.l_orderkey, l.l_linenumber
+    """,
+)
+def bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit Bloom-prefiltered semi join (operators.relational
+    .bloom_semi_join): the small side's keys fold into a broadcast 64 Kbit
+    bitset that discards non-matching fact rows BEFORE the semi-join
+    shuffle; the exact join then erases false positives, so the result
+    hash-matches a plain EXISTS. The scale win is map-side: only
+    (matches + <1% fp) rows reach the exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+    )
+    return (
+        relational.bloom_semi_join(li, o, "l_orderkey", "o_orderkey")
+        .select("l_orderkey", "l_linenumber", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@register(
+    "price_band_pairs",
+    oracle="""
+    SELECT a.o_orderkey AS key_a, b.o_orderkey AS key_b,
+           a.o_orderpriority AS priority
+    FROM orders a JOIN orders b
+      ON a.o_orderpriority = b.o_orderpriority
+     AND a.o_orderkey < b.o_orderkey
+     AND abs(a.o_totalprice - b.o_totalprice) < 1.0
+    ORDER BY key_a, key_b
+    """,
+)
+def price_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric band self-join (|x_a - x_b| < eps): the third non-equi
+    join family after point-in-interval (interval_attribution) and
+    as-of (asof_join). A raw theta join is a per-priority-group nested
+    loop; bucketing each row to floor(x/eps) turns the band condition
+    into an EQUI join on (group, bucket) probed at offsets {-1, 0, +1}
+    — a candidate within eps is at most one bucket away, so three
+    bucket probes cover the band exactly, the dedup falls out of
+    emitting each ordered pair from the LEFT row's bucket only, and the
+    exact |diff| filter discards the corner false candidates. Shuffle
+    moves (group, bucket)-partitioned slim rows; no nested loop
+    anywhere."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    eps = 1.0
+    bucket = F.floor(F.col("o_totalprice") / eps)
+    a = o.select(
+        F.col("o_orderkey").alias("key_a"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_totalprice").alias("price_a"),
+        bucket.alias("bucket_a"),
+    )
+    # probe the left row against its own bucket and both neighbors
+    probes = a.withColumn(
+        "bucket", F.explode(
+            F.array(
+                F.col("bucket_a") - 1, F.col("bucket_a"), F.col("bucket_a") + 1
+            )
+        )
+    )
+    b = o.select(
+        F.col("o_orderkey").alias("key_b"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_totalprice").alias("price_b"),
+        bucket.alias("bucket"),
+    )
+    return (
+        probes.join(b, ["priority", "bucket"])
+        .where(
+            (F.col("key_a") < F.col("key_b"))
+            & (F.abs(F.col("price_a") - F.col("price_b")) < eps)
+        )
+        .select("key_a", "key_b", "priority")
+        .orderBy("key_a", "key_b")
+    )
+
+
+@register(
+    "revenue_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT n.n_name AS nation,
+             CAST(datediff('day', DATE '1995-01-01',
+                           CAST(o.o_orderdate AS DATE)) AS BIGINT) AS x,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS y_d
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n   ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT nation,
+           ROUND(
+             (CAST(COUNT(*) AS DOUBLE)
+                * CAST(SUM(CAST(x AS DECIMAL(18,0)) * y_d) AS DOUBLE)
+              - CAST(SUM(CAST(x AS DECIMAL(18,0))) AS DOUBLE)
+                * CAST(SUM(y_d) AS DOUBLE))
+             / (CAST(COUNT(*) AS DOUBLE)
+                  * CAST(SUM(CAST(x AS DECIMAL(18,0))
+                             * CAST(x AS DECIMAL(18,0))) AS DOUBLE)
+                - CAST(SUM(CAST(x AS DECIMAL(18,0))) AS DOUBLE)
+                  * CAST(SUM(CAST(x AS DECIMAL(18,0))) AS DOUBLE)),
+             9) AS slope_per_day
+    FROM daily GROUP BY nation ORDER BY nation
+    """,
+)
+def revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS trend per nation (is revenue growing?): least-squares slope
+    of daily revenue against day index, from the same exact-decimal
+    moment machinery as price_qty_corr — the regression every BI layer
+    bolts on, as one partial-agg pass over a (nation, day) rollup whose
+    cardinality is dimension-sized. Rounded at 9 decimals both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    daily = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+            )
+            .cast("long")
+            .alias("x"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("y_d"))
+    )
+    xd = F.col("x").cast("decimal(18,0)")
+    agg = daily.groupBy("nation").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(xd).cast("double").alias("sx"),
+        F.sum(F.col("y_d")).cast("double").alias("sy"),
+        F.sum(xd * F.col("y_d")).cast("double").alias("sxy"),
+        F.sum(xd * xd).cast("double").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return agg.select(
+        "nation", F.round(slope, 9).alias("slope_per_day")
+    ).orderBy("nation")
+
+
+@register(
+    "shipmode_priority",
+    oracle="""
+    SELECT l.l_linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE CAST(l.l_shipdate AS DATE) >= DATE '1998-01-01'
+      AND CAST(l.l_shipdate AS DATE) < DATE '1999-01-01'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping modes vs order priority; l_linestatus
+    stands in for the l_shipmode column the driver schema omits): the
+    year filter prunes the fact scan BEFORE the join, so the shuffle
+    carries one year of lines, not the table; the priority split is a
+    conditional count pair folded map-side. At 100 TB both sides
+    shuffle on orderkey (orders is too big to broadcast) — a plain
+    shuffled hash join whose input is already cut by pushdown, the
+    cheapest possible shape for a fact-fact equi-join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("l_shipdate").cast("date")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.where(
+            (d >= F.lit("1998-01-01").cast("date"))
+            & (d < F.lit("1999-01-01").cast("date"))
+        )
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
+    "disjunctive_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,4))))
+                AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+    """,
+)
+def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, disjunction of
+    conjunctions): the classic OR-of-ANDs predicate that naive planners
+    evaluate post-join. Two things matter at scale: (1) the
+    brand-membership disjunct `p_brand IN (1,2,3)` is factored out and
+    applied to the part side BEFORE its join (unhinted: even filtered
+    part scales with SF, AQE sizes the build), so the build
+    side is ~12% of part, and (2) the quantity bounds' union
+    `l_quantity BETWEEN 1 AND 30` is applied to the fact scan as a
+    pushed-down range, so lines that no disjunct can accept never reach
+    the join. Catalyst doesn't derive either residual from an OR tree
+    on its own — factoring them out by hand is the difference between
+    scanning 100 TB and scanning the qualifying fraction."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+        & (F.col("p_size") >= 1)
+        & (F.col("p_size") <= 35)
+    )
+    q = F.col("l_quantity")
+    li = li.where((q >= 1) & (q <= 30))
+    disj = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size") <= 15)
+            & (q >= 1)
+            & (q <= 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & (F.col("p_size") <= 25)
+            & (q >= 10)
+            & (q <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("p_size") <= 35)
+            & (q >= 20)
+            & (q <= 30)
+        )
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .where(disj)
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,4)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)"))
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "excess_qty_suppliers",
+    oracle="""
+    WITH sp AS (
+      SELECT l.l_suppkey AS suppkey, l.l_partkey AS partkey,
+             SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS qty
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_name LIKE 'red%'
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT partkey AS tpartkey, SUM(qty) AS total
+            FROM sp GROUP BY 1)
+    SELECT DISTINCT s.s_suppkey, s.s_name
+    FROM sp
+    JOIN tot ON tot.tpartkey = sp.partkey
+    JOIN supplier s ON s.s_suppkey = sp.suppkey
+    WHERE CAST(sp.qty AS DOUBLE) > 0.15 * CAST(tot.total AS DOUBLE)
+    ORDER BY s.s_suppkey
+    """,
+)
+def excess_qty_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion, adapted: the driver
+    schema has no partsupp, so 'availqty' becomes shipped quantity and
+    the question is which suppliers dominate a red part's supply —
+    shipped an outsized share — over 15% — of the part's total).
+    The correlated `> 0.15 * (SELECT ...)` decorrelates into the
+    per-(supplier,part) aggregate plus a per-part total computed as a
+    PARTITIONED window sum over that same aggregate — not a second
+    groupBy branch, which would make Spark re-run the fact join twice
+    (DataFrame lineage has no common-subexpression reuse across
+    branches). The window runs on dimension-cardinality data
+    (|supplier|x|red parts|, far below the fact table) partitioned by
+    partkey, so at 100 TB the only fact-sized pass is the single
+    filtered scan feeding the first groupBy. Exact decimal sums feed
+    the 0.15*total threshold via one double multiply, identical in
+    both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").startswith("red")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    sp = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("l_suppkey").alias("suppkey"),
+            F.col("l_partkey").alias("partkey"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("qty"))
+    )
+    total = F.sum("qty").over(Window.partitionBy("partkey"))
+    return (
+        sp.withColumn("total", total)
+        .where(
+            F.col("qty").cast("double")
+            > F.lit(0.15) * F.col("total").cast("double")
+        )
+        .join(s, F.col("suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name")
+        .distinct()
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "important_parts",
+    oracle="""
+    WITH pv AS (
+      SELECT l.l_partkey AS partkey,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS value
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      WHERE s.s_nationkey = (SELECT s_nationkey FROM supplier
+                             WHERE s_suppkey = (SELECT MIN(s_suppkey)
+                                                FROM supplier))
+      GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(value) AS DOUBLE) AS total,
+                   COUNT(*) AS n FROM pv)
+    SELECT pv.partkey,
+           CAST(pv.value AS DOUBLE) AS value
+    FROM pv, tot
+    WHERE CAST(pv.value AS DOUBLE) > 2.0 * tot.total / tot.n
+    ORDER BY value DESC, partkey ASC
+    """,
+)
+def important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock, adapted: no partsupp table, so
+    'stock value' becomes shipped value through one nation's suppliers):
+    a grouped aggregate filtered by a GLOBAL fraction-of-total scalar —
+    the HAVING > scalar-subquery pattern. The total comes from a second
+    aggregate over the SAME per-part aggregate, broadcast as one row; as
+    in Q20, the per-part table is persisted so the fact join lineage
+    runs once for both the total and the filter (dimension-cardinality
+    rows cached, one fact pass). The cut is data-relative — twice the
+    MEAN per-part value — so the result is non-degenerate at every SF;
+    exact decimal sums feed it through identical double arithmetic in
+    both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    # target nation = the one owning the smallest supplier key: a
+    # deterministic anchor that exists at every SF (a min-by-NAME nation
+    # can own zero suppliers in a small sample)
+    target = s.orderBy("s_suppkey").limit(1).select(
+        F.col("s_nationkey").alias("tn")
+    )
+    sn = (
+        s.join(F.broadcast(target), s.s_nationkey == F.col("tn"))
+        .select("s_suppkey")
+    )
+    pv = (
+        li.join(sn, li.l_suppkey == sn.s_suppkey)
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias(
+                "value"
+            )
+        )
+        .persist()
+    )
+    tot = pv.agg(
+        F.sum("value").cast("double").alias("total"),
+        F.count("*").alias("n_parts"),
+    )
+    return (
+        pv.join(F.broadcast(tot))
+        .where(
+            F.col("value").cast("double")
+            > F.lit(2.0) * F.col("total") / F.col("n_parts")
+        )
+        .select("partkey", F.col("value").cast("double").alias("value"))
+        .orderBy(F.col("value").desc(), F.col("partkey").asc())
+    )
+

@@ -1,0 +1,778 @@
+"""Structured Streaming twins, upsert/CDC/SCD2, snapshots, partitioned-layout queries (SURVEY §2.9 + incremental plans).
+
+Split from the monolithic registry.py (round 4, verdict item 8) —
+mechanical move, no query renames; in-module order preserves the
+original registration order. Queries register into wvfoia_sync_spark.
+registry's QUERIES/ORACLE via the shared @register decorator.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..functions import pii
+from ..functions import text as text_fns
+from ..functions.text import BPE_SPLIT_RE, STOPWORDS, lang_id, quality_metrics
+from ..operators import dedup, fts, relational, similarity, sketch, textops, timeline
+from ..registry import (
+    _SQL_FEE,
+    _SQL_SLUG,
+    _SQL_STOPWORDS,
+    _SQL_TOKENS,
+    _TRAINED,
+    _ann_index_df,
+    _d,
+    _ivf_centroids,
+    _money_sum,
+    _pq_codebooks,
+    _query_vec,
+    _SQL_DUP_CORPUS,
+    _SQL_DUP_PAIRS_085,
+    _dup_corpus,
+    _prop_row,
+    _recall_check,
+    register,
+)
+from ..sources.tables import load_table
+
+@register(
+    "upsert_merge",
+    oracle="""
+    WITH updates AS (
+      (SELECT o_orderkey, 'X' AS o_orderstatus FROM orders
+       ORDER BY o_orderkey LIMIT 3)
+      UNION ALL
+      SELECT (SELECT max(o_orderkey) + 1 FROM orders) AS o_orderkey, 'X' AS o_orderstatus
+    ), merged AS (
+      SELECT o.o_orderkey, o.o_orderstatus FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.o_orderkey = o.o_orderkey)
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus FROM updates
+    )
+    SELECT o_orderstatus, COUNT(*) AS n, CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM merged GROUP BY o_orderstatus
+    """,
+)
+def upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 upsert sink semantics (UPSERT_SQL, sync.ts:30-48) on plain
+    parquet: anti-join + union (Delta MERGE equivalent). Updates mutate 3
+    existing keys and insert 1 new one; the grouped output proves both the
+    matched-update and not-matched-insert branches."""
+    from ..foia.sync import upsert
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    existing_max = o.agg(F.max("o_orderkey").alias("m"))
+    updates = (
+        o.orderBy("o_orderkey")
+        .limit(3)
+        .select("o_orderkey", F.lit("X").alias("o_orderstatus"))
+        .unionAll(
+            existing_max.select(
+                (F.col("m") + 1).alias("o_orderkey"), F.lit("X").alias("o_orderstatus")
+            )
+        )
+    )
+    merged = upsert(o, updates, key="o_orderkey")
+    return merged.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), F.max("o_orderkey").cast("long").alias("max_key")
+    )
+
+
+@register(
+    "events_hourly_stream",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST: the events_hourly aggregation executed as a REAL Structured
+    Streaming query (file source -> watermark -> window agg -> memory
+    sink, availableNow trigger) — proves the streaming twin produces
+    byte-identical results to the batch oracle."""
+    from ..streaming import jobs
+
+    stream = jobs.events_stream(spark, sf_dir)
+    return jobs.run_available_now(
+        jobs.hourly_aggregation(stream), "events_hourly_stream_sink"
+    )
+
+
+@register(
+    "scd2_history",
+    oracle="""
+    WITH ordered AS (
+      SELECT o_custkey, o_orderstatus, CAST(o_orderdate AS DATE) AS d, o_orderkey,
+             lag(o_orderstatus) OVER (
+               PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+             ) AS prev_status
+      FROM orders
+    ), flagged AS (
+      SELECT *, CASE WHEN prev_status IS NULL
+                       OR prev_status <> o_orderstatus THEN 1 ELSE 0 END AS chg
+      FROM ordered
+    ), versioned AS (
+      SELECT *, SUM(chg) OVER (
+        PARTITION BY o_custkey ORDER BY d, o_orderkey ROWS UNBOUNDED PRECEDING
+      ) AS version
+      FROM flagged
+    ), spans AS (
+      SELECT o_custkey, CAST(version AS BIGINT) AS version, o_orderstatus,
+             MIN(d) AS vf, COUNT(*) AS n_orders
+      FROM versioned GROUP BY o_custkey, version, o_orderstatus
+    )
+    SELECT o_custkey, version, o_orderstatus,
+           strftime(vf, '%Y-%m-%d') AS valid_from,
+           strftime(COALESCE(
+             lead(vf) OVER (PARTITION BY o_custkey ORDER BY version),
+             DATE '9999-12-31'
+           ), '%Y-%m-%d') AS valid_to,
+           n_orders
+    FROM spans
+    """,
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build (the ETL-engine staple the reference's
+    daily-sync-overwrite sidesteps): collapse each customer's order-status
+    timeline into contiguous [valid_from, valid_to) versions. One window
+    partition key (custkey) serves all three passes — lag, running
+    version, lead — so the whole build is a single shuffle; versions per
+    key are bounded by status flips, never row count."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").cast("date"), F.col("o_orderkey")
+    )
+    flagged = o.withColumn(
+        "chg",
+        F.when(
+            F.lag("o_orderstatus").over(w).isNull()
+            | (F.lag("o_orderstatus").over(w) != F.col("o_orderstatus")),
+            1,
+        ).otherwise(0),
+    )
+    versioned = flagged.withColumn(
+        "version",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    spans = versioned.groupBy("o_custkey", "version", "o_orderstatus").agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("vf"),
+        F.count("*").alias("n_orders"),
+    )
+    wv = Window.partitionBy("o_custkey").orderBy("version")
+    return spans.select(
+        "o_custkey",
+        "version",
+        "o_orderstatus",
+        _d("vf").alias("valid_from"),
+        F.date_format(
+            F.coalesce(
+                F.lead("vf").over(wv), F.lit("9999-12-31").cast("date")
+            ),
+            "yyyy-MM-dd",
+        ).alias("valid_to"),
+        "n_orders",
+    )
+
+
+@register(
+    "sessionization_stream",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN prev_ts IS NULL
+                    OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    ), sessions AS (
+      SELECT user_id, ts, SUM(new_session) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+      ) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, sid
+    """,
+)
+def sessionization_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST: gap-based sessionization as a REAL Structured Streaming query —
+    Spark's native session_window stateful operator (merge-on-overlap
+    state store, watermark-bounded) run availableNow over the events file
+    and hash-matched against the batch lag/cumsum formulation in the
+    oracle. Spark session windows are [start, last+gap): an event landing
+    exactly at the previous session's end starts a NEW session, hence the
+    oracle's >= gap rule (the batch `sessionization` query keeps the
+    reference's > rule; both are asserted against data with no exact-
+    boundary gaps)."""
+    from ..streaming import jobs
+
+    stream = jobs.events_stream(spark, sf_dir)
+    return jobs.run_available_now(
+        jobs.session_aggregation(stream), "sessionization_stream_sink"
+    )
+
+
+@register(
+    "cdc_apply",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, ts, event_type, value,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    )
+    SELECT user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+           value AS last_value
+    FROM ranked
+    WHERE rn = 1 AND (event_type IS NULL OR event_type <> 'error')
+    """,
+)
+def cdc_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog collapse (the 'apply changes into the lakehouse'
+    batch op): events replayed as a change log keyed by user — last
+    writer wins on (ts, event_id), and a final 'error' op acts as the
+    delete tombstone that removes the key from the applied state."""
+    ev = load_table(spark, sf_dir, "events")
+    state = relational.cdc_apply(
+        ev.select("user_id", "ts", "event_id", "event_type", "value"),
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        op_col="event_type",
+        delete_ops=("error",),
+    )
+    return state.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        F.col("value").alias("last_value"),
+    )
+
+
+@register(
+    "incremental_rollup",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_total,
+           strftime(MAX(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS last_date
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance (ST3's scale form): the
+    gold rollup is maintained as old ⊕ delta partial-aggregate merges
+    instead of a full recompute. Here the corpus is split into a base and
+    an append delta, each partially aggregated, then merged with
+    plans.incremental.merge_partial_stats — the oracle recomputes from
+    scratch, proving merge ≡ rebuild. Sums stay DECIMAL through the merge
+    (associative, exact) and surface as double only at the end."""
+    from ..plans.incremental import merge_partial_stats
+
+    o = load_table(spark, sf_dir, "orders")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("sum_dec"),
+            F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
+        )
+
+    base = partial(o.where(F.col("o_orderkey") % 2 == 0))
+    delta = partial(o.where(F.col("o_orderkey") % 2 == 1))
+    merged = merge_partial_stats(
+        base, delta, keys=["o_orderpriority"],
+        additive=["n_orders", "sum_dec"], maxes=["last_d"],
+    )
+    return merged.select(
+        "o_orderpriority",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("sum_dec").cast("double").alias("sum_total"),
+        _d("last_d").alias("last_date"),
+    )
+
+
+@register(
+    "stateful_counts_stream",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+    """,
+)
+def stateful_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST: the custom stateful streaming operator (applyInPandasWithState
+    running per-user totals) executed as a REAL stream and hash-matched
+    against the batch aggregate. The memory sink sees one update row per
+    key per micro-batch; counts are monotone, so max() collapses the
+    update log to final state however availableNow batched the input.
+    Float sums stay OUT of the hashed output (pandas pairwise summation
+    vs SQL sequential order differ in last-ulp)."""
+    from ..streaming import jobs
+
+    stream = jobs.events_stream(spark, sf_dir)
+    updates = jobs.run_available_now_update(
+        jobs.stateful_user_counts(stream), "stateful_counts_stream_sink"
+    )
+    return updates.groupBy("user_id").agg(
+        F.max("n_events").cast("long").alias("n_events")
+    )
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+    SELECT c.event_id AS click_id, v.event_id AS view_id
+    FROM events c
+    JOIN events v
+      ON c.event_type = 'click' AND v.event_type = 'view'
+     AND v.user_id = c.user_id
+     AND v.ts >= c.ts - INTERVAL 2 HOUR AND v.ts < c.ts
+    ORDER BY click_id, view_id
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST: watermark-bounded stream-stream interval join executed as a
+    REAL Structured Streaming query (two file-source streams, state on
+    both sides, append mode) — each click pairs with the same user's
+    views in the preceding 2 h. The time-bounded join condition lets the
+    state store expire rows on both sides, so buffered state is
+    O(watermark-window of events), not O(stream) — the property that
+    makes the operator runnable forever at 100 TB/day. Batch oracle: a
+    plain interval self-join over the same parquet.
+
+    Bench ratio note (the one >2x-vs-DuckDB substantive outlier in
+    BENCH_r04): the DuckDB 'twin' is that BATCH self-join — this query
+    deliberately pays real micro-batch machinery (state-store
+    open/commit per partition per batch, watermark advancement, sink
+    epochs) to prove the streaming semantics. The cost is a fixed
+    per-run constant (~3s at any SF), not a scan-proportional term; the
+    batch formulation of the same join (interval_attribution) benches at
+    DuckDB parity."""
+    from ..streaming import jobs
+
+    clicks = jobs.events_stream(spark, sf_dir)
+    views = jobs.events_stream(spark, sf_dir)
+    joined = jobs.click_view_attribution(clicks, views, lookback="2 hours")
+    # state_partitions=4: join state is O(watermark-window of events)
+    # (~thousands of rows at sf0.1) and each state store pays a fixed
+    # open/commit per micro-batch per partition — measured 2.9s@8 ->
+    # 2.2s@4 warm; at production state volumes size this up with state,
+    # not down with the benchmark
+    out = jobs.run_available_now_append(
+        joined, "stream_stream_join_sink", state_partitions=4
+    )
+    return out.orderBy("click_id", "view_id")
+
+
+@register(
+    "stream_stream_outer_join",
+    oracle="""
+    SELECT c.event_id AS click_id, v.event_id AS view_id
+    FROM events c
+    LEFT JOIN events v
+      ON v.event_type = 'view'
+     AND v.user_id = c.user_id
+     AND v.ts >= c.ts - INTERVAL 2 HOUR AND v.ts < c.ts
+    WHERE c.event_type = 'click'
+    ORDER BY click_id, view_id
+    """,
+)
+def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST: watermark-bounded stream-stream LEFT OUTER interval join —
+    unattributed clicks surface as null-view rows, which an inner join
+    cannot express. The null row for a click is emittable only once the
+    watermark proves no matching view can still arrive, so the sources
+    are sentinel-flushed (events_stream_flushed): a far-future
+    click/view pair advances the final watermark past every real row's
+    expiry and the closing no-data micro-batch drains the outer state.
+    Sentinels (negative ids) are filtered on the SINK table — an
+    in-plan filter gets pushed below the watermark node and would
+    un-flush the tail (jobs.click_view_attribution_outer docstring).
+    Batch oracle: the plain left interval self-join."""
+    from ..streaming import jobs
+
+    clicks = jobs.events_stream_flushed(spark, sf_dir)
+    views = jobs.events_stream_flushed(spark, sf_dir)
+    joined = jobs.click_view_attribution_outer(clicks, views, lookback="2 hours")
+    out = jobs.run_available_now_append(
+        joined, "stream_stream_outer_join_sink", state_partitions=4
+    )
+    return out.where(F.col("click_id") >= 0).orderBy("click_id", "view_id")
+
+
+@register(
+    "stream_static_join",
+    oracle="""
+    SELECT c.c_nationkey, e.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST: stream-static enrichment join run as a REAL Structured
+    Streaming query — the events stream broadcast-joined per micro-batch
+    against the static customer dim (stateless, no watermark), then a
+    per-(nation, type) aggregate in complete mode. Batch oracle: the
+    plain join + group."""
+    from ..streaming import jobs
+
+    stream = jobs.events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    enriched = jobs.static_enrichment(stream, cust, "user_id", "c_custkey")
+    agg = enriched.groupBy("c_nationkey", "event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+    )
+    return jobs.run_available_now(agg, "stream_static_join_sink")
+
+
+@register(
+    "stream_upsert",
+    oracle="""
+    SELECT user_id, event_id, event_type FROM events e
+    WHERE event_id = (SELECT MAX(i.event_id) FROM events i
+                      WHERE i.user_id = e.user_id)
+    ORDER BY user_id
+    """,
+)
+def stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST: foreachBatch keyed upsert sink — the CDC-to-lake shape. The
+    events stream MERGEs into a parquet table per micro-batch (max
+    event_id wins per user), so the sink converges to the latest-state
+    table the oracle computes with a correlated MAX. Exercises the
+    arbitrary-writer sink path (idempotent batch merge + atomic
+    directory swap) that memory-sink twins can't."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from ..streaming import jobs
+
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:10]
+    base = f"{tempfile.gettempdir()}/spark_graft_stream_upsert_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    stream = jobs.events_stream(spark, sf_dir)
+    jobs.stream_upsert_sink(
+        stream.select("user_id", "event_id", "event_type"),
+        table_path=f"{base}/table",
+        checkpoint_path=f"{base}/ckpt",
+        key="user_id",
+        order_col="event_id",
+        query_name=f"stream_upsert_{tag}",
+    )
+    return spark.read.parquet(f"{base}/table").orderBy("user_id")
+
+
+@register(
+    "scd2_asof_lookup",
+    oracle="""
+    WITH ordered AS (
+      SELECT o_custkey, o_orderstatus, CAST(o_orderdate AS DATE) AS d, o_orderkey,
+             lag(o_orderstatus) OVER (
+               PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+             ) AS prev_status
+      FROM orders
+    ), flagged AS (
+      SELECT *, CASE WHEN prev_status IS NULL
+                       OR prev_status <> o_orderstatus THEN 1 ELSE 0 END AS chg
+      FROM ordered
+    ), versioned AS (
+      SELECT *, SUM(chg) OVER (
+        PARTITION BY o_custkey ORDER BY d, o_orderkey ROWS UNBOUNDED PRECEDING
+      ) AS version
+      FROM flagged
+    ), spans AS (
+      SELECT o_custkey, CAST(version AS BIGINT) AS version, o_orderstatus,
+             MIN(d) AS vf, COUNT(*) AS n_orders
+      FROM versioned GROUP BY o_custkey, version, o_orderstatus
+    ), hist AS (
+      SELECT o_custkey, version, o_orderstatus,
+             strftime(vf, '%Y-%m-%d') AS valid_from,
+             strftime(COALESCE(
+               lead(vf) OVER (PARTITION BY o_custkey ORDER BY version),
+               DATE '9999-12-31'
+             ), '%Y-%m-%d') AS valid_to
+      FROM spans
+    )
+    SELECT l.l_orderkey, l.l_linenumber,
+           h.version, h.o_orderstatus AS status_at_ship
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN hist h ON h.o_custkey = o.o_custkey
+       AND strftime(CAST(l.l_shipdate AS DATE), '%Y-%m-%d') >= h.valid_from
+       AND strftime(CAST(l.l_shipdate AS DATE), '%Y-%m-%d') < h.valid_to
+    WHERE l.l_linenumber = 1
+    ORDER BY l.l_orderkey
+    """,
+)
+def scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup over the SCD2 history (the
+    warehouse staple: which version was valid when the fact happened):
+    each lineitem's ship date resolves to its customer's status version
+    via valid_from <= d < valid_to. The join carries the EQUI key
+    (custkey), so Spark plans a hash/sort-merge join with the range as a
+    residual filter — spans per customer are bounded by status flips, so
+    the residual fan-out is tiny; no bucketed interval trick needed
+    (contrast interval_attribution, where there is no equi key). ISO
+    date STRINGS compare lexicographically == chronologically, matching
+    the silver convention."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_linenumber") == 1)
+    hist = scd2_history(spark, sf_dir).select(
+        F.col("o_custkey").alias("h_custkey"),
+        "version",
+        F.col("o_orderstatus").alias("status_at_ship"),
+        "valid_from",
+        "valid_to",
+    )
+    ship = _d("l_shipdate")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(
+            hist,
+            (o.o_custkey == F.col("h_custkey"))
+            & (ship >= F.col("valid_from"))
+            & (ship < F.col("valid_to")),
+        )
+        .select("l_orderkey", "l_linenumber", "version", "status_at_ship")
+        .orderBy("l_orderkey")
+    )
+
+
+@register(
+    "stream_dedup",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_unique
+    FROM (SELECT DISTINCT user_id, event_type, value FROM events)
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST: streaming ingest-time dedup run as a REAL streaming query —
+    dropDuplicatesWithinWatermark keyed by a null-safe struct hash,
+    state bounded by (watermark horizon x arrival rate). The output
+    counts survivors per type (which PARTICULAR duplicate instance
+    survives is arrival-order-dependent; the count is not), and must
+    equal batch COUNT(DISTINCT). Single availableNow batch here, so the
+    horizon covers the whole file and the dedup is exact."""
+    from ..streaming import jobs
+
+    stream = jobs.events_stream(spark, sf_dir)
+    deduped = jobs.streaming_dedup(stream)
+    kept = jobs.run_available_now_append(
+        deduped.select("event_type", "fp"), "stream_dedup_sink"
+    )
+    return (
+        kept.groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("n_unique"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "partition_pruned_revenue",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l_discount AS DECIMAL(18,4))))
+                AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE YEAR(CAST(l_shipdate AS DATE)) = 1998
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def partition_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static partition pruning over the hive-partitioned lineitem
+    layout (sources/partitioned.py): the year literal lands in the
+    scan's PartitionFilters, so planning eliminates every other year's
+    DIRECTORY — no file listing, no row-group stats, no I/O at all for
+    pruned years. This is the layout-level analogue of the reference's
+    request_date B-tree index (0001_init.sql:20): at 100 TB a
+    date-partitioned fact makes one-year queries cost one year. Oracle
+    runs the same aggregate on the unpartitioned table — the layout
+    must be answer-invariant."""
+    from ..sources import partitioned
+
+    li = partitioned.read_partitioned_lineitem(spark, sf_dir)
+    return (
+        li.where(F.col("l_shipyear") == 1998)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,4)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)"))
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "dpp_star_join",
+    oracle="""
+    WITH yd AS (
+      SELECT y AS year,
+             CASE WHEN y >= 1999 THEN 'modern' ELSE 'legacy' END AS era
+      FROM (SELECT unnest(generate_series(1995, 2002)) AS y)
+    )
+    SELECT l.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+             AS sum_qty
+    FROM lineitem l
+    JOIN yd ON YEAR(CAST(l.l_shipdate AS DATE)) = yd.year
+    WHERE yd.era = 'modern'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def dpp_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning, the star-schema workhorse: the filter
+    sits on the year DIMENSION's attribute (era), not the fact, so no
+    literal is available at plan time — instead Spark evaluates the dim
+    side first and injects the surviving join keys as a runtime
+    dynamicpruningexpression into the fact scan's PartitionFilters.
+    The fact never reads the legacy years' partitions even though the
+    query text never names a year. At 100 TB this is the difference
+    between scanning the decade and scanning the era — the mechanism
+    every date-dim/fact join in a warehouse leans on."""
+    from ..sources import partitioned
+
+    li = partitioned.read_partitioned_lineitem(spark, sf_dir)
+    yd = partitioned.year_dim(spark).where(F.col("era") == "modern")
+    return (
+        li.join(yd, li.l_shipyear == yd.year)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "snapshot_cdc_diff",
+    oracle="""
+    WITH v0 AS (
+      SELECT o_orderkey, o_orderstatus FROM orders
+      WHERE o_orderkey % 89 <> 0
+    ),
+    v1 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 97 = 0 THEN 'X'
+                  ELSE o_orderstatus END AS o_orderstatus
+      FROM orders
+    )
+    SELECT COALESCE(v1.o_orderkey, v0.o_orderkey) AS o_orderkey,
+           CASE WHEN v0.o_orderkey IS NULL THEN 'insert'
+                WHEN v1.o_orderkey IS NULL THEN 'delete'
+                WHEN v0.o_orderstatus <> v1.o_orderstatus THEN 'update'
+           END AS change
+    FROM v0 FULL OUTER JOIN v1 ON v0.o_orderkey = v1.o_orderkey
+    WHERE CASE WHEN v0.o_orderkey IS NULL THEN 'insert'
+               WHEN v1.o_orderkey IS NULL THEN 'delete'
+               WHEN v0.o_orderstatus <> v1.o_orderstatus THEN 'update'
+          END IS NOT NULL
+    ORDER BY o_orderkey
+    """,
+)
+def snapshot_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel + change-data-feed on plain parquet
+    (plans/snapshots.py): two table versions are WRITTEN as immutable
+    snapshots (manifest-tracked, atomic replace, retention-swept) and
+    the row-level diff is derived from the snapshots themselves — the
+    Delta/Iceberg CDF contract without the format dependency. v0 drops
+    every 89th order (deletes-to-be), v1 flips every 97th order's
+    status (updates); the diff joins version hashes full-outer on the
+    key, so at 100 TB it moves two key+hash columns, never the payload.
+    The oracle recomputes the identical diff from the same derivations
+    directly — the stored snapshots must be a faithful memory of both
+    versions."""
+    import os
+    import re as _re
+
+    from ..plans import snapshots
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    v0_df = o.where(F.col("o_orderkey") % 89 != 0)
+    v1_df = o.withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    tag = _re.sub(r"[^A-Za-z0-9_.-]+", "_", sf_dir.strip("/"))
+    tdir = os.path.join("/tmp", f"spark_graft_snapshots_{tag}")
+    a = snapshots.write_snapshot(v0_df, tdir)
+    b = snapshots.write_snapshot(v1_df, tdir)
+    return (
+        snapshots.snapshot_diff(spark, tdir, a, b, key="o_orderkey")
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "provenance_counts",
+    oracle="""
+    SELECT 'orders' AS source_table,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders ORDER BY 1
+    """,
+)
+def provenance_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level provenance: every row tagged with its source FILE via
+    the metadata column (_metadata.file_name — the modern form of
+    input_file_name(), available without reading any data column), then
+    rolled up per file. This is the audit/lineage primitive a curation
+    pipeline records at ingest ("which crawl shard did this document
+    come from") and the debugging handle at 100 TB ("which file wrote
+    the corrupt rows") — zero I/O beyond the scan the query already
+    does, because file name is constant per split. The differential
+    check is LAYOUT-INVARIANT: the per-file rollup (the provenance
+    mechanic under test) is re-aggregated to table totals for the
+    comparison, so the same oracle holds whether the table is the
+    gate's single orders.parquet or a 32-part production layout —
+    n_rows/min/max summing correctly across per-file rows IS the
+    evidence the per-file stage grouped every row exactly once."""
+    o = load_table(spark, sf_dir, "orders")
+    per_file = (
+        o.select(
+            F.col("_metadata.file_name").alias("source_file"), "o_orderkey"
+        )
+        .groupBy("source_file")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("o_orderkey").cast("long").alias("min_key"),
+            F.max("o_orderkey").cast("long").alias("max_key"),
+        )
+    )
+    return (
+        per_file.groupBy(F.lit("orders").alias("source_table"))
+        .agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.min("min_key").cast("long").alias("min_key"),
+            F.max("max_key").cast("long").alias("max_key"),
+        )
+        .orderBy("source_table")
+    )
+

@@ -1,0 +1,654 @@
+"""Vector search + sketches + multimodal: brute/LSH/IVF/SQ8/PQ/IVFPQ top-k, recall gates, HLL/KMV/heavy-hitters, image decode plumbing.
+
+Split from the monolithic registry.py (round 4, verdict item 8) —
+mechanical move, no query renames; in-module order preserves the
+original registration order. Queries register into wvfoia_sync_spark.
+registry's QUERIES/ORACLE via the shared @register decorator.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..functions import pii
+from ..functions import text as text_fns
+from ..functions.text import BPE_SPLIT_RE, STOPWORDS, lang_id, quality_metrics
+from ..operators import dedup, fts, relational, similarity, sketch, textops, timeline
+from ..registry import (
+    _SQL_FEE,
+    _SQL_SLUG,
+    _SQL_STOPWORDS,
+    _SQL_TOKENS,
+    _TRAINED,
+    _ann_index_df,
+    _d,
+    _ivf_centroids,
+    _money_sum,
+    _pq_codebooks,
+    _query_vec,
+    _SQL_DUP_CORPUS,
+    _SQL_DUP_PAIRS_085,
+    _dup_corpus,
+    _prop_row,
+    _recall_check,
+    register,
+)
+from ..sources.tables import load_table
+
+@register(
+    "embedding_topk",
+    oracle="""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), (SELECT qv FROM q)) AS score
+      FROM embeddings e
+    )
+    SELECT CAST(row_number() OVER (ORDER BY score DESC, vec_id ASC) AS BIGINT) AS rank, vec_id
+    FROM scored ORDER BY score DESC, vec_id ASC LIMIT 10
+    """,
+)
+def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (ANN baseline): codegen fold dot-product,
+    TakeOrderedAndProject top-k. Output is rank+id only — float scores
+    stay out of the hash (cross-engine accumulation order differs)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = _query_vec(emb)
+    return similarity.brute_force_topk(emb, qvec, k=10).select("rank", "vec_id")
+
+
+@register("embedding_lsh_topk")  # no SQL oracle: approximate by design
+def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (scale path); recall vs brute force
+    is asserted in tests; driver records rows-only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = _query_vec(emb)
+    return similarity.lsh_topk(
+        emb, qvec, k=10, n_planes=6, probe_radius=2
+    ).select("rank", "vec_id")
+
+
+@register(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           CAST(ascii(substr(text, 1, 1)) * 256 + ascii(substr(text, -1, 1)) AS BIGINT) AS checksum,
+           CAST(octet_length(CAST(text AS BLOB)) % 640 AS BIGINT) AS fake_width,
+           CAST((octet_length(CAST(text AS BLOB)) * 7) % 480 AS BIGINT) AS fake_height
+    FROM documents
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing (training-pipeline op): binary payload column +
+    mapInPandas feature extraction over Arrow batches. The feature stage
+    here is a deterministic payload-byte fake so the oracle mirrors it in
+    SQL byte-for-byte; the REAL decode path is image_decode_meta."""
+    from ..operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.as_media_table(docs, "doc_id", "text")
+    return multimodal.extract_features(media)
+
+
+@register(
+    "image_decode_meta",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id AS media_id,
+             1 + doc_id % 16 AS width,
+             1 + (doc_id * 3) % 16 AS height
+      FROM documents WHERE doc_id < 200
+    ), px AS (
+      SELECT d.media_id, d.width, d.height, u.i
+      FROM dims d, UNNEST(range(0, d.width * d.height * 3)) AS u(i)
+    )
+    SELECT media_id, CAST(width AS BIGINT) AS width,
+           CAST(height AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS channels,
+           CAST(SUM((media_id + i) % 256) AS BIGINT) AS px_sum
+    FROM px GROUP BY 1, 2, 3 ORDER BY media_id
+    """,
+)
+def image_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode through the multimodal seam: deterministic PNGs
+    (dimensions + pixels derived from the id) are ENCODED in one
+    mapInPandas stage and DECODED in another (operators.multimodal.
+    decode_image -> functions/png.py: stdlib inflate + unfilter; PIL
+    when installed), and the measured width/height/channels/pixel-sum
+    hash-match an oracle that computes the same values arithmetically —
+    if the codec mis-decoded a single byte, px_sum diverges. Plumbing
+    identical to production: binary payloads, Arrow batches, no
+    shuffle."""
+    import pandas as _pd
+
+    from ..operators import multimodal
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") < 200)
+    )
+
+    def enc(batches):
+        from wvfoia_sync_spark.functions.png import encode_png
+
+        for b in batches:
+            payloads = []
+            for did in b["doc_id"]:
+                w = 1 + int(did) % 16
+                h = 1 + (int(did) * 3) % 16
+                px = bytes((int(did) + i) % 256 for i in range(w * h * 3))
+                payloads.append(encode_png(w, h, px, 3))
+            yield _pd.DataFrame(
+                {"media_id": b["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    media = docs.mapInPandas(enc, "media_id long, payload binary")
+    return multimodal.decoded_meta(media).orderBy("media_id")
+
+
+@register("ivf_topk")  # no SQL oracle: approximate by design
+def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (scale ANN path): deterministic mini-k-means
+    coarse centroids, probe the 3 nearest cells, exact rank within.
+    Recall vs brute force asserted in tests; driver records rows-only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = _query_vec(emb)
+    cents = _ivf_centroids(emb, sf_dir, k=8, iterations=1)
+    return similarity.ivf_topk(emb, qvec, cents, k=10, n_probe=3).select(
+        "rank", "vec_id"
+    )
+
+
+@register(
+    "embedding_centroids",
+    oracle="""
+    WITH e AS (
+      SELECT label, unnest(embedding) AS v,
+             unnest(range(1, len(embedding)+1)) AS dim
+      FROM embeddings
+    )
+    SELECT label, dim,
+           round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_sort(list(CAST(v AS DOUBLE)))), (a, x) -> a + x),
+                 6) AS dim_sum,
+           COUNT(*) AS n
+    FROM e GROUP BY label, dim
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid accumulators (posexplode fan-out, one shuffle
+    on (label, dim)): element sums via a SORTED fixed-order double fold
+    + round(6), so both engines reduce in the identical order and the
+    IEEE result is bit-identical; callers finalize mean = sum/n. At
+    scale this is the centroid M-step of IVF/k-means training — there
+    you'd use a plain double sum (order-free partial aggregation) and
+    accept last-ulp wobble; the fold exists for the cross-engine gate.
+    (A decimal(18,9) element cast is NOT engine-stable: float32 values
+    whose decimal expansion terminates exactly one digit past the scale
+    hit a rounding tie that Spark and DuckDB break differently — caught
+    at sf0.1.)"""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("dim0", "v")
+    ).select("label", (F.col("dim0") + 1).alias("dim"), "v")
+    return ex.groupBy("label", "dim").agg(
+        F.round(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.col("v").cast("double"))),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+            6,
+        ).alias("dim_sum"),
+        F.count("*").alias("n"),
+    )
+
+
+@register("sq8_topk")  # no SQL oracle: quantized by design (recall test)
+def sq8_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantized ANN top-k (operators/similarity.py): score
+    on dequantized uint8 codes — the 4x-smaller column a 100 TB index
+    actually scans — rank exactly, id tiebreak. Recall vs the float
+    baseline asserted in tests; driver records rows-only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = _query_vec(emb)
+    return similarity.sq8_topk(emb, qvec, k=10).select("rank", "vec_id")
+
+
+
+
+
+
+
+
+
+
+@register("lsh_recall_check", oracle="SELECT 'lsh_recall_at_10' AS property, TRUE AS ok")
+def lsh_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-green twin of embedding_lsh_topk: multi-probe LSH top-10
+    must recall >= 5 of the exact top-10 (measured 5-7 across SFs;
+    the local recall test pins the same bound)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = _query_vec(emb)
+    approx = similarity.lsh_topk(emb, qvec, k=10, n_planes=6, probe_radius=2)
+    return _recall_check(spark, sf_dir, approx, "lsh_recall_at_10", 5)
+
+
+@register("ivf_recall_check", oracle="SELECT 'ivf_recall_at_10' AS property, TRUE AS ok")
+def ivf_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-green twin of ivf_topk: 3-probe IVF top-10 must recall
+    >= 8 of the exact top-10 (measured 9-10 across SFs)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = _query_vec(emb)
+    cents = _ivf_centroids(emb, sf_dir, k=8, iterations=1)
+    approx = similarity.ivf_topk(emb, qvec, cents, k=10, n_probe=3)
+    return _recall_check(spark, sf_dir, approx, "ivf_recall_at_10", 8)
+
+
+@register("sq8_recall_check", oracle="SELECT 'sq8_recall_at_10' AS property, TRUE AS ok")
+def sq8_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-green twin of sq8_topk: int8-quantized top-10 must recall
+    >= 9 of the float top-10 (measured 10 across SFs)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = _query_vec(emb)
+    approx = similarity.sq8_topk(emb, qvec, k=10)
+    return _recall_check(spark, sf_dir, approx, "sq8_recall_at_10", 9)
+
+
+@register(
+    "hll_error_check",
+    oracle="SELECT 'hll_relative_error' AS property, TRUE AS ok",
+)
+def hll_error_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-green twin of approx_distinct_users: per-group HLL++
+    estimate within max(3 absolute, 6% relative) of the exact distinct
+    count (the rsd=2% sketch's 3-sigma envelope)."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    tol = F.greatest(F.lit(3.0), 0.06 * F.col("exact_users"))
+    bad = per.agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.abs(F.col("approx_users") - F.col("exact_users")) > tol, 1
+                )
+            ),
+            F.lit(0),
+        ).alias("bad")
+    )
+    return bad.select(*_prop_row("hll_relative_error", F.col("bad") == 0))
+
+
+@register(
+    "heavy_hitters_sketch",
+    oracle=f"""
+    WITH tok AS (SELECT unnest({_SQL_TOKENS.format(c='text')}) AS item FROM documents)
+    SELECT item, CAST(COUNT(*) AS BIGINT) AS est
+    FROM tok GROUP BY item ORDER BY est DESC, item ASC LIMIT 10
+    """,
+)
+def heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries(64) heavy hitters over the token stream
+    (operators/sketch.py): bounded per-partition state via mapInPandas,
+    summaries merged by summation. The oracle is EXACT counts — valid
+    because k=64 exceeds the synthetic 31-word vocab, so no trim fires
+    and the sketch path must degrade to the exact histogram; the
+    small-k error bound is asserted separately in tests."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(text_fns.tokens("text")).alias("item"))
+    return sketch.heavy_hitters(toks, "item", k=64, top=10)
+
+
+@register(
+    "knn_join",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 20
+    ), scored AS (
+      SELECT q.query_id, e.vec_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS score
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT query_id, vec_id,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, vec_id ASC
+             ) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT query_id, rank, vec_id FROM ranked WHERE rank <= 3
+    """,
+)
+def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch k-NN join (training-pipeline op: label every query doc with
+    its nearest corpus neighbors in one pass, the retrieval side of
+    RAG-style dataset building). Query batch broadcast, corpus never
+    moves, exact rank within query. Scores excluded from the hashed
+    output (cross-engine float accumulation order); rank determinism
+    comes from the seeded well-separated embeddings + id tiebreak."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    return similarity.knn_join_exact(emb, queries, k=3).select(
+        "query_id", "rank", "vec_id"
+    )
+
+
+@register(
+    "frame_sample",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, text, octet_length(CAST(text AS BLOB)) AS n
+      FROM documents WHERE octet_length(CAST(text AS BLOB)) > 0
+    ), fanned AS (
+      SELECT media_id, text,
+             unnest(generate_series(0, (n+63)//64 - 1, 4)) AS fno
+      FROM m
+    )
+    SELECT media_id, CAST(fno AS BIGINT) AS frame_no,
+           octet_length(CAST(substr(text, fno*64+1, 64) AS BLOB)) AS n_bytes,
+           md5(substr(text, fno*64+1, 64)) AS frame_md5
+    FROM fanned
+    """,
+)
+def frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling fan-out (1 media row -> N frame rows,
+    every-4th 64-byte frame): mapInPandas generator inside the scan stage,
+    no shuffle. The frame payload is hashed (md5) for the oracle compare —
+    the corpus is ASCII, so DuckDB's text slicing is byte-exact against
+    Spark's binary slicing; a real deployment swaps the fake framer for a
+    video decoder with identical fan-out mechanics."""
+    from ..operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.as_media_table(docs, "doc_id", "text")
+    frames = multimodal.frame_sample(media, frame_bytes=64, every_n=4)
+    return frames.select(
+        "media_id",
+        "frame_no",
+        F.octet_length("frame").cast("long").alias("n_bytes"),
+        F.md5("frame").alias("frame_md5"),
+    )
+
+
+@register(
+    "approx_quantile_check",
+    oracle="""
+    SELECT 'approx_percentile_rank_error' AS property, TRUE AS ok
+    """,
+)
+def approx_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-green gate for mergeable quantile sketches: Spark's
+    approx_percentile (Greenwald-Khanna, mergeable partial summaries —
+    the 100 TB path where exact percentile would need a full sort) must
+    land within the sketch's rank-error envelope of the EXACT
+    percentile, measured by rank distance on the exact sorted order:
+    for accuracy=1000 the guaranteed max rank error is n/1000; we gate
+    at 2x that for slack. Exact percentiles themselves stay oracled in
+    price_percentiles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qs = [0.1, 0.5, 0.9, 0.99]
+    approx = li.agg(
+        F.percentile_approx("l_extendedprice", qs, 1000).alias("ap")
+    )
+    n_and_ranks = li.crossJoin(F.broadcast(approx)).select(
+        F.col("l_extendedprice").alias("x"), "ap"
+    )
+    # rank of each approx answer within the exact distribution, per q
+    checks = []
+    for i, q in enumerate(qs):
+        below = F.sum(
+            F.when(F.col("x") <= F.col("ap")[i], 1).otherwise(0)
+        ).cast("double")
+        total = F.count("*").cast("double")
+        # |rank_fraction - q| <= 2/1000 + 1/n slack
+        checks.append(
+            (F.abs(below / total - F.lit(q)) <= F.lit(0.002) + 1.0 / total)
+            .alias(f"ok_{i}")
+        )
+    flags = n_and_ranks.agg(*checks)
+    ok = flags.select(
+        *_prop_row(
+            "approx_percentile_rank_error",
+            F.expr(" AND ".join(f"ok_{i}" for i in range(len(qs)))),
+        )
+    )
+    return ok
+
+
+@register(
+    "kmv_distinct_sketch",
+    oracle="""
+    SELECT event_type AS grp,
+           CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS est
+    FROM events GROUP BY event_type ORDER BY grp
+    """,
+)
+def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct sketch per event type
+    (operators/sketch.py kmv_distinct): bounded per-partition state via
+    mapInPandas, partials merged as k-smallest-of-union. The oracle is
+    EXACT distinct counts — valid because k=256 exceeds the 150-user
+    population, so every sketch stays in its exact (m < k) regime and
+    the sketch path must reproduce the true counts; the genuinely
+    approximate small-k path is error-bound-tested in
+    tests/test_sketch.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return sketch.kmv_distinct(ev, "user_id", "event_type", k=256).orderBy(
+        "grp"
+    )
+
+
+@register(
+    "kmv_set_algebra",
+    oracle="""
+    WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+         b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+         u AS (SELECT COUNT(*) AS ucnt FROM (SELECT * FROM a UNION SELECT * FROM b)),
+         i AS (SELECT COUNT(*) AS icnt FROM (SELECT * FROM a INTERSECT SELECT * FROM b))
+    SELECT CAST((SELECT COUNT(*) FROM a) AS DOUBLE) AS est_a,
+           CAST((SELECT COUNT(*) FROM b) AS DOUBLE) AS est_b,
+           CAST(u.ucnt AS DOUBLE) AS est_union,
+           CAST(i.icnt AS DOUBLE) / CAST(u.ucnt AS DOUBLE)
+             * CAST(u.ucnt AS DOUBLE) AS est_intersection
+    FROM u, i
+    """,
+)
+def kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-set algebra from KMV sketches alone: |click users|,
+    |view users|, their union and intersection estimated by merging the
+    two k-long sketches — the segment-overlap question that exact
+    distinct counts need a raw-data re-scan for. Exact-degenerate at
+    k=256 > 150 users (same oracle trick as kmv_distinct_sketch); the
+    intersection expression (share-of-union x union estimate) is
+    mirrored operation-for-operation in the oracle so the doubles are
+    bit-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    return sketch.kmv_set_estimates(
+        ev, "user_id", "event_type", "click", "view", k=256
+    )
+
+
+@register("pq_topk")  # no SQL oracle: codebook-trained, approximate by design
+def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.py): vectors
+    encoded as 8 x 8-bit subspace codes (8 bytes/row, 32x smaller than
+    the float column), scored scan-side via inlined asymmetric-distance
+    LUTs (m element_at lookups per row, pure codegen), exact re-rank of
+    the 100-row shortlist. Codes come from the STORED index
+    (operators/ann_index.py) — query time scans 8 bytes/row, it never
+    re-encodes the corpus. pq_recall_check is the driver-green twin."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = _query_vec(emb)
+    books = _pq_codebooks(emb, sf_dir, m=8, n_cents=256)
+    coded = _ann_index_df(spark, emb, sf_dir).select("vec_id", "pq_code")
+    return similarity.pq_rerank_topk(
+        emb, qvec, books, k=10, shortlist=100, coded=coded
+    )
+
+
+@register("pq_recall_check", oracle="SELECT 'pq_recall_at_10' AS property, TRUE AS ok")
+def pq_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-green twin of pq_topk: the reranked PQ top-10 must recall
+    >= 9 of the exact top-10 (measured 10 across SFs)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = _query_vec(emb)
+    books = _pq_codebooks(emb, sf_dir, m=8, n_cents=256)
+    coded = _ann_index_df(spark, emb, sf_dir).select("vec_id", "pq_code")
+    approx = similarity.pq_rerank_topk(
+        emb, qvec, books, k=10, shortlist=100, coded=coded
+    )
+    return _recall_check(spark, sf_dir, approx, "pq_recall_at_10", 9)
+
+
+@register("ivfpq_topk")  # no SQL oracle: cluster-trained, approximate by design
+def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ ANN (operators/similarity.py ivfpq_topk): cell pruning ->
+    m-byte ADC code scan -> exact shortlist re-rank, each stage an
+    audited operator. The probe runs over the STORED cell-partitioned
+    index (operators/ann_index.py), so the 3-of-8-cell selection is a
+    PartitionFilter — unprobed cells' files are never listed.
+    ivfpq_recall_check is the driver-green twin."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = _query_vec(emb)
+    cents = _ivf_centroids(emb, sf_dir, k=8, iterations=1)
+    books = _pq_codebooks(emb, sf_dir, m=8, n_cents=256)
+    idx = _ann_index_df(spark, emb, sf_dir)
+    return similarity.ivfpq_topk(
+        emb, qvec, cents, books, k=10, n_probe=3, index=idx
+    )
+
+
+@register(
+    "ivfpq_recall_check",
+    oracle="SELECT 'ivfpq_recall_at_10' AS property, TRUE AS ok",
+)
+def ivfpq_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-green twin of ivfpq_topk: 3-probe IVF + PQ-ADC shortlist +
+    exact re-rank must recall >= 8 of the exact top-10 (measured 9-10
+    across SFs; the only loss mode left is a true neighbor outside the
+    probed cells)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = _query_vec(emb)
+    cents = _ivf_centroids(emb, sf_dir, k=8, iterations=1)
+    books = _pq_codebooks(emb, sf_dir, m=8, n_cents=256)
+    idx = _ann_index_df(spark, emb, sf_dir)
+    approx = similarity.ivfpq_topk(
+        emb, qvec, cents, books, k=10, n_probe=3, index=idx
+    )
+    return _recall_check(spark, sf_dir, approx, "ivfpq_recall_at_10", 8)
+
+
+@register(
+    "centroid_classify",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v,
+             unnest(range(1, len(embedding)+1)) AS dim
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label AS clabel, dim,
+             round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list_sort(list(v))), (a, x) -> a + x)
+                   / COUNT(*), 6) AS m
+      FROM e GROUP BY clabel, dim
+    ),
+    cnorm AS (SELECT clabel, sqrt(SUM(m * m)) AS nc FROM cent GROUP BY 1),
+    vnorm AS (SELECT vec_id, sqrt(SUM(v * v)) AS nv FROM e GROUP BY 1),
+    scores AS (
+      SELECT e.vec_id, e.label AS true_label, cent.clabel,
+             SUM(e.v * cent.m) AS dot
+      FROM e JOIN cent ON cent.dim = e.dim
+      GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+      SELECT s.vec_id, s.true_label, s.clabel,
+             row_number() OVER (
+               PARTITION BY s.vec_id
+               ORDER BY s.dot / (vn.nv * cn.nc) DESC, s.clabel ASC
+             ) AS rn
+      FROM scores s
+      JOIN vnorm vn ON vn.vec_id = s.vec_id
+      JOIN cnorm cn ON cn.clabel = s.clabel
+      WHERE vn.nv > 0 AND cn.nc > 0
+    )
+    SELECT true_label, clabel AS pred_label,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM ranked WHERE rn = 1
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification + confusion matrix: each vector
+    is assigned the label of the cosine-nearest per-label centroid, and
+    the output is (true_label, pred_label, n) — the Rocchio classifier /
+    cluster-purity diagnostic a curation pipeline runs over labeled
+    embeddings. Physical shape: centroids are a |labels|x|dims| table
+    (broadcast), the scores come from one explode-join-aggregate over
+    (vec, dim, label) — never a per-pair UDF — and the argmax is a
+    per-vector max, not a global sort. Cross-engine: centroid means are
+    pinned via the sorted-fold/round(6) trick (embedding_centroids);
+    measured argmax margins (min 1.1e-4 at sf0.01) are 10 orders above
+    any remaining dot-product fold wobble, so the confusion matrix
+    hash-matches."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        F.col("label").alias("true_label"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim0", "v"
+        ),
+    ).select("vec_id", "true_label", (F.col("dim0") + 1).alias("dim"), "v")
+    cent = (
+        ex.groupBy(F.col("true_label").alias("clabel"), "dim")
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.sort_array(F.collect_list("v")),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                / F.count("*"),
+                6,
+            ).alias("m")
+        )
+    )
+    cnorm = cent.groupBy("clabel").agg(
+        F.sqrt(F.sum(F.col("m") * F.col("m"))).alias("nc")
+    )
+    vnorm = ex.groupBy(F.col("vec_id").alias("nvid")).agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nv")
+    )
+    scores = (
+        ex.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "true_label", "clabel")
+        .agg(F.sum(F.col("v") * F.col("m")).alias("dot"))
+    )
+    ranked = (
+        scores.join(vnorm, scores.vec_id == F.col("nvid"))
+        .join(F.broadcast(cnorm), "clabel")
+        .where((F.col("nv") > 0) & (F.col("nc") > 0))
+        .withColumn("score", F.col("dot") / (F.col("nv") * F.col("nc")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.col("score").desc(), F.col("clabel").asc()
+                )
+            ),
+        )
+        .where(F.col("rn") == 1)
+    )
+    return (
+        ranked.groupBy("true_label", F.col("clabel").alias("pred_label"))
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("true_label", "pred_label")
+    )
+
