@@ -400,3 +400,32 @@ def test_no_pinned_broadcast_of_fact_scaled_tables(spark):
                 f"{name}: pinned broadcast hint over an sf-proportional "
                 f"scan (no bounding aggregate): {offending[0].strip()[:140]}"
             )
+
+
+def test_dehinted_joins_degrade_to_shuffle_correctly(spark):
+    """The graceful-degradation proof the pinned hints made impossible:
+    with autoBroadcastJoinThreshold=-1 (the '100 TB regime' where every
+    sf-proportional side exceeds the threshold), the formerly-hinted
+    queries must (a) plan shuffled joins for the customer/supplier sides
+    — no broadcast of unbounded relations anywhere — and (b) return
+    byte-identical results. A pinned F.broadcast() would have ignored
+    the threshold and built the hash relation anyway."""
+    names = ["nation_stats", "volume_shipping", "returned_items", "k_anonymity"]
+    baseline = {}
+    for n in names:
+        df = registry.QUERIES[n](spark, SF_DIR)
+        baseline[n] = sorted(map(str, df.collect()))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for n in names:
+            df = registry.QUERIES[n](spark, SF_DIR)
+            p = plan(df)
+            assert (
+                "SortMergeJoin" in p or "ShuffledHashJoin" in p
+            ), f"{n}: no shuffled join under threshold=-1"
+            assert sorted(map(str, df.collect())) == baseline[n], (
+                f"{n}: results diverge between broadcast and shuffled plans"
+            )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

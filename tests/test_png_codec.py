@@ -68,3 +68,58 @@ def test_decoded_meta_measures_real_dimensions(spark):
     assert got[1]["px_sum"] == sum(_pixels(6, 4, 3))
     assert (got[2]["width"], got[2]["height"], got[2]["channels"]) == (2, 9, 1)
     assert got[3]["width"] is None and got[3]["px_sum"] is None
+
+
+def test_decode_audio_backend_and_seam():
+    """decode_audio: WAV decodes for real via stdlib wave; compressed
+    formats stay the documented NotImplementedError seam."""
+    import io
+    import struct
+    import wave
+
+    import pytest
+
+    from wvfoia_sync_spark.operators import multimodal
+
+    pcm = b"".join(struct.pack("<h", v) for v in [0, 100, -100, 32767, -32768])
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(pcm)
+    rate, nch, width, nfr, got = multimodal.decode_audio(buf.getvalue())
+    assert (rate, nch, width, nfr) == (16000, 1, 2, 5)
+    assert got == pcm
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_audio(b"ID3\x04fake mp3 payload")
+
+
+def test_audio_meta_measures_real_samples(spark):
+    import io
+    import struct
+    import wave
+
+    from wvfoia_sync_spark.operators import multimodal
+
+    def wav(samples, rate=8000):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(b"".join(struct.pack("<h", s) for s in samples))
+        return buf.getvalue()
+
+    rows = [
+        (1, wav([10, -20, 30], rate=8000)),
+        (2, wav(list(range(-50, 50)), rate=16000)),
+        (3, b"not audio"),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in multimodal.audio_meta(media).collect()}
+    assert got[1]["sum_abs"] == 60 and got[1]["n_frames"] == 3
+    assert got[2]["sample_rate"] == 16000 and got[2]["sum_abs"] == sum(
+        abs(s) for s in range(-50, 50)
+    )
+    assert got[3]["sample_rate"] is None

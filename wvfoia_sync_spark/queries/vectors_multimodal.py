@@ -149,6 +149,74 @@ def image_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decoded_meta(media).orderBy("media_id")
 
 
+@register(
+    "audio_decode_meta",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id AS media_id, 16 + doc_id % 64 AS n
+      FROM documents WHERE doc_id < 200
+    ), smp AS (
+      SELECT d.media_id, d.n,
+             ((d.media_id * 31 + u.i * 7) % 2048) - 1024 AS s
+      FROM dims d, UNNEST(range(0, d.n)) AS u(i)
+    )
+    SELECT media_id, CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(1 AS BIGINT) AS n_channels,
+           CAST(n AS BIGINT) AS n_frames,
+           CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+           CAST(SUM(abs(s)) AS BIGINT) AS sum_abs
+    FROM smp GROUP BY media_id, n ORDER BY media_id
+    """,
+)
+def audio_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode through the multimodal seam (the WAV twin of
+    image_decode_meta): deterministic 16-bit mono PCM WAVs (frame count
+    and samples derived from the id) are ENCODED via the stdlib `wave`
+    writer in one mapInPandas stage and DECODED in another
+    (operators.multimodal.decode_audio), and the measured
+    rate/frames/duration plus the exact integer amplitude checksum
+    hash-match an oracle that computes the same values arithmetically.
+    Compressed codecs stay behind decode_audio's NotImplementedError
+    seam."""
+    import pandas as _pd
+
+    from ..operators import multimodal
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") < 200)
+    )
+
+    def enc(batches):
+        import io
+        import struct
+        import wave
+
+        for b in batches:
+            payloads = []
+            for did in b["doc_id"]:
+                did = int(did)
+                n = 16 + did % 64
+                pcm = b"".join(
+                    struct.pack("<h", ((did * 31 + i * 7) % 2048) - 1024)
+                    for i in range(n)
+                )
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(pcm)
+                payloads.append(buf.getvalue())
+            yield _pd.DataFrame(
+                {"media_id": b["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    media = docs.mapInPandas(enc, "media_id long, payload binary")
+    return multimodal.audio_meta(media).orderBy("media_id")
+
+
 @register("ivf_topk")  # no SQL oracle: approximate by design
 def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k (scale ANN path): deterministic mini-k-means
