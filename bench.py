@@ -152,6 +152,9 @@ HEADLINE = [
     "centroid_classify",
     "sql_interface",
     "important_parts",
+    "image_decode_meta",
+    "audio_decode_meta",
+    "passage_dedup",
 ]
 
 

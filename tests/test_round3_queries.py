@@ -562,3 +562,28 @@ def test_observed_metrics_equal_recomputation_and_ride_the_plan(spark):
     got = obs.get
     assert got["n_rows"] == direct["n_rows"]
     assert got["sum_price"] == direct["sum_price"]
+
+
+def test_passage_dedup_keeps_first_occurrence(spark):
+    """Planted duplicate passages: doc 2 repeats doc 1's first 16 tokens
+    verbatim — doc 1 (earlier owner) keeps it, doc 2 loses exactly that
+    one passage; unique passages all survive."""
+    from wvfoia_sync_spark.operators import textops
+
+    words = [f"w{i}" for i in range(16)]
+    first16 = " ".join(words)
+    other16 = " ".join(f"x{i}" for i in range(16))
+    tail = " ".join(f"y{i}" for i in range(8))
+    rows = [
+        (1, f"{first16} {other16}"),          # 2 passages, both owned
+        (2, f"{first16} {tail}"),             # passage 0 is doc 1's
+        (3, f"{tail}"),                       # 1 unique short passage
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_passages"], r["n_kept"])
+        for r in textops.passage_dedup_stats(df).collect()
+    }
+    assert got[1] == (2, 2)
+    assert got[2] == (2, 1)
+    assert got[3] == (1, 0)  # doc 3's only passage == doc 2's tail passage

@@ -71,3 +71,61 @@ def token_count_stats(df: DataFrame, group_col: str, text_col: str = "text") -> 
             F.max("n").cast("long").alias("max_tokens"),
         )
     )
+
+
+def passage_dedup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    passage_tokens: int = 16,
+) -> DataFrame:
+    """Exact passage-level dedup (the passage-granularity approximation
+    of RefinedWeb/Falcon-style exact substring dedup): split each doc
+    into fixed ``passage_tokens``-token passages, keep only the FIRST
+    corpus occurrence of each passage (lexicographic (doc, position)
+    owner), report per-doc (n_passages, n_kept).
+
+    Scale shape: passages are built inside codegen (sequence+transform
+    +slice+array_join — no UDF, no pre-explode blowup beyond the chunk
+    rows themselves), the keep-first rule is ONE groupBy at passage
+    cardinality (uniform content-hash keys, no skew), and ownership
+    flows back through an equi-join on the passage key. Shuffle volume =
+    passage strings; at 100 TB substitute xxhash64(passage) as the join
+    key to shuffle 8 bytes instead of text (kept textual here so the
+    DuckDB oracle mirrors byte-for-byte)."""
+    from ..functions.text import tokens
+
+    toks = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("t"))
+    n_chunks = F.ceil(F.size("t") / F.lit(passage_tokens)).cast("int")
+    passages = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(
+                    F.slice(
+                        F.col("t"),
+                        i * passage_tokens + 1,
+                        passage_tokens,
+                    ),
+                    " ",
+                ),
+            )
+        ).alias("chunk_idx", "passage"),
+    )
+    keyed = passages.withColumn(
+        "okey",
+        F.col("doc_id") * F.lit(1_000_000) + F.col("chunk_idx"),
+    )
+    owners = keyed.groupBy("passage").agg(F.min("okey").alias("owner_key"))
+    return (
+        keyed.join(owners, "passage")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_passages"),
+            F.sum(
+                F.when(F.col("okey") == F.col("owner_key"), 1).otherwise(0)
+            ).cast("long").alias("n_kept"),
+        )
+        .orderBy("doc_id")
+    )

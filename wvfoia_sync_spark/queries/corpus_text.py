@@ -979,3 +979,38 @@ def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         c, ["c_nationkey", "c_mktsegment"], k=12
     ).orderBy("c_custkey")
 
+
+
+@register(
+    "passage_dedup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {{tok}} AS t FROM documents
+    ), chunks AS (
+      SELECT doc_id, u.i AS chunk_idx,
+             array_to_string(list_slice(t, u.i * 16 + 1, u.i * 16 + 16), ' ')
+               AS passage,
+             doc_id * 1000000 + u.i AS okey
+      FROM toks, UNNEST(range(0, CAST(ceil(len(t) / 16.0) AS INT))) AS u(i)
+    ), owners AS (
+      SELECT passage, MIN(okey) AS owner_key FROM chunks GROUP BY passage
+    )
+    SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_passages,
+           CAST(SUM(CASE WHEN c.okey = o.owner_key THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept
+    FROM chunks c JOIN owners o USING (passage)
+    GROUP BY c.doc_id ORDER BY c.doc_id
+    """.replace("{tok}", _SQL_TOKENS.format(c="text")),
+)
+def passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact dedup (training-pipeline op): fixed 16-token
+    passages, keep only each passage's FIRST corpus occurrence
+    (lexicographic (doc, position)), per-doc kept/total counts — the
+    passage-granularity approximation of RefinedWeb-style exact
+    substring dedup, and the primitive behind 'drop boilerplate repeated
+    across crawls'. Physical shape in
+    operators/textops.py:passage_dedup_stats: codegen passage
+    construction, one passage-cardinality groupBy, equi-join back —
+    integer outputs only, so the differential check is exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.passage_dedup_stats(docs)
