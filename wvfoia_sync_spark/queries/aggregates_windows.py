@@ -11,30 +11,14 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..functions import pii
 from ..functions import text as text_fns
-from ..functions.text import BPE_SPLIT_RE, STOPWORDS, lang_id, quality_metrics
-from ..operators import dedup, fts, relational, similarity, sketch, textops, timeline
+from ..operators import relational, timeline
 from ..registry import (
-    _SQL_FEE,
-    _SQL_SLUG,
-    _SQL_STOPWORDS,
     _SQL_TOKENS,
-    _TRAINED,
-    _ann_index_df,
-    _d,
-    _ivf_centroids,
-    _money_sum,
-    _pq_codebooks,
-    _query_vec,
-    _SQL_DUP_CORPUS,
-    _SQL_DUP_PAIRS_085,
-    _dup_corpus,
-    _prop_row,
-    _recall_check,
     register,
 )
 from ..sources.tables import load_table
+
 
 @register(
     "events_hourly",
@@ -63,6 +47,7 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
 
 
 @register(
@@ -99,6 +84,7 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagged.groupBy("user_id").agg(
         F.sum("new_session").cast("long").alias("n_sessions")
     )
+
 
 
 @register(
@@ -148,6 +134,7 @@ def window_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 @register(
     "salted_agg",
     oracle="""
@@ -178,6 +165,7 @@ def salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag", F.col("n").cast("long").alias("n"),
         F.col("sum_qty").cast("double").alias("sum_qty"),
     )
+
 
 
 @register(
@@ -218,6 +206,7 @@ def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 @register(
     "price_percentiles",
     oracle="""
@@ -243,6 +232,7 @@ def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile(v, F.lit(0.99)).alias("p99"),
         F.max(v).alias("mx"),
     )
+
 
 
 @register(
@@ -277,6 +267,7 @@ def status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_qty",
         )
     )
+
 
 
 @register(
@@ -315,6 +306,7 @@ def price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 @register(
     "status_grouping_sets",
     oracle="""
@@ -346,6 +338,7 @@ def status_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 @register(
     "set_ops_funnel",
     oracle="""
@@ -372,6 +365,7 @@ def set_ops_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return uid("purchase", 90).intersect(uid("error")).subtract(uid("signup", 80))
 
 
+
 @register("approx_distinct_users")  # no SQL oracle: HLL sketches differ by
 # engine; tests/test_similarity_dedup.py bounds the error vs exact
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -384,6 +378,7 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
     )
+
 
 
 @register(
@@ -416,6 +411,7 @@ def events_rolling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 @register(
     "price_percent_rank",
     oracle="""
@@ -442,6 +438,7 @@ def price_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 @register(
     "metrics_unpivot",
     oracle=f"""
@@ -466,6 +463,7 @@ def metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.length("text")).cast("long").alias("max_chars"),
     )
     return wide.unpivot("source", ["n_docs", "total_tokens", "max_chars"], "metric", "val")
+
 
 
 @register(
@@ -498,6 +496,7 @@ def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("k").isNull(), 1)).cast("long").alias("n_missing"),
         )
     )
+
 
 
 @register(
@@ -535,6 +534,7 @@ def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n",
     )
+
 
 
 @register(
@@ -610,6 +610,7 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profiled.select(F.explode(per_col).alias("p")).select("p.*")
 
 
+
 @register(
     "skew_report",
     oracle="""
@@ -648,6 +649,7 @@ def skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("c").cast("double")
         ).alias("skew_factor"),
     )
+
 
 
 @register(
@@ -703,6 +705,7 @@ def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 @register(
     "funnel_counts",
     oracle="""
@@ -751,6 +754,7 @@ def funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 @register(
     "cohort_retention",
     oracle="""
@@ -795,6 +799,7 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").cast("long").alias("n_active"))
         .orderBy("cohort", "week_offset")
     )
+
 
 
 @register(
@@ -904,6 +909,7 @@ def interpolate_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 @register(
     "weighted_sample",
     oracle="""
@@ -949,6 +955,7 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "event_id", "value")
         .orderBy("event_type", "event_id")
     )
+
 
 
 @register(
@@ -1005,6 +1012,7 @@ def equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 @register(
     "price_qty_corr",
     oracle="""
@@ -1056,6 +1064,7 @@ def price_qty_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_returnflag")
 
 
+
 @register(
     "modal_status",
     oracle="""
@@ -1101,6 +1110,7 @@ def modal_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 @register(
     "status_sequence",
     oracle="""
@@ -1128,6 +1138,7 @@ def status_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
 
 
 @register(
@@ -1169,6 +1180,7 @@ def cycle_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
 
 
 @register(
@@ -1217,6 +1229,7 @@ def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 @register(
     "multiset_except",
     oracle="""
@@ -1241,6 +1254,7 @@ def multiset_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.exceptAll(r).orderBy("l_partkey")
 
 
+
 @register(
     "multiset_intersect",
     oracle="""
@@ -1258,6 +1272,7 @@ def multiset_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = li.where(F.col("l_returnflag") == "A").select("l_partkey")
     r = li.where(F.col("l_returnflag") == "R").select("l_partkey")
     return a.intersectAll(r).orderBy("l_partkey")
+
 
 
 @register(

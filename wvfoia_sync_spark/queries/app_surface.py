@@ -9,32 +9,19 @@ registry's QUERIES/ORACLE via the shared @register decorator.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 
-from ..functions import pii
-from ..functions import text as text_fns
-from ..functions.text import BPE_SPLIT_RE, STOPWORDS, lang_id, quality_metrics
-from ..operators import dedup, fts, relational, similarity, sketch, textops, timeline
+from ..operators import fts, relational, textops, timeline
 from ..registry import (
     _SQL_FEE,
     _SQL_SLUG,
-    _SQL_STOPWORDS,
     _SQL_TOKENS,
-    _TRAINED,
-    _ann_index_df,
     _d,
-    _ivf_centroids,
     _money_sum,
-    _pq_codebooks,
-    _query_vec,
-    _SQL_DUP_CORPUS,
-    _SQL_DUP_PAIRS_085,
-    _dup_corpus,
-    _prop_row,
-    _recall_check,
     register,
 )
 from ..sources.tables import load_table
+
 
 @register(
     "filter_scan",
@@ -67,6 +54,7 @@ def filter_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 @register(
     "point_lookup",
     oracle="""
@@ -91,6 +79,7 @@ def point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 @register(
     "distinct_values",
     oracle="SELECT DISTINCT o_orderpriority FROM orders WHERE o_orderpriority IS NOT NULL",
@@ -105,6 +94,7 @@ def distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 @register(
     "group_counts",
     oracle="SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus",
@@ -113,6 +103,7 @@ def group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 grouped counts (resolutionCounts, entries.ts:189-204)."""
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(F.count("*").alias("n"))
+
 
 
 @register(
@@ -125,6 +116,7 @@ def max_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.agg(
         F.coalesce(F.max("o_orderkey"), F.lit(0)).cast("long").alias("max_id")
     )
+
 
 
 @register(
@@ -149,6 +141,7 @@ def latest_snapshot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         _d("o_orderdate").alias("order_date"),
     )
+
 
 
 
@@ -212,6 +205,7 @@ def home_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.when(in_win(365), resp))
         ).alias("avg_response_days_365d"),
     )
+
 
 
 @register(
@@ -291,6 +285,7 @@ def nation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return metrics.join(pivoted, "n_name").withColumnRenamed("n_name", "nation")
 
 
+
 @register(
     "status_timeline",
     oracle="""
@@ -341,6 +336,7 @@ def status_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
 @register(
     "page_fetch",
     oracle="""
@@ -371,6 +367,7 @@ def page_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 @register(
     "top_fees",
     oracle="""
@@ -389,6 +386,7 @@ def top_fees(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("o_orderkey", "o_totalprice")
     )
+
 
 
 @register(
@@ -423,6 +421,7 @@ def corrections_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", _d("o_orderdate").alias("corrected_date"))
 
 
+
 @register(
     "slug_rollup",
     oracle=f"""
@@ -440,6 +439,7 @@ def slug_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.groupBy(slugify_col("p_type").alias("slug")).agg(
         F.count("*").alias("n")
     )
+
 
 
 
@@ -464,6 +464,7 @@ def fts_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 @register(
     "fts_index_search",
     oracle=f"""
@@ -485,6 +486,7 @@ def fts_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 @register(
     "keyset_page",
     oracle="""
@@ -501,6 +503,7 @@ def keyset_page_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.keyset_page(
         o.select("o_orderkey", "o_totalprice"), "o_orderkey", 1000, 50, descending=False
     )
+
 
 
 
@@ -530,6 +533,7 @@ def quality_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs passing token-count / alpha-ratio / token-length thresholds."""
     docs = load_table(spark, sf_dir, "documents")
     return textops.quality_filter(docs, "text", 10, 0.5, 20.0).select("doc_id")
+
 
 
 @register(
@@ -566,6 +570,7 @@ def nation_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 @register(
     "fee_sort",
     oracle=f"""
@@ -596,6 +601,7 @@ def fee_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 @register(
     "date_normalize",
     oracle="""
@@ -616,6 +622,7 @@ def date_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.date_format(normalize_date(dirty), "yyyy-MM-dd").alias("norm_date"),
     )
+
 
 
 @register(
@@ -675,6 +682,7 @@ def resolution_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 @register(
     "status_rollup",
     oracle="""
@@ -689,6 +697,7 @@ def status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.rollup("o_orderstatus", "o_orderpriority").agg(
         F.count("*").alias("n")
     )
+
 
 
 @register(
@@ -727,6 +736,7 @@ def rss_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pub_date"),
         )
     )
+
 
 
 @register(
@@ -781,6 +791,7 @@ def agency_rss_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
 @register(
     "phrase_search",
     oracle="""
@@ -801,6 +812,7 @@ def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.where(
         low.contains("spark join") | low.contains("merge group")
     ).select("doc_id", "source")
+
 
 
 @register(
@@ -828,6 +840,7 @@ def fts_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("doc").desc(), F.col("term").asc())
         .limit(50)
     )
+
 
 
 @register(

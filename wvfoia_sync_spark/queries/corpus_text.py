@@ -14,27 +14,15 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from ..functions import pii
 from ..functions import text as text_fns
 from ..functions.text import BPE_SPLIT_RE, STOPWORDS, lang_id, quality_metrics
-from ..operators import dedup, fts, relational, similarity, sketch, textops, timeline
+from ..operators import dedup, fts, textops
 from ..registry import (
-    _SQL_FEE,
-    _SQL_SLUG,
+    _SQL_DUP_PAIRS_085,
     _SQL_STOPWORDS,
     _SQL_TOKENS,
-    _TRAINED,
-    _ann_index_df,
-    _d,
-    _ivf_centroids,
-    _money_sum,
-    _pq_codebooks,
-    _query_vec,
-    _SQL_DUP_CORPUS,
-    _SQL_DUP_PAIRS_085,
-    _dup_corpus,
-    _prop_row,
-    _recall_check,
     register,
 )
 from ..sources.tables import load_table
+
 
 @register(
     "token_stats",
@@ -53,6 +41,7 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution over the corpus."""
     docs = load_table(spark, sf_dir, "documents")
     return textops.token_count_stats(docs, "lang")
+
 
 
 @register(
@@ -89,6 +78,7 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         qm["stopword_ratio"].alias("stopword_ratio"),
         qm["avg_token_len"].alias("avg_token_len"),
     )
+
 
 
 @register(
@@ -128,6 +118,7 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
 @register(
     "token_histogram",
     oracle=f"""
@@ -152,6 +143,7 @@ def token_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_BPE_RE = BPE_SPLIT_RE.replace("'", "''")
 
 
+
 @register(
     "bpe_token_stats",
     oracle=f"""
@@ -173,6 +165,7 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(c).cast("long").alias("total_tokens"),
         F.max(c).cast("long").alias("max_tokens"),
     )
+
 
 
 @register(
@@ -212,6 +205,7 @@ def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     order so the float sum is engine-reproducible."""
     docs = load_table(spark, sf_dir, "documents")
     return fts.bm25_scores(docs, "doc_id", ["text"], "Spark stream")
+
 
 
 @register(
@@ -270,6 +264,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 @register(
     "train_test_split",
     oracle="""
@@ -303,6 +298,7 @@ def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("source", split.alias("split")).agg(
         F.count("*").alias("n_docs")
     )
+
 
 
 @register(
@@ -428,6 +424,7 @@ def _pii_dirty_col() -> F.Column:
     )
 
 
+
 @register(
     "pii_scrub",
     oracle=f"""
@@ -463,6 +460,7 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_email") + F.col("n_phone") + F.col("n_ssn") > 0)
     )
+
 
 
 @register(
@@ -503,6 +501,7 @@ def decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("gram").alias("n_shared_grams"),
         F.countDistinct("eval_id").alias("n_eval_docs"),
     )
+
 
 
 @register(
@@ -558,6 +557,7 @@ def gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 @register(
     "token_chunks",
     oracle=f"""
@@ -595,6 +595,7 @@ def token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 @register(
     "balanced_sample",
     oracle="""
@@ -621,6 +622,7 @@ def balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rnk") <= 50)
     )
+
 
 
 @register(
@@ -668,6 +670,7 @@ def pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").alias("n_tokens"),
         )
     )
+
 
 
 @register(
@@ -725,6 +728,7 @@ def leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", split.alias("split"))
         .agg(F.count("*").alias("n_docs"))
     )
+
 
 
 
@@ -787,6 +791,7 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 @register(
     "mixture_sample",
     oracle=r"""
@@ -822,6 +827,7 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= quota)
         .select("doc_id", "source")
     )
+
 
 
 @register(
@@ -862,6 +868,7 @@ def bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("bigram").asc())
         .limit(20)
     )
+
 
 
 @register(
@@ -946,6 +953,7 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 @register(
     "k_anonymity",
     oracle="""
@@ -978,6 +986,7 @@ def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii.k_anonymize(
         c, ["c_nationkey", "c_mktsegment"], k=12
     ).orderBy("c_custkey")
+
 
 
 

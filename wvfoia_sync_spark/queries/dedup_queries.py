@@ -9,37 +9,20 @@ registry's QUERIES/ORACLE via the shared @register decorator.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 
-from ..functions import pii
 from ..functions import text as text_fns
-from ..functions.text import BPE_SPLIT_RE, STOPWORDS, lang_id, quality_metrics
-from ..operators import dedup, fts, relational, similarity, sketch, textops, timeline
+from ..operators import dedup, similarity
 from ..registry import (
-    _SQL_FEE,
-    _SQL_SLUG,
-    _SQL_STOPWORDS,
-    _SQL_TOKENS,
-    _TRAINED,
-    _ann_index_df,
-    _d,
-    _ivf_centroids,
-    _money_sum,
-    _pq_codebooks,
-    _query_vec,
     _SQL_DUP_CORPUS,
     _SQL_DUP_PAIRS_085,
+    _SQL_TOKENS,
+    _TRAINED,
     _dup_corpus,
     _prop_row,
-    _recall_check,
     register,
 )
 from ..sources.tables import load_table
-
-
-
-
-
 
 
 @register(
@@ -59,6 +42,7 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     key, skew-free single shuffle. Run on a corpus with planted
     whitespace-mutant duplicates."""
     return dedup.exact_duplicates(_dup_corpus(spark, sf_dir), "doc_id", "text")
+
 
 
 @register(
@@ -89,6 +73,7 @@ def jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs_auto(docs, "doc_id", "text", "source", 0.72)
 
 
+
 @register("minhash_near_dup")  # no SQL oracle: xxhash64 signatures
 def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup (sign -> band -> candidate -> verify) on the
@@ -99,10 +84,12 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b")
 
 
+
 @register("simhash_dups")  # no SQL oracle: xxhash64 signatures
 def simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash signature collisions on the planted-duplicate corpus."""
     return dedup.simhash_duplicates(_dup_corpus(spark, sf_dir), "doc_id", "text")
+
 
 
 
@@ -138,6 +125,7 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
 @register(
     "dup_clusters",
     oracle=f"""
@@ -159,6 +147,7 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.jaccard_pairs_auto(docs, "doc_id", "text", "source", 0.85)
     return dedup.duplicate_clusters(pairs)
+
 
 
 @register(
@@ -217,6 +206,7 @@ def winnow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("fp_sum"),
     )
+
 
 
 @register(
@@ -279,6 +269,7 @@ def winnow_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 @register(
     "minhash_property_check",
     oracle="""
@@ -333,6 +324,7 @@ def minhash_property_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sound.unionAll(complete).orderBy("property")
 
 
+
 @register(
     "simhash_property_check",
     oracle="SELECT 'simhash_planted_collide' AS property, TRUE AS ok",
@@ -359,6 +351,7 @@ def simhash_property_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bad.select(*_prop_row("simhash_planted_collide", F.col("bad") == 0))
 
 
+
 @register("semantic_dedup")  # no SQL oracle: seeded k-means clustering
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic deduplication over the planted-twin
@@ -377,6 +370,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semantic_dedup(
         corpus, threshold=0.9, k=8, centroids=_TRAINED[key]
     ).orderBy("vec_id")
+
 
 
 @register(
@@ -432,6 +426,7 @@ def semdedup_property_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(*_prop_row("semdedup_planted_complete", F.col("missed") == 0))
     )
     return complete.unionAll(sound).orderBy("property")
+
 
 
 @register(

@@ -9,29 +9,9 @@ registry's QUERIES/ORACLE via the shared @register decorator.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 
-from ..functions import pii
-from ..functions import text as text_fns
-from ..functions.text import BPE_SPLIT_RE, STOPWORDS, lang_id, quality_metrics
-from ..operators import dedup, fts, relational, similarity, sketch, textops, timeline
 from ..registry import (
-    _SQL_FEE,
-    _SQL_SLUG,
-    _SQL_STOPWORDS,
-    _SQL_TOKENS,
-    _TRAINED,
-    _ann_index_df,
-    _d,
-    _ivf_centroids,
-    _money_sum,
-    _pq_codebooks,
-    _query_vec,
-    _SQL_DUP_CORPUS,
-    _SQL_DUP_PAIRS_085,
-    _dup_corpus,
-    _prop_row,
-    _recall_check,
     register,
 )
 from ..sources.tables import load_table
@@ -66,6 +46,7 @@ def _pagerank_step(nodes, edges_norm, ranks, damping=0.85):
             ).alias("r"),
         )
     )
+
 
 
 @register(
@@ -169,6 +150,7 @@ def nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("n_name").alias("nation"), F.col("r").alias("rank"))
         .orderBy(F.col("rank").desc(), F.col("nation").asc())
     )
+
 
 
 @register(

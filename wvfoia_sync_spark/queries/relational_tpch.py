@@ -11,30 +11,14 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..functions import pii
-from ..functions import text as text_fns
-from ..functions.text import BPE_SPLIT_RE, STOPWORDS, lang_id, quality_metrics
-from ..operators import dedup, fts, relational, similarity, sketch, textops, timeline
+from ..operators import relational
 from ..registry import (
-    _SQL_FEE,
-    _SQL_SLUG,
-    _SQL_STOPWORDS,
-    _SQL_TOKENS,
-    _TRAINED,
-    _ann_index_df,
     _d,
-    _ivf_centroids,
     _money_sum,
-    _pq_codebooks,
-    _query_vec,
-    _SQL_DUP_CORPUS,
-    _SQL_DUP_PAIRS_085,
-    _dup_corpus,
-    _prop_row,
-    _recall_check,
     register,
 )
 from ..sources.tables import load_table
+
 
 @register(
     "pricing_summary",
@@ -85,6 +69,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 @register(
     "top3_per_group",
     oracle="""
@@ -111,6 +96,7 @@ def top3_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
 @register(
     "semi_join",
     oracle="""
@@ -131,6 +117,7 @@ def semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.join(hits, "o_orderkey", "left_semi").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
+
 
 
 @register(
@@ -156,6 +143,7 @@ def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("c_custkey"))
     )
     return c.join(recent, "c_custkey", "left_anti").select("c_custkey", "c_name")
+
 
 
 @register(
@@ -194,6 +182,7 @@ def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("line_count"),
         )
     )
+
 
 
 @register(
@@ -240,6 +229,7 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("signup_event_id"),
         )
     )
+
 
 
 @register(
@@ -292,6 +282,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 @register(
     "interval_attribution",
     oracle="""
@@ -335,6 +326,7 @@ def interval_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 @register(
     "above_avg_orders",
     oracle="""
@@ -371,6 +363,7 @@ def above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 @register(
     "fuzzy_name_match",
     oracle="""
@@ -401,6 +394,7 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "dirty", "canonical", F.col("dist").cast("long").alias("dist")
     )
+
 
 
 
@@ -453,6 +447,7 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
 
 
 @register(
@@ -521,6 +516,7 @@ def blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 @register(
     "order_priority",
     oracle="""
@@ -555,6 +551,7 @@ def order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 @register(
     "customer_distribution",
     oracle="""
@@ -583,6 +580,7 @@ def customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("o_orderkey").alias("c_count"))
     )
     return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
 
 
 @register(
@@ -654,6 +652,7 @@ def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 @register(
     "skew_salted_join",
     oracle="""
@@ -681,6 +680,7 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         _money_sum("value").alias("sum_value"),
     )
+
 
 
 @register(
@@ -758,6 +758,7 @@ def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return melted.unionByName(orphans)
 
 
+
 @register(
     "returned_items",
     oracle="""
@@ -804,6 +805,7 @@ def returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 @register(
     "promo_revenue",
     oracle="""
@@ -845,6 +847,7 @@ def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double").alias("promo_pct")
         )
     )
+
 
 
 @register(
@@ -894,6 +897,7 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 @register(
     "small_qty_revenue",
     oracle="""
@@ -939,6 +943,7 @@ def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("avg_yearly")
         )
     )
+
 
 
 @register(
@@ -993,6 +998,7 @@ def inactive_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 @register(
     "top_supplier",
     oracle="""
@@ -1041,6 +1047,7 @@ def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_suppkey")
     )
+
 
 
 @register(
@@ -1106,6 +1113,7 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 @register(
     "product_profit",
     oracle="""
@@ -1155,6 +1163,7 @@ def product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 @register(
     "bloom_semi_join",
     oracle="""
@@ -1184,6 +1193,7 @@ def bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_linenumber", "l_returnflag")
         .orderBy("l_orderkey", "l_linenumber")
     )
+
 
 
 @register(
@@ -1244,6 +1254,7 @@ def price_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("key_a", "key_b", "priority")
         .orderBy("key_a", "key_b")
     )
+
 
 
 @register(
@@ -1312,6 +1323,7 @@ def revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("nation")
 
 
+
 @register(
     "shipmode_priority",
     oracle="""
@@ -1356,6 +1368,7 @@ def shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_linestatus")
     )
+
 
 
 @register(
@@ -1430,6 +1443,7 @@ def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 @register(
     "excess_qty_suppliers",
     oracle="""
@@ -1491,6 +1505,7 @@ def excess_qty_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("s_suppkey")
     )
+
 
 
 @register(

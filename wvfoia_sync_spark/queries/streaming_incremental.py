@@ -11,30 +11,13 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..functions import pii
-from ..functions import text as text_fns
-from ..functions.text import BPE_SPLIT_RE, STOPWORDS, lang_id, quality_metrics
-from ..operators import dedup, fts, relational, similarity, sketch, textops, timeline
+from ..operators import relational
 from ..registry import (
-    _SQL_FEE,
-    _SQL_SLUG,
-    _SQL_STOPWORDS,
-    _SQL_TOKENS,
-    _TRAINED,
-    _ann_index_df,
     _d,
-    _ivf_centroids,
-    _money_sum,
-    _pq_codebooks,
-    _query_vec,
-    _SQL_DUP_CORPUS,
-    _SQL_DUP_PAIRS_085,
-    _dup_corpus,
-    _prop_row,
-    _recall_check,
     register,
 )
 from ..sources.tables import load_table
+
 
 @register(
     "upsert_merge",
@@ -79,6 +62,7 @@ def upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 @register(
     "events_hourly_stream",
     oracle="""
@@ -99,6 +83,7 @@ def events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jobs.run_available_now(
         jobs.hourly_aggregation(stream), "events_hourly_stream_sink"
     )
+
 
 
 @register(
@@ -177,6 +162,7 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 @register(
     "sessionization_stream",
     oracle="""
@@ -221,6 +207,7 @@ def sessionization_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 @register(
     "cdc_apply",
     oracle="""
@@ -256,6 +243,7 @@ def cdc_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
         F.col("value").alias("last_value"),
     )
+
 
 
 @register(
@@ -300,6 +288,7 @@ def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 @register(
     "stateful_counts_stream",
     oracle="""
@@ -323,6 +312,7 @@ def stateful_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return updates.groupBy("user_id").agg(
         F.max("n_events").cast("long").alias("n_events")
     )
+
 
 
 @register(
@@ -371,6 +361,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("click_id", "view_id")
 
 
+
 @register(
     "stream_stream_outer_join",
     oracle="""
@@ -407,6 +398,7 @@ def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.where(F.col("click_id") >= 0).orderBy("click_id", "view_id")
 
 
+
 @register(
     "stream_static_join",
     oracle="""
@@ -434,6 +426,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
     )
     return jobs.run_available_now(agg, "stream_static_join_sink")
+
 
 
 @register(
@@ -471,6 +464,7 @@ def stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_name=f"stream_upsert_{tag}",
     )
     return spark.read.parquet(f"{base}/table").orderBy("user_id")
+
 
 
 @register(
@@ -549,6 +543,7 @@ def scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 @register(
     "stream_dedup",
     oracle="""
@@ -577,6 +572,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_unique"))
         .orderBy("event_type")
     )
+
 
 
 @register(
@@ -619,6 +615,7 @@ def partition_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
 
 
 @register(
@@ -664,6 +661,7 @@ def dpp_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
 
 
 @register(
@@ -727,6 +725,7 @@ def snapshot_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         snapshots.snapshot_diff(spark, tdir, a, b, key="o_orderkey")
         .orderBy("o_orderkey")
     )
+
 
 
 @register(

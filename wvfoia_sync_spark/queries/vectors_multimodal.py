@@ -11,30 +11,20 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..functions import pii
 from ..functions import text as text_fns
-from ..functions.text import BPE_SPLIT_RE, STOPWORDS, lang_id, quality_metrics
-from ..operators import dedup, fts, relational, similarity, sketch, textops, timeline
+from ..operators import similarity, sketch
 from ..registry import (
-    _SQL_FEE,
-    _SQL_SLUG,
-    _SQL_STOPWORDS,
     _SQL_TOKENS,
-    _TRAINED,
     _ann_index_df,
-    _d,
     _ivf_centroids,
-    _money_sum,
     _pq_codebooks,
-    _query_vec,
-    _SQL_DUP_CORPUS,
-    _SQL_DUP_PAIRS_085,
-    _dup_corpus,
     _prop_row,
+    _query_vec,
     _recall_check,
     register,
 )
 from ..sources.tables import load_table
+
 
 @register(
     "embedding_topk",
@@ -58,6 +48,7 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(emb, qvec, k=10).select("rank", "vec_id")
 
 
+
 @register("embedding_lsh_topk")  # no SQL oracle: approximate by design
 def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k (scale path); recall vs brute force
@@ -67,6 +58,7 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(
         emb, qvec, k=10, n_planes=6, probe_radius=2
     ).select("rank", "vec_id")
+
 
 
 @register(
@@ -90,6 +82,7 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.as_media_table(docs, "doc_id", "text")
     return multimodal.extract_features(media)
+
 
 
 @register(
@@ -147,6 +140,7 @@ def image_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(enc, "media_id long, payload binary")
     return multimodal.decoded_meta(media).orderBy("media_id")
+
 
 
 @register(
@@ -217,6 +211,7 @@ def audio_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.audio_meta(media).orderBy("media_id")
 
 
+
 @register("ivf_topk")  # no SQL oracle: approximate by design
 def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k (scale ANN path): deterministic mini-k-means
@@ -228,6 +223,7 @@ def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, qvec, cents, k=10, n_probe=3).select(
         "rank", "vec_id"
     )
+
 
 
 @register(
@@ -275,6 +271,7 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 @register("sq8_topk")  # no SQL oracle: quantized by design (recall test)
 def sq8_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar-quantized ANN top-k (operators/similarity.py): score
@@ -284,6 +281,7 @@ def sq8_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = _query_vec(emb)
     return similarity.sq8_topk(emb, qvec, k=10).select("rank", "vec_id")
+
 
 
 
@@ -305,6 +303,7 @@ def lsh_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_check(spark, sf_dir, approx, "lsh_recall_at_10", 5)
 
 
+
 @register("ivf_recall_check", oracle="SELECT 'ivf_recall_at_10' AS property, TRUE AS ok")
 def ivf_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-green twin of ivf_topk: 3-probe IVF top-10 must recall
@@ -316,6 +315,7 @@ def ivf_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_check(spark, sf_dir, approx, "ivf_recall_at_10", 8)
 
 
+
 @register("sq8_recall_check", oracle="SELECT 'sq8_recall_at_10' AS property, TRUE AS ok")
 def sq8_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-green twin of sq8_topk: int8-quantized top-10 must recall
@@ -324,6 +324,7 @@ def sq8_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = _query_vec(emb)
     approx = similarity.sq8_topk(emb, qvec, k=10)
     return _recall_check(spark, sf_dir, approx, "sq8_recall_at_10", 9)
+
 
 
 @register(
@@ -353,6 +354,7 @@ def hll_error_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bad.select(*_prop_row("hll_relative_error", F.col("bad") == 0))
 
 
+
 @register(
     "heavy_hitters_sketch",
     oracle=f"""
@@ -371,6 +373,7 @@ def heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(text_fns.tokens("text")).alias("item"))
     return sketch.heavy_hitters(toks, "item", k=64, top=10)
+
 
 
 @register(
@@ -408,6 +411,7 @@ def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 @register(
     "frame_sample",
     oracle="""
@@ -443,6 +447,7 @@ def frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length("frame").cast("long").alias("n_bytes"),
         F.md5("frame").alias("frame_md5"),
     )
+
 
 
 @register(
@@ -490,6 +495,7 @@ def approx_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ok
 
 
+
 @register(
     "kmv_distinct_sketch",
     oracle="""
@@ -511,6 +517,7 @@ def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch.kmv_distinct(ev, "user_id", "event_type", k=256).orderBy(
         "grp"
     )
+
 
 
 @register(
@@ -543,6 +550,7 @@ def kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 @register("pq_topk")  # no SQL oracle: codebook-trained, approximate by design
 def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (operators/similarity.py): vectors
@@ -561,6 +569,7 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 @register("pq_recall_check", oracle="SELECT 'pq_recall_at_10' AS property, TRUE AS ok")
 def pq_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-green twin of pq_topk: the reranked PQ top-10 must recall
@@ -573,6 +582,7 @@ def pq_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, qvec, books, k=10, shortlist=100, coded=coded
     )
     return _recall_check(spark, sf_dir, approx, "pq_recall_at_10", 9)
+
 
 
 @register("ivfpq_topk")  # no SQL oracle: cluster-trained, approximate by design
@@ -593,6 +603,7 @@ def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 @register(
     "ivfpq_recall_check",
     oracle="SELECT 'ivfpq_recall_at_10' AS property, TRUE AS ok",
@@ -611,6 +622,7 @@ def ivfpq_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, qvec, cents, books, k=10, n_probe=3, index=idx
     )
     return _recall_check(spark, sf_dir, approx, "ivfpq_recall_at_10", 8)
+
 
 
 @register(
