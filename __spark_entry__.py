@@ -84,9 +84,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _curated(names: dict) -> dict:
-    missing = [q for q in DRIVER_WINDOW if q not in names]
-    assert not missing, f"DRIVER_WINDOW names unknown queries: {missing}"
-    head = {q: names[q] for q in DRIVER_WINDOW}
+    # Unknown window names are SKIPPED here (a raise would zero the
+    # driver's whole correctness run); tests/test_harness.py asserts the
+    # window is exactly resolvable, so a rename fails CI, not the gate.
+    head = {q: names[q] for q in DRIVER_WINDOW if q in names}
     head.update((q, f) for q, f in names.items() if q not in head)
     return head
 

@@ -97,3 +97,21 @@ def test_queries_run_with_non_repo_cwd():
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "OK" in proc.stdout
+
+
+def test_driver_window_fully_resolvable():
+    """Every DRIVER_WINDOW name must resolve to a registered query (the
+    runtime path silently skips unknowns so a rename can't zero the
+    driver's correctness run — THIS is where a rename must fail), and
+    the window must lead queries()/oracle_sql() in order."""
+    import __spark_entry__ as e
+    from wvfoia_sync_spark import registry
+
+    missing = [q for q in e.DRIVER_WINDOW if q not in registry.QUERIES]
+    assert not missing, f"DRIVER_WINDOW names unknown queries: {missing}"
+    qs = e.queries()
+    assert list(qs)[: len(e.DRIVER_WINDOW)] == e.DRIVER_WINDOW
+    assert set(qs) == set(registry.QUERIES)
+    osql = e.oracle_sql()
+    window_with_oracle = [q for q in e.DRIVER_WINDOW if q in registry.ORACLE]
+    assert list(osql)[: len(window_with_oracle)] == window_with_oracle
