@@ -39,5 +39,22 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def lit_vector(values: Sequence[float]) -> Column:
-    """A literal query vector as an array<double> column."""
-    return F.array(*[F.lit(float(v)) for v in values])
+    """A literal query vector as an array<double> column.
+
+    Built as ONE parsed SQL expression, not `F.array(*map(F.lit, ...))`:
+    the per-element form issues a py4j round trip per value, which at
+    LUT sizes (16 arrays x 256 doubles for the PQ scorer, bands x planes
+    x dim for LSH signatures) put 2.4 s of DRIVER time in front of a
+    0.2 s scan (measured; plan build dominated pq_topk's bench row).
+    `repr(float)` emits the shortest round-trip decimal and Spark's
+    `...D` double literal parses it back to the identical IEEE value, so
+    scores stay bit-identical to the element-wise form."""
+    import math
+
+    vs = [float(v) for v in values]
+    if len(vs) == 0:
+        return F.expr("CAST(array() AS array<double>)")
+    if not all(map(math.isfinite, vs)):  # inf/nan have no SQL literal
+        return F.array(*[F.lit(v) for v in vs])
+    body = ",".join(f"{v!r}D" for v in vs)
+    return F.expr(f"array({body})")
