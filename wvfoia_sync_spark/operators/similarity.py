@@ -415,9 +415,9 @@ def with_int8_codes(
     Pure codegen: literal min/scale arrays + an indexed ``transform``;
     no UDF, no shuffle.
     """
-    lo = F.array(*[F.lit(s[0]) for s in stats])
-    scale = F.array(
-        *[F.lit(255.0 / (s[1] - s[0]) if s[1] > s[0] else 0.0) for s in stats]
+    lo = lit_vector([s[0] for s in stats])
+    scale = lit_vector(
+        [255.0 / (s[1] - s[0]) if s[1] > s[0] else 0.0 for s in stats]
     )
     codes = F.transform(
         F.col(vec_col).cast("array<double>"),
@@ -434,9 +434,9 @@ def dequantize(
     """Reconstruct approximate doubles from uint8 codes (midpoint-free
     affine inverse; max per-dim error = half a quantization step)."""
     c = F.col(codes_col) if isinstance(codes_col, str) else codes_col
-    lo = F.array(*[F.lit(s[0]) for s in stats])
-    step = F.array(
-        *[F.lit((s[1] - s[0]) / 255.0 if s[1] > s[0] else 0.0) for s in stats]
+    lo = lit_vector([s[0] for s in stats])
+    step = lit_vector(
+        [(s[1] - s[0]) / 255.0 if s[1] > s[0] else 0.0 for s in stats]
     )
     return F.transform(
         c,
