@@ -155,6 +155,7 @@ HEADLINE = [
     "image_decode_meta",
     "audio_decode_meta",
     "passage_dedup",
+    "dsir_importance",
 ]
 
 

@@ -1023,3 +1023,100 @@ def passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer outputs only, so the differential check is exact."""
     docs = load_table(spark, sf_dir, "documents")
     return textops.passage_dedup_stats(docs)
+
+
+@register(
+    "dsir_importance",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {{tok}} AS t FROM documents
+    ), grams AS (
+      SELECT doc_id, g,
+             (ascii(substr(g, 1, 1)) * 7 + ascii(substr(g, -1, 1)) * 13
+              + length(g)) % 64 AS bucket,
+             (doc_id % 50 = 0) AS is_target
+      FROM toks, UNNEST(list_transform(range(1, len(t) - 0),
+                 i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS u(g)
+    ), stats AS (
+      SELECT bucket,
+             SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS n_t,
+             SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS n_s
+      FROM grams GROUP BY bucket
+    ), tot AS (
+      SELECT SUM(n_t) AS tt, SUM(n_s) AS ts FROM stats
+    ), scored AS (
+      SELECT g.doc_id,
+             CAST(ROUND(ln(
+               (CAST((s.n_t + 1) AS DOUBLE) * ((SELECT ts FROM tot) + 64))
+               / (CAST((s.n_s + 1) AS DOUBLE) * ((SELECT tt FROM tot) + 64))
+             ), 6) AS DECIMAL(18,6)) AS lv
+      FROM grams g JOIN stats s USING (bucket)
+      WHERE NOT g.is_target
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(lv) AS DOUBLE) AS llr,
+           (SUM(lv) > 0) AS selected
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """.replace("{tok}", _SQL_TOKENS.format(c="text")),
+)
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-shaped data selection (importance weighting toward a target
+    distribution — Xie et al. 2023's hashed-n-gram importance
+    resampling, the curation step that tilts a web crawl toward a
+    quality domain): bag-of-hashed-bigram models of the TARGET slice
+    (doc_id % 50 == 0, the same stand-in decontam_overlap uses) and the
+    SOURCE rest, Laplace-smoothed per-bucket log-likelihood ratios, and
+    each source doc scored by its grams' summed LLR; `selected` marks
+    docs that look more target- than source-like.
+
+    Scale + determinism shape: bucket stats are ONE aggregate at bucket
+    cardinality (64 rows — joined back broadcast-small by construction);
+    per-gram LLR values go through the unigram_surprisal precedent
+    (ROUND(ln(ratio-of-exact-integer-products), 6) summed as
+    DECIMAL(18,6) — order-independent, so the hash compare is exact);
+    the doc rollup is one partial+final aggregate. The toy bucket hash
+    (ascii arithmetic, SQL-mirrorable) stands in for xxhash64 at
+    production scale — swapping it changes one expression."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", text_fns.tokens("text").alias("t")
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(text_fns.ngrams("t", 2)).alias("g"),
+    ).withColumn(
+        "bucket",
+        (
+            F.ascii(F.substring("g", 1, 1)) * 7
+            + F.ascii(F.expr("substr(g, -1, 1)")) * 13
+            + F.length("g")
+        )
+        % 64,
+    ).withColumn("is_target", F.col("doc_id") % 50 == 0)
+    stats = grams.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("n_t"),
+        F.sum(F.when(F.col("is_target"), 0).otherwise(1)).alias("n_s"),
+    )
+    tot = stats.agg(
+        F.sum("n_t").alias("tt"), F.sum("n_s").alias("ts")
+    )
+    stats_t = stats.crossJoin(F.broadcast(tot))
+    lv = F.round(
+        F.log(
+            ((F.col("n_t") + 1).cast("double") * (F.col("ts") + 64))
+            / ((F.col("n_s") + 1).cast("double") * (F.col("tt") + 64))
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    scored = (
+        grams.where(~F.col("is_target"))
+        .join(stats_t.select("bucket", lv.alias("lv")), "bucket")
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum("lv").cast("double").alias("llr"),
+            (F.sum("lv") > 0).alias("selected"),
+        )
+        .orderBy("doc_id")
+    )
