@@ -156,6 +156,7 @@ HEADLINE = [
     "audio_decode_meta",
     "passage_dedup",
     "dsir_importance",
+    "fts_stored_index_search",
 ]
 
 

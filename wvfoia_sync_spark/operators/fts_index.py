@@ -1,0 +1,179 @@
+"""Materialized, incrementally-maintained FTS posting index.
+
+The reference keeps its FTS table in sync with row-level triggers
+(migrations/0002_fts.sql:17-32): every insert/update immediately patches
+the posting lists. Spark has no triggers; the round-3 answer was
+deterministic full rebuild (operators/fts.py docstring). This module
+adds the production middle ground — the Lucene segment model on plain
+parquet:
+
+- **build**: postings (token, id, seg=0) hash-partitioned into
+  ``bucket=`` dirs + a ``live/`` table of (id, seg) — which segment
+  holds each document's CURRENT postings.
+- **upsert**: NEW and UPDATED docs append their postings as segment
+  seg+1 and append (id, seg+1) to ``live/`` — O(|delta|) work, the
+  corpus is never re-tokenized. An updated doc's stale postings stay on
+  disk but are dead: the read path keeps only rows whose seg matches
+  the doc's LATEST live entry (Lucene's live-docs filter as a join).
+- **read**: postings ⋈ (per-id max seg) — one aggregate at doc
+  cardinality + one equi-join, then the standard prefix-AND semi-join
+  query path (operators/fts.py search_index) applies unchanged.
+- **compact**: fold live postings back into a single segment when the
+  dead fraction grows (the OPTIMIZE/merge-segments maintenance pass).
+
+Cache discipline per sources/derived.py: content-fingerprinted paths,
+rename-if-absent publication. Token buckets keep query-time equality
+probes narrow; prefix terms span buckets by nature (documented — the
+reference's FTS5 prefix scan has the same shape).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources import derived
+from .fts import with_tokens
+
+MANIFEST = "_fts_manifest.json"
+
+
+def fts_index_path(sf_dir: str, num_buckets: int = 16) -> str:
+    return derived.derived_path(
+        "fts_idx",
+        sf_dir,
+        params=f"b{num_buckets}",
+        fingerprint_of=[os.path.join(sf_dir, "documents.parquet")],
+    )
+
+
+def _postings(
+    docs: DataFrame, id_col: str, text_cols: list[str], num_buckets: int, seg: int
+) -> DataFrame:
+    tok = with_tokens(docs, text_cols, "_fts_tokens")
+    return (
+        tok.select(
+            F.col(id_col).alias("id"), F.explode("_fts_tokens").alias("token")
+        )
+        .distinct()
+        .select(
+            "token",
+            "id",
+            F.lit(seg).alias("seg"),
+            (F.abs(F.xxhash64("token")) % num_buckets).alias("bucket"),
+        )
+    )
+
+
+def build_fts_index(
+    docs: DataFrame,
+    out: str,
+    id_col: str = "doc_id",
+    text_cols: list[str] | None = None,
+    num_buckets: int = 16,
+) -> str:
+    """Materialize segment 0. Idempotent via rename-if-absent."""
+    text_cols = text_cols or ["text"]
+
+    def build(tmp: str) -> None:
+        p = _postings(docs, id_col, text_cols, num_buckets, seg=0)
+        p.repartition("bucket").write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(os.path.join(tmp, "postings"))
+        docs.select(F.col(id_col).alias("id")).distinct().withColumn(
+            "seg", F.lit(0)
+        ).write.mode("overwrite").parquet(os.path.join(tmp, "live"))
+        with open(os.path.join(tmp, MANIFEST), "w") as f:
+            json.dump({"max_seg": 0, "num_buckets": num_buckets}, f)
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+
+    return derived.publish(build, out)
+
+
+def upsert_fts_index(
+    delta_docs: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_cols: list[str] | None = None,
+) -> int:
+    """Append a new segment for the delta (new AND updated docs) and
+    point their live entries at it. O(|delta|): tokenization, postings
+    write, and the live append all touch delta rows only. Returns the
+    new segment number."""
+    text_cols = text_cols or ["text"]
+    with open(os.path.join(index_dir, MANIFEST)) as f:
+        man = json.load(f)
+    seg = man["max_seg"] + 1
+    p = _postings(delta_docs, id_col, text_cols, man["num_buckets"], seg=seg)
+    p.repartition("bucket").write.mode("append").partitionBy("bucket").parquet(
+        os.path.join(index_dir, "postings")
+    )
+    delta_docs.select(F.col(id_col).alias("id")).distinct().withColumn(
+        "seg", F.lit(seg)
+    ).write.mode("append").parquet(os.path.join(index_dir, "live"))
+    man["max_seg"] = seg
+    with open(os.path.join(index_dir, MANIFEST), "w") as f:
+        json.dump(man, f)
+    return seg
+
+
+def load_fts_index(spark: SparkSession, index_dir: str) -> DataFrame:
+    """(token, id) posting view of the CURRENT corpus state: per-id max
+    live seg (doc-cardinality aggregate) equi-joined onto postings — the
+    live-docs filter. Stale segments' rows drop out of the join."""
+    postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+    live = (
+        spark.read.parquet(os.path.join(index_dir, "live"))
+        .groupBy("id")
+        .agg(F.max("seg").alias("seg"))
+    )
+    return postings.join(live, ["id", "seg"]).select("token", "id")
+
+
+def dead_fraction(spark: SparkSession, index_dir: str) -> float:
+    """Fraction of stored posting rows that the live filter discards —
+    the compaction trigger metric."""
+    postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+    total = postings.count()
+    if total == 0:
+        return 0.0
+    alive = load_fts_index(spark, index_dir).count()
+    return 1.0 - alive / total
+
+
+def compact_fts_index(spark: SparkSession, index_dir: str) -> str:
+    """Fold the live postings into a fresh single-segment index dir
+    (write-new + swap via a new content-keyed path is the caller's
+    choice; here we rewrite in place through a temp subdir + rename,
+    safe because readers resolve files at scan time)."""
+    with open(os.path.join(index_dir, MANIFEST)) as f:
+        man = json.load(f)
+    alive = (
+        load_fts_index(spark, index_dir)
+        .withColumn("seg", F.lit(0))
+        .withColumn(
+            "bucket", (F.abs(F.xxhash64("token")) % man["num_buckets"])
+        )
+    )
+    tmp_postings = os.path.join(index_dir, "postings._compact")
+    alive.repartition("bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(tmp_postings)
+    live_ids = alive.select("id").distinct().withColumn("seg", F.lit(0))
+    tmp_live = os.path.join(index_dir, "live._compact")
+    live_ids.write.mode("overwrite").parquet(tmp_live)
+    import shutil
+
+    for name, tmp in (("postings", tmp_postings), ("live", tmp_live)):
+        final = os.path.join(index_dir, name)
+        old = final + "._old"
+        os.rename(final, old)
+        os.rename(tmp, final)
+        shutil.rmtree(old, ignore_errors=True)
+    man["max_seg"] = 0
+    with open(os.path.join(index_dir, MANIFEST), "w") as f:
+        json.dump(man, f)
+    return index_dir

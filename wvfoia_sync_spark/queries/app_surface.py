@@ -11,7 +11,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators import fts, relational, textops, timeline
+from ..operators import fts, fts_index, relational, textops, timeline
 from ..registry import (
     _SQL_FEE,
     _SQL_SLUG,
@@ -481,6 +481,36 @@ def fts_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-join intersection — same semantics as the scan strategy."""
     docs = load_table(spark, sf_dir, "documents")
     index = fts.build_inverted_index(docs, "doc_id", ["text"])
+    return fts.search_index(docs, index, "doc_id", "merge stream").select(
+        "doc_id", "lang", "source"
+    )
+
+
+@register(
+    "fts_stored_index_search",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, source, {_SQL_TOKENS.format(c='text')} AS t FROM documents
+    )
+    SELECT doc_id, lang, source FROM toks
+    WHERE len(list_filter(t, x -> x LIKE 'merge%')) > 0
+      AND len(list_filter(t, x -> x LIKE 'stream%')) > 0
+    """,
+)
+def fts_stored_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5/S5 production path: the same prefix-AND search served from the
+    MATERIALIZED, incrementally-maintained posting index
+    (operators/fts_index.py — segment appends for new/updated docs,
+    live-docs resolution at read, compaction; the reference's
+    trigger-maintained FTS table, 0002_fts.sql:17-32, as the Lucene
+    segment model on parquet). Build happens once per (machine, sf_dir,
+    documents-content) via the derived-state cache; queries pay a
+    doc-cardinality live aggregate + posting semi-joins, never a corpus
+    re-tokenize."""
+    docs = load_table(spark, sf_dir, "documents")
+    path = fts_index.fts_index_path(sf_dir)
+    fts_index.build_fts_index(docs, path, id_col="doc_id", text_cols=["text"])
+    index = fts_index.load_fts_index(spark, path)
     return fts.search_index(docs, index, "doc_id", "merge stream").select(
         "doc_id", "lang", "source"
     )
