@@ -99,3 +99,38 @@ def test_upsert_cost_is_delta_scoped(spark, tmp_path):
     for name, mtime in before.items():
         assert after.get(name) == mtime
     assert len(after) > len(before)
+
+
+def test_streaming_maintenance_matches_rebuild(spark, tmp_path):
+    """File-source doc stream -> foreachBatch segment upserts: after the
+    backlog drains (including an UPDATE arriving as a later file), the
+    index equals a batch rebuild of the final corpus state — the
+    reference's trigger-maintained FTS, as Structured Streaming."""
+    src_dir = str(tmp_path / "incoming")
+    os.makedirs(src_dir)
+    d = str(tmp_path / "ftsidx")
+    ckpt = str(tmp_path / "ckpt")
+
+    base = _docs(spark, [(1, "spark engine"), (2, "query plan")])
+    fts_index.build_fts_index(base, d)
+
+    # backlog: one new doc, then an update of doc 2 (later file = later seg)
+    _docs(spark, [(3, "third entry")]).write.mode("overwrite").parquet(
+        os.path.join(src_dir, "b1")
+    )
+    _docs(spark, [(2, "revised plan")]).write.mode("overwrite").parquet(
+        os.path.join(src_dir, "b2")
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)  # forces separate segments
+        .parquet(src_dir + "/*")
+    )
+    fts_index.stream_maintain_fts_index(stream, d, ckpt)
+
+    final = _docs(
+        spark,
+        [(1, "spark engine"), (2, "revised plan"), (3, "third entry")],
+    )
+    assert _index_rows(spark, d) == _rebuilt_rows(spark, final)
+    assert ("query", 2) not in _index_rows(spark, d)  # update superseded

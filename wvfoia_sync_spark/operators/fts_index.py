@@ -177,3 +177,35 @@ def compact_fts_index(spark: SparkSession, index_dir: str) -> str:
     with open(os.path.join(index_dir, MANIFEST), "w") as f:
         json.dump(man, f)
     return index_dir
+
+
+def stream_maintain_fts_index(
+    docs_stream: DataFrame,
+    index_dir: str,
+    checkpoint_path: str,
+    id_col: str = "doc_id",
+    text_cols: list[str] | None = None,
+    query_name: str = "fts_index_maintenance",
+) -> None:
+    """The reference's FTS triggers (0002_fts.sql:17-32) as a streaming
+    job: each micro-batch of new/updated docs becomes one index segment
+    via ``foreachBatch`` -> ``upsert_fts_index``. Exactly-once per batch
+    comes from the checkpoint (a replayed batch re-appends under a new
+    segment id, and live-docs resolution keeps only the latest — the
+    idempotence segment models give you for free). Runs availableNow and
+    blocks until the backlog is indexed."""
+    cols = text_cols or ["text"]
+
+    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_fts_index(batch_df, index_dir, id_col=id_col, text_cols=cols)
+
+    q = (
+        docs_stream.writeStream.foreachBatch(sink)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )
+    q.awaitTermination(300)
