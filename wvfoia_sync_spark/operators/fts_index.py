@@ -63,7 +63,7 @@ def _postings(
             "token",
             "id",
             F.lit(seg).alias("seg"),
-            (F.abs(F.xxhash64("token")) % num_buckets).alias("bucket"),
+            (F.pmod(F.xxhash64("token"), F.lit(num_buckets))).alias("bucket"),
         )
     )
 
@@ -155,7 +155,7 @@ def compact_fts_index(spark: SparkSession, index_dir: str) -> str:
         load_fts_index(spark, index_dir)
         .withColumn("seg", F.lit(0))
         .withColumn(
-            "bucket", (F.abs(F.xxhash64("token")) % man["num_buckets"])
+            "bucket", F.pmod(F.xxhash64("token"), F.lit(man["num_buckets"]))
         )
     )
     tmp_postings = os.path.join(index_dir, "postings._compact")
