@@ -157,6 +157,7 @@ HEADLINE = [
     "passage_dedup",
     "dsir_importance",
     "fts_stored_index_search",
+    "embedding_near_dup",
 ]
 
 
