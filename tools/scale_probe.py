@@ -82,6 +82,14 @@ PROBE_QUERIES = [
     "partition_pruned_revenue",
     "dpp_star_join",
     "k_anonymity",
+    # round-4 additions: passage dedup (groupBy-on-content, replication-
+    # safe unlike the pairwise ops), DSIR importance weighting, the
+    # per-series gap fill (events grow 100x, the hour spine does not),
+    # and the stored-FTS query (index rebuilds against the replica dir)
+    "passage_dedup",
+    "dsir_importance",
+    "interpolate_series",
+    "fts_stored_index_search",
 ]
 
 OFFSET_KEYS = {
