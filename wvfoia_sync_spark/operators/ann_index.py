@@ -180,7 +180,8 @@ def upsert_ann_index(
     Appends go through the parquet committer (new part files land under
     their `ivf_cell=` dirs only at task commit); a crashed upsert leaves
     orphan temp files, not corrupt data — a table format (Delta/Iceberg)
-    supplies full transactionality in production."""
+    supplies full transactionality in production. Like the FTS upsert,
+    the stats-file merge assumes a single writer (the ingest job)."""
     drift = check_centroid_drift(delta, centroids, index_dir, vec_col, id_col)
     if drift > drift_tolerance:
         raise CentroidDriftError(

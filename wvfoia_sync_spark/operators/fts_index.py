@@ -102,7 +102,12 @@ def upsert_fts_index(
     """Append a new segment for the delta (new AND updated docs) and
     point their live entries at it. O(|delta|): tokenization, postings
     write, and the live append all touch delta rows only. Returns the
-    new segment number."""
+    new segment number.
+
+    Single-writer assumption (same as the reference's one cron sync):
+    the manifest read-increment-write is not atomic under concurrent
+    upserters — production puts this behind the ingest job's own
+    serialization (or a table format's commit protocol)."""
     text_cols = text_cols or ["text"]
     with open(os.path.join(index_dir, MANIFEST)) as f:
         man = json.load(f)
