@@ -158,6 +158,7 @@ HEADLINE = [
     "dsir_importance",
     "fts_stored_index_search",
     "embedding_near_dup",
+    "sketch_rollup_merge",
 ]
 
 

@@ -196,3 +196,23 @@ def kmv_set_estimates(
             ).alias("est_intersection"),
         )
     )
+
+
+def kmv_rollup(partials: DataFrame, coarse_expr, k: int = 256) -> DataFrame:
+    """Merge fine-grained KMV sketches into coarser groups WITHOUT
+    re-scanning raw data — THE reason sketches exist at 100 TB: hourly
+    (grp, h) sketches roll up to daily/weekly/all-time distincts as pure
+    sketch arithmetic (Agarwal et al. PODS'12 mergeability: the merge of
+    KMV sketches is the k smallest distinct hashes of their union).
+    Input is ``kmv_partials`` output; ``coarse_expr`` maps the fine grp
+    to its coarse group. Work is sketch-cardinality (<= k rows per fine
+    group), never raw-item cardinality."""
+    from pyspark.sql import Window
+
+    re_grouped = partials.select(coarse_expr.alias("grp"), "h").distinct()
+    w = Window.partitionBy("grp").orderBy("h")
+    return (
+        re_grouped.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -732,3 +732,59 @@ def centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("true_label", "pred_label")
     )
 
+
+
+@register(
+    "sketch_rollup_merge",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           CAST(COUNT(DISTINCT CONCAT(strftime(ts, '%H'), '')) AS BIGINT)
+             AS n_hour_slots,
+           CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS est_distinct
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def sketch_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup — the pre-aggregation pattern sketches
+    exist for at 100 TB: per-(day, hour) KMV sketches of distinct users
+    are MERGED into per-day sketches as pure sketch arithmetic (k
+    smallest distinct hashes of the union, operators/sketch.kmv_rollup;
+    Agarwal et al. PODS'12), never re-scanning events. The estimator is
+    exact-degenerate at this SF (per-day distinct << k=1024), so the
+    merged estimate hash-matches the exact per-day COUNT(DISTINCT)
+    oracle — the same gate trick kmv_distinct uses, now proving the
+    MERGE step too. n_hour_slots counts the fine sketches folded into
+    each day."""
+    from ..operators import sketch as sketch_ops
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        F.date_format("ts", "HH").alias("hour"),
+        "user_id",
+    )
+    fine = sketch_ops.kmv_partials(
+        ev.select(
+            F.concat_ws("|", "day", "hour").alias("slot"), "user_id"
+        ),
+        "user_id",
+        "slot",
+        k=1024,
+    )
+    daily = sketch_ops.kmv_rollup(
+        fine, F.split(F.col("grp"), "\\|")[0], k=1024
+    )
+    est = sketch_ops._kmv_estimate(daily, k=1024).select(
+        F.col("grp").alias("day"), F.col("est").alias("est_distinct")
+    )
+    slots = (
+        fine.select("grp")
+        .distinct()
+        .select(F.split(F.col("grp"), "\\|")[0].alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").alias("n_hour_slots"))
+    )
+    return (
+        est.join(slots, "day")
+        .select("day", "n_hour_slots", "est_distinct")
+        .orderBy("day")
+    )
