@@ -20,8 +20,10 @@ from wvfoia_sync_spark import registry
 # to green (CORRECTNESS_r01-r03: 46 hash + 4 rows-only of 50); this
 # round promotes the highest-value queries that have never had a driver
 # row — streaming joins/upserts, SCD2, snapshots/CDC, the TPC-H shape
-# set, stored-index ANN + recall gates, semantic dedup, curation ops —
-# all already green against the local differential oracle
+# set, stored-index ANN recall gates, semantic dedup, curation ops, and
+# the round-4 flagships (real PNG/WAV decode round trips, passage dedup,
+# DSIR importance, the incremental stored FTS index, the KMV sketch
+# rollup) — all already green against the local differential oracle
 # (tools/check_oracle.py). Everything else follows in registration
 # order, so a wider driver window only adds coverage.
 DRIVER_WINDOW: list[str] = [
@@ -49,25 +51,25 @@ DRIVER_WINDOW: list[str] = [
     "small_qty_revenue",
     "large_volume_customers",
     "blame_supplier",
-    "customer_distribution",
+    "passage_dedup",
     "disjunctive_revenue",
     "excess_qty_suppliers",
     "important_parts",
     "winnow_near_dup",
-    "winnow_stats",
+    "image_decode_meta",
     "dup_clusters",
     "semantic_dedup",
     "semdedup_property_check",
-    "pq_topk",
+    "fts_stored_index_search",
     "pq_recall_check",
-    "ivfpq_topk",
+    "sketch_rollup_merge",
     "ivfpq_recall_check",
     "knn_join",
     "cluster_best_pick",
     "leakage_free_split",
     "curated_corpus",
-    "train_test_split",
-    "mixture_sample",
+    "audio_decode_meta",
+    "dsir_importance",
     "pii_scrub",
     "decontam_overlap",
     "k_anonymity",
