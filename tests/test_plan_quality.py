@@ -429,3 +429,46 @@ def test_dehinted_joins_degrade_to_shuffle_correctly(spark):
             )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_aqe_skew_join_splits_hot_partitions(spark):
+    """The engine's automatic skew path (complementing the explicit
+    salted operators): a join keyed 90% on one hot key must trigger
+    AQE's OptimizeSkewedJoin — the executed plan marks the sort-merge
+    join `skew=true` and splits the hot partition — while returning the
+    same counts a broadcast plan would."""
+    import pyspark.sql.functions as F
+
+    n = 400_000
+    left = spark.range(n).select(
+        F.when(F.col("id") % 10 != 0, F.lit(7)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    right = spark.range(1000).select(F.col("id").alias("k"))
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ path
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = left.join(right, "k")
+        # collect() (not count(), which builds a separate execution) so
+        # THIS df's AQE plan finalizes and can be inspected below.
+        # hot key 7 matches right (360k rows) + the multiples of 10
+        # under 1000 that survive as their own key (100 rows)
+        assert len(df.collect()) == n * 9 // 10 + 100
+        p = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "simple"
+        )
+        assert "skew=true" in p, "AQE did not mark the skewed join"
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
