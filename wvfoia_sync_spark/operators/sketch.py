@@ -132,6 +132,10 @@ def _kmv_estimate(grp_sketch: DataFrame, k: int) -> DataFrame:
     )
 
 
+# public name for the estimator (query modules use it with kmv_rollup)
+kmv_estimate = _kmv_estimate
+
+
 def kmv_distinct(
     df: DataFrame, item_col: str, group_col: str, k: int = 256
 ) -> DataFrame:

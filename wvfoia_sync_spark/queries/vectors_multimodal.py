@@ -773,7 +773,7 @@ def sketch_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = sketch_ops.kmv_rollup(
         fine, F.split(F.col("grp"), "\\|")[0], k=1024
     )
-    est = sketch_ops._kmv_estimate(daily, k=1024).select(
+    est = sketch_ops.kmv_estimate(daily, k=1024).select(
         F.col("grp").alias("day"), F.col("est").alias("est_distinct")
     )
     slots = (
