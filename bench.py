@@ -159,6 +159,8 @@ HEADLINE = [
     "fts_stored_index_search",
     "embedding_near_dup",
     "sketch_rollup_merge",
+    "local_supplier_volume",
+    "parts_supplier_relationship",
 ]
 
 

@@ -1578,3 +1578,116 @@ def important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("value").desc(), F.col("partkey").asc())
     )
 
+
+
+@register(
+    "local_supplier_volume",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1
+    """,
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): revenue where the
+    customer and supplier share a nation, one region, one year — the
+    query that completes the 22-shape TPC-H repertoire alongside Q16.
+    Physical shape: order-date window pushed to the orders scan as raw
+    timestamps, the ASIA nation slice (region⋈nation, both hinted
+    constant-size dims) lands on the SUPPLIER side first, the big-big
+    lineitem⋈orders join shuffles on orderkey, and the same-nation
+    requirement is the customer join's residual — customer and supplier
+    stay unhinted (AQE-sized, shuffle at 100 TB)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    asia = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(asia), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(
+            c,
+            (o.o_custkey == c.c_custkey)
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "parts_supplier_relationship",
+    oracle="""
+    WITH ps AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    )
+    SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+           CAST(COUNT(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM ps
+    JOIN part p ON p.p_partkey = ps.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type NOT LIKE 'STANDARD%'
+      AND p.p_size IN (1, 4, 7, 10, 15, 23)
+      AND ps.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_suppkey % 10 = 0
+      )
+    GROUP BY 1, 2, 3
+    """,
+)
+def parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): how many distinct
+    suppliers can serve each qualifying (brand, type, size), excluding a
+    complained-about supplier set. No partsupp table in this star
+    schema, so the part-supplier relation is DISTINCT (l_partkey,
+    l_suppkey) from lineitem — the same derivation Q16's partsupp
+    encodes. The complaints NOT IN (reference predicate: comment LIKE
+    '%Customer%Complaints%') becomes a deterministic key-slice stand-in
+    (s_suppkey % 10 = 0; supplier has no comment column) compiled to a
+    LEFT ANTI join. Shape notes: the distinct relation is one
+    (partkey, suppkey) aggregate over the fact scan; the brand/type/size
+    filters land on the part side BEFORE its join (unhinted,
+    sf-proportional); COUNT(DISTINCT) compiles to the two-level
+    expand/aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").startswith("STANDARD"))
+        & (F.col("p_size").isin([1, 4, 7, 10, 15, 23]))
+    )
+    complained = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_suppkey") % 10 == 0)
+        .select("s_suppkey")
+    )
+    return (
+        ps.join(complained, ps.l_suppkey == complained.s_suppkey, "left_anti")
+        .join(p, ps.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
