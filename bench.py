@@ -161,6 +161,7 @@ HEADLINE = [
     "sketch_rollup_merge",
     "local_supplier_volume",
     "parts_supplier_relationship",
+    "variant_shred_stats",
 ]
 
 

@@ -1317,3 +1317,47 @@ def observed_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows long, n_big long, sum_price double",
     )
 
+
+
+@register(
+    "variant_shred_stats",
+    oracle="""
+    SELECT event_type AS etype, COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_val
+    FROM events GROUP BY 1
+    """,
+)
+def variant_shred_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT round trip (the modern semi-structured path —
+    binary variant encoding instead of per-access JSON string parsing):
+    event columns are composed into a nested document, parsed ONCE into
+    a VariantType value (to_json -> parse_json), then typed paths are
+    extracted with try_variant_get and aggregated. The oracle computes
+    the same statistics from the raw columns directly, so the hash match
+    proves the variant encode/extract round trip is lossless for every
+    row (string, long, and float-widened-to-double payloads). At 100 TB
+    the variant column is what lands in bronze for schema-on-read
+    telemetry; shredding happens in codegen, no Python."""
+    ev = load_table(spark, sf_dir, "events")
+    doc = F.to_json(
+        F.struct(
+            F.col("event_type").alias("type"),
+            F.struct(
+                F.col("value").alias("v"),
+                F.get_json_object("props", "$.k").cast("long").alias("k"),
+            ).alias("payload"),
+        )
+    )
+    v = F.parse_json(doc)
+    shredded = ev.select(
+        F.try_variant_get(v, "$.type", "string").alias("etype"),
+        F.try_variant_get(v, "$.payload.v", "double").alias("val"),
+        F.try_variant_get(v, "$.payload.k", "long").alias("k"),
+    )
+    return shredded.groupBy("etype").agg(
+        F.count("*").alias("n"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.sum(F.col("val").cast("decimal(18,4)")).cast("double").alias("sum_val"),
+    )
