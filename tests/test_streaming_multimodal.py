@@ -61,9 +61,13 @@ def test_multimodal_features_deterministic(spark):
         assert r["fake_height"] == (len(raw) * 7) % 480
 
 
-def test_decode_image_is_stubbed():
+def test_decode_image_seam_for_unsupported_formats():
+    """PNG decodes for real since round 4 (functions/png.py); anything
+    that is NOT a complete PNG signature stays the documented seam."""
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\x89PNG")
+        multimodal.decode_image(b"\x89PNG")  # truncated signature
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\xff\xd8\xff\xe0jpeg")
 
 
 def test_stateful_user_counts_match_batch(spark):
@@ -403,3 +407,49 @@ def test_stream_upsert_sink_recovers_from_checkpoint(spark, tmp_path):
 
     # no new files: the run must change nothing (pure no-op restart)
     assert run() == {"k1": (5, "a"), "k2": (7, "c"), "k3": (1, "d")}
+
+
+def test_stateful_counts_on_rocksdb_state_store(spark):
+    """The same applyInPandasWithState pipeline under the RocksDB state
+    store provider — the beyond-heap backend a 100 TB/day deployment
+    runs — must produce the identical final totals. (The
+    transformWithState twin also sets RocksDB but importorskips on
+    protobuf; THIS test actually executes the provider.)"""
+    from wvfoia_sync_spark.sources.tables import load_table
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        batch = {
+            r["user_id"]: (r["n"], round(r["sv"], 6))
+            for r in load_table(spark, SF_DIR, "events")
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
+            .collect()
+        }
+        stream = jobs.read_events_stream(spark, SF_DIR, glob="events.parquet")
+        out = jobs.run_available_now_update(
+            jobs.stateful_user_counts(stream), "t_stateful_rocks"
+        )
+        from pyspark.sql import Window as W
+
+        final = (
+            out.withColumn("_i", F.monotonically_increasing_id())
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    W.partitionBy("user_id").orderBy(F.col("_i").desc())
+                ),
+            )
+            .where(F.col("_rn") == 1)
+        )
+        got = {
+            r["user_id"]: (r["n_events"], round(r["sum_value"], 6))
+            for r in final.collect()
+        }
+        assert got == batch
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
