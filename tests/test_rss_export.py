@@ -165,3 +165,26 @@ def test_export_native_formats(spark, fixture_dir, tmp_path):
     assert os.path.isdir(os.path.join(out, "entries_csv"))
     back = spark.read.parquet(os.path.join(out, "entries_parquet"))
     assert back.count() == 20
+
+
+def test_distributed_sql_dump_matches_serial(spark, fixture_dir, tmp_path):
+    """The Python-DataSource writer path (executor-side INSERT rendering,
+    driver-side ordered concatenation) must produce a byte-identical
+    artifact to the serial toLocalIterator exporter, and replay into
+    sqlite3 just the same."""
+    from wvfoia_sync_spark.sources import export_sink
+
+    entries = spark.read.parquet(f"{fixture_dir}/entries.parquet")
+    serial = str(tmp_path / "serial.sql")
+    dist = str(tmp_path / "dist.sql")
+    export.export_sql(entries, serial)
+    export_sink.export_sql_distributed(entries, dist, partitions=4)
+    assert open(dist).read() == open(serial).read()
+    # no leftover parts dirs
+    assert not [p for p in os.listdir(tmp_path) if ".parts-" in p]
+    con = sqlite3.connect(":memory:")
+    con.executescript(open(dist).read())
+    assert (
+        con.execute("SELECT count(*) FROM entries").fetchone()[0]
+        == entries.count()
+    )

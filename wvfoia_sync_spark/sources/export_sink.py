@@ -1,0 +1,118 @@
+"""S8 as a first-class Python DataSource WRITER:
+``df.write.format("wvfoia_sql").save(path)``.
+
+Completes the Python DataSource trifecta the engine uses for the
+reference's I/O edges — batch read + stream read (sources/foia_source.py)
+and now a write path. ``foia.export.export_sql`` streams every row
+through the driver (toLocalIterator — correct, but render cost is
+serial); this sink renders the INSERT statements ON THE EXECUTORS, one
+part file per partition, and the driver-side commit only concatenates
+part files in partition order between the DDL header and the COMMIT
+footer. Range-partition + sort by id before writing and the dump is
+byte-identical to the serial exporter's.
+
+Distributed-commit shape (the FileCommitProtocol in miniature): tasks
+write to a task-unique part path and return it in a WriterCommitMessage;
+only the driver's commit() assembles the artifact, so a failed/retried
+task can never corrupt the output; abort() sweeps the parts dir. The
+parts dir must be on storage the driver can read back — shared FS/object
+store on a real cluster, documented like every artifact path here.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+
+@dataclass
+class SqlPartCommit(WriterCommitMessage):
+    pid: int
+    path: str
+    rows: int
+
+
+class SqlDumpWriter(DataSourceWriter):
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self.parts_dir = f"{self.path}.parts-{uuid.uuid4().hex[:8]}"
+
+    # ------------------------------------------------ executor side ----
+    def write(self, iterator) -> SqlPartCommit:
+        from pyspark import TaskContext
+
+        from ..foia.export import _sql_literal
+        from ..foia.schema import ENTRY_COLUMNS
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.parts_dir, exist_ok=True)
+        # task-unique name: a retried task writes a fresh file and only
+        # the attempt whose commit message wins is ever concatenated
+        part = os.path.join(
+            self.parts_dir, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.sql"
+        )
+        n = 0
+        with open(part, "w") as f:
+            for row in iterator:
+                vals = ", ".join(_sql_literal(row[c]) for c in ENTRY_COLUMNS)
+                f.write(f"INSERT INTO entries VALUES ({vals});\n")
+                n += 1
+        return SqlPartCommit(pid, part, n)
+
+    # -------------------------------------------------- driver side ----
+    def commit(self, messages) -> None:
+        from ..foia.export import ENTRIES_DDL
+
+        parts = sorted(messages, key=lambda m: m.pid)
+        tmp = f"{self.path}.tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as out:
+            out.write(ENTRIES_DDL)
+            out.write("BEGIN TRANSACTION;\n")
+            for m in parts:
+                with open(m.path) as f:
+                    shutil.copyfileobj(f, out)
+            out.write("COMMIT;\n")
+        os.replace(tmp, self.path)
+        shutil.rmtree(self.parts_dir, ignore_errors=True)
+
+    def abort(self, messages) -> None:
+        shutil.rmtree(self.parts_dir, ignore_errors=True)
+
+
+class FoiaSqlDumpDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "wvfoia_sql"
+
+    def writer(self, schema, overwrite: bool) -> SqlDumpWriter:
+        return SqlDumpWriter(dict(self.options))
+
+
+def register(spark) -> None:
+    spark.dataSource.register(FoiaSqlDumpDataSource)
+
+
+def export_sql_distributed(entries, path: str, partitions: int = 8) -> None:
+    """The serial exporter's contract, distributed: global id order via
+    range partitioning + in-partition sort, executor-side rendering,
+    driver-side concatenation. Byte-identical output to
+    ``foia.export.export_sql``."""
+    from ..foia.schema import ENTRY_COLUMNS
+
+    register(entries.sparkSession)
+    (
+        entries.select(*ENTRY_COLUMNS)
+        .repartitionByRange(partitions, "id")
+        .sortWithinPartitions("id")
+        .write.format("wvfoia_sql")
+        .mode("append")  # the sink replaces atomically in commit()
+        .save(path)
+    )
