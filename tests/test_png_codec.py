@@ -123,3 +123,62 @@ def test_audio_meta_measures_real_samples(spark):
         abs(s) for s in range(-50, 50)
     )
     assert got[3]["sample_rate"] is None
+
+
+def test_png_roundtrip_fuzz():
+    """Property fuzz: any (w, h, channels, filter, pixel bytes) encodes
+    to a PNG the decoder reproduces exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(1, 24),
+        h=st.integers(1, 24),
+        channels=st.sampled_from([1, 3, 4]),
+        ftype=st.integers(0, 4),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(w, h, channels, ftype, seed):
+        import random
+
+        rng = random.Random(seed)
+        px = bytes(rng.randrange(256) for _ in range(w * h * channels))
+        img = png.decode_png(png.encode_png(w, h, px, channels, filter_type=ftype))
+        assert (img.width, img.height, img.channels) == (w, h, channels)
+        assert img.pixels == px
+
+    check()
+
+
+def test_wav_roundtrip_fuzz():
+    """Property fuzz: arbitrary 16-bit sample sequences survive the WAV
+    encode -> decode_audio round trip bit-exactly."""
+    import io
+    import struct
+    import wave
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from wvfoia_sync_spark.operators import multimodal
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        samples=st.lists(
+            st.integers(-32768, 32767), min_size=1, max_size=256
+        ),
+        rate=st.sampled_from([8000, 16000, 44100]),
+    )
+    def check(samples, rate):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wv:
+            wv.setnchannels(1)
+            wv.setsampwidth(2)
+            wv.setframerate(rate)
+            wv.writeframes(b"".join(struct.pack("<h", s) for s in samples))
+        r, nch, width, nfr, pcm = multimodal.decode_audio(buf.getvalue())
+        assert (r, nch, width, nfr) == (rate, 1, 2, len(samples))
+        assert list(struct.unpack(f"<{len(samples)}h", pcm)) == samples
+
+    check()
