@@ -334,3 +334,38 @@ def test_banded_lsh_bucket_granularity_invariant(spark, emb):
     assert len(fine) < len(coarse)
     # self-pairs never appear
     assert all(x < y for x, y in coarse | fine)
+
+
+def test_lit_vector_sql_literal_roundtrip_fuzz(spark):
+    """lit_vector's parsed-SQL form (repr + D suffix) must reproduce
+    every IEEE double bit-exactly — including subnormals, extremes, and
+    negative zero — or ANN scores would silently drift from the
+    per-element F.lit form it replaced."""
+    import math
+    import struct
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from wvfoia_sync_spark.functions.vectors import lit_vector
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        vals=st.lists(
+            st.floats(allow_nan=False, allow_infinity=False, width=64),
+            min_size=1,
+            max_size=64,
+        )
+    )
+    def check(vals):
+        got = spark.range(1).select(lit_vector(vals).alias("a")).first()["a"]
+        assert len(got) == len(vals)
+        for g, v in zip(got, vals):
+            assert struct.pack("<d", g) == struct.pack("<d", v), (g, v)
+
+    check()
+    # non-finite fallback path stays correct too
+    specials = [float("inf"), float("-inf"), 0.0, -0.0]
+    got = spark.range(1).select(lit_vector(specials).alias("a")).first()["a"]
+    assert got[0] == float("inf") and got[1] == float("-inf")
+    assert math.copysign(1, got[3]) == -1.0
