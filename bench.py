@@ -162,6 +162,7 @@ HEADLINE = [
     "local_supplier_volume",
     "parts_supplier_relationship",
     "variant_shred_stats",
+    "hll_union_rollup",
 ]
 
 

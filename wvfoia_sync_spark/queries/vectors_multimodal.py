@@ -788,3 +788,44 @@ def sketch_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day", "n_hour_slots", "est_distinct")
         .orderBy("day")
     )
+
+
+@register(
+    "hll_union_rollup",
+    oracle="SELECT 'hll_union_daily_within_5pct' AS property, TRUE AS ok",
+)
+def hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-sketch mergeability (the datasketches twin of the KMV
+    rollup): per-(day, hour) HLL sketches of distinct users
+    (hll_sketch_agg) union into per-day sketches (hll_union_agg) —
+    constant-size binary state per group, merge is pure sketch algebra,
+    the raw events are scanned exactly once. The estimator is
+    approximate by design, so the gate is a property row: every day's
+    unioned estimate must land within 5% of the exact distinct count
+    (HLL's error at lgK=12 is ~1.6%; a broken union would blow far past
+    the bound). Complements sketch_rollup_merge, which proves the
+    row-based KMV merge exactly."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        F.date_format("ts", "HH").alias("hour"),
+        "user_id",
+    )
+    hourly = ev.groupBy("day", "hour").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    daily = hourly.groupBy("day").agg(F.hll_union_agg("sk").alias("sk"))
+    est = daily.select("day", F.hll_sketch_estimate("sk").alias("est"))
+    exact = ev.groupBy("day").agg(F.countDistinct("user_id").alias("n"))
+    ok = (
+        est.join(exact, "day")
+        .agg(
+            F.min(
+                F.abs(F.col("est") - F.col("n")) / F.col("n") <= 0.05
+            ).alias("all_ok")
+        )
+        .select(
+            F.lit("hll_union_daily_within_5pct").alias("property"),
+            F.col("all_ok").alias("ok"),
+        )
+    )
+    return ok
