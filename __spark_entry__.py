@@ -15,68 +15,68 @@ from pyspark.sql import DataFrame, SparkSession
 from wvfoia_sync_spark import registry
 
 # The driver's correctness gate samples a fixed-size window from the
-# head of this dict (rounds 1-3 recorded the same first 50 keys), so
-# ordering IS verification coverage. Rounds 1-3 drove the original head
-# to green (CORRECTNESS_r01-r03: 46 hash + 4 rows-only of 50); this
-# round promotes the highest-value queries that have never had a driver
-# row — streaming joins/upserts, SCD2, snapshots/CDC, the TPC-H shape
-# set, stored-index ANN recall gates, semantic dedup, curation ops, and
-# the round-4 flagships (real PNG/WAV decode round trips, passage dedup,
-# DSIR importance, the incremental stored FTS index, the KMV sketch
-# rollup) — all already green against the local differential oracle
-# (tools/check_oracle.py). Everything else follows in registration
-# order, so a wider driver window only adds coverage.
+# head of this dict, so ordering IS verification coverage. Rounds 1-4
+# drove ~101 distinct names to driver-green; this round (r5) promotes
+# the next 50 queries that have NEVER had a driver CORRECTNESS row —
+# the remaining TPC-H shapes, window/analytic family, set ops, text/
+# corpus statistics, curation sampling, FTS vocabulary, sketch error
+# gates, ANN recall gates for the remaining index variants, and the
+# graph/iterative queries — all already green against the local
+# differential oracle (tools/check_oracle.py). The ~24 never-checked
+# names that don't fit in this window lead round 6. Everything else
+# follows in registration order, so a wider driver window only adds
+# coverage.
 DRIVER_WINDOW: list[str] = [
-    "stream_stream_outer_join",
-    "stream_stream_join",
-    "stream_static_join",
-    "stream_upsert",
-    "stream_dedup",
-    "sessionization_stream",
-    "stateful_counts_stream",
-    "scd2_history",
-    "scd2_asof_lookup",
-    "cdc_apply",
-    "snapshot_cdc_diff",
-    "incremental_rollup",
-    "shipping_priority",
-    "order_priority",
-    "min_cost_supplier",
-    "volume_shipping",
-    "market_share",
-    "product_profit",
-    "returned_items",
-    "promo_revenue",
-    "top_supplier",
-    "small_qty_revenue",
-    "large_volume_customers",
-    "blame_supplier",
-    "passage_dedup",
-    "disjunctive_revenue",
-    "excess_qty_suppliers",
-    "important_parts",
-    "winnow_near_dup",
-    "image_decode_meta",
-    "dup_clusters",
-    "semantic_dedup",
-    "semdedup_property_check",
-    "fts_stored_index_search",
-    "pq_recall_check",
-    "sketch_rollup_merge",
-    "ivfpq_recall_check",
-    "knn_join",
-    "cluster_best_pick",
-    "leakage_free_split",
-    "curated_corpus",
-    "audio_decode_meta",
-    "dsir_importance",
-    "pii_scrub",
-    "decontam_overlap",
-    "k_anonymity",
-    "dpp_star_join",
-    "partition_pruned_revenue",
-    "skew_salted_join",
-    "bm25_rank",
+    "phrase_search",
+    "fts_vocab",
+    "sql_interface",
+    "interval_attribution",
+    "above_avg_orders",
+    "fuzzy_name_match",
+    "customer_distribution",
+    "dq_checks",
+    "inactive_rich_customers",
+    "bloom_semi_join",
+    "price_band_pairs",
+    "revenue_trend",
+    "shipmode_priority",
+    "local_supplier_volume",
+    "parts_supplier_relationship",
+    "status_cube",
+    "price_quartiles",
+    "status_grouping_sets",
+    "set_ops_funnel",
+    "approx_distinct_users",
+    "events_rolling_hour",
+    "price_percent_rank",
+    "metrics_unpivot",
+    "props_json_stats",
+    "events_time_rollup",
+    "table_profile",
+    "skew_report",
+    "value_outliers",
+    "funnel_counts",
+    "cohort_retention",
+    "interpolate_series",
+    "weighted_sample",
+    "equidepth_hist",
+    "price_qty_corr",
+    "modal_status",
+    "status_sequence",
+    "cycle_time",
+    "forecast_revenue",
+    "multiset_except",
+    "multiset_intersect",
+    "variant_shred_stats",
+    "bpe_token_stats",
+    "tfidf_top_terms",
+    "train_test_split",
+    "gopher_repetition",
+    "token_chunks",
+    "balanced_sample",
+    "pack_bins",
+    "hll_union_rollup",
+    "hll_error_check",
 ]
 
 

@@ -5,6 +5,7 @@ rename-if-absent (losers never delete the shared final path)."""
 from __future__ import annotations
 
 import os
+import time
 
 from wvfoia_sync_spark.sources import derived
 
@@ -89,6 +90,9 @@ def test_publish_loser_keeps_winners_output(tmp_path):
 
 
 def test_publish_prunes_stale_generations(tmp_path, monkeypatch):
+    """Pruning is TTL-age-gated: a FRESH old generation survives the
+    publish (a concurrent reader may still be lazily listing its part
+    files — ADVICE r4), while one older than the TTL is removed."""
     monkeypatch.setattr(derived, "_PREFIX", str(tmp_path) + "/spark_graft_")
     old = str(tmp_path / "spark_graft_kind_src_oldfp1")
     os.makedirs(old)
@@ -100,4 +104,12 @@ def test_publish_prunes_stale_generations(tmp_path, monkeypatch):
 
     derived.publish(build, new)
     assert os.path.exists(new)
+    # fresh old generation is NOT pruned (inside the reader-safety TTL)
+    assert os.path.exists(old)
+
+    # age it past the TTL -> next publish prunes it
+    stale = time.time() - derived._PRUNE_TTL_SECONDS - 60
+    os.utime(old, (stale, stale))
+    derived._prune_stale_generations(new)
     assert not os.path.exists(old)
+    assert os.path.exists(new)

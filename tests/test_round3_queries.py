@@ -587,3 +587,42 @@ def test_passage_dedup_keeps_first_occurrence(spark):
     assert got[1] == (2, 2)
     assert got[2] == (2, 1)
     assert got[3] == (1, 0)  # doc 3's only passage == doc 2's tail passage
+
+
+def test_passage_dedup_empty_and_whitespace_docs_emit_no_passages(spark):
+    """A zero-token doc must vanish from the result, not fabricate
+    phantom passages: F.sequence(0, -1) auto-steps DOWN and emits
+    [0, -1], which used to create 2 empty-string passages per empty doc
+    while the oracle's range(0, 0) emitted none (ADVICE r4, medium)."""
+    from wvfoia_sync_spark.operators import textops
+
+    rows = [
+        (1, ""),                                    # empty text
+        (2, "   \t  "),                             # whitespace-only
+        (3, " ".join(f"w{i}" for i in range(16))),  # one real passage
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_passages"], r["n_kept"])
+        for r in textops.passage_dedup_stats(df).collect()
+    }
+    assert 1 not in got and 2 not in got
+    assert got[3] == (1, 1)
+
+
+def test_passage_dedup_ownership_survives_huge_ids(spark):
+    """Ownership is min(struct(doc_id, chunk_idx)), not an arithmetic
+    doc_id*1e6+idx packing — a doc_id near int64 max must not overflow
+    into a bogus 'first occurrence' (ADVICE r4)."""
+    from wvfoia_sync_spark.operators import textops
+
+    p = " ".join(f"w{i}" for i in range(16))
+    big = 9_223_372_036_854  # *1e6 would overflow int64
+    rows = [(big, p), (5, p)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_passages"], r["n_kept"])
+        for r in textops.passage_dedup_stats(df).collect()
+    }
+    assert got[5] == (1, 1)     # lexicographically-smaller doc owns it
+    assert got[big] == (1, 0)

@@ -369,3 +369,34 @@ def test_lit_vector_sql_literal_roundtrip_fuzz(spark):
     got = spark.range(1).select(lit_vector(specials).alias("a")).first()["a"]
     assert got[0] == float("inf") and got[1] == float("-inf")
     assert math.copysign(1, got[3]) == -1.0
+
+
+def test_embedding_near_dup_oracle_precondition_no_organic_near_threshold_pairs():
+    """embedding_near_dup's exact hash-match gate is only sound if every
+    pair at-or-above the 0.9 cosine threshold is an EXACT duplicate
+    (identical vectors share every banded-LSH signature, so recall on
+    them is structurally 1.0). An organic pair in [0.9, 1) could fail to
+    collide in any band (~25% per pair at 4 bands x 8 planes) and break
+    the gate data-dependently (ADVICE r4). Pin the fixture invariant:
+    the max ORGANIC pairwise cosine sits far below the threshold, with
+    margin, at every SF the gates run on."""
+    import numpy as np
+    import duckdb
+
+    for sf_dir in ("/root/testdata/sf0.001", SF_DIR, "/root/testdata/sf0.1"):
+        rows = duckdb.sql(
+            f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' ORDER BY vec_id"
+        ).fetchnumpy()["embedding"]
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in rows])
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        gram = m @ m.T
+        np.fill_diagonal(gram, -1.0)
+        max_organic = float(gram.max())
+        # 0.8 leaves >0.1 margin below the 0.9 gate threshold; fixture
+        # regeneration that violates this must fail loudly HERE, not as
+        # a flaky driver hash mismatch
+        assert max_organic < 0.8, (
+            f"{sf_dir}: organic cosine {max_organic:.4f} approaches the 0.9 "
+            "near-dup threshold — re-gate embedding_near_dup as a recall/"
+            "property check before regenerating fixtures"
+        )

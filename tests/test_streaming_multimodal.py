@@ -70,6 +70,34 @@ def test_decode_image_seam_for_unsupported_formats():
         multimodal.decode_image(b"\xff\xd8\xff\xe0jpeg")
 
 
+def test_decode_image_with_pil_installed_raises_valueerror_on_junk(monkeypatch):
+    """With PIL installed, a non-image payload raises
+    PIL.UnidentifiedImageError (an OSError) from Image.open — decode_image
+    must translate it to ValueError so decoded_meta's per-row
+    skip-and-log catch yields a NULL row instead of one bad payload
+    failing the whole Arrow batch (ADVICE r4). PIL isn't in this
+    container, so fake it."""
+    import sys
+    import types
+
+    class _FakeUnidentified(OSError):
+        pass
+
+    fake_image_mod = types.SimpleNamespace(
+        open=lambda *_a, **_k: (_ for _ in ()).throw(
+            _FakeUnidentified("cannot identify image file")
+        )
+    )
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = fake_image_mod
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(
+        sys.modules, "PIL.Image", types.ModuleType("PIL.Image")
+    )
+    with pytest.raises(ValueError):
+        multimodal.decode_image(b"\xff\xd8\xff\xe0 not an image")
+
+
 def test_stateful_user_counts_match_batch(spark):
     from wvfoia_sync_spark.sources.tables import load_table
 

@@ -65,20 +65,26 @@ def decode_image(payload: bytes):
     gray/RGB/RGBA). Non-PNG payloads without PIL stay an explicit
     NotImplementedError: the seam where a production codec plugs in."""
     try:  # optional production codec
+        from PIL import Image  # type: ignore[import-not-found]
+    except ImportError:
+        Image = None
+    if Image is not None:
         import io
 
-        from PIL import Image  # type: ignore[import-not-found]
-
-        img = Image.open(io.BytesIO(payload))
-        img.load()
+        try:
+            img = Image.open(io.BytesIO(payload))
+            img.load()
+        except Exception as exc:  # UnidentifiedImageError is an OSError —
+            # translate so decoded_meta's per-row skip-and-log catch
+            # (NotImplementedError, ValueError) yields a NULL row instead
+            # of one bad payload failing the whole Arrow batch (ADVICE r4)
+            raise ValueError(f"undecodable image payload: {exc}") from exc
         channels = len(img.getbands())
         from ..functions.png import DecodedImage
 
         return DecodedImage(
             img.width, img.height, channels, img.tobytes()
         )
-    except ImportError:
-        pass
     from ..functions.png import PNG_SIGNATURE, decode_png
 
     if payload[: len(PNG_SIGNATURE)] == PNG_SIGNATURE:

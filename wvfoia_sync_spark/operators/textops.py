@@ -92,31 +92,39 @@ def passage_dedup_stats(
     flows back through an equi-join on the passage key. Shuffle volume =
     passage strings; at 100 TB substitute xxhash64(passage) as the join
     key to shuffle 8 bytes instead of text (kept textual here so the
-    DuckDB oracle mirrors byte-for-byte)."""
+    DuckDB oracle mirrors byte-for-byte).
+
+    Edge cases pinned by tests: a zero-token doc yields NO passages
+    (``F.sequence(0, -1)`` would auto-step down and fabricate two
+    phantom chunks, so the chunk list is NULL-guarded and the doc drops
+    out of the result, matching the oracle's empty ``range(0, 0)``);
+    ownership is the lexicographic ``min(struct(doc_id, chunk_idx))``,
+    not an arithmetic ``doc_id*1e6+idx`` packing, so docs with >=1M
+    passages or 2^63-scale ids cannot collide/misorder the winner."""
     from ..functions.text import tokens
 
     toks = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("t"))
     n_chunks = F.ceil(F.size("t") / F.lit(passage_tokens)).cast("int")
+    # posexplode drops NULL arrays, so empty docs emit zero passages
+    chunk_list = F.when(
+        n_chunks > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(
+                F.slice(
+                    F.col("t"),
+                    i * passage_tokens + 1,
+                    passage_tokens,
+                ),
+                " ",
+            ),
+        ),
+    )
     passages = toks.select(
         "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), n_chunks - 1),
-                lambda i: F.array_join(
-                    F.slice(
-                        F.col("t"),
-                        i * passage_tokens + 1,
-                        passage_tokens,
-                    ),
-                    " ",
-                ),
-            )
-        ).alias("chunk_idx", "passage"),
+        F.posexplode(chunk_list).alias("chunk_idx", "passage"),
     )
-    keyed = passages.withColumn(
-        "okey",
-        F.col("doc_id") * F.lit(1_000_000) + F.col("chunk_idx"),
-    )
+    keyed = passages.withColumn("okey", F.struct("doc_id", "chunk_idx"))
     owners = keyed.groupBy("passage").agg(F.min("okey").alias("owner_key"))
     return (
         keyed.join(owners, "passage")

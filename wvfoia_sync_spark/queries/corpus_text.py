@@ -999,7 +999,7 @@ def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, u.i AS chunk_idx,
              array_to_string(list_slice(t, u.i * 16 + 1, u.i * 16 + 16), ' ')
                AS passage,
-             doc_id * 1000000 + u.i AS okey
+             {{'d': doc_id, 'i': u.i}} AS okey
       FROM toks, UNNEST(range(0, CAST(ceil(len(t) / 16.0) AS INT))) AS u(i)
     ), owners AS (
       SELECT passage, MIN(okey) AS owner_key FROM chunks GROUP BY passage

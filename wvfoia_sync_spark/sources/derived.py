@@ -79,9 +79,14 @@ def publish(build: Callable[[str], None], final: str) -> str:
     race discards its own temp dir — the shared final path is never
     rmtree'd, so no process can yank a directory a reader just resolved.
     Older fingerprint generations of the same artifact are pruned
-    best-effort AFTER publication (unlinking a dir readers may still
-    hold open is fine on POSIX; resolving a *path* that was replaced is
-    the race we refuse to have)."""
+    best-effort AFTER publication, and only once they are older than
+    ``_PRUNE_TTL_SECONDS``: Spark and DuckDB list parquet part files
+    lazily per action, so rmtree'ing a directory a concurrently-running
+    query resolved moments ago yields FileNotFound mid-scan — the
+    POSIX open-file-unlink guarantee covers open FDs, not directory
+    listings (ADVICE r4). The TTL bounds that window; a generation old
+    enough to exceed it has no in-flight readers from before its
+    replacement was published."""
     if os.path.exists(os.path.join(final, "_SUCCESS")):
         return final
     tmp = f"{final}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
@@ -98,9 +103,17 @@ def publish(build: Callable[[str], None], final: str) -> str:
     return final
 
 
-def _prune_stale_generations(final: str) -> None:
+_PRUNE_TTL_SECONDS = 30 * 60.0
+
+
+def _prune_stale_generations(final: str, ttl: float = _PRUNE_TTL_SECONDS) -> None:
     """Drop older fingerprint generations: sibling dirs sharing the
-    name up to the trailing _<fingerprint> segment. Best-effort only."""
+    name up to the trailing _<fingerprint> segment. Best-effort only,
+    and age-gated — a generation is only removed once its mtime is at
+    least ``ttl`` seconds old, so queries that are still lazily listing
+    its part files finish before the directory disappears."""
+    import time
+
     base = os.path.basename(final)
     stem = base.rsplit("_", 1)[0]
     parent = os.path.dirname(final) or "/"
@@ -108,10 +121,17 @@ def _prune_stale_generations(final: str) -> None:
         siblings = os.listdir(parent)
     except OSError:
         return
+    now = time.time()
     for name in siblings:
         if name == base or ".build-" in name:
             continue
         if name.rsplit("_", 1)[0] == stem and name.startswith(
             os.path.basename(_PREFIX)
         ):
-            shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
+            full = os.path.join(parent, name)
+            try:
+                if now - os.stat(full).st_mtime < ttl:
+                    continue  # possible in-flight readers — next publish prunes
+            except OSError:
+                continue
+            shutil.rmtree(full, ignore_errors=True)
