@@ -315,6 +315,20 @@ def test_scd2_single_partitioning_reused_across_passes(spark):
     assert p.count("Exchange") <= 2, "SCD2 build re-shuffles between window passes"
 
 
+def test_scd2_asof_lookup_plan_has_no_global_sort_or_string_dates(spark):
+    """r5 perf fix (VERDICT r4 #2): the as-of lookup must not carry a
+    presentation-only total sort (rangepartitioning exchange over the
+    full fact output) and the span-range residual must compare DATEs —
+    a date_format inside the join condition re-stringifies per compared
+    pair."""
+    p = plan(registry.QUERIES["scd2_asof_lookup"](spark, SF_DIR))
+    assert "rangepartitioning" not in p, "global orderBy crept back in"
+    joins = "\n".join(
+        ln for ln in p.splitlines() if "Join condition" in ln or "condition:" in ln
+    )
+    assert "date_format" not in joins, "string dates back in the join residual"
+
+
 def test_unigram_surprisal_broadcasts_lm(spark):
     """The trained unigram LM (vocab-sized) must come back as a broadcast
     join against the token stream, not a corpus shuffle."""
