@@ -1,0 +1,172 @@
+"""Measure the banded-LSH vs exact-all-pairs crossover for
+embedding_near_dup (VERDICT r4, Next round #3).
+
+The bench's one documented >2x entry is embedding_near_dup: its DuckDB
+oracle twin is the O(n^2) all-pairs cosine join, which vectorized C++
+wins easily at the 4k-vector bench corpus. The justification for the
+banded-LSH plan is that the quadratic twin stops being viable as n
+grows — this probe turns that argument into a measurement.
+
+Corpus construction mirrors the registered query's structure at growing
+scale while keeping the duplicate RATE constant (replicating vectors
+verbatim would make every vector an R-way dup and measure the data
+trick, not the plans):
+
+  - base: the sf0.1 embeddings table (2000 x 64 float).
+  - replica r: every base vector cyclically rolled by 7*r dims. Random
+    i.i.d. vectors stay random under a coordinate permutation, so
+    cross-replica cosines are ~N(0, 1/64) — max organic cosine over
+    even 48k vectors sits ~7 sigma below the 0.9 threshold.
+  - within each replica, the same exact-copy planting as the query
+    (vec_id + OFFSET), so ground truth = 2000*R pairs, recall on them
+    structurally 1.0 (identical vectors share every band signature).
+
+Three timed paths per scale, same parquet input:
+  - spark_lsh:   operators.similarity.cosine_near_dup_pairs (4 bands x
+                 8 hyperplanes, the registered query's config)
+  - spark_exact: crossJoin id< + codegen cosine (the exact plan Spark
+                 would need without LSH)
+  - duckdb_exact: the oracle's list_cosine_similarity all-pairs join
+                 (threads=32)
+
+A quadratic path is skipped (and marked) once its previous run exceeds
+BUDGET_SECONDS — that skip IS the finding at corpus scale.
+
+Usage: python tools/lsh_crossover_probe.py [out_jsonl]
+Appends one JSON line per (scale, path) and prints a markdown table for
+SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import duckdb  # noqa: E402
+import pyspark.sql.functions as F  # noqa: E402
+
+from wvfoia_sync_spark.functions.vectors import cosine  # noqa: E402
+from wvfoia_sync_spark.operators import similarity  # noqa: E402
+from wvfoia_sync_spark.session import get_spark  # noqa: E402
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPLICAS = [1, 3, 6, 12]  # n = 4k, 12k, 24k, 48k vectors
+OFFSET = 100_000
+REPLICA_STRIDE = 1_000_000
+BUDGET_SECONDS = 120.0
+THRESHOLD = 0.9
+
+
+def build_corpus(r_total: int, out: str) -> int:
+    base = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{BASE}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchnumpy()
+    ids = base["vec_id"]
+    mat = np.stack([np.asarray(v, dtype=np.float32) for v in base["embedding"]])
+    all_ids, all_vecs = [], []
+    for r in range(r_total):
+        rolled = np.roll(mat, 7 * r, axis=1)
+        for off in (0, OFFSET):  # original + planted exact copy
+            all_ids.append(ids + r * REPLICA_STRIDE + off)
+            all_vecs.append(rolled)
+    ids_out = np.concatenate(all_ids)
+    vecs_out = np.concatenate(all_vecs)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids_out, type=pa.int64()),
+            "embedding": pa.array(list(vecs_out), type=pa.list_(pa.float32())),
+        }
+    )
+    pq.write_table(tbl, out, row_group_size=50_000)
+    return len(ids_out)
+
+
+def main() -> None:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALE_probe_lsh_crossover.jsonl"
+    spark = get_spark(cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    spark.sparkContext.setLogLevel("ERROR")
+    rows_out = []
+    skip_spark_exact = skip_duck = False
+    tmpdir = "/tmp/lsh_crossover"
+    os.makedirs(tmpdir, exist_ok=True)
+    for r_total in REPLICAS:
+        pq_path = f"{tmpdir}/corpus_{r_total}.parquet"
+        n = build_corpus(r_total, pq_path)
+        expected_pairs = 2000 * r_total
+        df = spark.read.parquet(pq_path)
+        rec = {"n_vectors": n, "expected_pairs": expected_pairs}
+
+        t0 = time.time()
+        lsh_pairs = similarity.cosine_near_dup_pairs(df, threshold=THRESHOLD).count()
+        rec["spark_lsh_sec"] = round(time.time() - t0, 3)
+        rec["spark_lsh_pairs"] = lsh_pairs
+        assert lsh_pairs == expected_pairs, (
+            f"LSH recall broke at n={n}: {lsh_pairs} != {expected_pairs}"
+        )
+
+        if not skip_spark_exact:
+            a = df.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+            b = df.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+            exact = (
+                a.crossJoin(b)
+                .where(F.col("id_a") < F.col("id_b"))
+                .where(cosine(F.col("va"), F.col("vb")) >= THRESHOLD)
+            )
+            t0 = time.time()
+            rec["spark_exact_pairs"] = exact.count()
+            rec["spark_exact_sec"] = round(time.time() - t0, 3)
+            assert rec["spark_exact_pairs"] == expected_pairs
+            skip_spark_exact = rec["spark_exact_sec"] > BUDGET_SECONDS
+        else:
+            rec["spark_exact_sec"] = None
+
+        if not skip_duck:
+            con = duckdb.connect()
+            con.execute("SET threads=32")
+            t0 = time.time()
+            duck_pairs = con.sql(
+                f"""
+                WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+                           FROM '{pq_path}')
+                SELECT COUNT(*) FROM c a JOIN c b ON a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(a.v, b.v) >= {THRESHOLD}
+                """
+            ).fetchone()[0]
+            rec["duckdb_exact_sec"] = round(time.time() - t0, 3)
+            rec["duckdb_exact_pairs"] = duck_pairs
+            con.close()
+            assert duck_pairs == expected_pairs
+            skip_duck = rec["duckdb_exact_sec"] > BUDGET_SECONDS
+        else:
+            rec["duckdb_exact_sec"] = None
+
+        rows_out.append(rec)
+        print(json.dumps(rec), flush=True)
+    with open(out_path, "a") as f:
+        for rec in rows_out:
+            f.write(json.dumps(rec) + "\n")
+
+    print("\n| n vectors | spark LSH (s) | spark exact (s) | duckdb exact (s) |")
+    print("|---|---|---|---|")
+    for rec in rows_out:
+        se = rec["spark_exact_sec"]
+        de = rec["duckdb_exact_sec"]
+        print(
+            f"| {rec['n_vectors']:,} | {rec['spark_lsh_sec']} | "
+            f"{se if se is not None else 'skipped (>budget)'} | "
+            f"{de if de is not None else 'skipped (>budget)'} |"
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

