@@ -1,0 +1,201 @@
+"""End-to-end sync over REAL HTTP (VERDICT r4, Next round #6).
+
+Previous coverage exercised ``run_sync`` only through mock fetchers and
+the streaming source's HTTP backend only via the batch reader's server
+test. Here one localhost HTTP server (reference-shaped entry HTML,
+including a 404 gap, a redirect miss, a transient 503 and a
+boundary-spanning >=drift miss run) backs BOTH production paths:
+
+- ``http_fetcher`` -> ``MedallionPipeline.sync`` — the full
+  fetch -> parse -> frontier cut -> upsert -> silver/gold rebuild cycle
+  with the fetch running inside mapInPandas tasks over a real socket
+  (reference runSync, src/lib/sync.ts:177-212).
+- the ``wvfoia`` streaming source with ``base_url`` — frontier offsets
+  over HTTP, with the miss run split across two slice windows so the
+  trailing-miss cap + next-trigger reassembly is exercised against a
+  live server, not a parquet fixture.
+"""
+
+from __future__ import annotations
+
+import http.server
+import os
+import threading
+
+import pyspark.sql.functions as F
+import pytest
+
+from wvfoia_sync_spark.foia import fixtures, sync
+from wvfoia_sync_spark.plans.medallion import MedallionPipeline
+from wvfoia_sync_spark.sources import foia_source
+
+TODAY = "2026-08-14"
+
+
+def _entry_html(agency: str, subject: str, request_date: str = "1/5/2026") -> str:
+    return fixtures._HTML_TEMPLATE.format(
+        agency=agency,
+        request_date=request_date,
+        completion_date="",
+        subject=subject,
+        amended="",
+    )
+
+
+class _Upstream:
+    """Localhost server scripted per entry id. ``pages[id]`` is either
+    (status, html) or a list of them popped per request (flaky ids)."""
+
+    def __init__(self, pages: dict):
+        self.pages = dict(pages)
+        self.hits: dict[int, int] = {}
+        outer = self
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_GET(self):
+                entry_id = int(self.path.strip("/"))
+                outer.hits[entry_id] = outer.hits.get(entry_id, 0) + 1
+                scripted = outer.pages.get(entry_id, (404, None))
+                if isinstance(scripted, list):
+                    status, html = (
+                        scripted.pop(0) if len(scripted) > 1 else scripted[0]
+                    )
+                else:
+                    status, html = scripted
+                if status == 200 and html is not None:
+                    body = html.encode()
+                    self.send_response(200)
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                elif status in (301, 302):
+                    self.send_response(status)
+                    self.send_header("Location", "/moved-away")
+                    self.send_header("Content-Length", "0")
+                    self.end_headers()
+                else:
+                    self.send_response(status)
+                    self.send_header("Content-Length", "0")
+                    self.end_headers()
+
+            def log_message(self, *a):
+                pass
+
+        self.server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self.url = f"http://127.0.0.1:{self.server.server_address[1]}"
+        threading.Thread(target=self.server.serve_forever, daemon=True).start()
+
+    def stop(self):
+        self.server.shutdown()
+
+
+def test_run_sync_to_gold_over_real_http(spark, fixture_dir, tmp_path):
+    """fetch (mapInPandas over a live socket) -> parse -> retry of a 503
+    blip -> frontier cut at a real 3-miss run -> bronze upsert -> silver
+    corrections -> gold rebuild, asserted end to end."""
+    root = str(tmp_path / "lake")
+    pipe = MedallionPipeline(spark, root, today=TODAY)
+    entries = spark.read.parquet(f"{fixture_dir}/entries.parquet")
+    pipe.init_bronze(entries)
+    pipe.set_dimensions(
+        aliases=spark.read.parquet(f"{fixture_dir}/agency_aliases.parquet"),
+    )
+    n0 = entries.count()
+    start = entries.agg(F.max("id")).first()[0] + 1
+
+    pages = {
+        start + 0: (200, _entry_html("DEP", "http wave 0")),
+        start + 1: (200, _entry_html("WVSOS", "http wave 1")),
+        # transient 503 on the first TWO hits, then 200 — in-task retry
+        # (RetryPolicy.max_attempts=3) must recover it without aborting
+        start + 2: [
+            (503, None),
+            (503, None),
+            (200, _entry_html("DEP", "flaky recovered")),
+        ],
+        start + 3: (404, None),  # 1-id gap: crossed, not a stop
+        start + 4: (200, _entry_html("Division of Highways", "post gap")),
+        start + 5: (302, None),  # redirect == miss sentinel, NOT followed
+        start + 6: (404, None),
+        start + 7: (404, None),  # 3 consecutive misses -> frontier stop
+        start + 8: (200, _entry_html("BEYOND", "must never be ingested")),
+    }
+    up = _Upstream(pages)
+    try:
+        result = pipe.sync(sync.http_fetcher(up.url, timeout=5.0), window=16)
+    finally:
+        up.stop()
+
+    assert result.fetch_errors == 0  # the 503 blip was retried in-task
+    assert result.last_checked_id == start + 7  # stopped inside the miss run
+    bronze = pipe.bronze()
+    assert bronze.count() == n0 + 4
+    got = {
+        r["id"]: r["subject"]
+        for r in bronze.where(F.col("id") >= start).collect()
+    }
+    assert got == {
+        start + 0: "http wave 0",
+        start + 1: "http wave 1",
+        start + 2: "flaky recovered",
+        start + 4: "post gap",
+    }
+    assert up.hits[start + 2] == 3  # two 503s + the recovering 200
+    assert up.hits.get(start + 8, 0) >= 1  # probed in the parallel window...
+    # ...but discarded by the frontier cut, like the sequential reference
+
+    # downstream rebuild really ran over the merged bronze
+    sdf = pipe.silver()
+    assert sdf.count() == n0 + 4
+    assert (
+        sdf.where(F.col("id") == start).first()["agency_canonical"]
+        == "Department of Environmental Protection"
+    )
+    assert pipe.gold("home_stats").first()["total_requests"] == n0 + 4
+    assert pipe.gold("agency_stats").agg(F.sum("requests")).first()[0] == n0 + 4
+    meta = pipe.meta()
+    assert meta["last_updated_at"] == TODAY
+    assert meta["last_sync"]["added"] == 4
+
+
+def test_stream_source_http_backend_gap_spans_windows(spark, tmp_path):
+    """The wvfoia streaming source against a live server: slice=5 with
+    the >=3-miss run SPLIT across the first and second windows
+    ([start..start+4] ends in 2 trailing misses; the run's third miss
+    opens the next window). Trigger 1 must cap the offset BEFORE the
+    trailing misses; trigger 2 re-probes and stops at the reassembled
+    gap without ingesting the found page beyond it."""
+    start = 500
+    pages = {
+        start + 0: (200, _entry_html("DEP", "s0")),
+        start + 1: (200, _entry_html("WVSOS", "s1")),
+        start + 2: (200, _entry_html("DEP", "s2")),
+        # start+3, start+4: misses (trailing run, window 1)
+        # start+5: miss (window 2) -> 3-run complete at the boundary
+        start + 6: (200, _entry_html("BEYOND", "past the gap")),
+    }
+    up = _Upstream(pages)
+    sink = os.path.join(tmp_path, "sink")
+    ckpt = os.path.join(tmp_path, "ckpt")
+    foia_source.register(spark)
+    try:
+        for _ in range(2):  # two availableNow runs, same checkpoint
+            (
+                spark.readStream.format("wvfoia")
+                .option("start", start)
+                .option("slice", 5)
+                .option("base_url", up.url)
+                .load()
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination(120)
+            )
+    finally:
+        up.stop()
+    got = sorted(r["id"] for r in spark.read.parquet(sink).collect())
+    assert got == [start, start + 1, start + 2]
+    # the gap head was re-probed by trigger 2 (offset capped before it)
+    assert up.hits[start + 3] >= 2

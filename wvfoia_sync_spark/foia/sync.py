@@ -103,6 +103,50 @@ timeouts surface as status=-1 (transient, retried by ``with_retries``)."""
 MISS_STATUSES = frozenset({301, 302, 404})
 
 
+def http_fetcher(base_url: str, timeout: float = 10.0) -> Fetcher:
+    """Production Fetcher: GET ``{base_url}/{id}`` per probed id
+    (reference fetchRemoteEntry, sync.ts:132-154). Redirects are NOT
+    followed — the reference treats 301/302 as the entry-absent sentinel,
+    so the status must surface as-is, not as the redirect target's 200.
+    HTTP errors map to their status (404 -> miss, 5xx -> transient,
+    retried by ``with_retries``); network-level failures map to -1
+    (transient). Runs inside mapInPandas tasks, one urllib call per id —
+    each executor wave probes its batch concurrently with every other
+    task's, which is the whole-cluster parallelism the reference's
+    sequential loop lacks."""
+    import urllib.error
+    import urllib.request
+
+    class _NoRedirect(urllib.request.HTTPRedirectHandler):
+        def redirect_request(self, req, fp, code, msg, headers, newurl):
+            return None  # surfaces the 3xx as HTTPError(code)
+
+    root = base_url.rstrip("/")
+
+    def fetch(ids: pd.Series) -> pd.DataFrame:
+        opener = urllib.request.build_opener(_NoRedirect)
+        rows = []
+        for entry_id in ids.astype("int64"):
+            try:
+                with opener.open(f"{root}/{entry_id}", timeout=timeout) as resp:
+                    rows.append(
+                        {
+                            "id": int(entry_id),
+                            "status": int(resp.status),
+                            "html": resp.read().decode("utf-8", "replace"),
+                        }
+                    )
+            except urllib.error.HTTPError as exc:
+                rows.append(
+                    {"id": int(entry_id), "status": int(exc.code), "html": None}
+                )
+            except (urllib.error.URLError, OSError):
+                rows.append({"id": int(entry_id), "status": -1, "html": None})
+        return pd.DataFrame(rows)
+
+    return fetch
+
+
 def mock_fetcher(source: pd.DataFrame) -> Fetcher:
     def fetch(ids: pd.Series) -> pd.DataFrame:
         out = pd.DataFrame({"id": ids.astype("int64")})
