@@ -1,0 +1,119 @@
+"""Bench the medallion write path itself (VERDICT r4, Next round #7):
+one sync-with-N-new-rows cycle — probe window fetch, frontier cut,
+bronze MERGE, silver corrections rebuild, all five gold rebuilds — at an
+sf0.1-comparable bronze size, plus the incremental-gold alternative.
+
+The reference's actual write path is the daily cron sync (ST3,
+src/lib/sync.ts:177-212): ~a handful of new entries per run against the
+full accumulated table, then flush-all-caches == full gold recompute.
+This repo's MedallionPipeline mirrors that exactly (rebuild-on-sync),
+and plans/incremental.py holds the delta-merge alternative whose
+equivalence is proven in tests/test_incremental.py. This probe puts
+numbers on the trade at a bronze big enough to care:
+
+- full_sync_sec:      MedallionPipeline.sync() wall — what the pipeline
+                      does today (correct under corrections/updates).
+- incr_gold_sec:      delta-only agency_stats + resolution_counts merge
+                      (valid for append-only deltas), showing what the
+                      sync hot path costs once gold is maintained
+                      incrementally at corpus scale.
+
+Usage: python tools/medallion_bench.py [n_bronze] [out_jsonl]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from wvfoia_sync_spark.foia import agencies, fixtures, queries, silver, sync  # noqa: E402
+from wvfoia_sync_spark.plans import incremental  # noqa: E402
+from wvfoia_sync_spark.plans.medallion import MedallionPipeline  # noqa: E402
+from wvfoia_sync_spark.session import get_spark  # noqa: E402
+
+TODAY = "2026-08-14"
+
+
+def main() -> None:
+    n_bronze = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "SCALE_probe_r5_medallion.jsonl"
+    spark = get_spark("medallion-bench", cpus=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    root = f"/tmp/medallion_bench_{n_bronze}"
+    shutil.rmtree(root, ignore_errors=True)
+
+    entries = spark.createDataFrame(fixtures.make_entries(n_bronze))
+    pipe = MedallionPipeline(spark, root, today=TODAY)
+    pipe.init_bronze(entries)
+    pipe.set_dimensions(
+        aliases=spark.createDataFrame(fixtures.make_agency_aliases()),
+        renames=spark.createDataFrame(fixtures.make_org_renames()),
+    )
+    watermark = int(entries.agg(F.max("id")).first()[0])
+    source = fixtures.make_sync_source(watermark + 1)
+
+    # previous-day state: silver + gold already built for the old bronze
+    # (what exists on disk when the daily cron fires)
+    pipe.rebuild(
+        aliases=pipe._opt("agency_aliases"), renames=pipe._opt("org_renames")
+    )
+    prev = root + "_prev_gold"
+    shutil.copytree(pipe._p("gold"), prev)
+
+    # ---- the write path as shipped: sync + full silver/gold rebuild ----
+    t0 = time.time()
+    result = pipe.sync(sync.mock_fetcher(source), window=64)
+    full_sync_sec = round(time.time() - t0, 3)
+    assert result.added == 5, result
+
+    # ---- the incremental-gold alternative for the same append delta ----
+    # merge yesterday's PERSISTED gold with stats over ONLY the delta
+    # rows — the sync hot path never rescans the corpus.
+    t0 = time.time()
+    delta_bronze = pipe.bronze().where(F.col("id") > watermark)
+    delta_silver = silver.to_silver(
+        delta_bronze,
+        None,
+        pipe._opt("agency_aliases"),
+        pipe._opt("org_renames"),
+    )
+    merged_stats = incremental.merge_agency_stats(
+        spark.read.parquet(f"{prev}/agency_stats"),
+        agencies.agency_stats(delta_silver, TODAY),
+    )
+    merged_counts = incremental.merge_resolution_counts(
+        spark.read.parquet(f"{prev}/resolution_counts"),
+        queries.resolution_counts(delta_silver),
+    )
+    n1 = merged_stats.count() + merged_counts.count()
+    incr_gold_sec = round(time.time() - t0, 3)
+
+    # equivalence spot check against the just-rebuilt gold
+    full_total = pipe.gold("agency_stats").agg(F.sum("requests")).first()[0]
+    incr_total = merged_stats.agg(F.sum("requests")).first()[0]
+    assert full_total == incr_total == n_bronze + 5, (full_total, incr_total)
+
+    rec = {
+        "n_bronze": n_bronze,
+        "n_delta": result.added,
+        "full_sync_sec": full_sync_sec,
+        "incr_gold_sec": incr_gold_sec,
+        "gold_rows": n1,
+    }
+    print(json.dumps(rec), flush=True)
+    with open(out_path, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    spark.stop()
+    os._exit(0)
+
+
+if __name__ == "__main__":
+    main()

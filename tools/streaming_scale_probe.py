@@ -1,0 +1,245 @@
+"""100x scale probe for the stateful STREAMING operators (VERDICT r4,
+Next round #5): stream_dedup, stateful per-user counts, the
+watermark-bounded stream-stream join, and the foreachBatch upsert sink.
+
+State-store growth is exactly where a 100x scale-up bites a streaming
+engine, and the per-round bench can't see it (one micro-batch over one
+small file never evicts anything). This probe measures BOTH wall-clock
+AND state-store rows via StreamingQueryProgress.stateOperators.
+
+Replication models how an event stream actually grows — replica k:
+  - event_id  += k * id_span      (new events)
+  - user_id   += k * user_span    (population grows with traffic)
+  - ts        += k * time_span    (history EXTENDS; the stream is 100x
+                                   LONGER, not 100x denser at one instant)
+so per-user cardinalities and per-watermark-window occupancy stay
+constant — which is the operators' design claim: state is O(window) or
+O(users), never O(stream). The 1x input is written time-range-ordered in
+4 files, the 100x in 400, and maxFilesPerTrigger=4 splits availableNow
+into time-ordered micro-batches so the watermark actually advances and
+evicts — the eviction machinery is the thing under test.
+
+Pass/fail shape per op:
+  - streaming_dedup / stream-stream join: max state rows ~flat 1x->100x
+    (watermark eviction holds), wall-clock sublinear in 100x.
+  - stateful counts: state rows ~100x (state is O(users), users grew
+    100x) — linear in the KEY space, not the event count.
+  - upsert sink: converged table == batch latest-per-user (correctness
+    at scale), wall dominated by the per-batch merge writes.
+
+Usage: python tools/streaming_scale_probe.py [N] [out_jsonl]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from wvfoia_sync_spark.session import get_spark  # noqa: E402
+from wvfoia_sync_spark.streaming import jobs  # noqa: E402
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+MAX_FILES_PER_TRIGGER = 4
+
+
+class _ProgressTap:
+    """StreamingQueryListener capture: total input rows and the max
+    state-store row count any progress report saw."""
+
+    def __init__(self, spark):
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        tap = self
+
+        class L(StreamingQueryListener):
+            def onQueryStarted(self, event):
+                pass
+
+            def onQueryProgress(self, event):
+                p = event.progress
+                tap.batches += 1
+                tap.input_rows += p.numInputRows
+                for so in p.stateOperators:
+                    tap.max_state_rows = max(tap.max_state_rows, so.numRowsTotal)
+
+            def onQueryIdle(self, event):
+                pass
+
+            def onQueryTerminated(self, event):
+                pass
+
+        self.listener = L()
+        self.spark = spark
+        self.reset()
+
+    def reset(self):
+        self.batches = 0
+        self.input_rows = 0
+        self.max_state_rows = 0
+
+    def __enter__(self):
+        self.reset()
+        self.spark.streams.addListener(self.listener)
+        return self
+
+    def __exit__(self, *exc):
+        # listener delivery is async: wait for the event stream to go
+        # quiet before detaching, else a run's last batches are dropped
+        # or bleed into the NEXT run's tap
+        quiet_since, last = time.time(), (self.batches, self.input_rows)
+        while time.time() - quiet_since < 1.5:
+            time.sleep(0.25)
+            now = (self.batches, self.input_rows)
+            if now != last:
+                last, quiet_since = now, time.time()
+        self.spark.streams.removeListener(self.listener)
+
+
+def build_inputs(spark, n: int, root: str) -> tuple[str, str]:
+    one, many = f"{root}/events_1x", f"{root}/events_{n}x"
+    # raw parquet reads the nanos column as TIMESTAMP_NTZ; relabel to the
+    # session-tz TIMESTAMP (UTC) the streaming reader's plain branch takes
+    ev = spark.read.parquet(f"{BASE}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    spans = ev.agg(
+        (F.max("event_id") + 1).alias("ids"),
+        (F.max("user_id") + 1).alias("users"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")) + 1_000_000).alias(
+            "us"
+        ),
+    ).first()
+    if not os.path.exists(f"{one}/_SUCCESS"):
+        ev.repartitionByRange(MAX_FILES_PER_TRIGGER, "ts").write.mode(
+            "overwrite"
+        ).parquet(one)
+    if not os.path.exists(f"{many}/_SUCCESS"):
+        reps = None
+        for r in range(n):
+            part = ev.select(
+                (F.col("event_id") + r * spans["ids"]).alias("event_id"),
+                F.timestamp_micros(
+                    F.unix_micros("ts") + F.lit(r * spans["us"])
+                ).alias("ts"),
+                (F.col("user_id") + r * spans["users"]).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+            reps = part if reps is None else reps.unionByName(part)
+        reps.repartitionByRange(n * MAX_FILES_PER_TRIGGER, "ts").write.mode(
+            "overwrite"
+        ).parquet(many)
+    return one, many
+
+
+def _stream(spark, path: str):
+    return jobs.read_events_stream(
+        spark, path, max_files_per_trigger=MAX_FILES_PER_TRIGGER
+    )
+
+
+def _drain_noop(df, name: str, mode: str, state_partitions: int = 8):
+    spark = df.sparkSession
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            df.writeStream.format("noop")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def probe_op(spark, op: str, path: str, scratch: str) -> float:
+    src = _stream(spark, path)
+    t0 = time.time()
+    if op == "stream_dedup":
+        _drain_noop(jobs.streaming_dedup(src), f"probe_{op}", "append")
+    elif op == "stateful_counts":
+        _drain_noop(jobs.stateful_user_counts(src), f"probe_{op}", "update")
+    elif op == "stream_stream_join":
+        clicks = _stream(spark, path)
+        views = _stream(spark, path)
+        _drain_noop(
+            jobs.click_view_attribution(clicks, views, lookback="2 hours"),
+            f"probe_{op}",
+            "append",
+            state_partitions=4,
+        )
+    elif op == "stream_upsert":
+        base = f"{scratch}/upsert_{os.path.basename(path)}"
+        shutil.rmtree(base, ignore_errors=True)
+        jobs.stream_upsert_sink(
+            src.select("user_id", "event_id", "event_type"),
+            table_path=f"{base}/table",
+            checkpoint_path=f"{base}/ckpt",
+            key="user_id",
+            order_col="event_id",
+            query_name=f"probe_upsert_{os.path.basename(path)}",
+        )
+        n_users = spark.read.parquet(f"{base}/table").count()
+        expected = (
+            spark.read.parquet(path).select("user_id").distinct().count()
+        )
+        assert n_users == expected, f"upsert diverged: {n_users} != {expected}"
+    else:
+        raise ValueError(op)
+    return round(time.time() - t0, 3)
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "SCALE_probe_r5_streaming.jsonl"
+    scratch = f"/tmp/stream_scale_{n}x"
+    spark = get_spark("streaming-scale-probe", cpus=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    one, many = build_inputs(spark, n, scratch)
+    tap = _ProgressTap(spark)
+    results = []
+    for op in ("stream_dedup", "stateful_counts", "stream_stream_join", "stream_upsert"):
+        with tap:
+            wall = probe_op(spark, op, one, scratch)
+        small = {"wall_sec": wall, "batches": tap.batches,
+                 "input_rows": tap.input_rows,
+                 "max_state_rows": tap.max_state_rows}
+        with tap:
+            wall = probe_op(spark, op, many, scratch)
+        big = {"wall_sec": wall, "batches": tap.batches,
+               "input_rows": tap.input_rows,
+               "max_state_rows": tap.max_state_rows}
+        rec = {
+            "op": op,
+            "sf01": small,
+            f"sf{n}x": big,
+            "wall_ratio": round(big["wall_sec"] / small["wall_sec"], 2),
+            "state_ratio": (
+                round(big["max_state_rows"] / small["max_state_rows"], 2)
+                if small["max_state_rows"]
+                else None
+            ),
+        }
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+    with open(out_path, "a") as f:
+        for rec in results:
+            f.write(json.dumps(rec) + "\n")
+    spark.stop()
+    os._exit(0)
+
+
+if __name__ == "__main__":
+    main()

@@ -39,10 +39,17 @@ EVENTS_SCHEMA = _events_schema(T.TimestampNTZType())
 
 
 def read_events_stream(
-    spark: SparkSession, events_dir: str, glob: str | None = None
+    spark: SparkSession,
+    events_dir: str,
+    glob: str | None = None,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """File-source stream over the events parquet directory (the source
-    requires a directory; ``glob`` narrows to specific files); normalizes
+    requires a directory; ``glob`` narrows to specific files;
+    ``max_files_per_trigger`` bounds each micro-batch so availableNow
+    catch-up over a large directory becomes MANY time-ordered batches —
+    required for the watermark to advance and evict state mid-run,
+    which is how a production backfill behaves); normalizes
     the physical TIMESTAMP(NANOS) column exactly like
     sources.tables.load_table, whatever this Spark build reads it as:
     NTZ micros (pyspark 4.1 native), bigint nanos (builds honoring the
@@ -72,6 +79,8 @@ def read_events_stream(
     reader = spark.readStream.schema(schema).format("parquet")
     if glob:
         reader = reader.option("pathGlobFilter", glob)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     raw = reader.load(events_dir)
     return raw.withColumn("ts", norm(F.col("ts")))
 
