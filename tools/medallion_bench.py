@@ -51,6 +51,7 @@ def main() -> None:
     shutil.rmtree(root, ignore_errors=True)
 
     entries = spark.createDataFrame(fixtures.make_entries(n_bronze))
+    n_rows = entries.count()  # make_entries appends a few edge-case rows
     pipe = MedallionPipeline(spark, root, today=TODAY)
     pipe.init_bronze(entries)
     pipe.set_dimensions(
@@ -66,6 +67,7 @@ def main() -> None:
         aliases=pipe._opt("agency_aliases"), renames=pipe._opt("org_renames")
     )
     prev = root + "_prev_gold"
+    shutil.rmtree(prev, ignore_errors=True)
     shutil.copytree(pipe._p("gold"), prev)
 
     # ---- the write path as shipped: sync + full silver/gold rebuild ----
@@ -99,7 +101,7 @@ def main() -> None:
     # equivalence spot check against the just-rebuilt gold
     full_total = pipe.gold("agency_stats").agg(F.sum("requests")).first()[0]
     incr_total = merged_stats.agg(F.sum("requests")).first()[0]
-    assert full_total == incr_total == n_bronze + 5, (full_total, incr_total)
+    assert full_total == incr_total == n_rows + 5, (full_total, incr_total)
 
     rec = {
         "n_bronze": n_bronze,
