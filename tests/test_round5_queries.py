@@ -1,0 +1,169 @@
+"""Round-5 additions: boilerplate line removal, distributed BPE
+training, hard-negative mining. Differential oracles run via
+tools/check_oracle.py; these tests pin the operator semantics the
+oracles can't see (edge cases absent from the fixture) and the plan
+shapes."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from wvfoia_sync_spark import registry
+from wvfoia_sync_spark.operators import similarity, textops
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------- boilerplate ---
+
+
+def test_boilerplate_removal_strips_shared_lines_keeps_order(spark):
+    rows = [
+        (1, ["nav bar", "unique alpha", "footer", "unique beta"]),
+        (2, ["nav bar", "second body", "footer"]),
+        (3, ["nav bar", "third body", "footer"]),
+        (4, ["only original lines here"]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lines array<string>")
+    got = {
+        r["doc_id"]: r
+        for r in textops.boilerplate_removal(df, min_docs=3).collect()
+    }
+    assert got[1]["n_lines"] == 4 and got[1]["n_removed"] == 2
+    assert got[1]["cleaned"] == "unique alpha unique beta"  # order kept
+    assert got[2]["cleaned"] == "second body"
+    assert got[4]["n_removed"] == 0
+    assert got[4]["cleaned"] == "only original lines here"
+
+
+def test_boilerplate_removal_fully_purged_doc_stays_as_empty_row(spark):
+    """A doc that is ALL boilerplate must survive as (n_removed==n_lines,
+    cleaned='') — C4 drops it in the later length filter, not silently
+    here."""
+    rows = [(i, ["same line"]) for i in range(1, 5)]
+    df = spark.createDataFrame(rows, "doc_id long, lines array<string>")
+    out = textops.boilerplate_removal(df, min_docs=3).collect()
+    assert len(out) == 4
+    assert all(r["cleaned"] == "" and r["n_removed"] == 1 for r in out)
+
+
+def test_boilerplate_count_is_distinct_docs_not_occurrences(spark):
+    """One doc repeating a line 5 times is NOT boilerplate (count is
+    distinct docs); the same line in 3 docs is."""
+    rows = [
+        (1, ["echo"] * 5),
+        (2, ["other text"]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lines array<string>")
+    got = {r["doc_id"]: r for r in textops.boilerplate_removal(df, min_docs=3).collect()}
+    assert got[1]["n_removed"] == 0 and got[1]["n_lines"] == 5
+
+
+# --------------------------------------------------------------- BPE ---
+
+
+def _py_bpe(freqs: dict[str, int], n: int) -> list[tuple[str, str]]:
+    vocab = {w: tuple(w) for w in freqs}
+    merges = []
+    for _ in range(n):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = (
+                    counts.get((syms[i], syms[i + 1]), 0) + freqs[w]
+                )
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        a, b = best
+        for w, syms in vocab.items():
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            vocab[w] = tuple(out)
+    return merges
+
+
+def test_bpe_merge_fold_greedy_left_on_runs(spark):
+    """'aaaa' under merge (a,a) must become [aa, aa] (greedy left), never
+    [a, aa, a] or [aaa, a]."""
+    df = spark.createDataFrame([(["a", "a", "a", "a"],)], "symbols array<string>")
+    out = df.select(
+        textops._merge_pair_expr(F.col("symbols"), "a", "a").alias("m")
+    ).first()["m"]
+    assert out == ["aa", "aa"]
+
+    df = spark.createDataFrame([(["a", "a", "a"],)], "symbols array<string>")
+    out = df.select(
+        textops._merge_pair_expr(F.col("symbols"), "a", "a").alias("m")
+    ).first()["m"]
+    assert out == ["aa", "a"]
+
+
+def test_bpe_merge_fold_merged_symbol_does_not_rechain(spark):
+    """After [a,b]->ab, a following b must NOT merge with the fresh 'ab'
+    (single pass semantics): [a, b, b] -> [ab, b]."""
+    df = spark.createDataFrame([(["a", "b", "b"],)], "symbols array<string>")
+    out = df.select(
+        textops._merge_pair_expr(F.col("symbols"), "a", "b").alias("m")
+    ).first()["m"]
+    assert out == ["ab", "b"]
+
+
+def test_train_bpe_matches_python_reference_on_skewed_corpus(spark):
+    """Deterministic corpus with engineered ties: the distributed trainer
+    must reproduce the reference merge SEQUENCE exactly (count desc,
+    pair asc tie order) across iterations where earlier merges create
+    later pair candidates."""
+    texts = ["lower lower lowest low", "newer newest new new", "wider wide"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")
+    spark_merges = textops.train_bpe(df, "text", n_merges=12)
+
+    freqs = {
+        r["word"]: r["freq"]
+        for r in textops.word_frequencies(df, "text").collect()
+    }
+    assert spark_merges == _py_bpe(freqs, 12)
+    assert len(spark_merges) == 12  # corpus is rich enough to not dry up
+
+
+def test_bpe_pair_counts_weights_by_frequency(spark):
+    df = spark.createDataFrame(
+        [("ab", 10), ("ba", 1)], "word string, freq long"
+    )
+    got = {
+        (r["a"], r["b"]): r["cnt"]
+        for r in textops.bpe_pair_counts(df).collect()
+    }
+    assert got == {("a", "b"): 10, ("b", "a"): 1}
+
+
+# ---------------------------------------------------- hard negatives ---
+
+
+def test_hard_negatives_excludes_same_label_and_self(spark):
+    rows = [
+        (0, [1.0, 0.0], 7),   # query
+        (1, [1.0, 0.0], 7),   # identical but SAME label: excluded
+        (2, [0.9, 0.1], 3),   # the hardest valid negative
+        (3, [0.0, 1.0], 3),   # orthogonal: ranked after 2
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = similarity.hard_negatives(
+        df, df.where(F.col("vec_id") == 0), k=2
+    ).collect()
+    got = [(r["rank"], r["neg_id"]) for r in sorted(out, key=lambda r: r["rank"])]
+    assert got == [(1, 2), (2, 3)]
+
+
+def test_hard_negatives_plan_broadcasts_queries_no_cartesian(spark):
+    from tests.test_plan_quality import plan
+
+    p = plan(registry.QUERIES["hard_negatives"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p

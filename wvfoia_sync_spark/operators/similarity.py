@@ -522,6 +522,64 @@ def knn_join_exact(
     )
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Hard-negative mining for retrieval/embedding training: for each
+    query vector, the top-k most-similar corpus vectors with a DIFFERENT
+    label — the near-miss negatives contrastive losses want (the random
+    negatives a uniform sampler drafts are too easy to carry gradient).
+
+    Same physical shape as knn_join_exact — query batch broadcast with
+    its label, per-pair codegen cosine fold, map-side top-k via the
+    rank-filtered window — plus the label-mismatch predicate folded into
+    the JOIN condition, so same-label candidates are discarded before
+    scoring ever runs, not filtered after. At 100 TB with a large query
+    batch, swap the window for per-partition heaps via mapInPandas, as
+    documented on knn_join_exact."""
+    from ..functions.vectors import dot, norm
+
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(label_col).alias("_ql"),
+        F.col(vec_col).alias("_qv"),
+        norm(F.col(vec_col)).alias("_qn"),
+    )
+    cor = corpus.select(
+        F.col(id_col).alias("neg_id"),
+        F.col(label_col).alias("_cl"),
+        F.col(vec_col).alias("_cv"),
+        norm(F.col(vec_col)).alias("_cn"),
+    )
+    score = F.when(
+        (F.col("_cn") > 0) & (F.col("_qn") > 0),
+        dot(F.col("_cv"), F.col("_qv")) / (F.col("_cn") * F.col("_qn")),
+    )
+    scored = (
+        cor.join(
+            F.broadcast(q),
+            (F.col("neg_id") != F.col(query_id_col))
+            & ~F.col("_cl").eqNullSafe(F.col("_ql")),
+        )
+        .select(query_id_col, "neg_id", score.alias("score"))
+        .where(F.col("score").isNotNull())
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col("neg_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "rank", "neg_id", "score")
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     threshold: float = 0.9,

@@ -137,3 +137,170 @@ def passage_dedup_stats(
         )
         .orderBy("doc_id")
     )
+
+
+def boilerplate_removal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    lines_col: str = "lines",
+    min_docs: int = 3,
+) -> DataFrame:
+    """Corpus-wide boilerplate line removal (the C4/CCNet cleanup pass:
+    drop every line that appears verbatim in >= ``min_docs`` DISTINCT
+    documents — nav bars, cookie banners, license footers).
+
+    ``lines_col`` is an ``array<string>`` of the document's lines (the
+    caller decides what a "line" is — newline split for web text,
+    fixed-token segments for unstructured corpora). Output one row per
+    input doc: (id, n_lines, n_removed, cleaned) with ``cleaned`` the
+    surviving lines re-joined in original order (empty string when
+    everything was boilerplate — the doc row is kept so downstream
+    filters see the removal, matching C4's drop-then-length-filter).
+
+    Scale shape: one posexplode -> one line-keyed count-distinct
+    aggregate -> one equi-join back -> one doc-keyed aggregate. The
+    boilerplate side is (lines above threshold) — tiny relative to the
+    corpus, so AQE broadcasts the join; the line shuffle key at 100 TB
+    should be ``xxhash64(line)`` (8 bytes vs the text — kept textual
+    here so the DuckDB oracle mirrors byte-for-byte). collect_list skips
+    the NULLs the boilerplate flag produces, so reassembly is one
+    conditional aggregate, and array_sort on (line_no) restores order
+    deterministically regardless of shuffle arrival."""
+    ex = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(lines_col).alias("line_no", "line"),
+    )
+    boiler = (
+        ex.groupBy("line")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("line", F.lit(True).alias("_boiler"))
+    )
+    flagged = ex.join(boiler, "line", "left")
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.coalesce(F.sum(F.when(F.col("_boiler"), 1)), F.lit(0)).alias(
+                "n_removed"
+            ),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_boiler").isNull(),
+                                F.struct("line_no", "line"),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                " ",
+            ).alias("cleaned"),
+        )
+    )
+
+
+# ------------------------------------------------------------------ BPE ---
+
+
+def word_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) over the tokenized corpus — the classic BPE trainer
+    input. One explode + one groupBy; output is vocabulary-sized."""
+    from ..functions.text import tokens
+
+    return (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def bpe_pair_counts(words: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair counts weighted by word frequency, from a
+    (word, freq, symbols array<string>) DataFrame (``symbols`` defaults
+    to the word's characters when absent). Pure codegen: per-word pair
+    enumeration is a transform over an index sequence; the only shuffle
+    is the pair-keyed sum, whose cardinality is bounded by the symbol
+    alphabet squared, never the corpus."""
+    if "symbols" not in words.columns:
+        words = words.withColumn("symbols", F.split("word", ""))
+    s = F.col("symbols")
+    pairs = words.select(
+        "freq",
+        F.explode(
+            F.when(
+                F.size(s) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(s) - 1),
+                    lambda i: F.struct(
+                        F.element_at(s, i).alias("a"),
+                        F.element_at(s, i + 1).alias("b"),
+                    ),
+                ),
+            )
+        ).alias("pair"),
+    )
+    return pairs.groupBy(
+        F.col("pair.a").alias("a"), F.col("pair.b").alias("b")
+    ).agg(F.sum("freq").alias("cnt"))
+
+
+def _merge_pair_expr(s, a: str, b: str):
+    """Greedy left-to-right merge of adjacent (a, b) into a+b inside a
+    symbol array — one aggregate fold, stays in codegen. Greedy-left is
+    the textbook BPE apply order: after 'aa' merges in 'aaa', the tail
+    'a' cannot re-pair with the merged head."""
+    merged = F.lit(a + b)
+    return F.aggregate(
+        s,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def train_bpe(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 10,
+    checkpoint_every: int = 4,
+) -> list[tuple[str, str]]:
+    """Distributed BPE merge training (Sennrich et al. 2016 on
+    DataFrames): iterate n_merges times over the vocabulary-sized
+    (word, freq, symbols) table — count adjacent pairs, pick the
+    (count desc, pair asc)-best, fold the merge into every word's symbol
+    array. Returns the ordered merge list.
+
+    Scale shape: the ITERATION state is the distinct-word table (output
+    of one corpus-wide explode+groupBy, after which the corpus is never
+    rescanned) — vocabulary-sized, millions of rows at 100 TB, not
+    corpus-sized. Each iteration is one bounded-cardinality pair
+    aggregate (driver takes exactly ONE row) + one codegen fold
+    projection; lineage is truncated every ``checkpoint_every`` rounds
+    exactly like dup_clusters' label propagation, so the plan never
+    deepens past a constant."""
+    words = word_frequencies(df, text_col).withColumn(
+        "symbols", F.split("word", "")
+    )
+    merges: list[tuple[str, str]] = []
+    for i in range(n_merges):
+        top = (
+            bpe_pair_counts(words)
+            .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["cnt"] is None:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        words = words.withColumn("symbols", _merge_pair_expr(F.col("symbols"), a, b))
+        if (i + 1) % checkpoint_every == 0:
+            words = words.localCheckpoint(eager=True)
+    return merges

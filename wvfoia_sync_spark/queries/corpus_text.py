@@ -1130,3 +1130,154 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+
+@register(
+    "boilerplate_purge",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + 200000, text FROM documents WHERE doc_id % 7 = 0
+    ), toks AS (
+      SELECT doc_id, {_SQL_TOKENS.format(c='text')} AS t FROM corpus
+    ), lines AS (
+      SELECT doc_id, u.i AS line_no,
+             array_to_string(list_slice(t, u.i * 12 + 1, u.i * 12 + 12), ' ')
+               AS line
+      FROM toks, UNNEST(range(0, CAST(ceil(len(t) / 12.0) AS INT))) AS u(i)
+      WHERE len(t) >= 1
+    ), boiler AS (
+      SELECT line FROM lines GROUP BY line
+      HAVING COUNT(DISTINCT doc_id) >= 3
+    ), flagged AS (
+      SELECT l.doc_id, l.line_no, l.line,
+             (b.line IS NOT NULL) AS is_boiler
+      FROM lines l LEFT JOIN boiler b ON l.line = b.line
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(COALESCE(SUM(CASE WHEN is_boiler THEN 1 END), 0) AS BIGINT)
+             AS n_removed,
+           COALESCE(string_agg(CASE WHEN NOT is_boiler THEN line END, ' '
+                               ORDER BY line_no), '') AS cleaned
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def boilerplate_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide boilerplate line removal (the C4/CCNet cleanup pass:
+    a line appearing verbatim in >= 3 DISTINCT documents is template
+    chrome — nav bars, footers — and is stripped from every document
+    that carries it). The fixture corpus has no newlines, so 'lines'
+    are deterministic 12-token segments (the same line-ification both
+    engines compute); docs with doc_id % 7 == 0 are planted twice more,
+    pushing exactly their segments to the 3-doc threshold while
+    organic 12-token repeats across random-vocab docs stay below it.
+    Operator: textops.boilerplate_removal — explode -> line-keyed
+    distinct-doc count -> equi-join back -> doc-keyed reassemble, the
+    whole pass two bounded shuffles."""
+    from ..functions.text import token_chunks, tokens
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.where(F.col("doc_id") % 7 == 0)
+    corpus = (
+        docs.unionAll(planted.select(F.col("doc_id") + 100000, "text"))
+        .unionAll(planted.select(F.col("doc_id") + 200000, "text"))
+    )
+    lined = corpus.select(
+        "doc_id",
+        F.transform(
+            token_chunks(tokens("text"), 12, 12), lambda c: F.array_join(c, " ")
+        ).alias("lines"),
+    )
+    return textops.boilerplate_removal(lined, "doc_id", "lines", min_docs=3)
+
+
+@register(
+    "bpe_merge_candidates",
+    oracle=f"""
+    WITH w AS (
+      SELECT unnest({_SQL_TOKENS.format(c='text')}) AS word FROM documents
+    ), f AS (
+      SELECT word, COUNT(*) AS freq FROM w GROUP BY word
+    ), p AS (
+      SELECT substr(word, CAST(u.i AS INT) + 1, 1) AS a,
+             substr(word, CAST(u.i AS INT) + 2, 1) AS b, freq
+      FROM f, UNNEST(range(0, len(word) - 1)) AS u(i)
+      WHERE len(word) >= 2
+    )
+    SELECT a, b, CAST(SUM(freq) AS BIGINT) AS cnt
+    FROM p GROUP BY a, b
+    ORDER BY cnt DESC, a ASC, b ASC LIMIT 20
+    """,
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-iteration BPE merge candidates (Sennrich et al. 2016):
+    adjacent CHARACTER pairs over the word-frequency table, weighted by
+    frequency — the exact pair statistics the tokenizer trainer's first
+    merge decision reads, as one corpus explode + two bounded-key
+    aggregates (vocabulary- then alphabet^2-sized; the corpus is
+    scanned once). The full iterative trainer is
+    textops.train_bpe (driver-loop, vocabulary-sized state, codegen
+    merge fold), equivalence-gated against a pure-Python reference by
+    bpe_train_property_check."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = textops.word_frequencies(docs, "text")
+    return (
+        textops.bpe_pair_counts(words)
+        .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "bpe_train_property_check",
+    oracle="SELECT 'bpe_matches_reference' AS property, TRUE AS ok",
+)
+def bpe_train_property_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-green equivalence gate for the ITERATIVE distributed BPE
+    trainer: the 8-merge sequence textops.train_bpe learns on the
+    documents corpus must equal, pair for pair IN ORDER, the sequence a
+    pure-Python reference BPE (same greedy-left apply, same
+    count-desc/pair-asc tie order) learns from the identical word-
+    frequency table. Any divergence in pair counting, tie-breaking, or
+    the codegen merge fold flips the property row FALSE and the driver
+    hash mismatches."""
+    docs = load_table(spark, sf_dir, "documents")
+    spark_merges = textops.train_bpe(docs, "text", n_merges=8)
+
+    freqs = {
+        r["word"]: r["freq"]
+        for r in textops.word_frequencies(docs, "text").collect()
+    }
+    vocab = {w: tuple(w) for w in freqs}
+    ref_merges: list[tuple[str, str]] = []
+    for _ in range(8):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in vocab.items():
+            f = freqs[w]
+            for i in range(len(syms) - 1):
+                pair = (syms[i], syms[i + 1])
+                counts[pair] = counts.get(pair, 0) + f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        ref_merges.append(best)
+        a, b = best
+        merged = a + b
+        for w, syms in vocab.items():
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = merged
+                else:
+                    out.append(s)
+            vocab[w] = tuple(out)
+
+    ok = spark_merges == ref_merges
+    return spark.createDataFrame(
+        [("bpe_matches_reference", bool(ok))], "property string, ok boolean"
+    )

@@ -829,3 +829,44 @@ def hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ok
+
+
+
+@register(
+    "hard_negatives",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, label AS ql,
+             CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 10
+    ), scored AS (
+      SELECT q.query_id, e.vec_id AS neg_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv)
+               AS score
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id AND e.label IS DISTINCT FROM q.ql
+    ), ranked AS (
+      SELECT query_id, neg_id,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, neg_id ASC
+             ) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT query_id, rank, neg_id FROM ranked WHERE rank <= 5
+    """,
+)
+def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive/retrieval training: each
+    query vector's top-5 most-similar corpus vectors with a DIFFERENT
+    label — the near-miss negatives a uniform sampler never drafts.
+    Operator: similarity.hard_negatives (query batch broadcast with its
+    label, label-mismatch folded into the JOIN condition so same-label
+    candidates die before scoring, map-side WindowGroupLimit top-k).
+    Scores excluded from the hashed output per the knn_join convention
+    (cross-engine float accumulation order); rank determinism from the
+    seeded embeddings + id tiebreak."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return similarity.hard_negatives(emb, queries, k=5).select(
+        "query_id", "rank", "neg_id"
+    )
