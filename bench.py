@@ -123,6 +123,9 @@ HEADLINE = [
     "funnel_counts",
     "cohort_retention",
     "scd2_asof_lookup",
+    "boilerplate_purge",
+    "bpe_merge_candidates",
+    "hard_negatives",
     "ivfpq_topk",
     "nation_pagerank",
     "interpolate_series",
