@@ -1176,9 +1176,13 @@ def boilerplate_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines compute); docs with doc_id % 7 == 0 are planted twice more,
     pushing exactly their segments to the 3-doc threshold while
     organic 12-token repeats across random-vocab docs stay below it.
-    Operator: textops.boilerplate_removal — explode -> line-keyed
-    distinct-doc count -> equi-join back -> doc-keyed reassemble, the
-    whole pass two bounded shuffles."""
+    Operator: textops.boilerplate_removal_exploded — explode ->
+    line-keyed distinct-doc count -> equi-join back -> doc-keyed
+    reassemble, the whole pass two bounded shuffles. Tokens are
+    projected ONCE and chunk ARRAYS are exploded before the string
+    join, so the per-line text assembly is plain codegen on exploded
+    rows instead of an interpreted per-doc lambda re-tokenizing the
+    document per chunk (bench r5: 3.9 s -> 0.6 s at sf0.1)."""
     from ..functions.text import token_chunks, tokens
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1187,13 +1191,18 @@ def boilerplate_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.unionAll(planted.select(F.col("doc_id") + 100000, "text"))
         .unionAll(planted.select(F.col("doc_id") + 200000, "text"))
     )
-    lined = corpus.select(
-        "doc_id",
-        F.transform(
-            token_chunks(tokens("text"), 12, 12), lambda c: F.array_join(c, " ")
-        ).alias("lines"),
+    toks = corpus.select("doc_id", tokens("text").alias("t"))
+    ex = (
+        toks.select(
+            "doc_id",
+            F.posexplode_outer(token_chunks(F.col("t"), 12, 12)).alias(
+                "line_no", "chunk"
+            ),
+        )
+        .where(F.col("chunk").isNotNull())
+        .select("doc_id", "line_no", F.array_join("chunk", " ").alias("line"))
     )
-    return textops.boilerplate_removal(lined, "doc_id", "lines", min_docs=3)
+    return textops.boilerplate_removal_exploded(ex, min_docs=3)
 
 
 @register(

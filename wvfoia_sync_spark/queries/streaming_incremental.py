@@ -508,7 +508,8 @@ def stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM versioned GROUP BY o_custkey, version, o_orderstatus
     ), hist AS (
       SELECT o_custkey, version, o_orderstatus, vf,
-             lead(vf) OVER (PARTITION BY o_custkey ORDER BY version) AS vt
+             COALESCE(lead(vf) OVER (PARTITION BY o_custkey ORDER BY version),
+                      DATE '9999-12-31') AS vt
       FROM spans
     )
     SELECT l.l_orderkey, l.l_linenumber,
@@ -517,7 +518,7 @@ def stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN orders o ON o.o_orderkey = l.l_orderkey
     JOIN hist h ON h.o_custkey = o.o_custkey
        AND CAST(l.l_shipdate AS DATE) >= h.vf
-       AND (h.vt IS NULL OR CAST(l.l_shipdate AS DATE) < h.vt)
+       AND CAST(l.l_shipdate AS DATE) < h.vt
     WHERE l.l_linenumber = 1
     """,
 )
@@ -543,7 +544,11 @@ def scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "version",
         F.col("o_orderstatus").alias("status_at_ship"),
         "vf",
-        "vt",
+        # closed-span sentinel instead of NULL: an OR-disjoined
+        # null-check in the join residual stalls the DuckDB twin's
+        # planner (>120 s at sf0.1); a plain AND range is residual-cheap
+        # in both engines
+        F.coalesce(F.col("vt"), F.lit("9999-12-31").cast("date")).alias("vt"),
     )
     ship = F.col("l_shipdate").cast("date")
     return (
@@ -552,7 +557,7 @@ def scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             hist,
             (o.o_custkey == F.col("h_custkey"))
             & (ship >= F.col("vf"))
-            & (F.col("vt").isNull() | (ship < F.col("vt"))),
+            & (ship < F.col("vt")),
         )
         .select("l_orderkey", "l_linenumber", "version", "status_at_ship")
     )
