@@ -90,6 +90,13 @@ PROBE_QUERIES = [
     "dsir_importance",
     "interpolate_series",
     "fts_stored_index_search",
+    # round-5 additions: BPE pair counting (explode+agg, replication-
+    # safe) and hard negatives (query batch fixed, corpus in the copied
+    # embeddings — timed for the constant, not growth). boilerplate_purge
+    # is EXCLUDED like the pairwise dedup ops: replicating docs 100x
+    # makes every line cross the distinct-doc threshold, measuring the
+    # data trick, not the plan.
+    "bpe_merge_candidates",
 ]
 
 OFFSET_KEYS = {
@@ -143,12 +150,15 @@ def time_query(spark, name: str, sf_dir: str, runs: int = 2) -> float:
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     out_dir = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/scale_sf{n}x"
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     spark = get_spark("scale-probe")
     if not os.path.exists(os.path.join(out_dir, "lineitem.parquet")):
         replicate(spark, n, out_dir)
     registry.QUERIES["max_key"](spark, BASE).collect()  # warm
     results = []
     for name in PROBE_QUERIES:
+        if only is not None and name not in only:
+            continue
         a = time_query(spark, name, BASE)
         b = time_query(spark, name, out_dir)
         ratio = round(b / a, 2) if a > 0 else None
