@@ -126,6 +126,7 @@ HEADLINE = [
     "boilerplate_purge",
     "bpe_merge_candidates",
     "hard_negatives",
+    "contamination_pairs",
     "ivfpq_topk",
     "nation_pagerank",
     "interpolate_series",

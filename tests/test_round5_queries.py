@@ -167,3 +167,78 @@ def test_hard_negatives_plan_broadcasts_queries_no_cartesian(spark):
     p = plan(registry.QUERIES["hard_negatives"](spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" in p
     assert "CartesianProduct" not in p
+
+
+# ----------------------------------------------- cross-corpus contamination ---
+
+
+def test_contamination_oracle_precondition_margin_gap():
+    """contamination_pairs' exact hash-match gate relies on the fixture
+    invariant that no organic cross-corpus pair sits NEAR the 0.8
+    cutoff: pairs are either near-identical (>= 0.85, where the r=2
+    banded geometry misses with P <= 0.21^32) or unrelated (<= 0.3).
+    A pair inside [0.3, 0.85) would make the gate data-dependent (the
+    r4-ADVICE embedding_near_dup failure mode) — fixture regeneration
+    must fail HERE, not as a flaky driver mismatch."""
+    import duckdb
+
+    for sf in ("/root/testdata/sf0.001", SF_DIR, "/root/testdata/sf0.1"):
+        row = duckdb.sql(
+            f"""
+            WITH raw AS (
+              SELECT doc_id, list_filter(
+                regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                x -> x <> '') AS t
+              FROM '{sf}/documents.parquet'
+            ), trs AS (
+              SELECT doc_id AS train_id, list_distinct(list_transform(
+                range(1, len(t)-1),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+              FROM raw WHERE len(t) >= 3
+            ), evs AS (
+              SELECT train_id AS eval_id, s FROM trs WHERE train_id % 31 = 0
+            ), j AS (
+              SELECT CAST(len(list_intersect(e.s, t.s)) AS DOUBLE)
+                       / (len(e.s) + len(t.s) - len(list_intersect(e.s, t.s)))
+                       AS jac
+              FROM evs e JOIN trs t ON e.eval_id <> t.train_id
+            )
+            SELECT COALESCE(COUNT(*) FILTER (jac >= 0.3 AND jac < 0.85), 0)
+            FROM j
+            """
+        ).fetchone()
+        assert row[0] == 0, (
+            f"{sf}: {row[0]} organic cross-corpus pair(s) inside the "
+            "[0.3, 0.85) margin band — re-gate contamination_pairs as a "
+            "recall/property check before regenerating fixtures"
+        )
+
+
+def test_contamination_pairs_catches_planted_and_organic(spark):
+    """Every planted eval twin must pair with its source train doc, and
+    the organic fixture near-dups must be caught by the banded stage
+    (they are sub-identical, so this exercises probabilistic recall at
+    the engineered-safe geometry)."""
+    out = registry.QUERIES["contamination_pairs"](spark, SF_DIR).collect()
+    pairs = {(r["eval_id"], r["train_id"]) for r in out}
+    planted = {(e, e - 500000) for (e, _t) in pairs if _t == e - 500000}
+    from wvfoia_sync_spark.sources.tables import load_table
+    import pyspark.sql.functions as F2
+
+    eval_ids = [
+        r["doc_id"] + 500000
+        for r in load_table(spark, SF_DIR, "documents")
+        .where(F2.col("doc_id") % 31 == 0)
+        .select("doc_id")
+        .collect()
+    ]
+    assert {e for (e, _t) in planted} == set(eval_ids)
+    assert len(pairs) >= len(eval_ids)  # organic near-dups ride along
+
+
+def test_cross_corpus_minhash_rejects_bad_band_geometry(spark):
+    from wvfoia_sync_spark.operators import dedup as dedup_ops
+
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        dedup_ops.cross_corpus_minhash_pairs(df, df, bands=7)

@@ -479,19 +479,12 @@ def minhash_signatures(
     return hashed.select("id", sig.alias("sig"))
 
 
-def minhash_lsh_candidates(
-    signatures: DataFrame, bands: int = 16
-) -> DataFrame:
-    """Band the signatures and self-join on (band, band_hash): docs sharing
-    any band are candidate pairs. Shuffle volume = bands rows/doc.
-
-    ``bands`` must divide the signature length (validated by
-    minhash_dedup_pairs): bands > len(sig) would make every band slice
-    empty, collapsing ALL docs into one bucket (the O(n^2) cross product
-    LSH exists to avoid), and a non-dividing bands silently ignores the
-    trailing len(sig) mod bands signature entries."""
+def _band_signatures(signatures: DataFrame, bands: int) -> DataFrame:
+    """(id, band, bhash) — each signature sliced into ``bands`` equal
+    slices, each slice hashed to one bucket key. Shared by the self-join
+    (dedup) and cross-corpus (contamination) candidate generators."""
     sig_size_col = F.size("sig")
-    banded = signatures.select(
+    return signatures.select(
         "id",
         F.explode(
             F.transform(
@@ -509,6 +502,20 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bhash")
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame, bands: int = 16
+) -> DataFrame:
+    """Band the signatures and self-join on (band, band_hash): docs sharing
+    any band are candidate pairs. Shuffle volume = bands rows/doc.
+
+    ``bands`` must divide the signature length (validated by
+    minhash_dedup_pairs): bands > len(sig) would make every band slice
+    empty, collapsing ALL docs into one bucket (the O(n^2) cross product
+    LSH exists to avoid), and a non-dividing bands silently ignores the
+    trailing len(sig) mod bands signature entries."""
+    banded = _band_signatures(signatures, bands)
     a = banded.select(F.col("id").alias("id_a"), "band", "bhash")
     b = banded.select(F.col("id").alias("id_b"), "band", "bhash")
     return (
@@ -564,6 +571,72 @@ def minhash_dedup_pairs(
     union = F.size("hs_a") + F.size("hs_b") - inter
     jac = inter.cast("double") / union.cast("double")
     return pairs.select("id_a", "id_b", jac.alias("jaccard")).where(
+        F.col("jaccard") >= threshold
+    )
+
+
+def cross_corpus_minhash_pairs(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Cross-corpus near-duplicate CONTAMINATION join (the Dolma/
+    FineWeb-style decontamination pass): find (eval_id, train_id) pairs
+    whose shingle Jaccard >= ``threshold`` between two DIFFERENT
+    corpora — training documents that would leak evaluation content.
+    Complements ``decontam_overlap`` (exact n-gram containment): the
+    banded MinHash join also catches near-verbatim paraphrases and
+    whitespace/formatting mutations exact shingles miss.
+
+    Same machinery as minhash_dedup_pairs, but the band join is
+    train x eval instead of a self-join — candidate volume is bounded
+    by bucket co-occupancy ACROSS corpora, so a small eval suite
+    against a 100 TB train corpus shuffles (bands x rows) slim keys and
+    never the cross product. The eval side is typically broadcast-sized
+    (benchmarks are thousands of docs); AQE picks that up from the band
+    join's runtime stats. Exact verify joins the hashed-shingle arrays
+    back by id for candidates only.
+
+    Recall: identical token streams share every band (structural 1.0 —
+    trailing-whitespace mutations hash identically after tokenize);
+    sub-identical pairs are probabilistic in (num_hashes, bands), the
+    standard LSH trade documented on minhash_dedup_pairs."""
+    if bands > num_hashes or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes} "
+            "(empty/truncated band slices degenerate the LSH bucketing)"
+        )
+    h_train = hashed_shingles(train, id_col, text_col, shingle_size).localCheckpoint(
+        eager=False
+    )
+    h_eval = hashed_shingles(eval_df, id_col, text_col, shingle_size).localCheckpoint(
+        eager=False
+    )
+    sig = _sig_from_hashed_pandas(num_hashes)
+    bt = _band_signatures(h_train.select("id", sig(F.col("hs")).alias("sig")), bands)
+    be = _band_signatures(h_eval.select("id", sig(F.col("hs")).alias("sig")), bands)
+    cands = (
+        be.select(F.col("id").alias("eval_id"), "band", "bhash")
+        .join(bt.select(F.col("id").alias("train_id"), "band", "bhash"), ["band", "bhash"])
+        .select("eval_id", "train_id")
+        .distinct()
+    )
+    pairs = cands.join(
+        h_eval.select(F.col("id").alias("eval_id"), F.col("hs").alias("hs_e")),
+        "eval_id",
+    ).join(
+        h_train.select(F.col("id").alias("train_id"), F.col("hs").alias("hs_t")),
+        "train_id",
+    )
+    inter = F.size(F.array_intersect("hs_e", "hs_t"))
+    union = F.size("hs_e") + F.size("hs_t") - inter
+    jac = inter.cast("double") / union.cast("double")
+    return pairs.select("eval_id", "train_id", jac.alias("jaccard")).where(
         F.col("jaccard") >= threshold
     )
 

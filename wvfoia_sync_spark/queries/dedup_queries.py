@@ -514,3 +514,62 @@ def cluster_best_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("component")
     )
 
+
+
+
+@register(
+    "contamination_pairs",
+    oracle=f"""
+    WITH tr AS (
+      SELECT doc_id AS train_id, {_SQL_TOKENS.format(c='text')} AS t
+      FROM documents
+    ), ev AS (
+      SELECT doc_id + 500000 AS eval_id, {_SQL_TOKENS.format(c='text')} AS t
+      FROM documents WHERE doc_id % 31 = 0
+    ), trs AS (
+      SELECT train_id, list_distinct(list_transform(
+               range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      FROM tr WHERE len(t) >= 3
+    ), evs AS (
+      SELECT eval_id, list_distinct(list_transform(
+               range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      FROM ev WHERE len(t) >= 3
+    )
+    SELECT e.eval_id, t.train_id
+    FROM evs e JOIN trs t
+      ON CAST(len(list_intersect(e.s, t.s)) AS DOUBLE)
+           / (len(e.s) + len(t.s) - len(list_intersect(e.s, t.s))) >= 0.8
+    """,
+)
+def contamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus contamination detection (Dolma/FineWeb-style
+    decontamination): banded MinHash join between an eval suite and the
+    training corpus, exact shingle-Jaccard verify at 0.8 — catches the
+    near-verbatim leaks exact n-gram containment (decontam_overlap)
+    misses. The eval suite here is every 31st document re-issued with a
+    trailing-whitespace mutation (token stream identical, so banded
+    recall on the planted contaminations is STRUCTURAL 1.0 — identical
+    shingle sets share every band). The corpus ALSO carries organic
+    near-dup pairs (fixture-planted mutations at shingle Jaccard
+    0.889-0.99), which the banded stage must catch probabilistically —
+    the geometry is sized for that: 64 hashes in 32 bands of r=2 rows
+    puts the per-band collision at s^2 >= 0.79 for every in-range pair,
+    so P(miss all bands) <= 0.21^32 ~ 1e-22; and the fixture invariant
+    pinned by tests/test_round5_queries.py (no organic cross-corpus
+    pair in [0.3, 0.85) at any SF — the observed gap is 0.095 -> 0.889)
+    keeps the exact-verify cutoff far from any pair in BOTH engines,
+    hashed or string shingles. Ids only in the output: sub-identical
+    Jaccard VALUES could differ between the hashed-shingle verify and
+    the string-shingle oracle under a (1e-5-rare) 31-bit collision,
+    while the PAIR SET cannot. Operator:
+    dedup.cross_corpus_minhash_pairs."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_suite = docs.where(F.col("doc_id") % 31 == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit("  ")).alias("text"),
+    )
+    return dedup.cross_corpus_minhash_pairs(
+        docs, eval_suite, threshold=0.8, bands=32
+    ).select("eval_id", "train_id")
