@@ -374,6 +374,9 @@ def test_no_pinned_broadcast_of_fact_scaled_tables(spark):
         # query batch is an absolute id slice (vec_id < 20): constant
         # cardinality at any SF, asserted broadcast by its own plan test
         "knn_join",
+        # same shape: vec_id < 10 query batch with its label (r5),
+        # asserted broadcast by test_round5_queries' plan test
+        "hard_negatives",
     }
     skip = {
         "events_hourly_stream",

@@ -242,3 +242,25 @@ def test_cross_corpus_minhash_rejects_bad_band_geometry(spark):
     df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
     with pytest.raises(ValueError):
         dedup_ops.cross_corpus_minhash_pairs(df, df, bands=7)
+
+
+def test_contamination_pairs_plan_no_cartesian_and_band_equijoin(spark):
+    """The candidate stage must be an EQUI join on (band, bhash) — never
+    a cross product between the corpora — and the verify joins come back
+    by id."""
+    from tests.test_plan_quality import plan
+
+    p = plan(registry.QUERIES["contamination_pairs"](spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_boilerplate_purge_plan_single_doc_aggregate(spark):
+    """Reassembly is ONE partial/final aggregate pair over doc_id (no
+    per-doc window), and the boilerplate flag arrives via a hash join,
+    not a cross product."""
+    from tests.test_plan_quality import plan
+
+    p = plan(registry.QUERIES["boilerplate_purge"](spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert p.count("Exchange hashpartitioning(doc_id") <= 1
