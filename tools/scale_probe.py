@@ -97,6 +97,11 @@ PROBE_QUERIES = [
     # makes every line cross the distinct-doc threshold, measuring the
     # data trick, not the plan.
     "bpe_merge_candidates",
+    # cross-corpus contamination: replicating train 100x (and with it the
+    # %31 eval sample) grows BOTH sides linearly and every eval doc hits
+    # each replica of its source — output grows ~replicas x, which is the
+    # realistic shape of a contamination sweep against a bigger corpus
+    "contamination_pairs",
 ]
 
 OFFSET_KEYS = {
