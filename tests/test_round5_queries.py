@@ -264,3 +264,37 @@ def test_boilerplate_purge_plan_single_doc_aggregate(spark):
     p = plan(registry.QUERIES["boilerplate_purge"](spark, SF_DIR))
     assert "CartesianProduct" not in p
     assert p.count("Exchange hashpartitioning(doc_id") <= 1
+
+
+def test_bpe_merge_fold_randomized_vs_python(spark):
+    """500 random symbol arrays over {a,b,c,ab} x merges (a,b) and (a,a):
+    the codegen fold must equal the greedy-left python apply on every
+    one — batch-evaluated in a single projection."""
+    import random
+
+    rng = random.Random(20260814)
+    alphabet = ["a", "b", "c", "ab"]
+    rows = [
+        ([rng.choice(alphabet) for _ in range(rng.randint(0, 12))],)
+        for _ in range(500)
+    ]
+
+    def py_merge(syms, a, b):
+        out = []
+        for s in syms:
+            if out and out[-1] == a and s == b:
+                out[-1] = a + b
+            else:
+                out.append(s)
+        return out
+
+    df = spark.createDataFrame(rows, "symbols array<string>")
+    got = df.select(
+        "symbols",
+        textops._merge_pair_expr(F.col("symbols"), "a", "b").alias("m_ab"),
+        textops._merge_pair_expr(F.col("symbols"), "a", "a").alias("m_aa"),
+    ).collect()
+    assert len(got) == 500
+    for r in got:
+        assert r["m_ab"] == py_merge(r["symbols"], "a", "b"), r["symbols"]
+        assert r["m_aa"] == py_merge(r["symbols"], "a", "a"), r["symbols"]
