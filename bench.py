@@ -241,6 +241,11 @@ def duckdb_baseline(
                 break  # interrupted or oracle error: no baseline row
             finally:
                 done.set()
+            if best >= 5.0:
+                # slow oracle (e.g. the quadratic contamination twin):
+                # run-to-run noise is a rounding error at this magnitude —
+                # skip the second run to keep the whole bench bounded
+                break
         if best < float("inf"):
             out[name] = round(best, 3)
     return out
