@@ -22,10 +22,12 @@ from wvfoia_sync_spark import registry
 # corpus statistics, curation sampling, FTS vocabulary, sketch error
 # gates, ANN recall gates for the remaining index variants, and the
 # graph/iterative queries — all already green against the local
-# differential oracle (tools/check_oracle.py). The ~24 never-checked
-# names that don't fit in this window lead round 6. Everything else
-# follows in registration order, so a wider driver window only adds
-# coverage.
+# differential oracle (tools/check_oracle.py). The never-checked names
+# that don't fit in this window — ~24 from the r1-r4 backlog plus the
+# five new r5 registrations (boilerplate_purge, bpe_merge_candidates,
+# bpe_train_property_check, hard_negatives, contamination_pairs) —
+# lead round 6. Everything else follows in registration order, so a
+# wider driver window only adds coverage.
 DRIVER_WINDOW: list[str] = [
     "phrase_search",
     "fts_vocab",
