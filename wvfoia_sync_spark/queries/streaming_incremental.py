@@ -599,8 +599,8 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "partition_pruned_revenue",
     oracle="""
     SELECT l_returnflag,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-                    * (1 - CAST(l_discount AS DECIMAL(18,4))))
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2))))
                 AS DOUBLE) AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_lines
     FROM lineitem
@@ -625,9 +625,16 @@ def partition_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipyear") == 1998)
         .groupBy("l_returnflag")
         .agg(
+            # decimal(12,2) x decimal(4,2): the pricing_summary
+            # formulation, proven cross-engine hash-stable at sf0.1 —
+            # the previous scale-8 product's decimal->double cast
+            # diverged from DuckDB's by one ulp at sf0.1 row counts
             F.sum(
-                F.col("l_extendedprice").cast("decimal(18,4)")
-                * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)"))
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (
+                    F.lit(1).cast("decimal(3,2)")
+                    - F.col("l_discount").cast("decimal(4,2)")
+                )
             )
             .cast("double")
             .alias("revenue"),

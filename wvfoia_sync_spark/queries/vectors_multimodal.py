@@ -508,13 +508,13 @@ def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV (k-minimum-values) distinct sketch per event type
     (operators/sketch.py kmv_distinct): bounded per-partition state via
     mapInPandas, partials merged as k-smallest-of-union. The oracle is
-    EXACT distinct counts — valid because k=256 exceeds the 150-user
-    population, so every sketch stays in its exact (m < k) regime and
+    EXACT distinct counts — valid because k=2048 exceeds the user
+    population at every bundled SF (1500 at sf0.1), so every sketch stays in its exact (m < k) regime and
     the sketch path must reproduce the true counts; the genuinely
     approximate small-k path is error-bound-tested in
     tests/test_sketch.py."""
     ev = load_table(spark, sf_dir, "events")
-    return sketch.kmv_distinct(ev, "user_id", "event_type", k=256).orderBy(
+    return sketch.kmv_distinct(ev, "user_id", "event_type", k=2048).orderBy(
         "grp"
     )
 
@@ -540,13 +540,13 @@ def kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     |view users|, their union and intersection estimated by merging the
     two k-long sketches — the segment-overlap question that exact
     distinct counts need a raw-data re-scan for. Exact-degenerate at
-    k=256 > 150 users (same oracle trick as kmv_distinct_sketch); the
+    k=2048 > the user population at every bundled SF (same oracle trick as kmv_distinct_sketch); the
     intersection expression (share-of-union x union estimate) is
     mirrored operation-for-operation in the oracle so the doubles are
     bit-identical."""
     ev = load_table(spark, sf_dir, "events")
     return sketch.kmv_set_estimates(
-        ev, "user_id", "event_type", "click", "view", k=256
+        ev, "user_id", "event_type", "click", "view", k=2048
     )
 
 
@@ -750,7 +750,7 @@ def sketch_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     are MERGED into per-day sketches as pure sketch arithmetic (k
     smallest distinct hashes of the union, operators/sketch.kmv_rollup;
     Agarwal et al. PODS'12), never re-scanning events. The estimator is
-    exact-degenerate at this SF (per-day distinct << k=1024), so the
+    exact-degenerate at every bundled SF (per-day distinct <= 1500 < k=2048), so the
     merged estimate hash-matches the exact per-day COUNT(DISTINCT)
     oracle — the same gate trick kmv_distinct uses, now proving the
     MERGE step too. n_hour_slots counts the fine sketches folded into
@@ -768,12 +768,12 @@ def sketch_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "user_id",
         "slot",
-        k=1024,
+        k=2048,
     )
     daily = sketch_ops.kmv_rollup(
-        fine, F.split(F.col("grp"), "\\|")[0], k=1024
+        fine, F.split(F.col("grp"), "\\|")[0], k=2048
     )
-    est = sketch_ops.kmv_estimate(daily, k=1024).select(
+    est = sketch_ops.kmv_estimate(daily, k=2048).select(
         F.col("grp").alias("day"), F.col("est").alias("est_distinct")
     )
     slots = (
