@@ -298,3 +298,51 @@ def test_bpe_merge_fold_randomized_vs_python(spark):
     for r in got:
         assert r["m_ab"] == py_merge(r["symbols"], "a", "b"), r["symbols"]
         assert r["m_aa"] == py_merge(r["symbols"], "a", "a"), r["symbols"]
+
+
+def test_boilerplate_removal_randomized_vs_python(spark):
+    """40 random mini-corpora (docs of random lines over a tiny pool,
+    so cross-doc repeats are common) evaluated in ONE batched operator
+    call via disjoint doc_id ranges — result must equal a direct python
+    computation of the same rule (line in >= min_docs DISTINCT docs is
+    boilerplate; survivors rejoin in order)."""
+    import random
+
+    rng = random.Random(97)
+    pool = [f"line{i}" for i in range(6)]
+    corpora = []
+    for c in range(40):
+        docs = {
+            c * 100 + d: [rng.choice(pool) for _ in range(rng.randint(1, 6))]
+            for d in range(rng.randint(1, 5))
+        }
+        corpora.append(docs)
+
+    # python reference PER CORPUS (the operator call below runs all
+    # corpora at once, so boilerplate counting must NOT leak across the
+    # corpus boundary — doc_id ranges are disjoint but lines are shared,
+    # hence counting happens per whole input: emulate that)
+    all_docs = {}
+    for docs in corpora:
+        all_docs.update(docs)
+    from collections import defaultdict
+
+    docs_per_line = defaultdict(set)
+    for did, lines in all_docs.items():
+        for ln in lines:
+            docs_per_line[ln].add(did)
+    expected = {}
+    for did, lines in all_docs.items():
+        boiler = [ln for ln in lines if len(docs_per_line[ln]) >= 3]
+        kept = [ln for ln in lines if len(docs_per_line[ln]) < 3]
+        expected[did] = (len(lines), len(boiler), " ".join(kept))
+
+    df = spark.createDataFrame(
+        [(did, lines) for did, lines in all_docs.items()],
+        "doc_id long, lines array<string>",
+    )
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_removed"], r["cleaned"])
+        for r in textops.boilerplate_removal(df, min_docs=3).collect()
+    }
+    assert got == expected
