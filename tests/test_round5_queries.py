@@ -346,3 +346,81 @@ def test_boilerplate_removal_randomized_vs_python(spark):
         for r in textops.boilerplate_removal(df, min_docs=3).collect()
     }
     assert got == expected
+
+
+def test_dup_clusters_and_best_pick_at_sf01_via_union_find():
+    """sf0.1 value verification for the two iterative-CC queries whose
+    recursive-CTE DuckDB twins blow any oracle budget at this scale
+    (they ARE hash-verified at sf0.01): the exact 0.85 pair set comes
+    from DuckDB (a bounded join, ~10 s), the transitive closure from a
+    python union-find, and Spark's label-propagation output must match
+    component-for-component — min-id labels, sizes, keep ids, and the
+    richest-member argmax."""
+    import duckdb
+    from collections import defaultdict
+
+    from wvfoia_sync_spark import registry
+    from wvfoia_sync_spark.session import get_spark
+
+    sf = "/root/testdata/sf0.1"
+    con = duckdb.connect()
+    con.execute("SET threads TO 16")
+    pairs = con.execute(
+        f"""
+        WITH toks AS (
+          SELECT doc_id, source, list_distinct(list_filter(
+            regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''))
+            AS t
+          FROM '{sf}/documents.parquet'
+        )
+        SELECT a.doc_id, b.doc_id
+        FROM toks a JOIN toks b ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)) > 0
+          AND CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+                / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))) >= 0.85
+        """
+    ).fetchall()
+    assert len(pairs) > 0
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps = defaultdict(set)
+    for v in list(parent):
+        comps[find(v)].add(v)
+    # min-reachable-id relabel (the operators' component id convention)
+    expected = {min(m): (len(m), min(m)) for m in comps.values()}
+
+    spark = get_spark("tests", cpus=8)
+    got_rows = registry.QUERIES["dup_clusters"](spark, sf).collect()
+    got = {r["component"]: (r["size"], r["keep_id"]) for r in got_rows}
+    assert got == expected
+
+    # cluster_best_pick: richest member (max distinct tokens, min id)
+    ntok = dict(
+        con.execute(
+            f"""
+            SELECT doc_id, len(list_distinct(list_filter(
+              regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')))
+            FROM '{sf}/documents.parquet'
+            """
+        ).fetchall()
+    )
+    expected_best = {}
+    for comp, members in comps.items():
+        best = min(members, key=lambda d: (-ntok[d], d))
+        expected_best[min(members)] = (best, ntok[best])
+    got_best = {
+        r["component"]: (r["best_id"], r["n_tokens"])
+        for r in registry.QUERIES["cluster_best_pick"](spark, sf).collect()
+    }
+    assert got_best == expected_best
