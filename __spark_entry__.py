@@ -15,70 +15,72 @@ from pyspark.sql import DataFrame, SparkSession
 from wvfoia_sync_spark import registry
 
 # The driver's correctness gate samples a fixed-size window from the
-# head of this dict, so ordering IS verification coverage. Rounds 1-4
-# drove ~101 distinct names to driver-green; this round (r5) promotes
-# the next 50 queries that have NEVER had a driver CORRECTNESS row —
-# the remaining TPC-H shapes, window/analytic family, set ops, text/
-# corpus statistics, curation sampling, FTS vocabulary, sketch error
-# gates, ANN recall gates for the remaining index variants, and the
-# graph/iterative queries — all already green against the local
-# differential oracle (tools/check_oracle.py). The never-checked names
-# that don't fit in this window — ~24 from the r1-r4 backlog plus the
-# five new r5 registrations (boilerplate_purge, bpe_merge_candidates,
-# bpe_train_property_check, hard_negatives, contamination_pairs) —
-# lead round 6. Everything else follows in registration order, so a
-# wider driver window only adds coverage.
+# head of this dict, so ordering IS verification coverage. Rounds 1-5
+# drove 151 distinct names to driver-green. This round (r6) finishes
+# the job: the first 29 slots are every registered query that has
+# NEVER had a driver CORRECTNESS row (the five r5 registrations, the
+# property/recall gates, sketches, graph-iterative, text statistics,
+# and the remaining ANN top-k variants) — after this window every one
+# of the 180 registered queries is driver-verified at least once. The
+# remaining 21 slots re-verify the highest-value earlier names: the
+# FOIA app surface, the full streaming/incremental family, and the
+# queries whose implementation changed this round (approx_distinct_
+# users gained a property-row oracle; embedding_near_dup became
+# auto-adaptive exact-vs-LSH). Everything else follows in
+# registration order, so a wider driver window only adds coverage.
 DRIVER_WINDOW: list[str] = [
-    "phrase_search",
-    "fts_vocab",
-    "sql_interface",
-    "interval_attribution",
-    "above_avg_orders",
-    "fuzzy_name_match",
-    "customer_distribution",
-    "dq_checks",
-    "inactive_rich_customers",
-    "bloom_semi_join",
-    "price_band_pairs",
-    "revenue_trend",
-    "shipmode_priority",
-    "local_supplier_volume",
-    "parts_supplier_relationship",
-    "status_cube",
-    "price_quartiles",
-    "status_grouping_sets",
-    "set_ops_funnel",
+    # --- 29 never-driver-checked (completes 180/180 coverage) ---
+    "observed_scan_metrics",
+    "unigram_surprisal",
+    "mixture_sample",
+    "bigram_counts",
+    "pmi_collocations",
+    "boilerplate_purge",
+    "bpe_merge_candidates",
+    "bpe_train_property_check",
+    "winnow_stats",
+    "minhash_property_check",
+    "simhash_property_check",
+    "contamination_pairs",
+    "embedding_centroids",
+    "sq8_topk",
+    "lsh_recall_check",
+    "ivf_recall_check",
+    "sq8_recall_check",
+    "heavy_hitters_sketch",
+    "frame_sample",
+    "approx_quantile_check",
+    "kmv_distinct_sketch",
+    "kmv_set_algebra",
+    "pq_topk",
+    "ivfpq_topk",
+    "centroid_classify",
+    "hard_negatives",
+    "provenance_counts",
+    "nation_pagerank",
+    "triangle_count",
+    # --- 21 high-value re-verifications ---
     "approx_distinct_users",
-    "events_rolling_hour",
-    "price_percent_rank",
-    "metrics_unpivot",
-    "props_json_stats",
-    "events_time_rollup",
-    "table_profile",
-    "skew_report",
-    "value_outliers",
-    "funnel_counts",
-    "cohort_retention",
-    "interpolate_series",
-    "weighted_sample",
-    "equidepth_hist",
-    "price_qty_corr",
-    "modal_status",
-    "status_sequence",
-    "cycle_time",
-    "forecast_revenue",
-    "multiset_except",
-    "multiset_intersect",
-    "variant_shred_stats",
-    "bpe_token_stats",
-    "tfidf_top_terms",
-    "train_test_split",
-    "gopher_repetition",
-    "token_chunks",
-    "balanced_sample",
-    "pack_bins",
-    "hll_union_rollup",
-    "hll_error_check",
+    "home_stats",
+    "nation_stats",
+    "status_timeline",
+    "page_fetch",
+    "stream_stream_join",
+    "stream_stream_outer_join",
+    "stream_static_join",
+    "stream_upsert",
+    "stream_dedup",
+    "sessionization_stream",
+    "stateful_counts_stream",
+    "incremental_rollup",
+    "cdc_apply",
+    "scd2_history",
+    "scd2_asof_lookup",
+    "semantic_dedup",
+    "knn_join",
+    "embedding_near_dup",
+    "filter_scan",
+    "latest_snapshot",
 ]
 
 

@@ -22,6 +22,8 @@ import http.server
 import os
 import threading
 
+import pandas as pd
+
 import pyspark.sql.functions as F
 import pytest
 
@@ -49,12 +51,19 @@ class _Upstream:
     def __init__(self, pages: dict):
         self.pages = dict(pages)
         self.hits: dict[int, int] = {}
+        self.agents: list = []
         outer = self
 
         class Handler(http.server.BaseHTTPRequestHandler):
             def do_GET(self):
-                entry_id = int(self.path.strip("/"))
+                # both URL shapes the fetcher can emit: path segment
+                # (/123) and the reference's query-param (?entryId=123)
+                if "entryId=" in self.path:
+                    entry_id = int(self.path.split("entryId=")[1].split("&")[0])
+                else:
+                    entry_id = int(self.path.strip("/"))
                 outer.hits[entry_id] = outer.hits.get(entry_id, 0) + 1
+                outer.agents.append(self.headers.get("User-Agent"))
                 scripted = outer.pages.get(entry_id, (404, None))
                 if isinstance(scripted, list):
                     status, html = (
@@ -156,6 +165,32 @@ def test_run_sync_to_gold_over_real_http(spark, fixture_dir, tmp_path):
     meta = pipe.meta()
     assert meta["last_updated_at"] == TODAY
     assert meta["last_sync"]["added"] == 4
+
+
+def test_http_fetcher_query_param_template_and_user_agent(spark):
+    """The reference probes ``ENTRY_URL?entryId=<id>`` (sync.ts:133-134)
+    with an explicit User-Agent (sync.ts:140) — the fetcher must express
+    that exact URL shape via its ``{id}`` template (ADVICE r5), and every
+    request must carry the UA header."""
+    up = _Upstream(
+        {
+            7: (200, _entry_html("DEP", "query-param shape")),
+            8: (404, None),
+        }
+    )
+    try:
+        fetch = sync.http_fetcher(
+            up.url + "/FOIA_Entry/SearchedEntryDetails?entryId={id}",
+            timeout=5.0,
+        )
+        out = fetch(pd.Series([7, 8]))
+    finally:
+        up.stop()
+    got = {int(r.id): int(r.status) for r in out.itertuples()}
+    assert got == {7: 200, 8: 404}
+    assert up.hits == {7: 1, 8: 1}  # ids arrived via the entryId param
+    assert set(up.agents) == {sync.DEFAULT_USER_AGENT}
+    assert "query-param shape" in out.set_index("id").loc[7, "html"]
 
 
 def test_stream_source_http_backend_gap_spans_windows(spark, tmp_path):

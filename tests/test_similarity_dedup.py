@@ -196,7 +196,10 @@ def test_approx_distinct_within_rsd(spark):
     rows = QUERIES["approx_distinct_users"](spark, SF_DIR).collect()
     assert rows
     for r in rows:
-        assert abs(r.approx_users - r.exact_users) <= max(3, 0.06 * r.exact_users)
+        assert r.within_tol, (
+            f"{r.event_type}: HLL estimate outside the 3-sigma envelope "
+            f"(exact={r.exact_users})"
+        )
 
 
 def test_sq8_topk_recall(emb, qvec):
@@ -400,3 +403,67 @@ def test_embedding_near_dup_oracle_precondition_no_organic_near_threshold_pairs(
             "near-dup threshold — re-gate embedding_near_dup as a recall/"
             "property check before regenerating fixtures"
         )
+
+
+def test_cosine_near_dup_exact_matches_banded(spark, emb):
+    """The r6 auto-pick is only sound if both branches emit the same
+    pairs on a corpus the banding fully recalls (planted exact copies:
+    structural recall 1.0). Exact block-matmul vs banded LSH + verify
+    must agree pair-for-pair."""
+    corpus = emb.select("vec_id", "embedding").unionAll(
+        emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    )
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_near_dup_pairs_exact(
+            corpus, threshold=0.9
+        ).collect()
+    }
+    banded = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_near_dup_pairs(corpus, threshold=0.9).collect()
+    }
+    assert exact == banded
+    assert len(exact) == emb.count()  # exactly the planted copies
+
+
+def test_cosine_near_dup_auto_picks_branch(spark, emb):
+    """Below the crossover the auto path must be the exact block matmul
+    (no joins in the plan — the O(n^2) space lives only in numpy);
+    above it (forced with crossover=0) the banded candidate join."""
+    def plan(df):
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    corpus = emb.select("vec_id", "embedding")
+    exact_plan = plan(similarity.cosine_near_dup_pairs_auto(corpus, threshold=0.9))
+    assert "MapInPandas" in exact_plan
+    assert "Join" not in exact_plan
+    banded_plan = plan(
+        similarity.cosine_near_dup_pairs_auto(corpus, threshold=0.9, crossover=0)
+    )
+    assert "Join" in banded_plan
+
+
+def test_cosine_near_dup_exact_edge_cases(spark):
+    """Empty corpus returns an empty typed frame; zero-norm vectors are
+    excluded on both sides of a pair (matching the banded path's
+    NULL-score semantics)."""
+    schema = "vec_id long, embedding array<double>"
+    empty = spark.createDataFrame([], schema)
+    out = similarity.cosine_near_dup_pairs_exact(empty, threshold=0.9)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["id_a", "id_b", "score"]
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [1.0, 0.0]),   # dup of 1
+        (3, [0.0, 0.0]),   # zero norm: must never pair
+        (4, [0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_near_dup_pairs_exact(df, threshold=0.9).collect()
+    }
+    assert pairs == {(1, 2)}

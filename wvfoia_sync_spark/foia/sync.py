@@ -103,17 +103,35 @@ timeouts surface as status=-1 (transient, retried by ``with_retries``)."""
 MISS_STATUSES = frozenset({301, 302, 404})
 
 
-def http_fetcher(base_url: str, timeout: float = 10.0) -> Fetcher:
-    """Production Fetcher: GET ``{base_url}/{id}`` per probed id
-    (reference fetchRemoteEntry, sync.ts:132-154). Redirects are NOT
-    followed — the reference treats 301/302 as the entry-absent sentinel,
-    so the status must surface as-is, not as the redirect target's 200.
-    HTTP errors map to their status (404 -> miss, 5xx -> transient,
-    retried by ``with_retries``); network-level failures map to -1
-    (transient). Runs inside mapInPandas tasks, one urllib call per id —
-    each executor wave probes its batch concurrently with every other
-    task's, which is the whole-cluster parallelism the reference's
-    sequential loop lacks."""
+#: Default User-Agent, mirroring the reference's explicit header
+#: (sync.ts:140 sends "wv-sync-worker/1.0 (+repo url)").
+DEFAULT_USER_AGENT = "wvfoia-sync-spark/1.0"
+
+
+def http_fetcher(
+    base_url: str,
+    timeout: float = 10.0,
+    user_agent: str = DEFAULT_USER_AGENT,
+) -> Fetcher:
+    """Production Fetcher: one GET per probed id (reference
+    fetchRemoteEntry, sync.ts:132-154).
+
+    ``base_url`` is a URL TEMPLATE: if it contains ``{id}`` the probed
+    id is substituted there — so the reference's real query-param shape
+    (``ENTRY_URL + '?entryId=' + id``, sync.ts:133-134) is expressed as
+    ``'https://host/FOIA_Entry/SearchedEntryDetails?entryId={id}'`` —
+    otherwise the id is appended as a path segment (``{base_url}/{id}``,
+    the shape the localhost e2e servers use). Every request carries a
+    ``User-Agent`` like the reference does (sync.ts:140).
+
+    Redirects are NOT followed — the reference treats 301/302 as the
+    entry-absent sentinel, so the status must surface as-is, not as the
+    redirect target's 200. HTTP errors map to their status (404 -> miss,
+    5xx -> transient, retried by ``with_retries``); network-level
+    failures map to -1 (transient). Runs inside mapInPandas tasks, one
+    urllib call per id — each executor wave probes its batch
+    concurrently with every other task's, which is the whole-cluster
+    parallelism the reference's sequential loop lacks."""
     import urllib.error
     import urllib.request
 
@@ -121,14 +139,21 @@ def http_fetcher(base_url: str, timeout: float = 10.0) -> Fetcher:
         def redirect_request(self, req, fp, code, msg, headers, newurl):
             return None  # surfaces the 3xx as HTTPError(code)
 
-    root = base_url.rstrip("/")
+    if "{id}" in base_url:
+        url_for = base_url.format  # template shape: caller places the id
+    else:
+        root = base_url.rstrip("/")
+
+        def url_for(id):
+            return f"{root}/{id}"
 
     def fetch(ids: pd.Series) -> pd.DataFrame:
         opener = urllib.request.build_opener(_NoRedirect)
+        opener.addheaders = [("User-agent", user_agent)]
         rows = []
         for entry_id in ids.astype("int64"):
             try:
-                with opener.open(f"{root}/{entry_id}", timeout=timeout) as resp:
+                with opener.open(url_for(id=entry_id), timeout=timeout) as resp:
                     rows.append(
                         {
                             "id": int(entry_id),

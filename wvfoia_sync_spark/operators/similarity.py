@@ -384,6 +384,140 @@ def cosine_near_dup_pairs(
     )
 
 
+
+# Measured exact-vs-banded crossover (tools/lsh_crossover_probe.py,
+# SCALE_probe_lsh_crossover.jsonl): the banded plan overtakes the exact
+# all-pairs join from ~12k vectors (5.3 s vs 5.5 s at 12k, 43 s vs 102 s
+# at 48k, recall 1.0 at every probe point). Below it the exact block
+# matmul is sub-second and strictly dominates (no signature stage, no
+# candidate join, no recall question).
+COSINE_EXACT_CROSSOVER = 12_000
+
+
+def cosine_near_dup_pairs_exact(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    _rows: list | None = None,
+) -> DataFrame:
+    """Exact all-pairs cosine near-dup for corpora below the LSH
+    crossover: one distributed block matmul, no candidate stage.
+
+    The full corpus matrix is collected and broadcast — bounded by the
+    caller-enforced ``COSINE_EXACT_CROSSOVER`` (12k x dim float64 is a
+    few MB; same documented-constant-broadcast convention as the
+    knn_join query batch). The block fan-out then runs over
+    ``spark.range`` — each task slices its row block out of the
+    broadcast matrix and computes ``X_block @ X_all.T``, emitting only
+    the (id_a < id_b, score >= threshold) survivors — so the corpus is
+    scanned ONCE (at collect), there is no shuffle, and the O(n^2)
+    pair space exists only as a numpy mask, never as rows. Zero-norm
+    vectors are excluded, matching the banded path's
+    ``F.when(n_a > 0 AND n_b > 0)`` NULL-score semantics.
+
+    ``_rows`` lets ``cosine_near_dup_pairs_auto`` hand over its
+    branch-probe collect so sizing and loading are one job."""
+    import pandas as pd
+
+    spark = df.sparkSession
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"id_a {id_type}, id_b {id_type}, score double"
+    rows = _rows
+    if rows is None:
+        rows = (
+            df.select(id_col, F.col(vec_col).cast("array<double>"))
+            .where(F.col(vec_col).isNotNull())
+            .collect()
+        )
+    if len(rows) == 0:
+        return spark.createDataFrame([], schema)
+    ids = np.array([r[0] for r in rows])
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.sqrt((X * X).sum(axis=1))
+    keep = norms > 0
+    ids, X, norms = ids[keep], X[keep], norms[keep]
+    n = len(ids)
+    if n == 0:
+        return spark.createDataFrame([], schema)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_X = spark.sparkContext.broadcast(X)
+    b_norms = spark.sparkContext.broadcast(norms)
+    # ~1k-row blocks bound each task's score slab (1k x 12k doubles =
+    # ~96 MB worst case at the crossover) while keeping task count low
+    # enough that Python-worker startup doesn't dominate small corpora
+    par = spark.sparkContext.defaultParallelism
+    n_blocks = max(1, min(par, -(-n // 1024)))
+    bs = -(-n // n_blocks)
+
+    def _block_pairs(batches):
+        all_ids, all_X, all_norms = b_ids.value, b_X.value, b_norms.value
+        for pdf in batches:
+            for blk in pdf["id"]:
+                lo, hi = int(blk) * bs, min(n, (int(blk) + 1) * bs)
+                if lo >= hi:
+                    continue
+                S = (all_X[lo:hi] @ all_X.T) / (
+                    all_norms[lo:hi, None] * all_norms[None, :]
+                )
+                ia, ib = np.nonzero(
+                    (S >= threshold)
+                    & (all_ids[lo:hi, None] < all_ids[None, :])
+                )
+                yield pd.DataFrame(
+                    {
+                        "id_a": all_ids[lo + ia],
+                        "id_b": all_ids[ib],
+                        "score": S[ia, ib],
+                    }
+                )
+
+    # one partition per block — spark.range's default (defaultParallelism
+    # partitions) would schedule mostly-empty Python workers
+    return spark.range(0, n_blocks, 1, n_blocks).mapInPandas(
+        _block_pairs, schema
+    )
+
+
+def cosine_near_dup_pairs_auto(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = 4,
+    planes_per_band: int = 8,
+    seed: int = 42,
+    crossover: int = COSINE_EXACT_CROSSOVER,
+) -> DataFrame:
+    """Adaptive embedding near-dup: exact all-pairs block matmul below
+    the measured ~12k-vector crossover, banded LSH + exact verify above
+    it — the same auto-pick shape as ``dedup.jaccard_pairs_auto``.
+
+    Both branches emit identical (id_a, id_b, score) pairs for any
+    corpus whose true near-dup pairs the banding recalls (recall 1.0
+    asserted at every probe point up to 48k); the switch is purely a
+    cost decision, so callers keep one entry point and the plan stays
+    right on both sides of the scale knee. The branch probe is ONE
+    ``limit(crossover + 1)`` collect of the slim (id, vector)
+    projection — below the crossover those same rows feed the exact
+    path (no second scan); above it at most crossover+1 rows (~6 MB)
+    were pulled before the limit short-circuits and the banded plan
+    takes over."""
+    probe = (
+        df.select(id_col, F.col(vec_col).cast("array<double>"))
+        .where(F.col(vec_col).isNotNull())
+        .limit(crossover + 1)
+        .collect()
+    )
+    if len(probe) <= crossover:
+        return cosine_near_dup_pairs_exact(
+            df, threshold, id_col, vec_col, _rows=probe
+        )
+    return cosine_near_dup_pairs(
+        df, threshold, id_col, vec_col, bands, planes_per_band, seed
+    )
+
+
 # ------------------------------------------------- scalar quantization ---
 
 

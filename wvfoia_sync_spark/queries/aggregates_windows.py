@@ -366,17 +366,39 @@ def set_ops_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-@register("approx_distinct_users")  # no SQL oracle: HLL sketches differ by
-# engine; tests/test_similarity_dedup.py bounds the error vs exact
+@register(
+    "approx_distinct_users",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_tol
+    FROM events GROUP BY event_type
+    """,
+)
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch path for distinct counting (approx_count_distinct, HLL++,
     rsd=2%): at 100 TB the exact countDistinct is a full shuffle of the
     key universe, the sketch is a constant-size mergeable state per
-    partition. Emits exact alongside for the tolerance check."""
+    partition.
+
+    Property-row form (r6): the raw HLL estimate is engine-specific, so
+    the hash-compared columns are the exact count plus a per-group
+    ``within_tol`` flag — |approx - exact| <= max(3, 6% of exact), the
+    rsd=2% sketch's 3-sigma envelope (same deterministic bound
+    hll_error_check gates globally; here it must hold for EVERY group
+    for the driver hash to match)."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    per = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
+    )
+    tol = F.greatest(F.lit(3.0), 0.06 * F.col("exact_users"))
+    return per.select(
+        "event_type",
+        "exact_users",
+        (F.abs(F.col("approx_users") - F.col("exact_users")) <= tol).alias(
+            "within_tol"
+        ),
     )
 
 

@@ -108,25 +108,25 @@ def simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup via banded LSH candidates + exact
-    verify, on a corpus with planted exact-copy vectors (cosine 1.0 >>
-    0.9 threshold, so the float compare is far from the boundary in
-    both engines).
+    """Embedding-cosine near-dup on a corpus with planted exact-copy
+    vectors (cosine 1.0 >> 0.9 threshold, so the float compare is far
+    from the boundary in both engines).
 
-    Bench ratio note (the one >2x-vs-DuckDB entry in the final r4
-    bench): the DuckDB twin is the O(n^2) all-pairs exact join —
-    vectorized C++ wins it easily at the bench corpus (4k vectors, 16M
-    pairs), while the LSH path pays signatures + candidate joins that
-    only amortize as n grows. The crossover IS the point: at corpus
-    scale the quadratic twin is off the table and banded LSH's
-    near-linear candidate generation is the only viable plan — this
-    query keeps the exact twin as its oracle precisely to prove the
-    approximate path loses nothing."""
+    Auto-adaptive (r6, closing the last r5 bench flag): below the
+    measured ~12k-vector crossover (SCALE_probe_lsh_crossover.jsonl)
+    ``cosine_near_dup_pairs_auto`` takes the exact all-pairs block
+    matmul — sub-second at the 4k bench corpus, where the banded path
+    paid signatures + candidate joins that only amortize as n grows —
+    and above it the banded LSH + exact-verify plan, whose near-linear
+    candidate generation is the only viable strategy once the O(n^2)
+    pair space (and the DuckDB twin that materializes it) is off the
+    table. Both branches emit identical pairs at every probe point
+    (recall 1.0 through 48k), so the exact twin stays the oracle."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     corpus = emb.unionAll(
         emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
     )
-    return similarity.cosine_near_dup_pairs(corpus, threshold=0.9).select(
+    return similarity.cosine_near_dup_pairs_auto(corpus, threshold=0.9).select(
         "id_a", "id_b"
     )
 
