@@ -48,6 +48,35 @@ def test_boilerplate_removal_fully_purged_doc_stays_as_empty_row(spark):
     assert all(r["cleaned"] == "" and r["n_removed"] == 1 for r in out)
 
 
+def test_boilerplate_removal_keeps_empty_and_null_lines_docs(spark):
+    """'One row per input doc' must include docs with an empty or NULL
+    lines array — they emit (0, 0, '') instead of vanishing (ADVICE r5)
+    — and NULL elements inside an array are dropped from n_lines and
+    cleaned without dropping the doc."""
+    rows = [
+        (1, ["nav", "keep me"]),
+        (2, ["nav"]),
+        (3, ["nav"]),
+        (4, []),            # empty array
+        (5, None),          # NULL array
+        (6, [None, "solo", None]),  # NULL elements
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lines array<string>")
+    got = {
+        r["doc_id"]: r
+        for r in textops.boilerplate_removal(df, min_docs=3).collect()
+    }
+    assert set(got) == {1, 2, 3, 4, 5, 6}
+    for d in (4, 5):
+        assert (got[d]["n_lines"], got[d]["n_removed"], got[d]["cleaned"]) == (
+            0,
+            0,
+            "",
+        )
+    assert got[6]["n_lines"] == 1 and got[6]["cleaned"] == "solo"
+    assert got[1]["cleaned"] == "keep me"  # boilerplate still stripped
+
+
 def test_boilerplate_count_is_distinct_docs_not_occurrences(spark):
     """One doc repeating a line 5 times is NOT boilerplate (count is
     distinct docs); the same line in 3 docs is."""
@@ -159,6 +188,40 @@ def test_hard_negatives_excludes_same_label_and_self(spark):
     ).collect()
     got = [(r["rank"], r["neg_id"]) for r in sorted(out, key=lambda r: r["rank"])]
     assert got == [(1, 2), (2, 3)]
+
+
+def test_hard_negatives_oracle_precondition_top_k_score_gaps(spark):
+    """hard_negatives' hash-match oracle assumes rank order agrees
+    between Spark's dot/norm expression fold and DuckDB's
+    list_cosine_similarity — only sound if adjacent scores in each
+    query's top-(k+1) candidate list are separated by far more than
+    cross-engine float-accumulation noise (ADVICE r5; mirrors
+    test_embedding_near_dup_oracle_precondition). Pin the fixture
+    invariant at every SF the gates run on: min adjacent gap measured
+    1.9e-5..9e-5, asserted > 1e-8 (~1e7 x ulp)."""
+    import numpy as np
+    import duckdb
+
+    for sf_dir in (
+        "/root/testdata/sf0.001",
+        SF_DIR,
+        "/root/testdata/sf0.1",
+    ):
+        d = duckdb.sql(
+            f"SELECT vec_id, label, embedding FROM "
+            f"'{sf_dir}/embeddings.parquet' ORDER BY vec_id"
+        ).fetchnumpy()
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in d["embedding"]])
+        X = X / np.linalg.norm(X, axis=1, keepdims=True)
+        ids, labels = d["vec_id"], d["label"]
+        for qi in range(10):  # the query batch is vec_id < 10
+            mask = (labels != labels[qi]) & (ids != ids[qi])
+            top = np.sort(X[mask] @ X[qi])[::-1][:6]  # k=5 -> top-(k+1)
+            assert -np.diff(top).min() > 1e-8, (
+                f"{sf_dir} query {ids[qi]}: adjacent top-6 scores within "
+                "float noise — re-gate hard_negatives as a recall check "
+                "before regenerating fixtures"
+            )
 
 
 def test_hard_negatives_plan_broadcasts_queries_no_cartesian(spark):

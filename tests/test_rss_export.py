@@ -148,6 +148,38 @@ def test_export_sql_and_sqlite_roundtrip(spark, fixture_dir, tmp_path):
     assert "idx_entries_agency" in idx
 
 
+def test_export_sqlite_runs_optimize_and_vacuum(spark, fixture_dir, tmp_path, monkeypatch):
+    """The reference workflow finishes the .db artifact with PRAGMA
+    optimize + VACUUM (export-db-sqlite.yml:104-112) — assert the export
+    helper actually issues both (spy on the connection, not the file:
+    neither statement has a reliably observable effect on a fresh db)."""
+    executed: list[str] = []
+    real_connect = sqlite3.connect
+
+    class _Spy:
+        def __init__(self, con):
+            self._con = con
+
+        def execute(self, sql, *a):
+            executed.append(sql)
+            return self._con.execute(sql, *a)
+
+        def __getattr__(self, name):
+            return getattr(self._con, name)
+
+    monkeypatch.setattr(
+        export.sqlite3, "connect", lambda p: _Spy(real_connect(p))
+    )
+    entries = spark.read.parquet(f"{fixture_dir}/entries.parquet").limit(5)
+    db_path = str(tmp_path / "opt.db")
+    assert export.export_sqlite(entries, db_path) == 5
+    assert "PRAGMA optimize" in executed
+    assert "VACUUM" in executed
+    # and the artifact is still a valid db afterwards
+    con = real_connect(db_path)
+    assert con.execute("SELECT count(*) FROM entries").fetchone()[0] == 5
+
+
 def test_export_watermark_skip(spark, fixture_dir, tmp_path):
     entries = spark.read.parquet(f"{fixture_dir}/entries.parquet")
     state = str(tmp_path / "state.json")

@@ -152,10 +152,14 @@ def boilerplate_removal(
     ``lines_col`` is an ``array<string>`` of the document's lines (the
     caller decides what a "line" is — newline split for web text,
     fixed-token segments for unstructured corpora). Output one row per
-    input doc: (id, n_lines, n_removed, cleaned) with ``cleaned`` the
-    surviving lines re-joined in original order (empty string when
-    everything was boilerplate — the doc row is kept so downstream
-    filters see the removal, matching C4's drop-then-length-filter).
+    input doc — INCLUDING docs whose array is empty or NULL, which emit
+    (n_lines=0, n_removed=0, cleaned='') via the posexplode_outer
+    placeholder row (ADVICE r5) — with ``cleaned`` the surviving lines
+    re-joined in original order (empty string when everything was
+    boilerplate — the doc row is kept so downstream filters see the
+    removal, matching C4's drop-then-length-filter). NULL elements
+    INSIDE a lines array are dropped: they don't count toward n_lines
+    and never appear in cleaned.
 
     Scale shape: one posexplode -> one line-keyed count-distinct
     aggregate -> one equi-join back -> one doc-keyed aggregate. The
@@ -176,8 +180,15 @@ def boilerplate_removal(
     ex = df.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode_outer(lines_col).alias("line_no", "line"),
-    ).where(F.col("line").isNotNull())
+    )
     return boilerplate_removal_exploded(ex, min_docs)
+
+
+# At most ONE exploded relation stays pinned: each invocation releases
+# the previous call's cache (unpersist is safe mid-use — consumers just
+# recompute), so repeated registry/bench runs can't accumulate pinned
+# executor storage for the session's lifetime (ADVICE r5).
+_persisted_exploded: list = []
 
 
 def boilerplate_removal_exploded(ex: DataFrame, min_docs: int = 3) -> DataFrame:
@@ -185,13 +196,20 @@ def boilerplate_removal_exploded(ex: DataFrame, min_docs: int = 3) -> DataFrame:
     line) rows — callers that can produce exploded lines cheaply (e.g.
     posexplode of token chunks, string-joining AFTER the explode so the
     join is plain codegen, not a per-doc lambda) skip the array
-    round-trip entirely."""
+    round-trip entirely. NULL ``line`` rows (posexplode_outer
+    placeholders for empty docs, or NULL array elements) flow through:
+    they keep the doc's output row but count 0 toward n_lines and never
+    join the boilerplate set (NULL keys don't equi-join)."""
     # persist: BOTH the boilerplate-set aggregate and the flag join scan
     # ex; without it the explode (and everything under it) executes
     # twice per action. Slim rows; LRU evicts under pressure.
     ex = ex.persist()
+    while _persisted_exploded:
+        _persisted_exploded.pop().unpersist()
+    _persisted_exploded.append(ex)
     boiler = (
-        ex.groupBy("line")
+        ex.where(F.col("line").isNotNull())
+        .groupBy("line")
         .agg(F.count_distinct("doc_id").alias("nd"))
         .where(F.col("nd") >= min_docs)
         .select("line", F.lit(True).alias("_boiler"))
@@ -200,7 +218,7 @@ def boilerplate_removal_exploded(ex: DataFrame, min_docs: int = 3) -> DataFrame:
     return (
         flagged.groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_lines"),
+            F.count("line").alias("n_lines"),
             F.coalesce(F.sum(F.when(F.col("_boiler"), 1)), F.lit(0)).alias(
                 "n_removed"
             ),
@@ -209,7 +227,8 @@ def boilerplate_removal_exploded(ex: DataFrame, min_docs: int = 3) -> DataFrame:
                     F.array_sort(
                         F.collect_list(
                             F.when(
-                                F.col("_boiler").isNull(),
+                                F.col("_boiler").isNull()
+                                & F.col("line").isNotNull(),
                                 F.struct("line_no", "line"),
                             )
                         )
