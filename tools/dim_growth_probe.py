@@ -1,0 +1,179 @@
+"""Broadcast-threshold crossing probe with GROWN dimensions (VERDICT r5,
+Next round #4).
+
+The 10x/100x scale probes (tools/scale_probe.py) replicate FACTS but
+copy dims unchanged, so every dim join stays under the broadcast
+threshold no matter the replica count — the one direction SCALE.md
+flags as unmeasured. test_plan_quality.py:422 forces the
+broadcast->shuffle degradation synthetically (threshold=-1); this probe
+makes it happen the way it would in production: customer / part /
+supplier grow Nx with offset keys, orders/lineitem replicas reference
+replica-k dims (so the join fan-out is realistic, not a hot-key pileup),
+and AQE decides at runtime whether the dim still fits a broadcast.
+
+What is asserted / recorded per query (market_share = TPC-H Q8 shape
+with unhinted customer+supplier joins; product_profit = Q9 shape with
+unhinted part+supplier joins):
+
+  - 1x: the sf0.1 layout — AQE broadcasts the small dims
+    (BroadcastHashJoin present for customer/supplier/part).
+  - Nx: the grown layout — the grown dims exceed
+    spark.sql.autoBroadcastJoinThreshold (10 MB) and the same UNCHANGED
+    query code flips those joins to SortMergeJoin/ShuffledHashJoin while
+    the constant-size nation/region hint-broadcasts survive.
+  - wall_ratio: Nx wall / 1x wall, expected well under N (sub-linear:
+    the scan parallelizes, the shuffle is the new cost).
+
+The final ADAPTIVE plan is read back from the executed Dataset (not
+.explain(), which shows the pre-execution guess), so the recorded flip
+is what AQE actually ran, not what the static planner proposed.
+
+Usage:  python tools/dim_growth_probe.py [N] [out_jsonl]
+Writes: JSON lines {"query", "x1_sec", "xN_sec", "wall_ratio",
+        "x1_bhj", "xN_bhj", "x1_smj", "xN_smj", "flipped"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from wvfoia_sync_spark import registry  # noqa: E402
+from wvfoia_sync_spark.session import get_spark  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+
+# dims that grow: (table, key column). nationkey columns are left alone
+# (nation/region stay constant-size, like the real world).
+GROWN_DIMS = [
+    ("customer", "c_custkey"),
+    ("part", "p_partkey"),
+    ("supplier", "s_suppkey"),
+]
+COPY_TABLES = ["region", "nation"]
+PROBE_QUERIES = ["market_share", "product_profit"]
+
+
+def build_layout(spark, n: int, out_dir: str) -> None:
+    if os.path.exists(os.path.join(out_dir, "lineitem.parquet", "_SUCCESS")):
+        return
+    os.makedirs(out_dir, exist_ok=True)
+    for name in COPY_TABLES:
+        spark.read.parquet(f"{BASE}/{name}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/{name}.parquet")
+    spans: dict[str, int] = {}
+    for name, key in GROWN_DIMS:
+        df = spark.read.parquet(f"{BASE}/{name}.parquet")
+        spans[key] = df.agg(F.max(key)).first()[0] + 1
+        reps = None
+        for k in range(n):
+            r = df.withColumn(key, (F.col(key) + F.lit(k * spans[key])).cast("long"))
+            reps = r if reps is None else reps.unionByName(r)
+        reps.repartition(max(4, n // 8)).write.mode("overwrite").parquet(
+            f"{out_dir}/{name}.parquet"
+        )
+    orders = spark.read.parquet(f"{BASE}/orders.parquet")
+    o_span = orders.agg(F.max("o_orderkey")).first()[0] + 1
+    reps = None
+    for k in range(n):
+        r = orders.withColumns(
+            {
+                "o_orderkey": (F.col("o_orderkey") + F.lit(k * o_span)).cast("long"),
+                "o_custkey": (
+                    F.col("o_custkey") + F.lit(k * spans["c_custkey"])
+                ).cast("long"),
+            }
+        )
+        reps = r if reps is None else reps.unionByName(r)
+    reps.repartition(32).write.mode("overwrite").parquet(
+        f"{out_dir}/orders.parquet"
+    )
+    li = spark.read.parquet(f"{BASE}/lineitem.parquet")
+    reps = None
+    for k in range(n):
+        r = li.withColumns(
+            {
+                "l_orderkey": (F.col("l_orderkey") + F.lit(k * o_span)).cast("long"),
+                "l_partkey": (
+                    F.col("l_partkey") + F.lit(k * spans["p_partkey"])
+                ).cast("long"),
+                "l_suppkey": (
+                    F.col("l_suppkey") + F.lit(k * spans["s_suppkey"])
+                ).cast("long"),
+            }
+        )
+        reps = r if reps is None else reps.unionByName(r)
+    reps.repartition(64).write.mode("overwrite").parquet(
+        f"{out_dir}/lineitem.parquet"
+    )
+
+
+def run_and_final_plan(spark, name: str, sf_dir: str) -> tuple[float, str, int]:
+    df = registry.QUERIES[name](spark, sf_dir)
+    t0 = time.time()
+    rows = df.collect()
+    wall = round(time.time() - t0, 3)
+    # the SAME Dataset's queryExecution — after collect() its
+    # executedPlan is the AdaptiveSparkPlanExec with isFinalPlan=true
+    final = df._jdf.queryExecution().executedPlan().toString()
+    return wall, final, len(rows)
+
+
+def join_census(plan_str: str) -> dict[str, int]:
+    return {
+        "bhj": len(re.findall(r"BroadcastHashJoin", plan_str)),
+        "smj": len(re.findall(r"SortMergeJoin", plan_str)),
+        "shj": len(re.findall(r"ShuffledHashJoin", plan_str)),
+    }
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "SCALE_probe_r6_dimgrowth.jsonl"
+    out_dir = f"/tmp/dim_growth_{n}x"
+    spark = get_spark("dim-growth-probe", cpus=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    build_layout(spark, n, out_dir)
+    registry.QUERIES["max_key"](spark, BASE).collect()  # warm
+    results = []
+    for q in PROBE_QUERIES:
+        w1, p1, _ = run_and_final_plan(spark, q, BASE)
+        wn, pn, rows_n = run_and_final_plan(spark, q, out_dir)
+        c1, cn = join_census(p1), join_census(pn)
+        flipped = cn["smj"] + cn["shj"] > c1["smj"] + c1["shj"] and cn["bhj"] < c1["bhj"]
+        assert "isFinalPlan=true" in pn, "adaptive plan was not finalized"
+        row = {
+            "query": q,
+            "replicas": n,
+            "x1_sec": w1,
+            "xN_sec": wn,
+            "wall_ratio": round(wn / w1, 2),
+            "x1_bhj": c1["bhj"],
+            "xN_bhj": cn["bhj"],
+            "x1_smj": c1["smj"] + c1["shj"],
+            "xN_smj": cn["smj"] + cn["shj"],
+            "rows_out_xN": rows_n,
+            "flipped": flipped,
+        }
+        results.append(row)
+        print(json.dumps(row), flush=True)
+    with open(out_path, "a") as f:
+        for row in results:
+            f.write(json.dumps(row) + "\n")
+    ok = all(r["flipped"] for r in results) and all(
+        r["wall_ratio"] < n for r in results
+    )
+    print(json.dumps({"all_flipped_sublinear": ok}))
+
+
+if __name__ == "__main__":
+    main()
