@@ -1,0 +1,85 @@
+"""RocksDB state-store probe for `stateful_counts` (VERDICT r5, Next
+round #5).
+
+The r5 streaming probe (SCALE_probe_r5_streaming.jsonl) showed
+stateful_counts' state rows growing x100 under a 100x input whose USER
+population grows 100x — bounded by design (per-key running counts ARE
+the keys), but it is the one stateful op whose state scales with a data
+dimension rather than a watermark window. At 100 TB that state no longer
+fits the default HDFSBackedStateStoreProvider, which keeps every
+partition's full state map ON-HEAP between batches; Spark's answer is
+the bundled RocksDBStateStoreProvider (native off-heap + spill-to-disk,
+the standard choice for large-key-cardinality stateful streaming).
+
+This probe runs the SAME 100x stateful_counts workload under both
+providers and records wall + max state rows, demonstrating (a) the
+RocksDB provider is a one-conf swap — no operator code changes, the
+jobs.py operators are provider-agnostic, which is the actual 100 TB
+claim — and (b) the local-mode overhead it costs at this scale (RocksDB
+pays JNI + disk per batch; its win is bounded MEMORY at state sizes no
+heap can hold, not wall-clock at 6M rows).
+
+The x60 wall growth r5 measured is micro-batch-count-bound (the 100x
+input is 400 files at maxFilesPerTrigger=4 -> ~100 sequential
+micro-batches, each paying a full state-store commit cycle), not
+per-row cost — this probe's per-provider batch counts make that
+explicit.
+
+Usage: python tools/rocksdb_state_probe.py [N] [out_jsonl]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from tools.streaming_scale_probe import (  # noqa: E402
+    _ProgressTap,
+    build_inputs,
+    probe_op,
+)
+from wvfoia_sync_spark.session import get_spark  # noqa: E402
+
+ROCKSDB = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+HDFS = "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "SCALE_probe_r6_rocksdb.jsonl"
+    scratch = f"/tmp/stream_scale_{n}x"
+    spark = get_spark("rocksdb-state-probe", cpus=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    _, many = build_inputs(spark, n, scratch)
+    tap = _ProgressTap(spark)
+    results = []
+    for provider, label in ((HDFS, "hdfs_backed"), (ROCKSDB, "rocksdb")):
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+        with tap:
+            wall = probe_op(spark, "stateful_counts", many, scratch)
+        row = {
+            "op": "stateful_counts",
+            "provider": label,
+            "replicas": n,
+            "wall_sec": wall,
+            "batches": tap.batches,
+            "input_rows": tap.input_rows,
+            "max_state_rows": tap.max_state_rows,
+        }
+        results.append(row)
+        print(json.dumps(row), flush=True)
+    # both providers must see the same state (same keys, same input)
+    assert results[0]["max_state_rows"] == results[1]["max_state_rows"], results
+    with open(out_path, "a") as f:
+        for row in results:
+            f.write(json.dumps(row) + "\n")
+
+
+if __name__ == "__main__":
+    main()
