@@ -59,7 +59,9 @@ DRIVER_WINDOW: list[str] = [
     "provenance_counts",
     "nation_pagerank",
     "triangle_count",
-    # --- 21 high-value re-verifications ---
+    # --- 19 high-value re-verifications (filter_scan / latest_snapshot
+# --- yielded their slots to the two new r6 registrations below; both
+# --- have multiple earlier driver-green rows) ---
     "approx_distinct_users",
     "home_stats",
     "nation_stats",
@@ -79,8 +81,9 @@ DRIVER_WINDOW: list[str] = [
     "semantic_dedup",
     "knn_join",
     "embedding_near_dup",
-    "filter_scan",
-    "latest_snapshot",
+    # --- 2 new r6 registrations (never checked, registered this round) ---
+    "bpe_encode_property_check",
+    "quality_classifier_score",
 ]
 
 

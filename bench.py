@@ -167,6 +167,7 @@ HEADLINE = [
     "parts_supplier_relationship",
     "variant_shred_stats",
     "hll_union_rollup",
+    "quality_classifier_score",
 ]
 
 

@@ -1,0 +1,128 @@
+"""Round-6 additions: BPE encoding (the apply half of the tokenizer
+loop) and the hashed-bigram linear quality classifier."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from wvfoia_sync_spark import registry
+from wvfoia_sync_spark.operators import textops
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _encode_map(spark, rows, merges):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return {
+        r["doc_id"]: r
+        for r in textops.bpe_encode(df, merges, "text").collect()
+    }
+
+
+def test_bpe_encode_greedy_left(spark):
+    """'aaa' under merge (a,a) is [aa, a] — the merged head cannot
+    re-pair with the tail (textbook greedy-left apply)."""
+    got = _encode_map(spark, [(1, "aaa bab")], [("a", "a")])
+    assert got[1]["pieces"] == ["aa", "a", "b", "a", "b"]
+    assert got[1]["n_words"] == 2 and got[1]["n_tokens"] == 5
+
+
+def test_bpe_encode_chained_multichar_merges(spark):
+    """Merge list applies IN ORDER and later merges see earlier merges'
+    multi-char symbols: (a,a) then (aa,a) turns 'aaa' into one piece,
+    while 'aaaa' stays [aa, aa] — the first merge's greedy-left pass
+    already paired all four a's, leaving no (aa, a) adjacency."""
+    got = _encode_map(spark, [(1, "aaa aaaa")], [("a", "a"), ("aa", "a")])
+    assert got[1]["pieces"] == ["aaa", "aa", "aa"]
+    assert got[1]["n_tokens"] == 3
+
+
+def test_bpe_encode_preserves_word_order_across_docs(spark):
+    got = _encode_map(
+        spark, [(1, "the cat"), (2, "cat the")], [("t", "h"), ("th", "e")]
+    )
+    assert got[1]["pieces"] == ["the", "c", "a", "t"]
+    assert got[2]["pieces"] == ["c", "a", "t", "the"]
+
+
+def test_bpe_encode_tokenless_doc_drops(spark):
+    got = _encode_map(spark, [(1, "ok doc"), (2, "!!! ...")], [("o", "k")])
+    assert set(got) == {1}
+    assert got[1]["pieces"] == ["ok", "d", "o", "c"]
+
+
+def test_bpe_encode_roundtrips_train_merges_on_fixture(spark):
+    """Encode with merges learned on the same corpus: content is
+    conserved (pieces re-join to the folded tokens) and every merge
+    actually fired somewhere (n_tokens < total chars)."""
+    docs = registry.QUERIES["filter_scan"].__globals__["load_table"](
+        spark, SF_DIR, "documents"
+    )
+    merges = textops.train_bpe(docs, "text", n_merges=4)
+    assert len(merges) == 4
+    enc = textops.bpe_encode(docs, merges, "text")
+    from wvfoia_sync_spark.functions.text import tokens
+
+    toks = docs.select("doc_id", tokens("text").alias("t")).where(F.size("t") > 0)
+    joined = enc.join(toks, "doc_id")
+    bad = joined.where(
+        (F.array_join("pieces", "") != F.array_join("t", ""))
+        | (F.col("n_tokens") != F.size("pieces"))
+    ).count()
+    assert bad == 0
+    assert joined.count() == toks.count()
+    shrunk = joined.where(
+        F.col("n_tokens") < F.length(F.array_join("t", ""))
+    ).count()
+    assert shrunk > 0
+
+
+def test_bpe_encode_property_check_rows(spark):
+    out = {
+        r["property"]: r["ok"]
+        for r in registry.QUERIES["bpe_encode_property_check"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert out == {
+        "per_word_pieces_match_reference": True,
+        "doc_reassembly_conserves_text": True,
+    }
+
+
+def test_quality_classifier_score_shape(spark):
+    """n_feat is exactly n_tokens - 1 per kept doc, score is the exact
+    integer mean, label matches the sum's sign, and both label classes
+    occur on the fixture (the pseudo-weights are centered)."""
+    from wvfoia_sync_spark.functions.text import tokens
+    from wvfoia_sync_spark.sources.tables import load_table
+
+    out = registry.QUERIES["quality_classifier_score"](spark, SF_DIR)
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", F.size(tokens("text")).alias("n_tok")
+    )
+    j = out.join(docs, "doc_id")
+    assert j.where(F.col("n_feat") != F.col("n_tok") - 1).count() == 0
+    assert out.where(
+        F.abs(
+            F.col("score")
+            - F.col("score_sum").cast("double") / F.col("n_feat")
+        )
+        > 1e-12
+    ).count() == 0
+    assert out.where(F.col("label") != (F.col("score_sum") > 0)).count() == 0
+    labels = {r["label"] for r in out.select("label").distinct().collect()}
+    assert labels == {True, False}
+    # every multi-token doc is scored
+    assert out.count() == docs.where(F.col("n_tok") >= 2).count()
+
+
+def test_quality_classifier_stays_in_codegen(spark):
+    """No Python UDF, no cartesian: one explode projection, one hash
+    aggregate."""
+    from tests.test_plan_quality import plan
+
+    p = plan(registry.QUERIES["quality_classifier_score"](spark, SF_DIR))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "HashAggregate" in p

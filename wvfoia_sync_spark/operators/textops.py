@@ -343,3 +343,54 @@ def train_bpe(
         if (i + 1) % checkpoint_every == 0:
             words = words.localCheckpoint(eager=True)
     return merges
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Apply a trained BPE merge list to a corpus — the other half of
+    the tokenizer loop (train_bpe learns the merges; this encodes with
+    them). Output one row per doc WITH AT LEAST ONE TOKEN (a doc whose
+    text tokenizes to nothing has no encoding — it drops out, like every
+    tokenize-then-explode pipeline here): (doc_id, n_words, n_tokens,
+    pieces array<string>) with ``pieces`` the document's BPE symbols in
+    original word order.
+
+    Scale shape (the reason this is NOT a per-doc UDF): the merge fold
+    runs over the DISTINCT-WORD table only — one corpus explode ->
+    distinct (vocabulary-sized), then len(merges) codegen fold
+    projections over that vocab frame with lineage checkpoints, exactly
+    train_bpe's iteration state. The corpus itself is touched twice: the
+    word explode and one word->pieces equi-join back (AQE broadcasts the
+    encoded vocab while it fits, shuffles when an open vocab outgrows
+    memory — no hint pinned), then one doc-keyed reassembly aggregate.
+    Encoding cost is O(vocab x merges) + O(corpus), never
+    O(corpus x merges)."""
+    from ..functions.text import tokens
+
+    ex = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(text_col)).alias("pos", "word"),
+    )
+    vocab = ex.select("word").distinct().withColumn("symbols", F.split("word", ""))
+    for i, (a, b) in enumerate(merges):
+        vocab = vocab.withColumn("symbols", _merge_pair_expr(F.col("symbols"), a, b))
+        if (i + 1) % checkpoint_every == 0:
+            vocab = vocab.localCheckpoint(eager=True)
+    return (
+        ex.join(vocab, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.size("symbols")).alias("n_tokens"),
+            F.flatten(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "symbols"))
+                ).symbols
+            ).alias("pieces"),
+        )
+    )

@@ -1290,3 +1290,147 @@ def bpe_train_property_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [("bpe_matches_reference", bool(ok))], "property string, ok boolean"
     )
+
+
+@register(
+    "bpe_encode_property_check",
+    oracle="""
+    SELECT 'per_word_pieces_match_reference' AS property, TRUE AS ok
+    UNION ALL
+    SELECT 'doc_reassembly_conserves_text', TRUE
+    ORDER BY property
+    """,
+)
+def bpe_encode_property_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-green equivalence gate for textops.bpe_encode (the apply
+    half of the tokenizer loop; train half gated by
+    bpe_train_property_check). Two properties, both hash-compared:
+
+    1. per_word_pieces_match_reference — the vocab-table merge fold must
+       segment every DISTINCT word exactly as a pure-Python greedy-left
+       BPE encoder does with the same learned merge list (vocab-sized
+       collect, same budget as the trainer gate).
+    2. doc_reassembly_conserves_text — computed IN Spark over every doc,
+       no collect: the flattened pieces re-joined must equal the doc's
+       folded tokens re-joined (segmentation changes boundaries, never
+       content), and n_tokens must equal len(pieces)."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = textops.train_bpe(docs, "text", n_merges=6)
+    encoded = textops.bpe_encode(docs, merges, "text")
+
+    vocab = (
+        docs.select(F.explode(text_fns.tokens("text")).alias("word"))
+        .distinct()
+        .withColumn("symbols", F.split("word", ""))
+    )
+    for a, b in merges:
+        vocab = vocab.withColumn(
+            "symbols", textops._merge_pair_expr(F.col("symbols"), a, b)
+        )
+    rows = vocab.collect()
+    py: dict[str, list[str]] = {}
+    for r in rows:
+        syms = list(r["word"])
+        for a, b in merges:
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            syms = out
+        py[r["word"]] = syms
+    ok1 = len(rows) > 0 and all(py[r["word"]] == list(r["symbols"]) for r in rows)
+
+    toks = docs.select(
+        F.col("doc_id"), text_fns.tokens("text").alias("t")
+    ).where(F.size("t") > 0)
+    conserve = (
+        encoded.join(toks, "doc_id")
+        .select(
+            (
+                (F.array_join("pieces", "") == F.array_join("t", ""))
+                & (F.col("n_tokens") == F.size("pieces"))
+                & (F.col("n_words") == F.size("t"))
+            ).alias("ok")
+        )
+        .agg(F.min("ok").alias("ok"), F.count("*").alias("n"))
+        .first()
+    )
+    ok2 = bool(conserve["ok"]) and conserve["n"] == toks.count()
+    return spark.createDataFrame(
+        [
+            ("doc_reassembly_conserves_text", bool(ok2)),
+            ("per_word_pieces_match_reference", bool(ok1)),
+        ],
+        "property string, ok boolean",
+    )
+
+
+@register(
+    "quality_classifier_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKENS.format(c='text')} AS toks FROM documents
+    ), b AS (
+      SELECT doc_id,
+             toks[CAST(u.i AS INT)] || ' ' || toks[CAST(u.i AS INT) + 1] AS bg
+      FROM t, UNNEST(range(1, len(toks))) AS u(i)
+      WHERE len(toks) >= 2
+    ), f AS (
+      SELECT doc_id,
+             (('0x' || substr(sha256(bg), 1, 4))::BIGINT % 997) - 498 AS w
+      FROM b
+    )
+    SELECT doc_id, COUNT(*) AS n_feat,
+           CAST(SUM(w) AS BIGINT) AS score_sum,
+           CAST(SUM(w) AS DOUBLE) / COUNT(*) AS score,
+           SUM(w) > 0 AS label
+    FROM f GROUP BY doc_id
+    """,
+)
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear quality classifier inference (the
+    CCNet/FineWeb quality-filter stage) as pure codegen: word-bigram
+    features by the hashing trick (first 16 bits of sha256 -> 65,536
+    buckets), a weight per bucket, doc score = mean feature weight,
+    label = sign. The weights here are a deterministic function of the
+    bucket ((b % 997) - 498) so the oracle can recompute them;
+    production swaps that one expression for a broadcast equi-join
+    against a trained (bucket, weight) table — the plan is otherwise
+    identical and is the actual fastText scoring shape: one explode ->
+    per-feature hash (no dictionary, no OOV path) -> doc-keyed re-agg.
+    INTEGER weights make the doc sum order-free exact, so Spark and
+    DuckDB cannot drift in accumulation order; the single final division
+    surfaces the mean as one deterministic double op. Docs with < 2
+    tokens have no bigram features and drop out (both engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", text_fns.tokens("text").alias("toks")).where(
+        F.size("toks") >= 2
+    )
+    t = F.col("toks")
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(t, i), F.element_at(t, i + 1)
+                ),
+            )
+        ).alias("bg"),
+    )
+    bucket = F.conv(F.substring(F.sha2(F.col("bg"), 256), 1, 4), 16, 10).cast(
+        "long"
+    )
+    w = (bucket % 997 - 498).alias("w")
+    return (
+        bg.select("doc_id", w)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_feat"),
+            F.sum("w").alias("score_sum"),
+            (F.sum("w").cast("double") / F.count("*")).alias("score"),
+            (F.sum("w") > 0).alias("label"),
+        )
+    )
