@@ -22,7 +22,7 @@ from wvfoia_sync_spark import registry
 # property/recall gates, sketches, graph-iterative, text statistics,
 # and the remaining ANN top-k variants) — after this window every one
 # of the 180 registered queries is driver-verified at least once. The
-# remaining 21 slots re-verify the highest-value earlier names: the
+# remaining slots re-verify the highest-value earlier names: the
 # FOIA app surface, the full streaming/incremental family, and the
 # queries whose implementation changed this round (approx_distinct_
 # users gained a property-row oracle; embedding_near_dup became
@@ -59,14 +59,13 @@ DRIVER_WINDOW: list[str] = [
     "provenance_counts",
     "nation_pagerank",
     "triangle_count",
-    # --- 19 high-value re-verifications (filter_scan / latest_snapshot
-# --- yielded their slots to the two new r6 registrations below; both
-# --- have multiple earlier driver-green rows) ---
+    # --- 17 high-value re-verifications (filter_scan / latest_snapshot /
+    # --- status_timeline / page_fetch yielded their slots to the four
+    # --- new r6 registrations at the tail; all have earlier driver-green
+    # --- rows and are unchanged since) ---
     "approx_distinct_users",
     "home_stats",
     "nation_stats",
-    "status_timeline",
-    "page_fetch",
     "stream_stream_join",
     "stream_stream_outer_join",
     "stream_static_join",
@@ -81,9 +80,13 @@ DRIVER_WINDOW: list[str] = [
     "semantic_dedup",
     "knn_join",
     "embedding_near_dup",
-    # --- 2 new r6 registrations (never checked, registered this round) ---
+    # --- 4 new r6 registrations (never checked, registered this round;
+    # --- status_timeline / page_fetch yielded re-verify slots to the
+    # --- coreset pair — both unchanged since their driver-green rows) ---
     "bpe_encode_property_check",
     "quality_classifier_score",
+    "coreset_select",
+    "coreset_property_check",
 ]
 
 

@@ -126,3 +126,47 @@ def test_quality_classifier_stays_in_codegen(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "CartesianProduct" not in p
     assert "HashAggregate" in p
+
+
+def test_k_center_select_greedy_semantics(spark):
+    """Line fixture: ids 1..4 at x=0,10,4,6; seed=min id. Round 2 takes
+    the farthest (id 2, d^2=100); round 3 is a 16.0-vs-16.0 tie between
+    ids 3 and 4, broken to the smaller id."""
+    from wvfoia_sync_spark.operators.similarity import k_center_select
+
+    df = spark.createDataFrame(
+        [(1, [0.0]), (2, [10.0]), (3, [4.0]), (4, [6.0])],
+        "vec_id long, embedding array<float>",
+    )
+    assert k_center_select(df, k=3) == [
+        (1, 1, None),
+        (2, 2, 100.0),
+        (3, 3, 16.0),
+    ]
+
+
+def test_k_center_select_exhausts_small_input(spark):
+    from wvfoia_sync_spark.operators.similarity import k_center_select
+
+    df = spark.createDataFrame(
+        [(7, [1.0, 0.0]), (9, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    sel = k_center_select(df, k=5)
+    assert [(r, i) for r, i, _ in sel] == [(1, 7), (2, 9)]
+    assert k_center_select(df.limit(0), k=3) == []
+
+
+def test_coreset_queries_on_fixture(spark):
+    sel = registry.QUERIES["coreset_select"](spark, SF_DIR).collect()
+    assert [r["rank"] for r in sel] == list(range(1, 9))
+    assert len({r["vec_id"] for r in sel}) == 8
+    props = {
+        r["property"]: r["ok"]
+        for r in registry.QUERIES["coreset_property_check"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert props == {
+        "kcenter_matches_reference": True,
+        "cover_radius_non_increasing": True,
+    }

@@ -1043,3 +1043,76 @@ def ivfpq_topk(
         id_col=id_col,
         vec_col=vec_col,
     )
+
+
+def _sqdist_to(vec_col: Column, center: list[float]) -> Column:
+    """Squared euclidean distance to a literal center: index-ordered
+    (x-y)^2 fold in double precision — the same left-to-right add order
+    a plain Python loop uses, so a reference implementation reproduces
+    the value bit-for-bit (k_center_select's equality gate relies on
+    this)."""
+    diffs = F.zip_with(
+        vec_col.cast("array<double>"),
+        lit_vector(center),
+        lambda x, y: (x - y) * (x - y),
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def k_center_select(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    checkpoint_every: int = 4,
+) -> list[tuple[int, int, float | None]]:
+    """k-center greedy coreset selection (farthest-point sampling,
+    Gonzalez 1985) over an embedding column — the diversity-aware
+    data-selection stage of a training pipeline (coreset pruning /
+    DeepCore-style selection): seed at the minimum id, then repeatedly
+    take the point farthest (max min-squared-distance) from the selected
+    set, ties to the smaller id.
+
+    Returns the k selections as [(rank, id, dist)] with ``dist`` the
+    point's min squared distance to the set BEFORE it joined (None for
+    the seed). The greedy guarantees dist is non-increasing in rank and
+    2-approximates the optimal k-center cover radius.
+
+    Scale shape (why this is not a pairwise job): the iteration state is
+    ONE double column (min distance to the selected set) carried on the
+    corpus frame. Each of the k rounds is one broadcast-literal distance
+    projection + a least() fold + a TakeOrderedAndProject(1) — the
+    driver takes exactly ONE row per round, like textops.train_bpe's
+    merge pick — and lineage is checkpoint-truncated every
+    ``checkpoint_every`` rounds. O(k x corpus) codegen work, no shuffle
+    at all, never a pairwise matrix."""
+    pts = df.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    seed = pts.orderBy(F.col("vec_id").asc()).limit(1).collect()
+    if not seed:
+        return []
+    selected: list[tuple[int, int, float | None]] = [
+        (1, seed[0]["vec_id"], None)
+    ]
+    center = list(seed[0]["v"])
+    pts = pts.where(F.col("vec_id") != seed[0]["vec_id"]).withColumn(
+        "mind", _sqdist_to(F.col("v"), center)
+    )
+    for r in range(2, k + 1):
+        top = (
+            pts.orderBy(F.col("mind").desc(), F.col("vec_id").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        row = top[0]
+        selected.append((r, row["vec_id"], float(row["mind"])))
+        center = list(row["v"])
+        pts = pts.where(F.col("vec_id") != row["vec_id"]).withColumn(
+            "mind", F.least(F.col("mind"), _sqdist_to(F.col("v"), center))
+        )
+        if (r - 1) % checkpoint_every == 0:
+            pts = pts.localCheckpoint(eager=True)
+    return selected

@@ -870,3 +870,85 @@ def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.hard_negatives(emb, queries, k=5).select(
         "query_id", "rank", "neg_id"
     )
+
+
+@register("coreset_select")  # no SQL form: iterative greedy (driver
+# records rows-only; coreset_property_check is the hash-green gate)
+def coreset_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-center greedy coreset (farthest-point sampling) over the
+    embeddings table, k=8 — the diversity-aware selection stage of a
+    training-data pipeline. Returns (rank, vec_id) in selection order.
+    Operator: similarity.k_center_select (one min-distance column as
+    iteration state, one driver row per round, no pairwise matrix);
+    dist is excluded from the output per the knn_join convention and
+    value-gated instead by coreset_property_check's bit-exact
+    reference comparison."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sel = similarity.k_center_select(emb, k=8)
+    return spark.createDataFrame(
+        [(r, i) for r, i, _ in sel], "rank long, vec_id long"
+    )
+
+
+@register(
+    "coreset_property_check",
+    oracle="""
+    SELECT 'kcenter_matches_reference' AS property, TRUE AS ok
+    UNION ALL
+    SELECT 'cover_radius_non_increasing', TRUE
+    ORDER BY property
+    """,
+)
+def coreset_property_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-green gate for the iterative k-center selection. Two
+    properties, both hash-compared:
+
+    1. kcenter_matches_reference — ranks, ids AND distances from the
+       distributed greedy must equal a pure-Python reference running the
+       same seed/tie rules, bit-for-bit: both engines fold (x-y)^2
+       left-to-right in double precision (similarity._sqdist_to
+       docstring), so equality is exact, not tolerance-based.
+    2. cover_radius_non_increasing — the greedy's selection distances
+       are non-increasing in rank (the 2-approximation's invariant);
+       a state-carry bug (e.g. a missed least() fold) breaks this."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = 8
+    sel = similarity.k_center_select(emb, k=k)
+
+    pts = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")).collect()
+    }
+    seed = min(pts)
+    ref: list[tuple[int, int, float | None]] = [(1, seed, None)]
+    mind: dict[int, float] = {}
+    center = pts[seed]
+    remaining = {i for i in pts if i != seed}
+    for i in remaining:
+        acc = 0.0
+        for x, y in zip(pts[i], center):
+            acc += (x - y) * (x - y)
+        mind[i] = acc
+    for r in range(2, k + 1):
+        if not remaining:
+            break
+        best = max(remaining, key=lambda i: (mind[i], -i))
+        ref.append((r, best, mind[best]))
+        center = pts[best]
+        remaining.discard(best)
+        for i in remaining:
+            acc = 0.0
+            for x, y in zip(pts[i], center):
+                acc += (x - y) * (x - y)
+            if acc < mind[i]:
+                mind[i] = acc
+    ok1 = sel == ref
+    dists = [d for _, _, d in sel if d is not None]
+    ok2 = all(a >= b for a, b in zip(dists, dists[1:])) and len(dists) == k - 1
+    return spark.createDataFrame(
+        [
+            ("cover_radius_non_increasing", bool(ok2)),
+            ("kcenter_matches_reference", bool(ok1)),
+        ],
+        "property string, ok boolean",
+    )
