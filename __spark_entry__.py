@@ -78,15 +78,15 @@ DRIVER_WINDOW: list[str] = [
     "scd2_history",
     "scd2_asof_lookup",
     "semantic_dedup",
-    "knn_join",
     "embedding_near_dup",
-    # --- 4 new r6 registrations (never checked, registered this round;
-    # --- status_timeline / page_fetch yielded re-verify slots to the
-    # --- coreset pair — both unchanged since their driver-green rows) ---
+    # --- 5 new r6 registrations (never checked, registered this round;
+    # --- status_timeline / page_fetch / knn_join yielded re-verify slots
+    # --- — all unchanged since their driver-green rows) ---
     "bpe_encode_property_check",
     "quality_classifier_score",
     "coreset_select",
     "coreset_property_check",
+    "temperature_mixture",
 ]
 
 

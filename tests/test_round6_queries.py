@@ -170,3 +170,90 @@ def test_coreset_queries_on_fixture(spark):
         "kcenter_matches_reference": True,
         "cover_radius_non_increasing": True,
     }
+
+
+def _py_bpe_encode(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    syms = list(word)
+    for a, b in merges:
+        out: list[str] = []
+        for s in syms:
+            if out and out[-1] == a and s == b:
+                out[-1] = a + b
+            else:
+                out.append(s)
+        syms = out
+    return syms
+
+
+def test_bpe_encode_randomized_differential(spark):
+    """Randomized differential against the pure-Python greedy encoder:
+    words over a 3-letter alphabet (maximal merge collisions), merges
+    learned FROM the corpus so multi-char chains occur, per-word pieces
+    and doc reassembly must match exactly. Deterministic seed — a
+    failure reproduces."""
+    import random
+
+    rng = random.Random(606)
+    alphabet = "abc"
+    docs = []
+    for doc_id in range(40):
+        words = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 9)))
+            for _ in range(rng.randint(1, 12))
+        ]
+        docs.append((doc_id, " ".join(words)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    merges = textops.train_bpe(df, "text", n_merges=6)
+    assert merges, "fixture should learn at least one merge"
+    got = {
+        r["doc_id"]: r for r in textops.bpe_encode(df, merges, "text").collect()
+    }
+    for doc_id, text in docs:
+        words = text.split()
+        want = [p for w in words for p in _py_bpe_encode(w, merges)]
+        assert got[doc_id]["pieces"] == want, (doc_id, merges)
+        assert got[doc_id]["n_words"] == len(words)
+        assert got[doc_id]["n_tokens"] == len(want)
+
+
+def test_temperature_mixture_quota_semantics(spark):
+    """Quotas follow c^0.5 temperature scaling of the OBSERVED counts:
+    recompute them in python (same floor(sqrt*1e6) + integer-div pinning)
+    and check per-source kept counts == min(quota, n); down-weighting
+    must hold (largest source's quota share < its natural share)."""
+    import math
+
+    from wvfoia_sync_spark.sources.tables import load_table
+
+    out = registry.QUERIES["temperature_mixture"](spark, SF_DIR)
+    kept = {
+        r["source"]: r["k"]
+        for r in out.groupBy("source").agg(F.count("*").alias("k")).collect()
+    }
+    counts = {
+        r["source"]: r["n"]
+        for r in load_table(spark, SF_DIR, "documents")
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    s6 = {s: math.floor(math.sqrt(n) * 1_000_000) for s, n in counts.items()}
+    tot6 = sum(s6.values())
+    quota = {s: (1000 * v) // tot6 for s, v in s6.items()}
+    for s, n in counts.items():
+        assert kept.get(s, 0) == min(quota[s], n), (s, quota[s], n)
+    big = max(counts, key=counts.get)
+    if len(set(counts.values())) > 1:
+        # strict down-weighting only observable on non-uniform sources
+        assert quota[big] / 1000 < counts[big] / sum(counts.values())
+    else:
+        # uniform fixture: temperature scaling must be share-preserving
+        assert abs(quota[big] / 1000 - 1 / len(counts)) <= 1 / 1000
+
+    # strict down-weighting pinned on a synthetic non-uniform mixture
+    syn = {"big": 900, "mid": 90, "small": 10}
+    s6s = {s: math.floor(math.sqrt(n) * 1_000_000) for s, n in syn.items()}
+    t6 = sum(s6s.values())
+    qs = {s: (1000 * v) // t6 for s, v in s6s.items()}
+    assert qs["big"] / 1000 < syn["big"] / 1000
+    assert qs["small"] / 1000 > syn["small"] / 1000

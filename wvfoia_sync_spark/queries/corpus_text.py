@@ -1434,3 +1434,64 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("w") > 0).alias("label"),
         )
     )
+
+
+@register(
+    "temperature_mixture",
+    oracle="""
+    WITH c AS (
+      SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+    ), s AS (
+      SELECT source, n,
+             CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS s6
+      FROM c
+    ), q AS (
+      SELECT source, n, (1000 * s6) // (SELECT SUM(s6) FROM s) AS quota FROM s
+    ), ranked AS (
+      SELECT doc_id, d.source,
+             row_number() OVER (
+               PARTITION BY d.source ORDER BY sha256(text), doc_id
+             ) AS rn
+      FROM documents d
+    )
+    SELECT r.doc_id, r.source FROM ranked r JOIN q ON r.source = q.source
+    WHERE r.rn <= q.quota
+    """,
+)
+def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (GPT-3 / LLaMA corpus assembly:
+    sample source i proportional to c_i^alpha, alpha=0.5, so large
+    sources are down-weighted and small ones up-weighted relative to
+    natural frequency) with a 1000-doc budget. Unlike mixture_sample's
+    FIXED quotas, the quotas here are DERIVED from the observed source
+    counts at runtime — the actual mixture-design computation.
+
+    Determinism across engines with float powers in the loop: sqrt is
+    IEEE-correctly-rounded in both, floor(sqrt(n)*1e6) pins it to an
+    exact BIGINT, the share is integer division of exact integers
+    ((1000 * s6) div total6 — never a double ratio), and doc selection
+    is content-hash rank (no rand()). Scale shape: the quota table is
+    source-cardinality-sized (broadcast), the rank is the standard
+    per-source WindowGroupLimit; one shuffle on source."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = (
+        docs.groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .withColumn(
+            "s6",
+            F.floor(F.sqrt(F.col("n").cast("double")) * 1000000).cast("long"),
+        )
+    )
+    tot = s.agg(F.sum("s6").alias("tot6"))
+    quotas = s.crossJoin(F.broadcast(tot)).select(
+        "source", F.expr("(1000 * s6) div tot6").alias("quota")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.sha2(F.col("text"), 256), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(quotas), "source")
+        .where(F.col("rn") <= F.col("quota"))
+        .select("doc_id", "source")
+    )
