@@ -257,3 +257,41 @@ def test_temperature_mixture_quota_semantics(spark):
     qs = {s: (1000 * v) // t6 for s, v in s6s.items()}
     assert qs["big"] / 1000 < syn["big"] / 1000
     assert qs["small"] / 1000 > syn["small"] / 1000
+
+
+# ------------------------------------------------- dup_rate_matrix ---
+
+
+def test_source_dup_matrix_combination_counts(spark):
+    """Pair counts are combination arithmetic, never a doc-pair join:
+    3 copies in A and 2 in B of one text -> C(3,2)=3 within A, C(2,2)=1
+    within B, 3*2=6 cross; rates divide by pair capacity."""
+    from wvfoia_sync_spark.operators import dedup
+
+    rows = [
+        (1, "x y z", "A"),
+        (2, "x y z", "A"),
+        (3, "x  y z ", "A"),  # whitespace mutant: same fingerprint
+        (4, "x y z", "B"),
+        (5, "x y z", "B"),
+        (6, "unique doc", "B"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        (r["src_a"], r["src_b"]): (r["dup_pairs"], r["dup_rate"])
+        for r in dedup.source_dup_matrix(df, "doc_id", "text", "source").collect()
+    }
+    # capacities: A has 3 docs -> C(3,2)=3; B has 3 -> 3; cross 3*3=9
+    assert got == {
+        ("A", "A"): (3, 1.0),
+        ("B", "B"): (1, 1.0 / 3),
+        ("A", "B"): (6, 6.0 / 9),
+    }
+
+
+def test_source_dup_matrix_no_dup_sources_absent(spark):
+    from wvfoia_sync_spark.operators import dedup
+
+    rows = [(1, "a", "A"), (2, "b", "A"), (3, "c", "B")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    assert dedup.source_dup_matrix(df, "doc_id", "text", "source").count() == 0

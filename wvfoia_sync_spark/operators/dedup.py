@@ -54,6 +54,78 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return fp.join(keep, ["fingerprint", id_col], "left_semi").drop("fingerprint")
 
 
+def source_dup_matrix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source exact-duplicate audit matrix: for every unordered
+    source pair (src_a <= src_b), the count of document pairs whose
+    normalized fingerprints collide, plus that count as a rate over the
+    pair capacity (n_a*n_b cross-source, C(n_a,2) within-source) — the
+    "which sources copy from each other" report a mixture designer reads
+    before weighting sources (and the reference's duplicate-entry audit
+    generalized across feeds).
+
+    Scale shape: one shuffle to (fingerprint, source) counts, then a
+    fingerprint-keyed equi-join of that slim count table with itself —
+    per-fingerprint groups hold at most one row per source (bounded by
+    source cardinality, not document count), and pair counts come from
+    combination arithmetic (c_a*c_b cross, C(c,2) within), so the
+    duplicate doc-pair cross product is COUNTED, never formed: a
+    fingerprint shared by 1M docs contributes arithmetic over a handful
+    of count rows, not 5*10^11 join rows. The source-pair rollup and the
+    per-source totals are dimension-sized (totals broadcast)."""
+    per = (
+        with_fingerprint(
+            df.select(F.col(id_col), F.col(text_col), F.col(source_col)), text_col
+        )
+        .groupBy("fingerprint", source_col)
+        .agg(F.count("*").alias("c"))
+    )
+    a = per.select(
+        "fingerprint", F.col(source_col).alias("src_a"), F.col("c").alias("ca")
+    )
+    b = per.select(
+        "fingerprint", F.col(source_col).alias("src_b"), F.col("c").alias("cb")
+    )
+    # `div`, not `/`: float division is lossy past 2^53 and the product of
+    # two per-fingerprint counts can exceed it at corpus scale (always
+    # even, so integer halving is exact)
+    n = F.when(
+        F.col("src_a") == F.col("src_b"), F.expr("ca * (ca - 1) div 2")
+    ).otherwise(F.col("ca") * F.col("cb"))
+    pairs = (
+        a.join(b, "fingerprint")
+        .where(F.col("src_a") <= F.col("src_b"))
+        .select("src_a", "src_b", n.alias("n"))
+        .where(F.col("n") > 0)
+        .groupBy("src_a", "src_b")
+        .agg(F.sum("n").cast("long").alias("dup_pairs"))
+    )
+    tot = df.groupBy(source_col).agg(F.count("*").alias("n_docs"))
+    ta = tot.select(F.col(source_col).alias("src_a"), F.col("n_docs").alias("na"))
+    tb = tot.select(F.col(source_col).alias("src_b"), F.col("n_docs").alias("nb"))
+    cap = F.when(
+        F.col("src_a") == F.col("src_b"), F.expr("na * (na - 1) div 2")
+    ).otherwise(F.col("na") * F.col("nb"))
+    # dup_rate divides two exact integers — bit-identical cross-engine
+    # (registry determinism rule: ratios divide exact integers)
+    return (
+        pairs.join(F.broadcast(ta), "src_a")
+        .join(F.broadcast(tb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "dup_pairs",
+            (F.col("dup_pairs").cast("double") / cap.cast("double")).alias(
+                "dup_rate"
+            ),
+        )
+    )
+
+
 # ------------------------------------------------------- token Jaccard ---
 
 

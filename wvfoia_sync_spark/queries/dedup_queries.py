@@ -573,3 +573,58 @@ def contamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.cross_corpus_minhash_pairs(
         docs, eval_suite, threshold=0.8, bands=32
     ).select("eval_id", "train_id")
+
+
+@register(
+    "dup_rate_matrix",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text, source FROM documents
+      UNION ALL
+      SELECT doc_id + 600000 AS doc_id, text || '  ' AS text,
+             'mirror' AS source
+      FROM documents WHERE doc_id % 13 = 0
+    ), fp AS (
+      SELECT doc_id, source,
+             sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS f
+      FROM corpus
+    ), per AS (
+      SELECT f, source, COUNT(*) AS c FROM fp GROUP BY f, source
+    ), contrib AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CASE WHEN a.source = b.source THEN a.c * (a.c - 1) // 2
+                  ELSE a.c * b.c END AS n
+      FROM per a JOIN per b ON a.f = b.f AND a.source <= b.source
+    ), tot AS (SELECT source, COUNT(*) AS n_docs FROM corpus GROUP BY source)
+    SELECT c.src_a, c.src_b, CAST(SUM(c.n) AS BIGINT) AS dup_pairs,
+           CAST(SUM(c.n) AS DOUBLE) /
+             (CASE WHEN c.src_a = c.src_b
+                   THEN ta.n_docs * (ta.n_docs - 1) // 2
+                   ELSE ta.n_docs * tb.n_docs END) AS dup_rate
+    FROM contrib c
+    JOIN tot ta ON ta.source = c.src_a
+    JOIN tot tb ON tb.source = c.src_b
+    WHERE c.n > 0
+    GROUP BY c.src_a, c.src_b, ta.n_docs, tb.n_docs
+    """,
+)
+def dup_rate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication-rate matrix (operators/dedup.py
+    source_dup_matrix): unordered source pairs with their exact-dup doc
+    pair count and rate over pair capacity — the per-feed duplication
+    audit a mixture designer reads before weighting sources. The corpus
+    carries a planted 'mirror' feed (every 13th doc re-issued with a
+    whitespace mutation, which the normalized fingerprint collapses), so
+    cross-source collisions exist by construction; any organic base-
+    corpus collisions are counted identically by both engines. Pair
+    counts come from combination arithmetic over (fingerprint, source)
+    counts — the doc-pair cross product is never formed."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    mirrored = docs.where(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 600000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit("  ")).alias("text"),
+        F.lit("mirror").alias("source"),
+    )
+    return dedup.source_dup_matrix(
+        docs.unionAll(mirrored), "doc_id", "text", "source"
+    )
