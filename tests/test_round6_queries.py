@@ -295,3 +295,77 @@ def test_source_dup_matrix_no_dup_sources_absent(spark):
     rows = [(1, "a", "A"), (2, "b", "A"), (3, "c", "B")]
     df = spark.createDataFrame(rows, "doc_id long, text string, source string")
     assert dedup.source_dup_matrix(df, "doc_id", "text", "source").count() == 0
+
+
+# ----------------------------------------------------- filtered_knn ---
+
+
+def test_filtered_knn_prefilter_semantics(spark):
+    """Only same-filter-value candidates are ranked; self excluded; k
+    never under-fills from post-filtering (the close other-label vector
+    is invisible, not rank-consuming)."""
+    from wvfoia_sync_spark.operators import similarity
+
+    rows = [
+        (0, [1.0, 0.0], 7),   # query
+        (1, [0.99, 0.1], 3),  # closest overall but WRONG label: invisible
+        (2, [0.9, 0.2], 7),   # best same-label candidate
+        (3, [0.0, 1.0], 7),   # orthogonal same-label: rank 2
+        (4, [1.0, 0.0], 5),   # identical but wrong label: invisible
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = similarity.filtered_knn(df, df.where(F.col("vec_id") == 0), k=2).collect()
+    got = [(r["rank"], r["vec_id"]) for r in sorted(out, key=lambda r: r["rank"])]
+    assert got == [(1, 2), (2, 3)]
+
+
+def test_filtered_knn_null_label_never_matches(spark):
+    from wvfoia_sync_spark.operators import similarity
+
+    rows = [(0, [1.0, 0.0], None), (1, [1.0, 0.0], None), (2, [1.0, 0.1], 7)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    assert similarity.filtered_knn(df, df.where(F.col("vec_id") == 0), k=2).count() == 0
+
+
+def test_filtered_knn_oracle_precondition_same_label_score_gaps(spark):
+    """filtered_knn's hash-match oracle assumes rank order agrees between
+    Spark's dot/norm fold and DuckDB's list_cosine_similarity — sound
+    only if adjacent scores in each query's SAME-LABEL top-(k+1) list
+    are separated by far more than float-accumulation noise (mirrors
+    test_hard_negatives_oracle_precondition_top_k_score_gaps, whose
+    mask is the complement)."""
+    import duckdb
+    import numpy as np
+
+    for sf_dir in (
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    ):
+        d = duckdb.sql(
+            f"SELECT vec_id, label, embedding FROM "
+            f"'{sf_dir}/embeddings.parquet' ORDER BY vec_id"
+        ).fetchnumpy()
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in d["embedding"]])
+        X = X / np.linalg.norm(X, axis=1, keepdims=True)
+        ids, labels = d["vec_id"], d["label"]
+        for qi in range(20):  # the query batch is vec_id < 20
+            mask = (labels == labels[qi]) & (ids != ids[qi])
+            top = np.sort(X[mask] @ X[qi])[::-1][:4]  # k=3 -> top-(k+1)
+            assert -np.diff(top).min() > 1e-8, (
+                f"{sf_dir} query {ids[qi]}: adjacent same-label top-4 "
+                "scores within float noise — re-gate filtered_knn as a "
+                "recall check before regenerating fixtures"
+            )
+
+
+def test_filtered_knn_plan_hash_joins_on_label(spark):
+    """The equality conjunct makes the pre-filter join HASHABLE: Spark
+    must plan a broadcast hash join keyed on the metadata column (each
+    corpus row meets only its filter bucket), not a nested-loop over
+    the whole corpus, and never a cartesian product."""
+    from tests.test_plan_quality import plan
+
+    p = plan(registry.QUERIES["filtered_knn"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p

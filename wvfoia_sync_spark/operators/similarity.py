@@ -608,6 +608,7 @@ def knn_join_exact(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    match_cols: list[str] | None = None,
 ) -> DataFrame:
     """Exact batch k-NN join: every query row against the full corpus,
     top-k by cosine per query — (query_id, rank, vec_id, score).
@@ -619,9 +620,21 @@ def knn_join_exact(
     query_id, then discard all but k per query. At 100 TB with a large
     query batch, swap the window for per-partition heaps via
     mapInPandas; the broadcast + fold stages are unchanged. Self-matches
-    (same id on both sides) are excluded."""
+    (same id on both sides) are excluded.
+
+    ``match_cols`` adds metadata PRE-filtering (the vector-DB "filtered
+    search" path): each listed column must be EQUAL between corpus row
+    and query row, folded into the join condition so non-qualifying
+    candidates are discarded before the cosine fold ever runs — and,
+    because equality conjuncts make the join hashable, Spark plans a
+    broadcast HASH join on the metadata keys with the cosine as a
+    residual, touching only each query's filter bucket instead of the
+    whole corpus. (Post-filtering a plain top-k would under-fill k
+    whenever the filter is selective.) NULL metadata never matches,
+    standard equi-join semantics."""
     from ..functions.vectors import dot, norm
 
+    match_cols = list(match_cols or [])
     # norms precomputed ONCE per row on each side: folding them inside the
     # pair expression would re-evaluate 2 of the 3 interpreted aggregate
     # folds per (corpus x query) pair — measured 3.2s -> ~1s at sf0.1.
@@ -631,18 +644,23 @@ def knn_join_exact(
         F.col(id_col).alias(query_id_col),
         F.col(vec_col).alias("_qv"),
         norm(F.col(vec_col)).alias("_qn"),
+        *[F.col(c).alias(f"_q_{c}") for c in match_cols],
     )
     cor = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("_cv"),
         norm(F.col(vec_col)).alias("_cn"),
+        *[F.col(c).alias(f"_c_{c}") for c in match_cols],
     )
     score = F.when(
         (F.col("_cn") > 0) & (F.col("_qn") > 0),
         dot(F.col("_cv"), F.col("_qv")) / (F.col("_cn") * F.col("_qn")),
     )
+    cond = F.col("vec_id") != F.col(query_id_col)
+    for c in match_cols:
+        cond = cond & (F.col(f"_c_{c}") == F.col(f"_q_{c}"))
     scored = (
-        cor.join(F.broadcast(q), F.col("vec_id") != F.col(query_id_col))
+        cor.join(F.broadcast(q), cond)
         .select(query_id_col, "vec_id", score.alias("score"))
         .where(F.col("score").isNotNull())
     )
@@ -653,6 +671,32 @@ def knn_join_exact(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select(query_id_col, "rank", "vec_id", "score")
+    )
+
+
+def filtered_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    filter_cols: tuple[str, ...] = ("label",),
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Metadata-filtered vector search: each query's top-k nearest
+    corpus vectors among rows whose ``filter_cols`` all EQUAL the
+    query's (nearest same-language / same-class / same-tenant
+    neighbors). Thin named surface over ``knn_join_exact(match_cols=
+    ...)`` — see there for the pre-filter join plan; complements
+    ``hard_negatives`` (its label-MISMATCH mirror)."""
+    return knn_join_exact(
+        corpus,
+        queries,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        match_cols=list(filter_cols),
     )
 
 

@@ -411,6 +411,43 @@ def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "filtered_knn",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, label AS ql, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 20
+    ), scored AS (
+      SELECT q.query_id, e.vec_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS score
+      FROM embeddings e
+      JOIN q ON e.label = q.ql AND e.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT query_id, vec_id,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, vec_id ASC
+             ) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT query_id, rank, vec_id FROM ranked WHERE rank <= 3
+    """,
+)
+def filtered_knn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED vector search (the vector-DB 'pre-filter' path,
+    operators/similarity.py filtered_knn): top-3 nearest SAME-LABEL
+    corpus vectors per query — the label equality is folded into the
+    join condition, so non-qualifying candidates are never scored and k
+    cannot under-fill the way post-filtering a plain top-k would.
+    Scores excluded from the hashed output per the knn_join convention;
+    rank determinism is pinned by the same-label score-gap fixture
+    invariant (tests/test_round6_queries.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    return similarity.filtered_knn(emb, queries, k=3).select(
+        "query_id", "rank", "vec_id"
+    )
+
+
 
 @register(
     "frame_sample",
