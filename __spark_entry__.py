@@ -59,19 +59,17 @@ DRIVER_WINDOW: list[str] = [
     "provenance_counts",
     "nation_pagerank",
     "triangle_count",
-    # --- 17 high-value re-verifications (filter_scan / latest_snapshot /
-    # --- status_timeline / page_fetch yielded their slots to the four
-    # --- new r6 registrations at the tail; all have earlier driver-green
+    # --- 13 high-value re-verifications (filter_scan / latest_snapshot /
+    # --- status_timeline / page_fetch / stream_static_join /
+    # --- stream_upsert / sessionization_stream yielded their slots to
+    # --- the r6 registrations at the tail; all have earlier driver-green
     # --- rows and are unchanged since) ---
     "approx_distinct_users",
     "home_stats",
     "nation_stats",
     "stream_stream_join",
     "stream_stream_outer_join",
-    "stream_static_join",
-    "stream_upsert",
     "stream_dedup",
-    "sessionization_stream",
     "stateful_counts_stream",
     "incremental_rollup",
     "cdc_apply",
@@ -79,14 +77,15 @@ DRIVER_WINDOW: list[str] = [
     "scd2_asof_lookup",
     "semantic_dedup",
     "embedding_near_dup",
-    # --- 5 new r6 registrations (never checked, registered this round;
-    # --- status_timeline / page_fetch / knn_join yielded re-verify slots
-    # --- — all unchanged since their driver-green rows) ---
+    # --- 8 new r6 registrations (never checked, registered this round) ---
     "bpe_encode_property_check",
     "quality_classifier_score",
     "coreset_select",
     "coreset_property_check",
     "temperature_mixture",
+    "dup_rate_matrix",
+    "filtered_knn",
+    "stream_near_dup",
 ]
 
 

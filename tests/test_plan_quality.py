@@ -377,6 +377,9 @@ def test_no_pinned_broadcast_of_fact_scaled_tables(spark):
         # same shape: vec_id < 10 query batch with its label (r5),
         # asserted broadcast by test_round5_queries' plan test
         "hard_negatives",
+        # same shape: vec_id < 20 query batch with its label (r6),
+        # asserted BroadcastHashJoin by test_round6_queries' plan test
+        "filtered_knn",
     }
     skip = {
         "events_hourly_stream",

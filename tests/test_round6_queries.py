@@ -369,3 +369,43 @@ def test_filtered_knn_plan_hash_joins_on_label(spark):
     p = plan(registry.QUERIES["filtered_knn"](spark, SF_DIR))
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+# --------------------------------------------------- stream_near_dup ---
+
+
+def test_stream_near_dup_matches_batch_contamination(spark):
+    """The streaming band-index gate must produce the exact pair set of
+    the batch cross-corpus join (same corpus, params, threshold) — the
+    streaming-ness changes execution, never semantics."""
+    stream_pairs = {
+        (r["eval_id"], r["train_id"])
+        for r in registry.QUERIES["stream_near_dup"](spark, SF_DIR).collect()
+    }
+    batch_pairs = {
+        (r["eval_id"], r["train_id"])
+        for r in registry.QUERIES["contamination_pairs"](spark, SF_DIR).collect()
+    }
+    assert stream_pairs == batch_pairs and stream_pairs
+
+
+def test_streaming_near_dup_plan_is_stateless(spark):
+    """No state store in the gate: the streaming plan must contain no
+    stateful operator (watermark/dedup/stream-stream join) — state
+    lives in the static index, so a restart replays nothing."""
+    from wvfoia_sync_spark.sources.tables import load_table
+    from wvfoia_sync_spark.streaming import jobs
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    incoming = jobs.documents_stream(spark, SF_DIR).select("doc_id", "text")
+    matched = jobs.streaming_near_dup(incoming, docs, threshold=0.8, bands=32)
+    q = (
+        matched.writeStream.format("memory")
+        .queryName("snd_stateless_probe")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert q.lastProgress is not None
+    assert q.lastProgress["stateOperators"] in ([], None)

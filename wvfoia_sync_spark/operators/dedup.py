@@ -551,13 +551,20 @@ def minhash_signatures(
     return hashed.select("id", sig.alias("sig"))
 
 
-def _band_signatures(signatures: DataFrame, bands: int) -> DataFrame:
-    """(id, band, bhash) — each signature sliced into ``bands`` equal
-    slices, each slice hashed to one bucket key. Shared by the self-join
-    (dedup) and cross-corpus (contamination) candidate generators."""
+def _band_signatures(
+    signatures: DataFrame, bands: int, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """(id, *carry, band, bhash) — each signature sliced into ``bands``
+    equal slices, each slice hashed to one bucket key. Shared by the
+    self-join (dedup) and cross-corpus (contamination) candidate
+    generators. ``carry`` rides extra columns through the explode for
+    callers that cannot join back by id afterwards (a STREAMING side
+    would need a stateful stream-stream self-join for that; carrying the
+    array through the map-only explode keeps the plan stateless)."""
     sig_size_col = F.size("sig")
     return signatures.select(
         "id",
+        *carry,
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -573,7 +580,7 @@ def _band_signatures(signatures: DataFrame, bands: int) -> DataFrame:
                 ),
             )
         ).alias("bb"),
-    ).select("id", "bb.band", "bb.bhash")
+    ).select("id", *carry, "bb.band", "bb.bhash")
 
 
 def minhash_lsh_candidates(

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..operators import relational
 from ..registry import (
+    _SQL_TOKENS,
     _d,
     register,
 )
@@ -592,6 +593,64 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_unique"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "stream_near_dup",
+    oracle=f"""
+    WITH tr AS (
+      SELECT doc_id AS train_id, {_SQL_TOKENS.format(c='text')} AS t
+      FROM documents
+    ), ev AS (
+      SELECT doc_id + 500000 AS eval_id, {_SQL_TOKENS.format(c='text')} AS t
+      FROM documents WHERE doc_id % 31 = 0
+    ), trs AS (
+      SELECT train_id, list_distinct(list_transform(
+               range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      FROM tr WHERE len(t) >= 3
+    ), evs AS (
+      SELECT eval_id, list_distinct(list_transform(
+               range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      FROM ev WHERE len(t) >= 3
+    )
+    SELECT e.eval_id, t.train_id
+    FROM evs e JOIN trs t
+      ON CAST(len(list_intersect(e.s, t.s)) AS DOUBLE)
+           / (len(e.s) + len(t.s) - len(list_intersect(e.s, t.s))) >= 0.8
+    """,
+)
+def stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST: the contamination geometry run as a REAL streaming query —
+    the eval suite (every 31st doc, whitespace-mutated, id+500000: the
+    exact corpus contamination_pairs uses, so its oracle, band
+    parameters, and the fixture margin invariant pinned in
+    tests/test_round5_queries.py all carry over) arrives as a
+    file-source STREAM and is gated against a static banded-MinHash
+    index of the corpus via two stateless stream-static joins
+    (streaming/jobs.py streaming_near_dup). Proves the index gates
+    continuous ingestion without rescanning the corpus: per-band match
+    rows land in the sink append-only, and the batch-side distinct
+    collapses multi-band hits. Same pair set as contamination_pairs."""
+    from ..streaming import jobs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    incoming = (
+        jobs.documents_stream(spark, sf_dir)
+        .where(F.col("doc_id") % 31 == 0)
+        .select(
+            (F.col("doc_id") + 500000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit("  ")).alias("text"),
+        )
+    )
+    matched = jobs.streaming_near_dup(
+        incoming, docs, threshold=0.8, num_hashes=64, bands=32
+    )
+    kept = jobs.run_available_now_append(
+        matched.select("eval_id", "train_id"), "stream_near_dup_sink"
+    )
+    return kept.distinct()
 
 
 

@@ -425,6 +425,106 @@ def tws_user_counts(events: DataFrame) -> DataFrame:
     )
 
 
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents table, tolerant of the same
+    two physical layouts as events_stream (flat ``documents.parquet``
+    file beside siblings -> pathGlobFilter; a directory of part files ->
+    the directory is the source). No timestamp columns, so no
+    normalization pass."""
+    import os
+
+    p = os.path.join(sf_dir, "documents.parquet")
+    reader = spark.readStream.schema(DOCUMENTS_SCHEMA).format("parquet")
+    if os.path.isdir(p):
+        return reader.load(p)
+    return reader.option("pathGlobFilter", "documents.parquet").load(sf_dir)
+
+
+def streaming_near_dup(
+    incoming: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Ingest-time near-duplicate gate: a STREAM of incoming documents
+    checked against a STATIC banded-MinHash index of the existing
+    corpus — the continuous-ingestion form of
+    dedup.cross_corpus_minhash_pairs, where the band index plays the
+    stored index and each micro-batch is an arriving crawl shard.
+    Returns the streaming DataFrame of (eval_id, train_id) matches with
+    shingle Jaccard >= threshold (one row PER MATCHING BAND — dedup is
+    the consumer's sink-side distinct, keeping this plan state-free).
+
+    Plan shape per micro-batch: incoming rows run the exact batch
+    shingle->signature->band stages (pure Column builders plus the
+    Arrow-batched signature UDF — all map-only, so they stream
+    unchanged), with the shingle array CARRIED through the band explode
+    (joining it back by id would be a stateful stream-stream self-join;
+    the array rides the slim incoming batch instead). Then two
+    stream-static equi-joins, both stateless: (band, bhash) against the
+    precomputed index for candidates, and train_id against the corpus
+    shingle table for the exact-Jaccard verify. No watermark, no state
+    store — state lives in the static index, which is localCheckpointed
+    once so repeated micro-batches re-join, never recompute, it. At
+    100 TB the index is a bucketed table maintained incrementally (the
+    fts_index segment pattern); the per-batch work stays proportional
+    to the arriving shard."""
+    from ..operators.dedup import (
+        _band_signatures,
+        _sig_from_hashed_pandas,
+        hashed_shingles,
+    )
+
+    if bands > num_hashes or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes} "
+            "(empty/truncated band slices degenerate the LSH bucketing)"
+        )
+    sig = _sig_from_hashed_pandas(num_hashes)
+    # static side: built once, checkpointed so each micro-batch replans
+    # against materialized blocks instead of re-running the shingle UDF
+    h_corpus = hashed_shingles(corpus, id_col, text_col, shingle_size).localCheckpoint(
+        eager=False
+    )
+    index = _band_signatures(
+        h_corpus.select("id", sig(F.col("hs")).alias("sig")), bands
+    ).select(F.col("id").alias("train_id"), "band", "bhash")
+
+    h_in = hashed_shingles(incoming, id_col, text_col, shingle_size)
+    banded_in = _band_signatures(
+        h_in.select("id", F.col("hs"), sig(F.col("hs")).alias("sig")),
+        bands,
+        carry=("hs",),
+    ).select(F.col("id").alias("eval_id"), "hs", "band", "bhash")
+
+    cands = banded_in.join(index, ["band", "bhash"])
+    verified = cands.join(
+        h_corpus.select(F.col("id").alias("train_id"), F.col("hs").alias("hs_t")),
+        "train_id",
+    )
+    inter = F.size(F.array_intersect("hs", "hs_t"))
+    union = F.size("hs") + F.size("hs_t") - inter
+    jac = inter.cast("double") / union.cast("double")
+    return verified.select("eval_id", "train_id", jac.alias("jaccard")).where(
+        F.col("jaccard") >= threshold
+    )
+
+
 def streaming_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Streaming PII scrub: the functions/pii.py redaction pipeline
     applied at ingest — curation expressions are plain Column builders,
