@@ -168,6 +168,11 @@ HEADLINE = [
     "variant_shred_stats",
     "hll_union_rollup",
     "quality_classifier_score",
+    "temperature_mixture",
+    "coreset_select",
+    "dup_rate_matrix",
+    "filtered_knn",
+    "stream_near_dup",
 ]
 
 

@@ -148,6 +148,78 @@ def decoded_meta(media: DataFrame) -> DataFrame:
     )
 
 
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("ahash_hi", T.LongType()),
+        T.StructField("ahash_lo", T.LongType()),
+    ]
+)
+
+
+def ahash64(media: DataFrame, grid: int = 8) -> DataFrame:
+    """Perceptual average-hash over decoded images: decode -> integer
+    grayscale (channel sum — no /3, so the value stays exact) -> grid x
+    grid block-sum pooling -> bit_b = (grid^2 * pooled_b > total), the
+    classic aHash threshold rewritten as a pure-integer comparison (no
+    float mean, so two engines can reproduce it bit-for-bit). Emits the
+    64-bit hash as two 32-bit halves in BIGINTs (hi = blocks 32..63) —
+    a single signed 64-bit sum would overflow on bit 63.
+
+    aHash is structurally invariant to global brightness shifts (+k per
+    channel adds grid^2*4k*channels to both comparison sides) — the
+    planted-mutant axis the dedup query exploits. Same mapInPandas
+    shape as decoded_meta: one Arrow batch, no shuffle; the groupBy on
+    the hash downstream is the only exchange, exactly exact_dedup's
+    scale posture. Near-dup at Hamming distance would band the halves
+    into bucket keys (the simhash rotation pattern); exact collision is
+    the baseline this operator ships. Images whose dimensions are not
+    pooling-divisible, or that fail decode, yield NULL hashes (skip and
+    log posture)."""
+    from pyspark import cloudpickle
+    import sys as _sys
+
+    cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for b in batches:
+            ids, his, los = [], [], []
+            for mid, p in zip(b["media_id"], b["payload"]):
+                ids.append(mid)
+                try:
+                    img = decode_image(bytes(p) if p is not None else b"")
+                    if img.width % grid or img.height % grid:
+                        raise ValueError("dimensions not pooling-divisible")
+                    px = np.frombuffer(img.pixels, dtype=np.uint8).astype(
+                        np.int64
+                    )
+                    gray = px.reshape(img.height, img.width, img.channels).sum(
+                        axis=2
+                    )
+                    by, bx = img.height // grid, img.width // grid
+                    pooled = gray.reshape(grid, by, grid, bx).sum(axis=(1, 3))
+                    bits = (
+                        grid * grid * pooled.flatten() > pooled.sum()
+                    ).astype(np.int64)
+                    weights = 1 << np.arange(32, dtype=np.int64)
+                    los.append(int(bits[:32] @ weights))
+                    his.append(int(bits[32:64] @ weights))
+                except (NotImplementedError, ValueError):
+                    his.append(None)
+                    los.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "ahash_hi": pd.array(his, dtype="Int64"),
+                    "ahash_lo": pd.array(los, dtype="Int64"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, AHASH_SCHEMA)
+
+
 def as_media_table(df: DataFrame, id_col: str, text_col: str, modality: str = "image") -> DataFrame:
     """Adapt a text corpus into the media-table shape for plumbing tests:
     payload = utf-8 bytes of the text (deterministic stand-in blobs)."""

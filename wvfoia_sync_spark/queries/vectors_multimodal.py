@@ -989,3 +989,105 @@ def coreset_property_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "property string, ok boolean",
     )
+
+
+@register(
+    "image_ahash_dedup",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, doc_id AS seed, 0 AS shift
+      FROM documents WHERE doc_id < 400
+      UNION ALL
+      SELECT doc_id + 900000 AS media_id, doc_id AS seed, 1 AS shift
+      FROM documents WHERE doc_id < 400 AND doc_id % 7 = 0
+    ), px AS (
+      SELECT media_id,
+             ((u.i // 3) // 16) // 2 * 8 + ((u.i // 3) % 16) // 2 AS block,
+             ((seed + 1) * u.i) % 251 + shift AS v
+      FROM m, UNNEST(range(0, 768)) AS u(i)
+    ), pooled AS (
+      SELECT media_id, block, SUM(v) AS s FROM px GROUP BY media_id, block
+    ), bits AS (
+      SELECT media_id, block,
+             CASE WHEN 64 * s > SUM(s) OVER (PARTITION BY media_id)
+                  THEN 1 ELSE 0 END AS bit
+      FROM pooled
+    ), hashes AS (
+      SELECT media_id,
+             CAST(SUM(CASE WHEN block >= 32
+                           THEN bit * (1::BIGINT << (block - 32))
+                           ELSE 0 END) AS BIGINT) AS ahash_hi,
+             CAST(SUM(CASE WHEN block < 32
+                           THEN bit * (1::BIGINT << block)
+                           ELSE 0 END) AS BIGINT) AS ahash_lo
+      FROM bits GROUP BY media_id
+    )
+    SELECT ahash_hi, ahash_lo, COUNT(*) AS dup_count,
+           CAST(MIN(media_id) AS BIGINT) AS keep_id
+    FROM hashes GROUP BY ahash_hi, ahash_lo HAVING COUNT(*) > 1
+    """,
+)
+def image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image perceptual-hash dedup through the REAL codec path: 16x16
+    RGB PNGs (pixels arithmetically derived from the id) are encoded in
+    one mapInPandas stage, DECODED via operators.multimodal.decode_image
+    (stdlib inflate+unfilter; PIL when installed), average-hashed with
+    pure-integer pooling (operators/multimodal.py ahash64), and
+    collision groups emerge from one hash-keyed groupBy — exact_dedup's
+    scale posture with a decoder in front. The planted mutants are
+    GLOBAL BRIGHTNESS SHIFTS (+1 per channel), which aHash is
+    structurally invariant to — grid^2*pooled and total inflate by the
+    same constant, so every mutant collides with its base regardless of
+    image content (no data-dependent margin, unlike a single-pixel
+    perturbation). The oracle recomputes the identical integer
+    arithmetic from the generative formula — one mis-decoded byte and
+    the hashes diverge. Organic cross-id collisions (structurally
+    similar gradients quantize alike) are counted identically by both
+    engines."""
+    import pandas as _pd
+
+    from ..operators import multimodal
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") < 400)
+    )
+    base = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("doc_id").alias("seed"),
+        F.lit(0).alias("shift"),
+    )
+    mutants = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 900000).alias("media_id"),
+        F.col("doc_id").alias("seed"),
+        F.lit(1).alias("shift"),
+    )
+
+    def enc(batches):
+        from wvfoia_sync_spark.functions.png import encode_png
+
+        for b in batches:
+            payloads = []
+            for seed, shift in zip(b["seed"], b["shift"]):
+                px = bytes(
+                    ((int(seed) + 1) * i) % 251 + int(shift)
+                    for i in range(16 * 16 * 3)
+                )
+                payloads.append(encode_png(16, 16, px, 3))
+            yield _pd.DataFrame(
+                {"media_id": b["media_id"].astype("int64"), "payload": payloads}
+            )
+
+    media = base.unionAll(mutants).mapInPandas(
+        enc, "media_id long, payload binary"
+    )
+    return (
+        multimodal.ahash64(media)
+        .groupBy("ahash_hi", "ahash_lo")
+        .agg(
+            F.count("*").alias("dup_count"),
+            F.min("media_id").alias("keep_id"),
+        )
+        .where(F.col("dup_count") > 1)
+    )
