@@ -173,6 +173,9 @@ HEADLINE = [
     "dup_rate_matrix",
     "filtered_knn",
     "stream_near_dup",
+    "image_ahash_dedup",
+    "next_event_examples",
+    "snapshot_drift",
 ]
 
 

@@ -495,3 +495,60 @@ def test_image_ahash_dedup_planted_mutants_all_collide(spark):
     media = _png_media(spark, rows)
     got = {r["media_id"]: (r["ahash_hi"], r["ahash_lo"]) for r in multimodal.ahash64(media).collect()}
     assert all(got[d] == got[d + 900000] for d in want) and want
+
+
+# ----------------------------------- next_event_examples / drift ---
+
+
+def test_next_event_examples_context_semantics(spark):
+    """Contexts are the 3 preceding event types in (ts, event_id) order;
+    rows with underfull frames are not examples."""
+    from datetime import datetime
+
+    rows = [
+        (i, datetime(2024, 1, 1, 0, i), 1, f"e{i}", 0.0, None)
+        for i in range(5)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    from wvfoia_sync_spark.queries.aggregates_windows import next_event_examples  # noqa: F401
+    import pyspark.sql.functions as F_
+    from pyspark.sql import Window as W_
+
+    w = W_.partitionBy("user_id").orderBy(F_.unix_micros("ts"), "event_id").rowsBetween(-3, -1)
+    out = (
+        ev.select(
+            "event_id",
+            F_.array_join(F_.collect_list("event_type").over(w), " ").alias("context"),
+            F_.size(F_.collect_list("event_type").over(w)).alias("_n"),
+            F_.col("event_type").alias("label"),
+        )
+        .where(F_.col("_n") == 3)
+        .collect()
+    )
+    got = {r["event_id"]: (r["context"], r["label"]) for r in out}
+    assert got == {3: ("e0 e1 e2", "e3"), 4: ("e1 e2 e3", "e4")}
+
+
+def test_next_event_examples_on_fixture(spark):
+    out = registry.QUERIES["next_event_examples"](spark, SF_DIR)
+    n = out.count()
+    assert n > 0
+    # every context has exactly 3 space-joined types
+    assert out.where(F.size(F.split("context", " ")) != 3).count() == 0
+
+
+def test_snapshot_drift_shares_and_buckets(spark):
+    out = registry.QUERIES["snapshot_drift"](spark, SF_DIR).collect()
+    by_type = {}
+    for r in out:
+        by_type.setdefault(r["event_type"], []).append(r)
+    assert by_type
+    for t, rows in by_type.items():
+        assert {r["bucket"] for r in rows} <= set(range(1, 11))
+        assert abs(sum(r["ref_share"] for r in rows) - 1.0) < 1e-9, t
+        assert abs(sum(r["cur_share"] for r in rows) - 1.0) < 1e-9, t
+        assert all(r["ref_n"] + r["cur_n"] > 0 for r in rows)

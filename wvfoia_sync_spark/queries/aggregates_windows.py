@@ -1383,3 +1383,132 @@ def variant_shred_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("k").cast("long").alias("sum_k"),
         F.sum(F.col("val").cast("decimal(18,4)")).cast("double").alias("sum_val"),
     )
+
+
+@register(
+    "next_event_examples",
+    oracle="""
+    WITH ctx AS (
+      SELECT user_id, event_id, event_type AS label,
+             array_to_string(list(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING
+             ), ' ') AS context,
+             COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING
+             ) AS n_ctx
+      FROM events
+    )
+    SELECT user_id, event_id, context, label
+    FROM ctx WHERE n_ctx = 3
+    """,
+)
+def next_event_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence training-example construction (the recommender/LM
+    next-item dataset builder): per user, each event becomes a labeled
+    example whose context is the 3 preceding event types in arrival
+    order — one ordered-window pass, ONE shuffle on user_id, no
+    self-join fan-out (the naive form is a 3-way self-join). Context is
+    emitted as a joined string: both engines produce the identical
+    frame row order under the (ts, event_id) total order, and a string
+    survives the driver's canonical compare where engine-specific array
+    renderings would not. Events with fewer than 3 predecessors are not
+    examples (frame underfull) on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"), "event_id")
+        .rowsBetween(-3, -1)
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.array_join(F.collect_list("event_type").over(w), " ").alias(
+                "context"
+            ),
+            F.size(F.collect_list("event_type").over(w)).alias("_n"),
+            F.col("event_type").alias("label"),
+        )
+        .where(F.col("_n") == 3)
+        .drop("_n")
+    )
+
+
+@register(
+    "snapshot_drift",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, event_type, value, epoch_us(ts) AS tsu FROM events
+    ), mid AS (
+      SELECT (MIN(tsu) + MAX(tsu)) // 2 AS m FROM ev
+    ), binned AS (
+      SELECT event_type,
+             ntile(10) OVER (
+               PARTITION BY event_type ORDER BY value, event_id
+             ) AS bucket,
+             CASE WHEN tsu < (SELECT m FROM mid) THEN 1 ELSE 0 END AS is_ref
+      FROM ev
+    ), cnt AS (
+      SELECT event_type, bucket,
+             CAST(SUM(is_ref) AS BIGINT) AS ref_n,
+             CAST(SUM(1 - is_ref) AS BIGINT) AS cur_n
+      FROM binned GROUP BY event_type, bucket
+    )
+    SELECT event_type, CAST(bucket AS BIGINT) AS bucket, ref_n, cur_n,
+           CAST(ref_n AS DOUBLE) / SUM(ref_n) OVER (PARTITION BY event_type)
+             AS ref_share,
+           CAST(cur_n AS DOUBLE) / SUM(cur_n) OVER (PARTITION BY event_type)
+             AS cur_share
+    FROM cnt
+    """,
+)
+def snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor between two time windows (the
+    PSI-style data-quality gate a training pipeline runs before each
+    refresh): events split at the integer midpoint of the time range
+    (epoch-micros arithmetic — exact on both engines), VALUE binned
+    into per-event-type deciles under a total order (ntile with
+    event_id tiebreak: integer row-counting, no float bin edges to
+    ulp-disagree about), then per-bucket reference/current counts and
+    exact-integer-ratio shares. The PSI scalar itself is ln-based and
+    deliberately left to the consumer (cross-engine ln is not
+    bit-stable); the per-bucket shares carry the full information. At
+    100 TB the exact ntile (a per-type sort) is replaced by
+    approx_percentile boundaries (mergeable sketch) and a boundary
+    lookup — the shape downstream of the binning is unchanged."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value", F.unix_micros("ts").alias("tsu")
+    )
+    # integer `div`: a double round-trip is exact only below 2^53, and
+    # the SUM of two epoch-micros values flirts with that boundary
+    mid = ev.agg(F.min("tsu").alias("_a"), F.max("tsu").alias("_b")).select(
+        F.expr("(_a + _b) div 2").alias("m")
+    )
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    binned = (
+        ev.crossJoin(F.broadcast(mid))  # 1-row stats anchor
+        .select(
+            "event_type",
+            F.ntile(10).over(w).cast("long").alias("bucket"),
+            F.when(F.col("tsu") < F.col("m"), 1).otherwise(0).alias("is_ref"),
+        )
+    )
+    cnt = binned.groupBy("event_type", "bucket").agg(
+        F.sum("is_ref").cast("long").alias("ref_n"),
+        F.sum(1 - F.col("is_ref")).cast("long").alias("cur_n"),
+    )
+    tw = Window.partitionBy("event_type")
+    return cnt.select(
+        "event_type",
+        "bucket",
+        "ref_n",
+        "cur_n",
+        (F.col("ref_n").cast("double") / F.sum("ref_n").over(tw)).alias(
+            "ref_share"
+        ),
+        (F.col("cur_n").cast("double") / F.sum("cur_n").over(tw)).alias(
+            "cur_share"
+        ),
+    )
