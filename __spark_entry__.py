@@ -59,25 +59,23 @@ DRIVER_WINDOW: list[str] = [
     "provenance_counts",
     "nation_pagerank",
     "triangle_count",
-    # --- 13 high-value re-verifications (filter_scan / latest_snapshot /
+    # --- 10 high-value re-verifications (filter_scan / latest_snapshot /
     # --- status_timeline / page_fetch / stream_static_join /
-    # --- stream_upsert / sessionization_stream yielded their slots to
-    # --- the r6 registrations at the tail; all have earlier driver-green
+    # --- stream_upsert / sessionization_stream / nation_stats /
+    # --- incremental_rollup / scd2_history yielded their slots to the
+    # --- r6 registrations at the tail; all have earlier driver-green
     # --- rows and are unchanged since) ---
     "approx_distinct_users",
     "home_stats",
-    "nation_stats",
     "stream_stream_join",
     "stream_stream_outer_join",
     "stream_dedup",
     "stateful_counts_stream",
-    "incremental_rollup",
     "cdc_apply",
-    "scd2_history",
     "scd2_asof_lookup",
     "semantic_dedup",
     "embedding_near_dup",
-    # --- 8 new r6 registrations (never checked, registered this round) ---
+    # --- 11 new r6 registrations (never checked, registered this round) ---
     "bpe_encode_property_check",
     "quality_classifier_score",
     "coreset_select",
@@ -86,6 +84,9 @@ DRIVER_WINDOW: list[str] = [
     "dup_rate_matrix",
     "filtered_knn",
     "stream_near_dup",
+    "image_ahash_dedup",
+    "next_event_examples",
+    "snapshot_drift",
 ]
 
 
