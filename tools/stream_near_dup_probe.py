@@ -1,0 +1,113 @@
+"""Index-growth probe for the streaming near-dup ingest gate
+(streaming/jobs.py streaming_near_dup): hold the arriving shard FIXED
+and grow the static corpus index k-fold — the claim under test is that
+per-batch cost is dominated by the shard, with the index contributing
+a join-probe term, not a recompute term (the index is localCheckpointed
+once; each micro-batch re-joins, never re-shingles).
+
+Corpus replication models real growth: replica j gets doc_id += j *
+id_span and a j-suffixed text mutation, so the extra documents are NEW
+near-identical content, band keys spread naturally, and the planted
+eval matches stay exactly the base-corpus pair set (asserted each run —
+growth must not change the answer).
+
+What linear-ish growth in the join term would mean at 100 TB: the
+stream-static join scans the full index per micro-batch. The documented
+scale path (see SCALE.md round-6) stores the index as a table BUCKETED
+on bhash and prunes buckets per batch — the fts_index segment pattern —
+which this probe's numbers motivate; the availableNow single-batch run
+here measures the un-pruned baseline honestly.
+
+Usage: python tools/stream_near_dup_probe.py [out_jsonl]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from wvfoia_sync_spark.session import get_spark  # noqa: E402
+from wvfoia_sync_spark.sources.tables import load_table  # noqa: E402
+from wvfoia_sync_spark.streaming import jobs  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+
+
+def grown_corpus(spark, k: int):
+    docs = load_table(spark, BASE, "documents").select("doc_id", "text")
+    n = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    parts = [docs]
+    for j in range(1, k):
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + j * n).alias("doc_id"),
+                # genuinely NEW content, not near-copies: every token is
+                # replica-prefixed, so every shingle differs from the
+                # base corpus and the planted eval matches stay exactly
+                # the base pair set (a bare "rj " prefix would leave the
+                # shingle set ~intact — a true near-dup the gate would
+                # CORRECTLY match, which is not what this probe grows)
+                F.regexp_replace(
+                    F.col("text"), r"(\w+)", f"r{j}_$1"
+                ).alias("text"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def main() -> None:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALE_probe_r6_streamneardup.jsonl"
+    spark = get_spark()
+    base_pairs: set | None = None
+    rows = []
+    for k in (1, 4, 16):
+        corpus = grown_corpus(spark, k)
+        n_corpus = corpus.count()
+        incoming = (
+            jobs.documents_stream(spark, BASE)
+            .where(F.col("doc_id") % 31 == 0)
+            .select(
+                (F.col("doc_id") + 500000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit("  ")).alias("text"),
+            )
+        )
+        t0 = time.time()
+        matched = jobs.streaming_near_dup(
+            incoming, corpus, threshold=0.8, num_hashes=64, bands=32
+        )
+        kept = jobs.run_available_now_append(
+            matched.select("eval_id", "train_id"), f"snd_probe_{k}"
+        )
+        pairs = {(r["eval_id"], r["train_id"]) for r in kept.distinct().collect()}
+        wall = time.time() - t0
+        if base_pairs is None:
+            base_pairs = pairs
+        assert pairs == base_pairs, (
+            f"index growth changed the planted pair set at k={k}: "
+            f"{len(pairs)} vs {len(base_pairs)}"
+        )
+        row = {
+            "op": "stream_near_dup",
+            "index_scale": k,
+            "n_corpus_docs": n_corpus,
+            "n_pairs": len(pairs),
+            "wall_s": round(wall, 2),
+        }
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+    with open(out_path, "a") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+if __name__ == "__main__":
+    main()
