@@ -552,3 +552,43 @@ def test_snapshot_drift_shares_and_buckets(spark):
         assert abs(sum(r["ref_share"] for r in rows) - 1.0) < 1e-9, t
         assert abs(sum(r["cur_share"] for r in rows) - 1.0) < 1e-9, t
         assert all(r["ref_n"] + r["cur_n"] > 0 for r in rows)
+
+
+def test_streaming_near_dup_pruned_matches_and_prunes(spark, tmp_path):
+    """The foreachBatch partition-pruned gate: (a) identical pair set to
+    the stream-static form and the batch twin; (b) the per-batch index
+    scan carries a pbucket PartitionFilter (the corpus-sized scan is
+    pruned to the shard's bucket set)."""
+    from wvfoia_sync_spark.sources.tables import load_table
+    from wvfoia_sync_spark.streaming import jobs
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "band_index")
+    jobs.write_band_index(docs, idx, num_hashes=64, bands=32)
+    incoming = (
+        jobs.documents_stream(spark, SF_DIR)
+        .where(F.col("doc_id") % 31 == 0)
+        .select(
+            (F.col("doc_id") + 500000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit("  ")).alias("text"),
+        )
+    )
+    plans: list = []
+    out = jobs.streaming_near_dup_pruned(
+        incoming, idx, "snd_pruned_test", threshold=0.8,
+        num_hashes=64, bands=32, plan_tap=plans,
+    )
+    got = {(r["eval_id"], r["train_id"]) for r in out.collect()}
+    want = {
+        (r["eval_id"], r["train_id"])
+        for r in registry.QUERIES["contamination_pairs"](spark, SF_DIR).collect()
+    }
+    assert got == want and got
+    assert plans
+    pruned_lines = [
+        ln
+        for p in plans
+        for ln in p.splitlines()
+        if "PartitionFilters" in ln and "pbucket" in ln
+    ]
+    assert pruned_lines, "index scan did not carry a pbucket PartitionFilter"

@@ -525,6 +525,133 @@ def streaming_near_dup(
     )
 
 
+def write_band_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+    prune_buckets: int = 64,
+) -> None:
+    """Persist the banded-MinHash index as the PRUNABLE on-disk layout the
+    100 TB deployment of the streaming gate uses: band rows Hive-partitioned
+    on ``pbucket = pmod(bhash, prune_buckets)`` (so a micro-batch's bucket
+    set becomes a PartitionFilter on the scan), plus the corpus shingle
+    table for the exact verify. Rebuild-on-corpus-change here; production
+    appends segments the fts_index way."""
+    from ..operators.dedup import (
+        _band_signatures,
+        _sig_from_hashed_pandas,
+        hashed_shingles,
+    )
+
+    h_corpus = hashed_shingles(corpus, id_col, text_col, shingle_size)
+    sig = _sig_from_hashed_pandas(num_hashes)
+    index = _band_signatures(
+        h_corpus.select("id", sig(F.col("hs")).alias("sig")), bands
+    ).select(
+        F.col("id").alias("train_id"),
+        "band",
+        "bhash",
+        F.pmod("bhash", F.lit(prune_buckets)).cast("int").alias("pbucket"),
+    )
+    index.write.mode("overwrite").partitionBy("pbucket").parquet(f"{path}/bands")
+    h_corpus.select(F.col("id").alias("train_id"), "hs").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/shingles")
+
+
+def streaming_near_dup_pruned(
+    incoming: DataFrame,
+    index_path: str,
+    query_name: str,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+    prune_buckets: int = 64,
+    plan_tap: list | None = None,
+) -> "DataFrame":
+    """The partition-PRUNED form of the streaming near-dup gate (the scale
+    path SCALE.md's round-6 section documents): instead of a stream-static
+    join that scans the whole index per micro-batch, each batch runs in
+    foreachBatch, collects its DISTINCT pbucket values — bounded by
+    min(bands x batch_rows, prune_buckets), a CONSTANT at any corpus size —
+    and reads the stored index WITH a pbucket isin filter that lands in the
+    scan's PartitionFilters: the probe term is proportional to the arriving
+    shard's bucket set, not the corpus. Semantics identical to
+    streaming_near_dup (same signature stages, same verify); returns the
+    collected (eval_id, train_id) pairs as a batch DataFrame once the
+    availableNow run terminates. ``plan_tap``, when given, receives each
+    batch's executed-plan string so tests can assert the PartitionFilters
+    actually materialized."""
+    from ..operators.dedup import (
+        _band_signatures,
+        _sig_from_hashed_pandas,
+        hashed_shingles,
+    )
+
+    spark = incoming.sparkSession
+    sig = _sig_from_hashed_pandas(num_hashes)
+    results: list[tuple] = []
+
+    def gate(batch_df: DataFrame, epoch_id: int) -> None:
+        h_in = hashed_shingles(batch_df, "doc_id", "text", shingle_size)
+        banded_in = _band_signatures(
+            h_in.select("id", F.col("hs"), sig(F.col("hs")).alias("sig")),
+            bands,
+            carry=("hs",),
+        ).select(
+            F.col("id").alias("eval_id"),
+            "hs",
+            "band",
+            "bhash",
+            F.pmod("bhash", F.lit(prune_buckets)).cast("int").alias("pbucket"),
+        )
+        banded_in = banded_in.localCheckpoint()  # two consumers: keys + join
+        # driver-side collect is bounded by prune_buckets (a constant),
+        # NOT by batch or corpus size — the documented constant-collect
+        # posture (cf. bloom bitset, BPE one-row-per-iteration)
+        pb = [r[0] for r in banded_in.select("pbucket").distinct().collect()]
+        idx = spark.read.parquet(f"{index_path}/bands").where(
+            F.col("pbucket").isin(pb)
+        )
+        cands = banded_in.drop("pbucket").join(
+            idx.drop("pbucket"), ["band", "bhash"]
+        )
+        verified = cands.join(
+            spark.read.parquet(f"{index_path}/shingles").withColumnRenamed(
+                "hs", "hs_t"
+            ),
+            "train_id",
+        )
+        inter = F.size(F.array_intersect("hs", "hs_t"))
+        union = F.size("hs") + F.size("hs_t") - inter
+        jac = inter.cast("double") / union.cast("double")
+        out = verified.where(jac >= F.lit(threshold)).select(
+            "eval_id", "train_id"
+        )
+        if plan_tap is not None:
+            plan_tap.append(
+                out._jdf.queryExecution().executedPlan().toString()
+            )
+        results.extend((r["eval_id"], r["train_id"]) for r in out.collect())
+
+    q = (
+        incoming.writeStream.foreachBatch(gate)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.createDataFrame(
+        sorted(set(results)) or [(None, None)],
+        "eval_id long, train_id long",
+    ).where(F.col("eval_id").isNotNull())
+
+
 def streaming_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Streaming PII scrub: the functions/pii.py redaction pipeline
     applied at ingest — curation expressions are plain Column builders,
