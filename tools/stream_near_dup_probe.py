@@ -24,6 +24,7 @@ Usage: python tools/stream_near_dup_probe.py [out_jsonl]
 from __future__ import annotations
 
 import json
+import shutil
 import sys
 import time
 from pathlib import Path
@@ -64,25 +65,30 @@ def grown_corpus(spark, k: int):
     return out
 
 
+def _incoming(spark):
+    return (
+        jobs.documents_stream(spark, BASE)
+        .where(F.col("doc_id") % 31 == 0)
+        .select(
+            (F.col("doc_id") + 500000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit("  ")).alias("text"),
+        )
+    )
+
+
 def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALE_probe_r6_streamneardup.jsonl"
+    import tempfile
+
     spark = get_spark()
     base_pairs: set | None = None
     rows = []
     for k in (1, 4, 16):
         corpus = grown_corpus(spark, k)
         n_corpus = corpus.count()
-        incoming = (
-            jobs.documents_stream(spark, BASE)
-            .where(F.col("doc_id") % 31 == 0)
-            .select(
-                (F.col("doc_id") + 500000).alias("doc_id"),
-                F.concat(F.col("text"), F.lit("  ")).alias("text"),
-            )
-        )
         t0 = time.time()
         matched = jobs.streaming_near_dup(
-            incoming, corpus, threshold=0.8, num_hashes=64, bands=32
+            _incoming(spark), corpus, threshold=0.8, num_hashes=64, bands=32
         )
         kept = jobs.run_available_now_append(
             matched.select("eval_id", "train_id"), f"snd_probe_{k}"
@@ -95,12 +101,32 @@ def main() -> None:
             f"index growth changed the planted pair set at k={k}: "
             f"{len(pairs)} vs {len(base_pairs)}"
         )
+
+        # pruned form: index build (write) timed separately from the
+        # per-batch gate — the un-pruned wall above conflates them, and
+        # the build is the one-time cost the pruning exists to amortize
+        idx_dir = tempfile.mkdtemp(prefix=f"snd_idx_{k}_")
+        tb0 = time.time()
+        jobs.write_band_index(corpus, idx_dir, num_hashes=64, bands=32)
+        build_s = time.time() - tb0
+        tg0 = time.time()
+        out = jobs.streaming_near_dup_pruned(
+            _incoming(spark), idx_dir, f"snd_pruned_probe_{k}",
+            threshold=0.8, num_hashes=64, bands=32,
+        )
+        pruned_pairs = {(r["eval_id"], r["train_id"]) for r in out.collect()}
+        gate_s = time.time() - tg0
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        assert pruned_pairs == base_pairs, f"pruned gate diverged at k={k}"
+
         row = {
             "op": "stream_near_dup",
             "index_scale": k,
             "n_corpus_docs": n_corpus,
             "n_pairs": len(pairs),
             "wall_s": round(wall, 2),
+            "pruned_index_build_s": round(build_s, 2),
+            "pruned_gate_s": round(gate_s, 2),
         }
         rows.append(row)
         print(json.dumps(row), flush=True)
