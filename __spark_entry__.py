@@ -68,14 +68,14 @@ DRIVER_WINDOW: list[str] = [
     "approx_distinct_users",
     "home_stats",
     "stream_stream_join",
-    "stream_stream_outer_join",
     "stream_dedup",
-    "stateful_counts_stream",
-    "cdc_apply",
     "scd2_asof_lookup",
     "semantic_dedup",
     "embedding_near_dup",
-    # --- 11 new r6 registrations (never checked, registered this round) ---
+    # --- 14 new r6 registrations (never checked, registered this round;
+    # --- stream_stream_outer_join / stateful_counts_stream / cdc_apply
+    # --- yielded their re-verify slots — all driver-green earlier and
+    # --- unchanged since) ---
     "bpe_encode_property_check",
     "quality_classifier_score",
     "coreset_select",
@@ -87,6 +87,9 @@ DRIVER_WINDOW: list[str] = [
     "image_ahash_dedup",
     "next_event_examples",
     "snapshot_drift",
+    "compression_scores",
+    "compression_property_check",
+    "near_dup_rate_matrix",
 ]
 
 

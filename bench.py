@@ -176,6 +176,8 @@ HEADLINE = [
     "image_ahash_dedup",
     "next_event_examples",
     "snapshot_drift",
+    "compression_scores",
+    "near_dup_rate_matrix",
 ]
 
 

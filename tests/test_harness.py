@@ -57,6 +57,7 @@ def test_every_rows_only_query_has_a_driver_green_companion_gate():
         "approx_distinct_users": "hll_error_check",
         "semantic_dedup": "semdedup_property_check",
         "coreset_select": "coreset_property_check",
+        "compression_scores": "compression_property_check",
     }
     rows_only = set(registry.QUERIES) - set(registry.ORACLE)
     unmapped = rows_only - set(companions)

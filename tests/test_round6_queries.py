@@ -592,3 +592,51 @@ def test_streaming_near_dup_pruned_matches_and_prunes(spark, tmp_path):
         if "PartitionFilters" in ln and "pbucket" in ln
     ]
     assert pruned_lines, "index scan did not carry a pbucket PartitionFilter"
+
+
+# ---------------------------------- compression / near-dup matrix ---
+
+
+def test_compression_scores_separates_repetition(spark):
+    rows = [
+        (1, "the quick brown fox jumps over a lazy dog near the riverbank today"),
+        (2, "spam " * 120),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in textops.compression_scores(df).collect()}
+    assert got[2]["ratio"] < got[1]["ratio"]
+    import zlib
+
+    assert got[1]["n_compressed"] == len(zlib.compress(rows[0][1].encode(), 6))
+
+
+def test_compression_property_check_rows(spark):
+    out = {
+        r["property"]: r["ok"]
+        for r in registry.QUERIES["compression_property_check"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert out == {
+        "planted_repetitive_separates": True,
+        "ratios_bounded": True,
+    }
+
+
+def test_near_dup_rate_matrix_counts_cross_source(spark):
+    """A 20-token doc and its 1-token mutation in ANOTHER source is one
+    cross-source near-dup pair; unrelated docs contribute nothing."""
+    from wvfoia_sync_spark.queries.dedup_queries import near_dup_rate_matrix  # noqa: F401
+    from wvfoia_sync_spark.operators import dedup as _dedup
+
+    base = " ".join(f"tok{i}" for i in range(20))
+    mut = " ".join(f"tok{i}" for i in range(19)) + " zzz"
+    rows = [
+        (1, base, "A"),
+        (2, mut, "B"),
+        (3, "completely different words entirely here", "B"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    pairs = _dedup.minhash_dedup_pairs(df, "doc_id", "text", threshold=0.85, bands=32)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.select("id_a", "id_b").collect()}
+    assert got == {(1, 2)}

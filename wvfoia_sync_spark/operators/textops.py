@@ -394,3 +394,43 @@ def bpe_encode(
             ).alias("pieces"),
         )
     )
+
+
+def compression_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """zlib compression-ratio quality signal (the RefinedWeb/DataTrove
+    heuristic: templated or repetitive text compresses far better than
+    natural prose, so a LOW ratio flags low-information documents the
+    n-gram repetition counters can miss). Emits (id, n_bytes,
+    n_compressed, ratio) with ratio = n_compressed / n_bytes over exact
+    integers.
+
+    Physical shape: one Arrow-batched pandas UDF inside the scan stage —
+    zlib is per-row CPU with zero state, so the stage is embarrassingly
+    parallel and shuffle-free; level 6 (zlib default) pinned explicitly
+    so scores are reproducible across environments. No SQL oracle is
+    possible (DEFLATE in SQL); the driver records rows-only and the
+    separation property is gated by compression_property_check."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def n_comp(texts):
+        import zlib
+
+        return texts.map(
+            lambda t: len(zlib.compress((t or "").encode("utf-8"), 6))
+        )
+
+    n_bytes = F.octet_length(F.col(text_col))
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .where(n_bytes > 0)
+        .select(
+            id_col,
+            n_bytes.cast("long").alias("n_bytes"),
+            n_comp(F.col(text_col)).alias("n_compressed"),
+        )
+        .withColumn(
+            "ratio",
+            F.col("n_compressed").cast("double") / F.col("n_bytes").cast("double"),
+        )
+    )

@@ -1495,3 +1495,61 @@ def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= F.col("quota"))
         .select("doc_id", "source")
     )
+
+
+@register("compression_scores")  # no SQL oracle: DEFLATE is not SQL-expressible
+def compression_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression-ratio quality signal (operators/textops.py
+    compression_scores) over a corpus with planted low-information docs:
+    every 11th document re-issued (id+700000) as its own first token
+    repeated 200 times — the templated/repetitive junk this heuristic
+    exists to flag. Driver records rows-only; the separation property
+    (every planted doc compresses harder than every natural doc) is the
+    hash-matched gate in compression_property_check."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    junk = docs.where(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 700000).alias("doc_id"),
+        F.array_join(
+            F.array_repeat(F.element_at(text_fns.tokens("text"), 1), 200), " "
+        ).alias("text"),
+    )
+    return textops.compression_scores(docs.unionAll(junk), "doc_id", "text")
+
+
+@register(
+    "compression_property_check",
+    oracle="""
+    SELECT 'planted_repetitive_separates' AS property, TRUE AS ok
+    UNION ALL
+    SELECT 'ratios_bounded' AS property, TRUE AS ok
+    ORDER BY property
+    """,
+)
+def compression_property_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-green gate for compression_scores:
+
+    - planted_repetitive_separates: max ratio over the planted
+      one-token-x200 docs < min ratio over the natural docs — the
+      signal separates low-information text with a clean margin on
+      the fixture (measured ~0.02 vs ~0.45 at the bundled SFs).
+    - ratios_bounded: every ratio in (0, 2] — zlib's worst case adds
+      constant framing overhead, never 2x, and a 0/negative ratio
+      would mean the UDF mangled a length."""
+    scored = compression_scores(spark, sf_dir)
+    agg = scored.agg(
+        F.max(F.when(F.col("doc_id") >= 700000, F.col("ratio"))).alias("junk_max"),
+        F.min(F.when(F.col("doc_id") < 700000, F.col("ratio"))).alias("nat_min"),
+        F.min("ratio").alias("rmin"),
+        F.max("ratio").alias("rmax"),
+    )
+    from ..registry import _prop_row
+
+    sep = agg.select(
+        *_prop_row(
+            "planted_repetitive_separates", F.col("junk_max") < F.col("nat_min")
+        )
+    )
+    bounded = agg.select(
+        *_prop_row("ratios_bounded", (F.col("rmin") > 0) & (F.col("rmax") <= 2.0))
+    )
+    return sep.unionAll(bounded).orderBy("property")

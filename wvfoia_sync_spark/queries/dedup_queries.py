@@ -628,3 +628,57 @@ def dup_rate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.source_dup_matrix(
         docs.unionAll(mirrored), "doc_id", "text", "source"
     )
+
+
+@register(
+    "near_dup_rate_matrix",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, list_distinct(list_transform(
+               range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      FROM (SELECT doc_id, source, {_SQL_TOKENS.format(c='text')} AS t
+            FROM documents)
+      WHERE len(t) >= 3
+    ), pairs AS (
+      SELECT LEAST(a.source, b.source) AS src_a,
+             GREATEST(a.source, b.source) AS src_b
+      FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.85
+    )
+    SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS near_dup_pairs
+    FROM pairs GROUP BY src_a, src_b
+    """,
+)
+def near_dup_rate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dup companion to dup_rate_matrix: unordered source pairs
+    with their count of cross/within-source near-duplicate pairs
+    (3-shingle Jaccard >= 0.85), found by the FULL-corpus banded
+    MinHash pipeline — no source bucketing, so cross-source leaks are
+    first-class (the fixture plants them: 24-26 of the ~28 in-range
+    pairs straddle sources). The exact-verify cutoff sits in the
+    fixture's measured margin gap (no pair in [0.07, 0.889) at the
+    bundled SFs — same invariant family as contamination_pairs), so the
+    hashed-shingle verify and the string-shingle oracle agree on the
+    pair set. bands=32 (r=2) makes a 0.889 pair miss all bands w.p.
+    ~1e-22; the oracle is the O(n^2) all-pairs join the banded plan
+    exists to avoid."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    pairs = dedup.minhash_dedup_pairs(
+        docs, "doc_id", "text", threshold=0.85, bands=32
+    ).select("id_a", "id_b")
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            F.least("sa", "sb").alias("src_a"),
+            F.greatest("sa", "sb").alias("src_b"),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("long").alias("near_dup_pairs"))
+    )
