@@ -17,17 +17,16 @@ from wvfoia_sync_spark import registry
 # The driver's correctness gate samples a fixed-size window from the
 # head of this dict, so ordering IS verification coverage. Rounds 1-5
 # drove 151 distinct names to driver-green. This round (r6) finishes
-# the job: the first 29 slots are every registered query that has
-# NEVER had a driver CORRECTNESS row (the five r5 registrations, the
-# property/recall gates, sketches, graph-iterative, text statistics,
-# and the remaining ANN top-k variants) — after this window every one
-# of the 180 registered queries is driver-verified at least once. The
-# remaining slots re-verify the highest-value earlier names: the
-# FOIA app surface, the full streaming/incremental family, and the
-# queries whose implementation changed this round (approx_distinct_
-# users gained a property-row oracle; embedding_near_dup became
-# auto-adaptive exact-vs-LSH). Everything else follows in
-# registration order, so a wider driver window only adds coverage.
+# the job: the first 29 slots are every PRE-round-6 registered query
+# that never had a driver CORRECTNESS row — after this window every
+# query registered before r6 is driver-verified at least once. The
+# tail holds the 15 queries REGISTERED this round (never checked by
+# construction) and, between them, re-verifications of the queries
+# whose implementation changed this round (approx_distinct_users
+# gained a property-row oracle; embedding_near_dup became
+# auto-adaptive exact-vs-LSH) plus a few high-value earlier names.
+# Everything else follows in registration order, so a wider driver
+# window only adds coverage.
 DRIVER_WINDOW: list[str] = [
     # --- 29 never-driver-checked (completes 180/180 coverage) ---
     "observed_scan_metrics",
@@ -59,20 +58,19 @@ DRIVER_WINDOW: list[str] = [
     "provenance_counts",
     "nation_pagerank",
     "triangle_count",
-    # --- 10 high-value re-verifications (filter_scan / latest_snapshot /
+    # --- 6 high-value re-verifications (filter_scan / latest_snapshot /
     # --- status_timeline / page_fetch / stream_static_join /
     # --- stream_upsert / sessionization_stream / nation_stats /
-    # --- incremental_rollup / scd2_history yielded their slots to the
-    # --- r6 registrations at the tail; all have earlier driver-green
-    # --- rows and are unchanged since) ---
+    # --- incremental_rollup / scd2_history / home_stats yielded their
+    # --- slots to the r6 registrations at the tail; all have earlier
+    # --- driver-green rows and are unchanged since) ---
     "approx_distinct_users",
-    "home_stats",
     "stream_stream_join",
     "stream_dedup",
     "scd2_asof_lookup",
     "semantic_dedup",
     "embedding_near_dup",
-    # --- 14 new r6 registrations (never checked, registered this round;
+    # --- 15 new r6 registrations (never checked, registered this round;
     # --- stream_stream_outer_join / stateful_counts_stream / cdc_apply
     # --- yielded their re-verify slots — all driver-green earlier and
     # --- unchanged since) ---
@@ -90,6 +88,7 @@ DRIVER_WINDOW: list[str] = [
     "compression_scores",
     "compression_property_check",
     "near_dup_rate_matrix",
+    "shard_manifest",
 ]
 
 

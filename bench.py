@@ -178,6 +178,7 @@ HEADLINE = [
     "snapshot_drift",
     "compression_scores",
     "near_dup_rate_matrix",
+    "shard_manifest",
 ]
 
 

@@ -640,3 +640,45 @@ def test_near_dup_rate_matrix_counts_cross_source(spark):
     pairs = _dedup.minhash_dedup_pairs(df, "doc_id", "text", threshold=0.85, bands=32)
     got = {(r["id_a"], r["id_b"]) for r in pairs.select("id_a", "id_b").collect()}
     assert got == {(1, 2)}
+
+
+def test_shard_manifest_reproducible_and_order_invariant(spark):
+    """Manifest rows are a pure function of content: shuffling input
+    row order and repartitioning must reproduce identical manifests
+    (the dataset-equality gate the op exists for)."""
+    out1 = {
+        r["shard_id"]: (r["n_docs"], r["n_tokens"], r["manifest_sha"])
+        for r in registry.QUERIES["shard_manifest"](spark, SF_DIR).collect()
+    }
+    from wvfoia_sync_spark.sources.tables import load_table
+    from wvfoia_sync_spark.functions.text import fingerprint
+
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .orderBy(F.rand(42))
+        .repartition(7)
+        .select(
+            fingerprint("text").alias("f"),
+            F.size(
+                F.filter(
+                    F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                    lambda t: t != F.lit(""),
+                )
+            ).alias("n_tok"),
+        )
+    )
+    shard = (F.conv(F.substring("f", 1, 4), 16, 10).cast("long") % 16).alias("shard_id")
+    out2 = {
+        r["shard_id"]: (r["n_docs"], r["n_tokens"], r["manifest_sha"])
+        for r in docs.select(shard, "f", "n_tok")
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.sha2(F.concat_ws("", F.array_sort(F.collect_list("f"))), 256).alias(
+                "manifest_sha"
+            ),
+        )
+        .collect()
+    }
+    assert out1 == out2 and len(out1) == 16

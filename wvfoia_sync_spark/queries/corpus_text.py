@@ -1553,3 +1553,65 @@ def compression_property_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         *_prop_row("ratios_bounded", (F.col("rmin") > 0) & (F.col("rmax") <= 2.0))
     )
     return sep.unionAll(bounded).orderBy("property")
+
+
+@register(
+    "shard_manifest",
+    oracle="""
+    WITH fp AS (
+      SELECT sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS f,
+             len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '')) AS n_tok
+      FROM documents
+    ), sharded AS (
+      SELECT f, n_tok,
+             ('0x' || substr(f, 1, 4))::BIGINT % 16 AS shard_id
+      FROM fp
+    )
+    SELECT CAST(shard_id AS BIGINT) AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           sha256(string_agg(f, '' ORDER BY f)) AS manifest_sha
+    FROM sharded GROUP BY shard_id
+    """,
+)
+def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible training-shard manifest (the dataset-versioning
+    artifact a 100 TB pipeline publishes beside its shards): documents
+    assigned to shards by CONTENT hash (first fingerprint nibbles mod
+    16 — placement is a pure function of content, invariant to
+    parallelism, input order, or re-runs), each shard summarized as
+    (n_docs, n_tokens, manifest_sha) where manifest_sha hashes the
+    shard's sorted member fingerprints — two pipeline runs produced the
+    same dataset iff the 16 manifest rows match, a cheap equality gate
+    before an expensive training launch. The sort is per-shard-group
+    (bounded by shard size); at extreme shard cardinality swap the
+    ordered digest for an order-free mergeable checksum (sum of
+    fingerprint ints mod 2^61) at the cost of weaker collision
+    guarantees. Tokens here use the simple lowercase split (the SQL twin
+    inlines it) — the manifest is a count surface, not a tokenizer."""
+    from ..functions.text import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        fingerprint("text").alias("f"),
+        F.size(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("n_tok"),
+    )
+    shard = (
+        F.conv(F.substring("f", 1, 4), 16, 10).cast("long") % 16
+    ).alias("shard_id")
+    return (
+        docs.select(shard, "f", "n_tok")
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.sha2(
+                F.concat_ws("", F.array_sort(F.collect_list("f"))), 256
+            ).alias("manifest_sha"),
+        )
+    )
