@@ -16,33 +16,58 @@ from ..registry import (
 )
 from ..sources.tables import load_table
 
-def _pagerank_step(nodes, edges_norm, ranks, damping=0.85):
-    """One deterministic PageRank iteration: contributions are rounded
-    to 9 decimals and summed as EXACT decimals (order-independent), the
-    new rank is re-rounded — so partial-aggregation order can't leak
-    into the result, and a SQL engine unrolling the same arithmetic
-    gets bit-identical ranks."""
+_Q = 1_000_000_000.0  # 9-decimal quantization base
+
+
+def _pagerank_step(nodes, edges_norm, ranks, damping=0.85, base=0.15):
+    """One deterministic PageRank iteration: contributions are quantized
+    to 9 decimals via ``floor(x*1e9 + 0.5)`` — multiply, add, and floor
+    are all exactly specified IEEE-754 double ops, so BOTH engines
+    produce the identical integer from the identical expression shape —
+    then summed as EXACT BIGINTs (order-independent), and the new rank
+    is re-quantized the same way. This replaced ROUND(x, 9) +
+    DECIMAL(28,9) casts, whose half-way tie-breaking is engine-specific
+    when the double sits within an ulp of a 9th-decimal boundary — a
+    divergence the sf0.1 sweep caught that sf0.01 row counts never
+    produced (same class as the r5 partition_pruned_revenue ulp
+    finding). Values are all positive, so floor(x+0.5) is exactly
+    round-half-up in both engines."""
     contrib = (
         edges_norm.join(
             F.broadcast(ranks), edges_norm.src == ranks.node
         )
         .select(
             F.col("dst").alias("to_node"),
-            F.round(F.col("r") * F.col("wn"), 9)
-            .cast("decimal(28,9)")
-            .alias("c"),
+            F.floor(
+                F.col("r") * F.col("wn") * F.lit(_Q) + F.lit(0.5)
+            ).alias("c"),
         )
         .groupBy("to_node")
-        .agg(F.sum("c").cast("double").alias("in_sum"))
+        .agg(F.sum("c").alias("in_sum"))
     )
     return (
         nodes.join(F.broadcast(contrib), nodes.node == F.col("to_node"), "left")
         .select(
             "node",
-            F.round(
-                F.lit(1.0 - damping)
-                + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0)),
-                9,
+            (
+                F.floor(
+                    (
+                        # base is its OWN literal, never 1.0 - damping:
+                        # Python's 1.0 - 0.85 is 0.15000000000000002, a
+                        # DIFFERENT double from the SQL literal 0.15 —
+                        # 2.8e-17 of skew that flips a quantization
+                        # boundary once at sf0.1 row counts
+                        F.lit(base)
+                        + F.lit(damping)
+                        * (
+                            F.coalesce(F.col("in_sum"), F.lit(0)).cast("double")
+                            / F.lit(_Q)
+                        )
+                    )
+                    * F.lit(_Q)
+                    + F.lit(0.5)
+                ).cast("double")
+                / F.lit(_Q)
             ).alias("r"),
         )
     )
@@ -73,23 +98,35 @@ def _pagerank_step(nodes, edges_norm, ranks, damping=0.85):
       SELECT node, CAST(1.0 AS DOUBLE) AS r FROM nodes
     ), it1 AS (
       SELECT n.node,
-             ROUND(0.15 + 0.85 * COALESCE(CAST(s.t AS DOUBLE), 0.0), 9) AS r
+             CAST(floor((0.15 + 0.85 * (CAST(COALESCE(s.t, 0) AS DOUBLE)
+                                        / 1000000000.0))
+                        * 1000000000.0 + 0.5) AS DOUBLE)
+               / 1000000000.0 AS r
       FROM nodes n LEFT JOIN (
-        SELECT en.dst, SUM(CAST(ROUND(it0.r * en.wn, 9) AS DECIMAL(28,9))) AS t
+        SELECT en.dst,
+               SUM(CAST(floor(it0.r * en.wn * 1000000000.0 + 0.5) AS BIGINT)) AS t
         FROM en JOIN it0 ON it0.node = en.src GROUP BY en.dst
       ) s ON s.dst = n.node
     ), it2 AS (
       SELECT n.node,
-             ROUND(0.15 + 0.85 * COALESCE(CAST(s.t AS DOUBLE), 0.0), 9) AS r
+             CAST(floor((0.15 + 0.85 * (CAST(COALESCE(s.t, 0) AS DOUBLE)
+                                        / 1000000000.0))
+                        * 1000000000.0 + 0.5) AS DOUBLE)
+               / 1000000000.0 AS r
       FROM nodes n LEFT JOIN (
-        SELECT en.dst, SUM(CAST(ROUND(it1.r * en.wn, 9) AS DECIMAL(28,9))) AS t
+        SELECT en.dst,
+               SUM(CAST(floor(it1.r * en.wn * 1000000000.0 + 0.5) AS BIGINT)) AS t
         FROM en JOIN it1 ON it1.node = en.src GROUP BY en.dst
       ) s ON s.dst = n.node
     ), it3 AS (
       SELECT n.node,
-             ROUND(0.15 + 0.85 * COALESCE(CAST(s.t AS DOUBLE), 0.0), 9) AS r
+             CAST(floor((0.15 + 0.85 * (CAST(COALESCE(s.t, 0) AS DOUBLE)
+                                        / 1000000000.0))
+                        * 1000000000.0 + 0.5) AS DOUBLE)
+               / 1000000000.0 AS r
       FROM nodes n LEFT JOIN (
-        SELECT en.dst, SUM(CAST(ROUND(it2.r * en.wn, 9) AS DECIMAL(28,9))) AS t
+        SELECT en.dst,
+               SUM(CAST(floor(it2.r * en.wn * 1000000000.0 + 0.5) AS BIGINT)) AS t
         FROM en JOIN it2 ON it2.node = en.src GROUP BY en.dst
       ) s ON s.dst = n.node
     )
@@ -106,10 +143,12 @@ def nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     to node-cardinality), after which every iteration is a broadcast
     join over the |nodes| rank table — the iteration never touches raw
     data again, so 100 TB of facts cost one pass regardless of iteration
-    count. Determinism: per-iteration ROUND(.,9) + exact decimal
-    contribution sums make the float arithmetic order-independent, which
-    is what lets a SQL engine unrolling the same recurrence hash-match
-    bit-for-bit (same trick as unigram_surprisal's rounded ln)."""
+    count. Determinism: per-iteration floor(x*1e9+0.5) quantization +
+    exact BIGINT contribution sums make the float arithmetic
+    order-independent AND engine-portable (pure IEEE ops — see
+    _pagerank_step for why ROUND+DECIMAL casts were not), which is what
+    lets a SQL engine unrolling the same recurrence hash-match
+    bit-for-bit."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
