@@ -179,6 +179,7 @@ HEADLINE = [
     "compression_scores",
     "near_dup_rate_matrix",
     "shard_manifest",
+    "audio_fingerprint_dedup",
 ]
 
 

@@ -682,3 +682,63 @@ def test_shard_manifest_reproducible_and_order_invariant(spark):
         .collect()
     }
     assert out1 == out2 and len(out1) == 16
+
+
+# --------------------------------------------- audio_fingerprint_dedup ---
+
+
+def _wav_media(spark, rows):
+    """rows: (media_id, samples list[int]) -> media DataFrame."""
+    import io
+    import struct
+    import wave
+
+    import pandas as pd
+
+    payloads = []
+    for _, samples in rows:
+        pcm = b"".join(struct.pack("<h", s) for s in samples)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(pcm)
+        payloads.append(buf.getvalue())
+    return spark.createDataFrame(
+        pd.DataFrame({"media_id": [r[0] for r in rows], "payload": payloads}),
+        "media_id long, payload binary",
+    )
+
+
+def test_audio_energy_hash_polarity_inversion_invariance(spark):
+    from wvfoia_sync_spark.operators import multimodal
+
+    s = [((i * 37) % 1500) - 700 for i in range(256)]
+    inv = [-v for v in s]
+    media = _wav_media(spark, [(1, s), (2, inv)])
+    got = {r["media_id"]: r["ehash"] for r in multimodal.audio_energy_hash(media).collect()}
+    assert got[1] == got[2] and got[1] is not None
+
+
+def test_audio_energy_hash_distinct_profiles_differ(spark):
+    from wvfoia_sync_spark.operators import multimodal
+
+    loud_start = [1000] * 128 + [1] * 128
+    loud_end = [1] * 128 + [1000] * 128
+    media = _wav_media(spark, [(1, loud_start), (2, loud_end)])
+    got = {r["media_id"]: r["ehash"] for r in multimodal.audio_energy_hash(media).collect()}
+    assert got[1] != got[2]
+
+
+def test_audio_energy_hash_bad_payloads_null(spark):
+    import pandas as pd
+    from wvfoia_sync_spark.operators import multimodal
+
+    odd = _wav_media(spark, [(3, [5] * 100)]).collect()[0]["payload"]  # 100 % 16 != 0
+    media = spark.createDataFrame(
+        pd.DataFrame({"media_id": [1, 2], "payload": [b"not audio", bytes(odd)]}),
+        "media_id long, payload binary",
+    )
+    got = {r["media_id"]: r["ehash"] for r in multimodal.audio_energy_hash(media).collect()}
+    assert got[1] is None and got[2] is None

@@ -220,6 +220,59 @@ def ahash64(media: DataFrame, grid: int = 8) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(run, AHASH_SCHEMA)
 
 
+EHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("ehash", T.LongType()),
+    ]
+)
+
+
+def audio_energy_hash(media: DataFrame, windows: int = 16) -> DataFrame:
+    """Perceptual audio fingerprint over decoded PCM: decode -> per-window
+    absolute-amplitude (energy) sums -> bit_w = (windows * win_sum >
+    total), packed into one BIGINT — the 1-D analog of ahash64, pure
+    integer arithmetic end to end. Structurally invariant to POLARITY
+    INVERSION (|-s| = |s|), the classic perceptually-identical transform
+    the dedup query plants; a constant-gain change would need the
+    ratio-based bit rule to also hold, which it does for exact integer
+    doubling but not arbitrary float gain — documented limit, not a bug.
+    Streams/undecodable payloads/window-indivisible frame counts yield
+    NULL (skip-and-log). Same mapInPandas shape as decoded_meta: no
+    shuffle; the downstream hash groupBy is the only exchange."""
+    from pyspark import cloudpickle
+    import sys as _sys
+
+    cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for b in batches:
+            ids, hs = [], []
+            for mid, p in zip(b["media_id"], b["payload"]):
+                ids.append(mid)
+                try:
+                    rate, nch, width, nframes, pcm = decode_audio(
+                        bytes(p) if p is not None else b""
+                    )
+                    if width != 2 or nch != 1 or nframes % windows:
+                        raise ValueError("unsupported fingerprint shape")
+                    s = np.abs(
+                        np.frombuffer(pcm, dtype="<i2").astype(np.int64)
+                    )
+                    win = s.reshape(windows, -1).sum(axis=1)
+                    bits = (windows * win > win.sum()).astype(np.int64)
+                    hs.append(int(bits @ (1 << np.arange(windows, dtype=np.int64))))
+                except (NotImplementedError, ValueError):
+                    hs.append(None)
+            yield pd.DataFrame(
+                {"media_id": ids, "ehash": pd.array(hs, dtype="Int64")}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, EHASH_SCHEMA)
+
+
 def as_media_table(df: DataFrame, id_col: str, text_col: str, modality: str = "image") -> DataFrame:
     """Adapt a text corpus into the media-table shape for plumbing tests:
     payload = utf-8 bytes of the text (deterministic stand-in blobs)."""

@@ -1091,3 +1091,104 @@ def image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("dup_count") > 1)
     )
+
+
+@register(
+    "audio_fingerprint_dedup",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, doc_id AS seed
+      FROM documents WHERE doc_id < 400
+      UNION ALL
+      SELECT doc_id + 800000 AS media_id, doc_id AS seed
+      FROM documents WHERE doc_id < 400 AND doc_id % 9 = 0
+    ), samp AS (
+      SELECT media_id, u.i // 16 AS w,
+             abs(((seed * 31 + u.i * 7) % 2048) - 1024) AS a
+      FROM m, UNNEST(range(0, 256)) AS u(i)
+    ), win AS (
+      SELECT media_id, w, SUM(a) AS s FROM samp GROUP BY media_id, w
+    ), bits AS (
+      SELECT media_id, w,
+             CASE WHEN 16 * s > SUM(s) OVER (PARTITION BY media_id)
+                  THEN 1 ELSE 0 END AS bit
+      FROM win
+    ), h AS (
+      SELECT media_id,
+             CAST(SUM(bit * (1::BIGINT << CAST(w AS INT))) AS BIGINT) AS ehash
+      FROM bits GROUP BY media_id
+    )
+    SELECT ehash, COUNT(*) AS dup_count, CAST(MIN(media_id) AS BIGINT) AS keep_id
+    FROM h GROUP BY ehash HAVING COUNT(*) > 1
+    """,
+)
+def audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio perceptual-fingerprint dedup through the REAL codec path
+    (the WAV twin of image_ahash_dedup): deterministic 256-sample mono
+    PCM WAVs are encoded in one mapInPandas stage, decoded via the
+    stdlib wave reader, energy-hashed with pure-integer windowed
+    absolute-amplitude sums (operators/multimodal.py audio_energy_hash),
+    and collision groups emerge from one hash-keyed groupBy. The planted
+    mutants are POLARITY INVERSIONS (s -> -s), which the energy hash is
+    structurally invariant to (|-s| = |s| — no data-dependent margin).
+    The oracle recomputes the identical integer arithmetic from the
+    generative sample formula — one mis-decoded PCM byte and the hashes
+    diverge."""
+    import pandas as _pd
+
+    from ..operators import multimodal
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") < 400)
+    )
+    base = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("doc_id").alias("seed"),
+        F.lit(1).alias("sign"),
+    )
+    mutants = docs.where(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 800000).alias("media_id"),
+        F.col("doc_id").alias("seed"),
+        F.lit(-1).alias("sign"),
+    )
+
+    def enc(batches):
+        import io
+        import struct
+        import wave
+
+        for b in batches:
+            payloads = []
+            for seed, sign in zip(b["seed"], b["sign"]):
+                seed, sign = int(seed), int(sign)
+                pcm = b"".join(
+                    struct.pack(
+                        "<h", sign * (((seed * 31 + i * 7) % 2048) - 1024)
+                    )
+                    for i in range(256)
+                )
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(pcm)
+                payloads.append(buf.getvalue())
+            yield _pd.DataFrame(
+                {"media_id": b["media_id"].astype("int64"), "payload": payloads}
+            )
+
+    media = base.unionAll(mutants).mapInPandas(
+        enc, "media_id long, payload binary"
+    )
+    return (
+        multimodal.audio_energy_hash(media, windows=16)
+        .groupBy("ehash")
+        .agg(
+            F.count("*").alias("dup_count"),
+            F.min("media_id").alias("keep_id"),
+        )
+        .where(F.col("dup_count") > 1)
+    )
