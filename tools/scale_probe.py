@@ -102,6 +102,19 @@ PROBE_QUERIES = [
     # each replica of its source — output grows ~replicas x, which is the
     # realistic shape of a contamination sweep against a bigger corpus
     "contamination_pairs",
+    # round-6 additions: all replication-safe map/agg shapes. NOTE
+    # dup_rate_matrix is the interesting one: replicas make every doc an
+    # n-way exact dup, so the PAIR count explodes ~n^2 — but the operator
+    # counts pairs arithmetically over (fingerprint, source) counts, so
+    # its cost must stay two aggregates (the very claim under probe;
+    # contrast the materializing pairwise ops excluded above).
+    "quality_classifier_score",
+    "compression_scores",
+    "temperature_mixture",
+    "dup_rate_matrix",
+    "shard_manifest",
+    "next_event_examples",
+    "snapshot_drift",
 ]
 
 OFFSET_KEYS = {
