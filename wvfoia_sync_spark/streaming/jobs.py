@@ -584,9 +584,14 @@ def streaming_near_dup_pruned(
     shard's bucket set, not the corpus. Semantics identical to
     streaming_near_dup (same signature stages, same verify); returns the
     collected (eval_id, train_id) pairs as a batch DataFrame once the
-    availableNow run terminates. ``plan_tap``, when given, receives each
-    batch's executed-plan string so tests can assert the PartitionFilters
-    actually materialized."""
+    availableNow run terminates — a DEMO-shaped return: the driver-side
+    pair collect is bounded by the match count (tiny for a dedup gate,
+    whose job is rejecting a small fraction of arrivals), and a
+    production deployment replaces it with a sink write inside the same
+    foreachBatch (the stream_upsert pattern), keeping only the pbucket
+    collect — bounded by the prune_buckets CONSTANT. ``plan_tap``, when
+    given, receives each batch's executed-plan string so tests can
+    assert the PartitionFilters actually materialized."""
     from ..operators.dedup import (
         _band_signatures,
         _sig_from_hashed_pandas,
