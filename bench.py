@@ -180,6 +180,7 @@ HEADLINE = [
     "near_dup_rate_matrix",
     "shard_manifest",
     "audio_fingerprint_dedup",
+    "shard_manifest_incremental",
 ]
 
 

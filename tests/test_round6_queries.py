@@ -742,3 +742,49 @@ def test_audio_energy_hash_bad_payloads_null(spark):
     )
     got = {r["media_id"]: r["ehash"] for r in multimodal.audio_energy_hash(media).collect()}
     assert got[1] is None and got[2] is None
+
+
+def test_shard_manifest_incremental_prunes_untouched_shards(spark):
+    """The incremental path must equal the full recompute AND actually
+    carry untouched shards forward: with a delta confined to one shard,
+    only that shard's manifest may be recomputed."""
+    rows = [
+        (1, "alpha beta gamma"),
+        (2, "delta epsilon zeta"),
+        (3, "eta theta iota"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from wvfoia_sync_spark.functions.text import fingerprint
+
+    docs = df.select(
+        "doc_id",
+        fingerprint("text").alias("f"),
+        F.size(F.split(F.lower("text"), " ")).alias("n_tok"),
+    )
+    shard = (F.conv(F.substring("f", 1, 4), 16, 10).cast("long") % 16).alias("shard_id")
+    sharded = docs.select(shard, "f", "n_tok", "doc_id")
+
+    def manifest(rows_):
+        return rows_.groupBy("shard_id").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.sha2(F.concat_ws("", F.array_sort(F.collect_list("f"))), 256).alias(
+                "manifest_sha"
+            ),
+        )
+
+    base, delta = sharded.where(F.col("doc_id") < 3), sharded.where(F.col("doc_id") == 3)
+    touched = delta.select("shard_id").distinct()
+    inc = manifest(
+        base.unionAll(delta).join(F.broadcast(touched), "shard_id", "left_semi")
+    ).unionAll(manifest(base).join(F.broadcast(touched), "shard_id", "left_anti"))
+    full = manifest(sharded)
+    key = lambda c: {r["shard_id"]: (r["n_docs"], r["n_tokens"], r["manifest_sha"]) for r in c}
+    assert key(inc.collect()) == key(full.collect())
+    # delta shard really was the only one recomputed: untouched rows are
+    # bytes-identical to the base-only manifests
+    t = {r["shard_id"] for r in touched.collect()}
+    base_m = key(manifest(base).collect())
+    for sid, v in key(inc.collect()).items():
+        if sid not in t:
+            assert base_m[sid] == v

@@ -1615,3 +1615,77 @@ def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("manifest_sha"),
         )
     )
+
+
+@register(
+    "shard_manifest_incremental",
+    oracle="""
+    WITH fp AS (
+      SELECT sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS f,
+             len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '')) AS n_tok
+      FROM documents
+    ), sharded AS (
+      SELECT f, n_tok,
+             ('0x' || substr(f, 1, 4))::BIGINT % 16 AS shard_id
+      FROM fp
+    )
+    SELECT CAST(shard_id AS BIGINT) AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           sha256(string_agg(f, '' ORDER BY f)) AS manifest_sha
+    FROM sharded GROUP BY shard_id
+    """,
+)
+def shard_manifest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL manifest maintenance (the daily-append path of
+    shard_manifest): the corpus is split into an existing base (16 of
+    every 17 docs) and an arriving delta; because shard placement is a
+    pure function of content, an append can only change the shards the
+    DELTA's documents hash into — so the incremental plan recomputes
+    manifests for exactly those shards (over base+delta rows, pruned by
+    a broadcast of the delta's shard set) and carries every untouched
+    shard's manifest row forward UNCHANGED. The oracle is the full
+    recompute over the whole corpus: hash-matching it proves
+    incremental == full, the same equivalence the medallion
+    incremental-gold probe asserts for the FOIA path. Work scales with
+    |delta shards| x shard size, not corpus size."""
+    from ..functions.text import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        fingerprint("text").alias("f"),
+        F.size(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("n_tok"),
+    )
+    shard = (F.conv(F.substring("f", 1, 4), 16, 10).cast("long") % 16).alias(
+        "shard_id"
+    )
+    sharded = docs.select(shard, "f", "n_tok", "doc_id")
+
+    def manifest(rows):
+        return rows.groupBy("shard_id").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.sha2(
+                F.concat_ws("", F.array_sort(F.collect_list("f"))), 256
+            ).alias("manifest_sha"),
+        )
+
+    base = sharded.where(F.col("doc_id") % 17 != 0)
+    delta = sharded.where(F.col("doc_id") % 17 == 0)
+    touched = delta.select("shard_id").distinct()
+    # recompute ONLY the touched shards over base+delta; untouched base
+    # manifests carry forward verbatim (anti-join on the broadcast-sized
+    # touched-shard set — at most 16 rows here, |shards| in general)
+    recomputed = manifest(
+        base.unionAll(delta).join(F.broadcast(touched), "shard_id", "left_semi")
+    )
+    carried = manifest(base).join(
+        F.broadcast(touched), "shard_id", "left_anti"
+    )
+    return recomputed.unionAll(carried).drop("doc_id")
