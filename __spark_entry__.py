@@ -20,7 +20,7 @@ from wvfoia_sync_spark import registry
 # the job: the first 29 slots are every PRE-round-6 registered query
 # that never had a driver CORRECTNESS row — after this window every
 # query registered before r6 is driver-verified at least once. The
-# tail holds the 17 queries REGISTERED this round (never checked by
+# tail holds the 18 queries REGISTERED this round (never checked by
 # construction) and, between them, re-verifications of the queries
 # whose implementation changed this round (approx_distinct_users
 # gained a property-row oracle; embedding_near_dup became
@@ -58,17 +58,17 @@ DRIVER_WINDOW: list[str] = [
     "provenance_counts",
     "nation_pagerank",
     "triangle_count",
-    # --- 4 high-value re-verifications (filter_scan / latest_snapshot /
+    # --- 3 high-value re-verifications (filter_scan / latest_snapshot /
     # --- status_timeline / page_fetch / stream_static_join /
-    # --- stream_upsert / sessionization_stream / nation_stats / stream_dedup / stream_stream_join /
+    # --- stream_upsert / sessionization_stream / nation_stats /
+    # --- stream_dedup / stream_stream_join / scd2_asof_lookup /
     # --- incremental_rollup / scd2_history / home_stats yielded their
     # --- slots to the r6 registrations at the tail; all have earlier
     # --- driver-green rows and are unchanged since) ---
     "approx_distinct_users",
-    "scd2_asof_lookup",
     "semantic_dedup",
     "embedding_near_dup",
-    # --- 17 new r6 registrations (never checked, registered this round;
+    # --- 18 new r6 registrations (never checked, registered this round;
     # --- stream_stream_outer_join / stateful_counts_stream / cdc_apply
     # --- yielded their re-verify slots — all driver-green earlier and
     # --- unchanged since) ---
@@ -89,6 +89,7 @@ DRIVER_WINDOW: list[str] = [
     "shard_manifest",
     "audio_fingerprint_dedup",
     "shard_manifest_incremental",
+    "snapshot_drift_sketch",
 ]
 
 

@@ -181,6 +181,7 @@ HEADLINE = [
     "shard_manifest",
     "audio_fingerprint_dedup",
     "shard_manifest_incremental",
+    "snapshot_drift_sketch",
 ]
 
 

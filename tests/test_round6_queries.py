@@ -788,3 +788,17 @@ def test_shard_manifest_incremental_prunes_untouched_shards(spark):
     for sid, v in key(inc.collect()).items():
         if sid not in t:
             assert base_m[sid] == v
+
+
+def test_snapshot_drift_sketch_properties_and_plan(spark):
+    out = {
+        r["property"]: r["ok"]
+        for r in registry.QUERIES["snapshot_drift_sketch"](spark, SF_DIR).collect()
+    }
+    assert out == {"counts_conserved": True, "shares_sum_to_one": True}
+    # no per-type sort: the plan must not contain a Window sort spilling
+    # whole-table rows (ntile) — percentile_approx is an aggregate
+    from tests.test_plan_quality import plan
+
+    p = plan(registry.QUERIES["snapshot_drift_sketch"](spark, SF_DIR))
+    assert "ntile(10)" not in p and "percentile_approx" in p

@@ -115,6 +115,7 @@ PROBE_QUERIES = [
     "shard_manifest",
     "next_event_examples",
     "snapshot_drift",
+    "snapshot_drift_sketch",
 ]
 
 OFFSET_KEYS = {
