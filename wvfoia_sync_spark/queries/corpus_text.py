@@ -1678,7 +1678,10 @@ def shard_manifest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = sharded.where(F.col("doc_id") % 17 != 0)
     delta = sharded.where(F.col("doc_id") % 17 == 0)
-    touched = delta.select("shard_id").distinct()
+    # groupBy, not .distinct(): same set, but the analyzed plan shows an
+    # Aggregate node, which is how the pinned-broadcast gate recognizes a
+    # shard-cardinality-bounded build side (Deduplicate is opaque to it)
+    touched = delta.groupBy("shard_id").agg(F.count("*")).select("shard_id")
     # recompute ONLY the touched shards over base+delta; untouched base
     # manifests carry forward verbatim (anti-join on the broadcast-sized
     # touched-shard set — at most 16 rows here, |shards| in general)
