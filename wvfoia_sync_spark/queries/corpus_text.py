@@ -1069,64 +1069,92 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     each source doc scored by its grams' summed LLR; `selected` marks
     docs that look more target- than source-like.
 
-    Scale + determinism shape: the gram explode is aggregated ONCE to
-    (doc, bucket, cnt) count vectors — at most 64 rows per doc, then
-    localCheckpointed so the model aggregate and the scoring join both
-    read the materialized counts instead of re-running the explode
-    (the 100x probe measured the per-gram join formulation at 22.7x on
-    100x rows; the count-vector form joins 64xdocs rows). Bucket stats
-    are one 64-row aggregate; per-bucket LLR values follow the
-    unigram_surprisal precedent (ROUND(ln(ratio-of-exact-integer-
-    products), 6) as DECIMAL(18,6)) and per-doc LLR = SUM(cnt * lv) —
-    decimal-exact and identical to the oracle's per-gram sum, so the
-    hash compare is unaffected by the regrouping. The toy bucket hash
-    (ascii arithmetic, SQL-mirrorable) stands in for xxhash64 at
-    production scale — swapping it changes one expression."""
+    Scale + determinism shape (r7 — kills the r6 bench flag): TWO
+    passes over the gram stream and nothing in between. Pass 1
+    aggregates grams to the 64-row bucket model (map-side partials ->
+    64 groups) and collects it — a CONSTANT-bounded collect, the
+    documented bloom-bitset / BPE posture, 64 rows at any corpus
+    size. The per-bucket LLR values come back as a 64-element literal
+    array, so pass 2 is a single element_at projection + one
+    doc-keyed groupBy — no bucket join, no broadcast build, no
+    materialization step at all (measured at bench SF: the r6 eager
+    localCheckpoint, a persist, and a per-doc count-vector pivot ALL
+    lose to plainly recomputing the explode — 265k integer gram rows
+    re-derive faster than they round-trip through the block manager;
+    at 100 TB the balance flips and the integer (doc_id, bucket)
+    projection is what you'd checkpoint between the passes — one
+    line, same plan above it). Determinism: the collected stats are
+    exact INTEGERS; the LLR ratio is assembled with Python float
+    multiply/divide (IEEE-exact, same value as the oracle's DOUBLE
+    expressions) and the ln + ROUND(.,6) + DECIMAL(18,6) cast stay
+    INSIDE Catalyst (constant-folded with java.lang.Math.log — the
+    same fold the r6 executor-side form used), following the
+    unigram_surprisal precedent; per-doc LLR = SUM(lv) over grams,
+    decimal-exact and identical to the oracle's per-gram sum. The toy
+    bucket hash (ascii arithmetic, SQL-mirrorable) stands in for
+    xxhash64 at production scale — swapping it changes one
+    expression."""
+    n_buckets = 64
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", text_fns.tokens("text").alias("t")
     )
     grams = docs.select(
         "doc_id",
         F.explode(text_fns.ngrams("t", 2)).alias("g"),
-    ).withColumn(
-        "bucket",
+    ).select(
+        "doc_id",
         (
-            F.ascii(F.substring("g", 1, 1)) * 7
-            + F.ascii(F.expr("substr(g, -1, 1)")) * 13
-            + F.length("g")
+            (
+                F.ascii(F.substring("g", 1, 1)) * 7
+                + F.ascii(F.expr("substr(g, -1, 1)")) * 13
+                + F.length("g")
+            )
+            % n_buckets
+        ).alias("bucket"),
+        (F.col("doc_id") % 50 == 0).alias("is_target"),
+    )
+    stats = {
+        r["bucket"]: (r["n_t"], r["n_s"])
+        for r in grams.groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("n_t"),
+            F.sum(F.when(F.col("is_target"), 0).otherwise(1)).alias("n_s"),
         )
-        % 64,
-    ).withColumn("is_target", F.col("doc_id") % 50 == 0)
-    counts = (
-        grams.groupBy("doc_id", "bucket", "is_target")
-        .agg(F.count("*").alias("cnt"))
-        .localCheckpoint(eager=True)
-    )
-    stats = counts.groupBy("bucket").agg(
-        F.sum(F.when(F.col("is_target"), F.col("cnt")).otherwise(0)).alias("n_t"),
-        F.sum(F.when(F.col("is_target"), 0).otherwise(F.col("cnt"))).alias("n_s"),
-    )
-    tot = stats.agg(
-        F.sum("n_t").alias("tt"), F.sum("n_s").alias("ts")
-    )
-    stats_t = stats.crossJoin(F.broadcast(tot))
-    lv = F.round(
-        F.log(
-            ((F.col("n_t") + 1).cast("double") * (F.col("ts") + 64))
-            / ((F.col("n_s") + 1).cast("double") * (F.col("tt") + 64))
-        ),
-        6,
-    ).cast("decimal(18,6)")
-    scored = (
-        counts.where(~F.col("is_target"))
-        .join(stats_t.select("bucket", lv.alias("lv")), "bucket")
+        .collect()  # <= 64 rows — constant at any corpus size
+    }
+    tt = sum(v[0] for v in stats.values())
+    ts = sum(v[1] for v in stats.values())
+    lv_arr = F.array(
+        *[
+            F.round(
+                # exact-integer products combined in IEEE doubles — the
+                # same value the oracle's DOUBLE expressions produce;
+                # ln/round fold inside Catalyst via java.lang.Math.log
+                F.log(
+                    F.lit(
+                        float(stats.get(i, (0, 0))[0] + 1)
+                        * float(ts + n_buckets)
+                    )
+                    / F.lit(
+                        float(stats.get(i, (0, 0))[1] + 1)
+                        * float(tt + n_buckets)
+                    )
+                ),
+                6,
+            ).cast("decimal(18,6)")
+            for i in range(n_buckets)
+        ]
     )
     return (
-        scored.groupBy("doc_id")
+        grams.where(~F.col("is_target"))
+        .select(
+            "doc_id", F.element_at(lv_arr, F.col("bucket") + 1).alias("lv")
+        )
+        .groupBy("doc_id")
         .agg(
-            F.sum("cnt").alias("n_grams"),
-            F.sum(F.col("lv") * F.col("cnt")).cast("double").alias("llr"),
-            (F.sum(F.col("lv") * F.col("cnt")) > 0).alias("selected"),
+            F.count("*").alias("n_grams"),
+            F.sum("lv").cast("double").alias("llr"),
+            (F.sum("lv") > 0).alias("selected"),
         )
         .orderBy("doc_id")
     )
