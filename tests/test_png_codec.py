@@ -95,6 +95,49 @@ def test_decode_audio_backend_and_seam():
         multimodal.decode_audio(b"ID3\x04fake mp3 payload")
 
 
+def test_corrupt_payloads_translate_to_valueerror():
+    """ADVICE r6: a corrupt-but-RIFF/WAVE payload (wave.Error/EOFError
+    underneath) and a truncated/bit-flipped PNG (zlib.error/struct.error
+    underneath) must surface as ValueError — the exception class the
+    per-row skip-and-NULL handlers catch — not crash the job."""
+    import io
+    import struct
+    import wave
+
+    import pytest
+
+    from wvfoia_sync_spark.functions import png as pngmod
+    from wvfoia_sync_spark.operators import multimodal
+
+    # RIFF/WAVE magic but garbage after: wave.open raises wave.Error
+    junk_wav = b"RIFF\x24\x00\x00\x00WAVE" + b"\x00" * 16
+    with pytest.raises(ValueError):
+        multimodal.decode_audio(junk_wav)
+
+    # valid WAV truncated mid-header: EOFError/struct.error underneath
+    pcm = b"".join(struct.pack("<h", v) for v in [0, 1, 2, 3])
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(pcm)
+    with pytest.raises(ValueError):
+        multimodal.decode_audio(buf.getvalue()[:20])
+
+    # PNG with the IDAT zlib stream bit-flipped: zlib.error underneath
+    data = bytearray(pngmod.encode_png(4, 4, _pixels(4, 4, 3), 3))
+    idat_at = bytes(data).find(b"IDAT")
+    data[idat_at + 8] ^= 0xFF
+    with pytest.raises(ValueError):
+        pngmod.decode_png(bytes(data))
+
+    # PNG truncated inside the IHDR body: struct.error underneath
+    sig_ihdr = pngmod.encode_png(4, 4, _pixels(4, 4, 3), 3)[:20]
+    with pytest.raises(ValueError):
+        pngmod.decode_png(sig_ihdr)
+
+
 def test_audio_meta_measures_real_samples(spark):
     import io
     import struct

@@ -555,15 +555,21 @@ def test_snapshot_drift_shares_and_buckets(spark):
 
 
 def test_streaming_near_dup_pruned_matches_and_prunes(spark, tmp_path):
-    """The foreachBatch partition-pruned gate: (a) identical pair set to
-    the stream-static form and the batch twin; (b) the per-batch index
-    scan carries a pbucket PartitionFilter (the corpus-sized scan is
-    pruned to the shard's bucket set)."""
+    """The foreachBatch partition-pruned gate, PRODUCTION sink-write form
+    (r7): (a) identical pair set to the stream-static form and the batch
+    twin, read back from the parquet sink the batches wrote — no
+    driver-side pair accumulation; (b) the per-batch index scan carries
+    a pbucket PartitionFilter (the corpus-sized scan is pruned to the
+    shard's bucket set); (c) the sink holds per-epoch partition
+    directories (the idempotent-retry unit)."""
+    import os
+
     from wvfoia_sync_spark.sources.tables import load_table
     from wvfoia_sync_spark.streaming import jobs
 
     docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
     idx = str(tmp_path / "band_index")
+    sink = str(tmp_path / "gate_sink")
     jobs.write_band_index(docs, idx, num_hashes=64, bands=32)
     incoming = (
         jobs.documents_stream(spark, SF_DIR)
@@ -575,8 +581,9 @@ def test_streaming_near_dup_pruned_matches_and_prunes(spark, tmp_path):
     )
     plans: list = []
     out = jobs.streaming_near_dup_pruned(
-        incoming, idx, "snd_pruned_test", threshold=0.8,
+        incoming, idx, "snd_pruned_test", sink, threshold=0.8,
         num_hashes=64, bands=32, plan_tap=plans,
+        checkpoint_path=str(tmp_path / "gate_ckpt"),
     )
     got = {(r["eval_id"], r["train_id"]) for r in out.collect()}
     want = {
@@ -584,6 +591,15 @@ def test_streaming_near_dup_pruned_matches_and_prunes(spark, tmp_path):
         for r in registry.QUERIES["contamination_pairs"](spark, SF_DIR).collect()
     }
     assert got == want and got
+    # the pairs came off DISK, written inside foreachBatch — one
+    # batch=<epoch> partition directory per micro-batch
+    epoch_dirs = [d for d in os.listdir(sink) if d.startswith("batch=")]
+    assert epoch_dirs
+    sunk = {
+        (r["eval_id"], r["train_id"])
+        for r in spark.read.parquet(sink).select("eval_id", "train_id").collect()
+    }
+    assert sunk == want
     assert plans
     pruned_lines = [
         ln

@@ -106,17 +106,19 @@ def main() -> None:
         # per-batch gate — the un-pruned wall above conflates them, and
         # the build is the one-time cost the pruning exists to amortize
         idx_dir = tempfile.mkdtemp(prefix=f"snd_idx_{k}_")
+        sink_dir = tempfile.mkdtemp(prefix=f"snd_sink_{k}_")
         tb0 = time.time()
         jobs.write_band_index(corpus, idx_dir, num_hashes=64, bands=32)
         build_s = time.time() - tb0
         tg0 = time.time()
         out = jobs.streaming_near_dup_pruned(
             _incoming(spark), idx_dir, f"snd_pruned_probe_{k}",
-            threshold=0.8, num_hashes=64, bands=32,
+            f"{sink_dir}/pairs", threshold=0.8, num_hashes=64, bands=32,
         )
         pruned_pairs = {(r["eval_id"], r["train_id"]) for r in out.collect()}
         gate_s = time.time() - tg0
         shutil.rmtree(idx_dir, ignore_errors=True)
+        shutil.rmtree(sink_dir, ignore_errors=True)
         assert pruned_pairs == base_pairs, f"pruned gate diverged at k={k}"
 
         row = {

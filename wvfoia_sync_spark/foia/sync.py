@@ -140,7 +140,11 @@ def http_fetcher(
             return None  # surfaces the 3xx as HTTPError(code)
 
     if "{id}" in base_url:
-        url_for = base_url.format  # template shape: caller places the id
+        # literal token replace, NOT str.format: a URL carrying other
+        # braces (percent-encoding edge cases, a stray '{0}') must not
+        # raise KeyError/IndexError inside the executor task (ADVICE r6)
+        def url_for(id):
+            return base_url.replace("{id}", str(id))
     else:
         root = base_url.rstrip("/")
 

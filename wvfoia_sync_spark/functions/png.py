@@ -89,34 +89,46 @@ def _unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytes:
 
 
 def decode_png(data: bytes) -> DecodedImage:
-    """Decode an 8-bit gray/RGB/RGBA non-interlaced PNG."""
+    """Decode an 8-bit gray/RGB/RGBA non-interlaced PNG.
+
+    Any corruption surfaces as ValueError (truncated chunks, bad
+    zlib stream, short scanline data — stdlib zlib.error/struct.error/
+    IndexError are translated, ADVICE r6) so the per-row mapInPandas
+    handlers can degrade a bad payload to a NULL row instead of
+    failing the job; NotImplementedError stays reserved for the
+    documented codec seams (bit depth, palette, interlace)."""
     if not data.startswith(PNG_SIGNATURE):
         raise ValueError("not a PNG (bad signature)")
     width = height = None
     color_type = None
     idat = bytearray()
-    for ctype, body in _chunks(data):
-        if ctype == b"IHDR":
-            width, height, depth, color_type, comp, filt, interlace = (
-                struct.unpack(">IIBBBBB", body)
-            )
-            if depth != 8:
-                raise NotImplementedError(f"PNG bit depth {depth} unsupported")
-            if color_type not in _CHANNELS:
-                raise NotImplementedError(
-                    f"PNG color type {color_type} unsupported"
+    try:
+        for ctype, body in _chunks(data):
+            if ctype == b"IHDR":
+                width, height, depth, color_type, comp, filt, interlace = (
+                    struct.unpack(">IIBBBBB", body)
                 )
-            if interlace:
-                raise NotImplementedError("interlaced PNG unsupported")
-            if comp or filt:
-                raise ValueError("invalid PNG compression/filter method")
-        elif ctype == b"IDAT":
-            idat.extend(body)
-    if width is None:
-        raise ValueError("PNG missing IHDR")
-    channels = _CHANNELS[color_type]
-    raw = zlib.decompress(bytes(idat))
-    pixels = _unfilter(raw, width, height, channels)
+                if depth != 8:
+                    raise NotImplementedError(
+                        f"PNG bit depth {depth} unsupported"
+                    )
+                if color_type not in _CHANNELS:
+                    raise NotImplementedError(
+                        f"PNG color type {color_type} unsupported"
+                    )
+                if interlace:
+                    raise NotImplementedError("interlaced PNG unsupported")
+                if comp or filt:
+                    raise ValueError("invalid PNG compression/filter method")
+            elif ctype == b"IDAT":
+                idat.extend(body)
+        if width is None:
+            raise ValueError("PNG missing IHDR")
+        channels = _CHANNELS[color_type]
+        raw = zlib.decompress(bytes(idat))
+        pixels = _unfilter(raw, width, height, channels)
+    except (zlib.error, struct.error, IndexError) as exc:
+        raise ValueError(f"corrupt PNG payload: {exc}") from exc
     return DecodedImage(width, height, channels, pixels)
 
 

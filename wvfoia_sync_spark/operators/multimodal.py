@@ -324,6 +324,7 @@ def decode_audio(payload: bytes):
     module; compressed codecs (mp3/ogg/flac) stay behind the explicit
     NotImplementedError seam where librosa/ffmpeg plug in."""
     import io
+    import struct
     import wave
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -331,14 +332,20 @@ def decode_audio(payload: bytes):
             "only WAV/PCM decodes without an audio library; wire "
             "librosa/ffmpeg here for compressed codecs in production"
         )
-    with wave.open(io.BytesIO(payload), "rb") as r:
-        return (
-            r.getframerate(),
-            r.getnchannels(),
-            r.getsampwidth(),
-            r.getnframes(),
-            r.readframes(r.getnframes()),
-        )
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as r:
+            return (
+                r.getframerate(),
+                r.getnchannels(),
+                r.getsampwidth(),
+                r.getnframes(),
+                r.readframes(r.getnframes()),
+            )
+    except (wave.Error, EOFError, struct.error) as exc:
+        # corrupt-but-RIFF/WAVE payload: translate to the ValueError the
+        # per-row skip-and-NULL handlers catch (ADVICE r6) — one bad
+        # payload must degrade to a NULL row, not fail the whole job
+        raise ValueError(f"undecodable WAV payload: {exc}") from exc
 
 
 AUDIO_META_SCHEMA = T.StructType(

@@ -444,10 +444,11 @@ def cosine_near_dup_pairs_exact(
     b_X = spark.sparkContext.broadcast(X)
     b_norms = spark.sparkContext.broadcast(norms)
     # ~1k-row blocks bound each task's score slab (1k x 12k doubles =
-    # ~96 MB worst case at the crossover) while keeping task count low
-    # enough that Python-worker startup doesn't dominate small corpora
-    par = spark.sparkContext.defaultParallelism
-    n_blocks = max(1, min(par, -(-n // 1024)))
+    # ~96 MB worst case at the crossover) REGARDLESS of parallelism:
+    # capping n_blocks at defaultParallelism (r6) made bs = ceil(n/par),
+    # so at par 1-2 a single task allocated a ~0.6-1.15 GB score matrix
+    # (ADVICE r6). Excess blocks just queue on the available cores.
+    n_blocks = max(1, -(-n // 1024))
     bs = -(-n // n_blocks)
 
     def _block_pairs(batches):

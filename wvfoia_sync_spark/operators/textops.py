@@ -7,6 +7,8 @@ stays in WholeStageCodegen with zero Python round-trips.
 
 from __future__ import annotations
 
+import threading
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
@@ -187,8 +189,14 @@ def boilerplate_removal(
 # At most ONE exploded relation stays pinned: each invocation releases
 # the previous call's cache (unpersist is safe mid-use — consumers just
 # recompute), so repeated registry/bench runs can't accumulate pinned
-# executor storage for the session's lifetime (ADVICE r5).
+# executor storage for the session's lifetime (ADVICE r5). The swap is
+# lock-guarded (ADVICE r6): a threaded bench/driver running two
+# boilerplate-family queries concurrently must not interleave the
+# pop/unpersist/append triple — the worst case is now a concurrent
+# query losing its cache and RECOMPUTING (correct, slower), never a
+# leaked pin or a double-unpersist.
 _persisted_exploded: list = []
+_persisted_lock = threading.Lock()
 
 
 def boilerplate_removal_exploded(ex: DataFrame, min_docs: int = 3) -> DataFrame:
@@ -204,9 +212,10 @@ def boilerplate_removal_exploded(ex: DataFrame, min_docs: int = 3) -> DataFrame:
     # ex; without it the explode (and everything under it) executes
     # twice per action. Slim rows; LRU evicts under pressure.
     ex = ex.persist()
-    while _persisted_exploded:
-        _persisted_exploded.pop().unpersist()
-    _persisted_exploded.append(ex)
+    with _persisted_lock:
+        prev, _persisted_exploded[:] = _persisted_exploded[:], [ex]
+    for p in prev:
+        p.unpersist()
     boiler = (
         ex.where(F.col("line").isNotNull())
         .groupBy("line")

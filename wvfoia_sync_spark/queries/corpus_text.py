@@ -1529,14 +1529,18 @@ def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 def compression_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zlib compression-ratio quality signal (operators/textops.py
     compression_scores) over a corpus with planted low-information docs:
-    every 11th document re-issued (id+700000) as its own first token
-    repeated 200 times — the templated/repetitive junk this heuristic
-    exists to flag. Driver records rows-only; the separation property
-    (every planted doc compresses harder than every natural doc) is the
-    hash-matched gate in compression_property_check."""
+    every 11th document re-issued as its own first token repeated 200
+    times — the templated/repetitive junk this heuristic exists to
+    flag. Planted ids are ``-(doc_id + 1)``: the sign IS the planted
+    marker, so no scale factor can collide a planted id with a natural
+    (non-negative) one — the r6 ``+700000`` offset silently
+    misclassified at any SF whose corpus reaches that id (ADVICE r6).
+    Driver records rows-only; the separation property (every planted
+    doc compresses harder than every natural doc) is the hash-matched
+    gate in compression_property_check."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     junk = docs.where(F.col("doc_id") % 11 == 0).select(
-        (F.col("doc_id") + 700000).alias("doc_id"),
+        (-(F.col("doc_id") + 1)).alias("doc_id"),
         F.array_join(
             F.array_repeat(F.element_at(text_fns.tokens("text"), 1), 200), " "
         ).alias("text"),
@@ -1560,15 +1564,18 @@ def compression_property_check(spark: SparkSession, sf_dir: str) -> DataFrame:
       one-token-x200 docs < min ratio over the natural docs — the
       signal separates low-information text with a clean margin on
       the fixture (measured ~0.02 vs ~0.45 at the bundled SFs).
-    - ratios_bounded: every ratio in (0, 2] — zlib's worst case adds
-      constant framing overhead, never 2x, and a 0/negative ratio
-      would mean the UDF mangled a length."""
+      Planted docs are identified by SIGN (negative ids, ADVICE r6) —
+      collision-proof at any corpus scale, unlike an id threshold.
+    - ratios_bounded: ratio > 0 everywhere, and <= 2.0 over docs with
+      n_bytes >= 64 — zlib's constant framing overhead can legitimately
+      exceed 2x only on near-empty payloads (ADVICE r6), and a
+      0/negative ratio would mean the UDF mangled a length."""
     scored = compression_scores(spark, sf_dir)
     agg = scored.agg(
-        F.max(F.when(F.col("doc_id") >= 700000, F.col("ratio"))).alias("junk_max"),
-        F.min(F.when(F.col("doc_id") < 700000, F.col("ratio"))).alias("nat_min"),
+        F.max(F.when(F.col("doc_id") < 0, F.col("ratio"))).alias("junk_max"),
+        F.min(F.when(F.col("doc_id") >= 0, F.col("ratio"))).alias("nat_min"),
         F.min("ratio").alias("rmin"),
-        F.max("ratio").alias("rmax"),
+        F.max(F.when(F.col("n_bytes") >= 64, F.col("ratio"))).alias("rmax"),
     )
     from ..registry import _prop_row
 
@@ -1578,7 +1585,13 @@ def compression_property_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     bounded = agg.select(
-        *_prop_row("ratios_bounded", (F.col("rmin") > 0) & (F.col("rmax") <= 2.0))
+        *_prop_row(
+            "ratios_bounded",
+            (F.col("rmin") > 0)
+            # coalesce: a fixture with no >=64-byte doc yields NULL rmax;
+            # the bound then vacuously holds instead of NULLing the gate
+            & (F.coalesce(F.col("rmax"), F.lit(1.0)) <= 2.0),
+        )
     )
     return sep.unionAll(bounded).orderBy("property")
 

