@@ -86,6 +86,73 @@ def test_minhash_agrees_with_exact_shingle_jaccard(spark):
     assert exact == mh, f"missed {len(exact - mh)} of {len(exact)}"
 
 
+def test_stop_band_guard_drops_no_true_pairs(spark):
+    """Hot-band (Zipfian boilerplate) fixture for the r7 stop-band
+    guard: ~1/3 of substantial docs share one 80-token template block,
+    planted near-dups (two-token suffix) are the true pairs. The guard
+    must (a) actually ENGAGE — buckets above the cap exist, (b) shrink
+    the candidate set, and (c) return the IDENTICAL verified pair set:
+    true pairs keep colliding in the ordinary buckets their
+    non-boilerplate shingles produce, so only junk candidates (pairs
+    the exact verify would reject anyway) ride the hot buckets."""
+    from wvfoia_sync_spark.functions.text import tokens
+
+    boiler = " ".join(
+        f"boilerplate term{i % 17} clause{i % 23} notice{i}" for i in range(20)
+    )
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    templated = docs.select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 3 == 0) & (F.size(tokens("text")) >= 40),
+            F.concat(F.lit(boiler + " "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    planted = templated.where(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" trailing mutation")).alias("text"),
+    )
+    corpus = templated.unionAll(planted)
+    cap = 20
+
+    hashed = dedup.hashed_shingles(corpus, "doc_id", "text", 3)
+    sigs = hashed.select(
+        "id", dedup._sig_from_hashed_pandas(64)(F.col("hs")).alias("sig")
+    )
+    sizes = (
+        dedup._band_signatures(sigs, 16)
+        .groupBy("band", "bhash")
+        .agg(F.count("*").alias("n"))
+    )
+    max_bucket = sizes.agg(F.max("n")).collect()[0][0]
+    assert max_bucket > cap, "fixture failed to create a hot bucket"
+
+    n_cand_raw = dedup.minhash_lsh_candidates(sigs, 16).count()
+    n_cand_guard = dedup.minhash_lsh_candidates(
+        sigs, 16, max_band_bucket=cap
+    ).count()
+    assert n_cand_guard < n_cand_raw, "guard did not shrink the candidates"
+
+    raw = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_dedup_pairs(
+            corpus, "doc_id", "text", threshold=0.8
+        ).collect()
+    }
+    guarded = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_dedup_pairs(
+            corpus, "doc_id", "text", threshold=0.8, max_band_bucket=cap
+        ).collect()
+    }
+    assert raw and guarded == raw, (
+        f"guard changed the verified pair set: lost {len(raw - guarded)}, "
+        f"gained {len(guarded - raw)}"
+    )
+
+
 def test_jaccard_strategies_identical(spark):
     """All three exact-Jaccard physical strategies (all-pairs, prefix
     filter, bitset) return the same pair set — they are alternative plans

@@ -1,0 +1,215 @@
+"""Zipf/hot-band skew probe for the MinHash band join (r7 verdict item
+3 — the last unmeasured 100 TB risk in the dedup family).
+
+At web scale, boilerplate is Zipfian: one template block (cookie
+banner, license footer, nav chrome) appears verbatim in a large
+fraction of documents. A MinHash signature over such a document is
+dominated by the boilerplate shingles, so templated docs land in the
+SAME few (band, bhash) buckets — and the LSH candidate self-join emits
+C(k, 2) pairs for a k-doc bucket. That blowup is *output-side*
+quadratic work: AQE's skew-join split re-balances the hot shuffle
+partition across tasks but cannot shrink the pair count, so the
+mitigation has to act BEFORE the join. The stop-band guard
+(operators/dedup.minhash_lsh_candidates max_band_bucket — winnow's
+stop-fingerprint posture applied to LSH) drops buckets above a size
+cap; true near-dup pairs keep colliding in the ordinary buckets their
+non-boilerplate shingles produce.
+
+This probe builds exactly that corpus from the sf0.1 documents table:
+
+- TEMPLATED docs: a `frac`-fraction of docs get a fixed ~200-token
+  boilerplate block prepended (one shared block -> shared shingles ->
+  shared minhash minima -> hot buckets).
+- PLANTED near-dups: every 13th doc is re-issued (id+10^6) with a
+  two-token suffix mutation — the true pairs the guard must not lose.
+
+and measures, unguarded vs guarded:
+
+- the band-bucket histogram (top bucket sizes, implied candidate pairs)
+- wall time of the full sign -> band -> join -> exact-verify pipeline
+- the verified pair set at threshold (must be EQUAL: the guard drops
+  hot-bucket *candidates*, and on this geometry every true pair also
+  collides in at least one cold bucket)
+
+Usage: python tools/band_skew_probe.py [out_jsonl]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from wvfoia_sync_spark.operators import dedup  # noqa: E402
+from wvfoia_sync_spark.session import get_spark  # noqa: E402
+from wvfoia_sync_spark.sources.tables import load_table  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+
+# one fixed ~80-token template block; content arbitrary but
+# deterministic (no RNG — the probe must reproduce run to run).
+# SIZE MATTERS for the probe's honesty: the block must be large enough
+# to dominate minhash minima (hot buckets form) but small enough that
+# two DIFFERENT templated docs stay below the 0.8 verify threshold —
+# with an 80-token block on >=40-token docs, cross-template Jaccard
+# tops out ~0.5, so every hot-bucket candidate pair is junk the verify
+# rejects and the guard provably cannot lose a true pair to bucket
+# drops alone. (A 200-token block on 10-token docs makes templated
+# docs GENUINE 0.85+ near-dups of each other — quadratic OUTPUT, which
+# no candidate-stage guard can and should suppress.)
+BOILER = " ".join(
+    f"boilerplate term{i % 17} clause{i % 23} notice{i}" for i in range(20)
+)
+
+
+def hot_corpus(spark, frac_mod: int):
+    """documents + boilerplate prepended to every doc with
+    doc_id % frac_mod == 0 AND >= 40 tokens (frac_mod=3 -> ~33% of the
+    substantial docs templated; short docs stay clean so the template
+    can never push an unrelated pair above the verify threshold), plus
+    planted near-dups (every 13th doc, two-token suffix, id offset
+    10^6) — the true pairs the guard must not lose."""
+    from wvfoia_sync_spark.functions.text import tokens
+
+    docs = load_table(spark, BASE, "documents").select("doc_id", "text")
+    templated = docs.select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % frac_mod == 0) & (F.size(tokens("text")) >= 40),
+            F.concat(F.lit(BOILER + " "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    planted = templated.where(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" trailing mutation")).alias("text"),
+    )
+    return templated.unionAll(planted)
+
+
+def replicate(corpus, k: int):
+    """k-fold corpus growth: replica j re-ids every doc and appends 40
+    salt tokens unique to (replica, BASE doc) — unique per doc so the
+    salt itself cannot form buckets (a shared salt IS boilerplate: the
+    first cut of this probe accidentally proved the point by turning
+    its own replica suffix into a 5385-doc hot bucket), keyed on
+    doc_id mod 10^6 so a planted near-dup twin (+10^6) gets the SAME
+    salt as its base and stays a true pair, while cross-replica twins
+    of one doc (different j) land ~0.68 Jaccard — below the 0.8
+    verify. The boilerplate block is the ONLY cross-doc shared text,
+    and its buckets grow k-fold: exactly the quadratic term under
+    test."""
+    if k == 1:
+        return corpus
+    parts = [corpus]
+    for j in range(1, k):
+        salt = F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(39)),
+                lambda i: F.concat(
+                    F.lit(f"r{j}x"),
+                    ((F.col("doc_id") % 1_000_000) * 40 + i).cast("string"),
+                ),
+            ),
+            " ",
+        )
+        parts.append(
+            corpus.select(
+                (F.col("doc_id") + j * 10_000_000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" "), salt).alias("text"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def bucket_histogram(corpus, num_hashes=64, bands=16, shingle_size=3):
+    hashed = dedup.hashed_shingles(corpus, "doc_id", "text", shingle_size)
+    sigs = hashed.select(
+        "id", dedup._sig_from_hashed_pandas(num_hashes)(F.col("hs")).alias("sig")
+    )
+    sizes = (
+        dedup._band_signatures(sigs, bands)
+        .groupBy("band", "bhash")
+        .agg(F.count("*").alias("n"))
+    )
+    top = [r["n"] for r in sizes.orderBy(F.col("n").desc()).limit(10).collect()]
+    agg = sizes.agg(
+        F.count("*").alias("n_buckets"),
+        F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("long").alias("cand_pairs"),
+        F.max("n").alias("max_bucket"),
+    ).collect()[0]
+    return top, int(agg["n_buckets"]), int(agg["cand_pairs"]), int(agg["max_bucket"])
+
+
+def timed_pairs(corpus, cap, threshold=0.8):
+    t0 = time.time()
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_dedup_pairs(
+            corpus,
+            "doc_id",
+            "text",
+            threshold=threshold,
+            num_hashes=64,
+            bands=16,
+            max_band_bucket=cap,
+        ).collect()
+    }
+    return pairs, time.time() - t0
+
+
+def main() -> None:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALE_probe_r7_bandskew.jsonl"
+    spark = get_spark("band-skew-probe")
+    rows = []
+    for frac_mod, k, label in [
+        (0, 1, "clean_x1"),
+        (3, 1, "boiler33_x1"),
+        (0, 4, "clean_x4"),
+        (3, 4, "boiler33_x4"),
+    ]:
+        corpus = replicate(
+            hot_corpus(spark, frac_mod if frac_mod else 10**9), k
+        )
+        n_docs = corpus.count()
+        top, n_buckets, cand_pairs, max_bucket = bucket_histogram(corpus)
+        pairs_raw, wall_raw = timed_pairs(corpus, cap=None)
+        cap = 50
+        pairs_guard, wall_guard = timed_pairs(corpus, cap=cap)
+        lost = pairs_raw - pairs_guard
+        row = {
+            "op": "minhash_band_skew",
+            "corpus": label,
+            "n_docs": n_docs,
+            "top_buckets": top[:5],
+            "n_buckets": n_buckets,
+            "candidate_pairs": cand_pairs,
+            "max_bucket": max_bucket,
+            "wall_unguarded_s": round(wall_raw, 2),
+            "wall_guarded_cap50_s": round(wall_guard, 2),
+            "true_pairs": len(pairs_raw),
+            "true_pairs_guarded": len(pairs_guard),
+            "pairs_lost_by_guard": len(lost),
+        }
+        assert pairs_guard == pairs_raw, (
+            f"stop-band guard dropped true pairs on {label}: {sorted(lost)[:5]}"
+        )
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+    with open(out_path, "a") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -584,7 +584,7 @@ def _band_signatures(
 
 
 def minhash_lsh_candidates(
-    signatures: DataFrame, bands: int = 16
+    signatures: DataFrame, bands: int = 16, max_band_bucket: int | None = None
 ) -> DataFrame:
     """Band the signatures and self-join on (band, band_hash): docs sharing
     any band are candidate pairs. Shuffle volume = bands rows/doc.
@@ -593,8 +593,32 @@ def minhash_lsh_candidates(
     minhash_dedup_pairs): bands > len(sig) would make every band slice
     empty, collapsing ALL docs into one bucket (the O(n^2) cross product
     LSH exists to avoid), and a non-dividing bands silently ignores the
-    trailing len(sig) mod bands signature entries."""
+    trailing len(sig) mod bands signature entries.
+
+    ``max_band_bucket`` is the STOP-BAND guard (r7 — the hot-band
+    mitigation for Zipfian boilerplate, winnow's stop-fingerprint
+    posture applied to LSH): band buckets holding more than this many
+    docs are dropped before the self-join. At 100 TB web text a
+    near-universal template block drives a large doc fraction into the
+    SAME few buckets, and the candidate join emits C(k,2) pairs per
+    k-doc bucket — quadratic work AQE's skew split can re-balance but
+    not shrink. The guard bounds per-bucket work at C(cap,2). Recall
+    contract: a true pair is lost only if it collides in NO surviving
+    bucket — near-dups share their non-boilerplate shingles too, so
+    they keep colliding in ordinary buckets (pair-set equality on the
+    hot-band fixture + the recall gate quantify this; the guard is the
+    documented recall-for-boundedness trade, OFF by default). The hot
+    set itself is tiny (heavy hitters over bucket counts), so the
+    anti-join is a broadcast, not a shuffle of the banded corpus."""
     banded = _band_signatures(signatures, bands)
+    if max_band_bucket is not None:
+        hot = (
+            banded.groupBy("band", "bhash")
+            .agg(F.count("*").alias("_bn"))
+            .where(F.col("_bn") > max_band_bucket)
+            .select("band", "bhash")
+        )
+        banded = banded.join(F.broadcast(hot), ["band", "bhash"], "left_anti")
     a = banded.select(F.col("id").alias("id_a"), "band", "bhash")
     b = banded.select(F.col("id").alias("id_b"), "band", "bhash")
     return (
@@ -613,6 +637,7 @@ def minhash_dedup_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_size: int = 3,
+    max_band_bucket: int | None = None,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: sign -> band -> candidates ->
     exact hashed-shingle-Jaccard verify at ``threshold``.
@@ -636,7 +661,7 @@ def minhash_dedup_pairs(
     sigs = hashed.select(
         "id", _sig_from_hashed_pandas(num_hashes)(F.col("hs")).alias("sig")
     )
-    cands = minhash_lsh_candidates(sigs, bands)
+    cands = minhash_lsh_candidates(sigs, bands, max_band_bucket=max_band_bucket)
     pairs = (
         cands.join(
             hashed.withColumnRenamed("id", "id_a").withColumnRenamed("hs", "hs_a"),
