@@ -15,81 +15,76 @@ from pyspark.sql import DataFrame, SparkSession
 from wvfoia_sync_spark import registry
 
 # The driver's correctness gate samples a fixed-size window from the
-# head of this dict, so ordering IS verification coverage. Rounds 1-5
-# drove 151 distinct names to driver-green. This round (r6) finishes
-# the job: the first 29 slots are every PRE-round-6 registered query
-# that never had a driver CORRECTNESS row — after this window every
-# query registered before r6 is driver-verified at least once. The
-# tail holds the 18 queries REGISTERED this round (never checked by
-# construction) and, between them, re-verifications of the queries
-# whose implementation changed this round (approx_distinct_users
-# gained a property-row oracle; embedding_near_dup became
-# auto-adaptive exact-vs-LSH) plus a few high-value earlier names.
-# Everything else follows in registration order, so a wider driver
-# window only adds coverage.
+# head of this dict, so ordering IS verification coverage. Rounds 1-6
+# drove all 198 registered names to a driver-green row at least once
+# (r6 closed the last 29). With total coverage achieved, FRESHNESS is
+# the metric (r6 verdict item 6): this round's head holds (a) the five
+# queries whose implementation or output CHANGED in r7 — dsir (two-pass
+# literal-model rewrite), compression_scores/-property_check (planted
+# ids now negative: output changed), coreset_property_check (fixture-
+# scale guard), embedding_near_dup (exact-path block sizing) — then
+# (b) the 50 stalest names: price_percentiles (last green r2) and the
+# r3 cohort (the FOIA app surface, early TPC-H shapes, fts_*, early
+# dedup/ANN). After this window no name's latest verification is older
+# than r4 except the five r3 names deliberately deferred to the r8
+# head (window_totals, salted_agg, events_sliding, token_stats,
+# token_histogram — plain aggregates, unchanged since r1). Everything
+# else follows in registration order, so a wider window only adds
+# coverage.
 DRIVER_WINDOW: list[str] = [
-    # --- 29 never-driver-checked (completes 180/180 coverage) ---
-    "observed_scan_metrics",
-    "unigram_surprisal",
-    "mixture_sample",
-    "bigram_counts",
-    "pmi_collocations",
-    "boilerplate_purge",
-    "bpe_merge_candidates",
-    "bpe_train_property_check",
-    "winnow_stats",
-    "minhash_property_check",
-    "simhash_property_check",
-    "contamination_pairs",
-    "embedding_centroids",
-    "sq8_topk",
-    "lsh_recall_check",
-    "ivf_recall_check",
-    "sq8_recall_check",
-    "heavy_hitters_sketch",
-    "frame_sample",
-    "approx_quantile_check",
-    "kmv_distinct_sketch",
-    "kmv_set_algebra",
-    "pq_topk",
-    "ivfpq_topk",
-    "centroid_classify",
-    "hard_negatives",
-    "provenance_counts",
-    "nation_pagerank",
-    "triangle_count",
-    # --- 3 high-value re-verifications (filter_scan / latest_snapshot /
-    # --- status_timeline / page_fetch / stream_static_join /
-    # --- stream_upsert / sessionization_stream / nation_stats /
-    # --- stream_dedup / stream_stream_join / scd2_asof_lookup /
-    # --- incremental_rollup / scd2_history / home_stats yielded their
-    # --- slots to the r6 registrations at the tail; all have earlier
-    # --- driver-green rows and are unchanged since) ---
-    "approx_distinct_users",
-    "semantic_dedup",
-    "embedding_near_dup",
-    # --- 18 new r6 registrations (never checked, registered this round;
-    # --- stream_stream_outer_join / stateful_counts_stream / cdc_apply
-    # --- yielded their re-verify slots — all driver-green earlier and
-    # --- unchanged since) ---
-    "bpe_encode_property_check",
-    "quality_classifier_score",
-    "coreset_select",
-    "coreset_property_check",
-    "temperature_mixture",
-    "dup_rate_matrix",
-    "filtered_knn",
-    "stream_near_dup",
-    "image_ahash_dedup",
-    "next_event_examples",
-    "snapshot_drift",
+    # --- changed in r7: re-verify first ---
+    "dsir_importance",
     "compression_scores",
     "compression_property_check",
-    "near_dup_rate_matrix",
-    "shard_manifest",
-    "audio_fingerprint_dedup",
-    "shard_manifest_incremental",
-    "snapshot_drift_sketch",
+    "coreset_property_check",
+    "embedding_near_dup",
+    # --- stalest: last green r2 ---
+    "price_percentiles",
+    # --- stalest: last green r3 (44 of 49; 5 deferred to r8) ---
+    "filter_scan",
+    "point_lookup",
+    "distinct_values",
+    "group_counts",
+    "max_key",
+    "latest_snapshot",
+    "home_stats",
+    "nation_stats",
+    "status_timeline",
+    "page_fetch",
+    "top_fees",
+    "corrections_overlay",
+    "slug_rollup",
+    "fts_search",
+    "fts_index_search",
+    "keyset_page",
+    "quality_filter",
+    "nation_page",
+    "fee_sort",
+    "date_normalize",
+    "resolution_buckets",
+    "status_rollup",
+    "rss_items",
+    "agency_rss_items",
+    "pricing_summary",
+    "top3_per_group",
+    "semi_join",
+    "anti_join",
+    "region_revenue",
+    "asof_join",
+    "events_hourly",
+    "sessionization",
+    "quality_scores",
+    "lang_id_confusion",
+    "exact_dedup",
+    "jaccard_near_dup",
+    "minhash_near_dup",
+    "simhash_dups",
+    "embedding_topk",
+    "embedding_lsh_topk",
+    "multimodal_meta",
+    "ivf_topk",
+    "upsert_merge",
+    "events_hourly_stream",
 ]
 
 
