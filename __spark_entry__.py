@@ -16,75 +16,72 @@ from wvfoia_sync_spark import registry
 
 # The driver's correctness gate samples a fixed-size window from the
 # head of this dict, so ordering IS verification coverage. Rounds 1-6
-# drove all 198 registered names to a driver-green row at least once
-# (r6 closed the last 29). With total coverage achieved, FRESHNESS is
-# the metric (r6 verdict item 6): this round's head holds (a) the five
-# queries whose implementation or output CHANGED in r7 — dsir (two-pass
-# literal-model rewrite), compression_scores/-property_check (planted
-# ids now negative: output changed), coreset_property_check (fixture-
-# scale guard), embedding_near_dup (exact-path block sizing) — then
-# (b) the 50 stalest names: price_percentiles (last green r2) and the
-# r3 cohort (the FOIA app surface, early TPC-H shapes, fts_*, early
-# dedup/ANN). After this window no name's latest verification is older
-# than r4 except the five r3 names deliberately deferred to the r8
-# head (window_totals, salted_agg, events_sliding, token_stats,
-# token_histogram — plain aggregates, unchanged since r1). Everything
-# else follows in registration order, so a wider window only adds
-# coverage.
+# drove all 198 registered names to a driver-green row at least once;
+# r7 started freshness rotation (stalest-first). This round's head
+# holds (a) the five r3 plain aggregates deliberately deferred from the
+# r7 window (window_totals, salted_agg, events_sliding, token_stats,
+# token_histogram — the only names whose latest green predates r4),
+# (b) dsir_importance, whose implementation CHANGED in r8 (single-job
+# broadcast-model form), then (c) 44 of the 48 names last green in r4.
+# Four plain unchanged TPC-H aggregates (promo_revenue, returned_items,
+# small_qty_revenue, volume_shipping — hash-matched r4, untouched since
+# r1) are deferred to the r9 head, exactly the r7->r8 deferral pattern.
+# Everything else follows in registration order, so a wider window only
+# adds coverage.
 DRIVER_WINDOW: list[str] = [
-    # --- changed in r7: re-verify first ---
+    # --- deferred from r7 (last green r3) ---
+    "window_totals",
+    "salted_agg",
+    "events_sliding",
+    "token_stats",
+    "token_histogram",
+    # --- changed in r8: re-verify first ---
     "dsir_importance",
-    "compression_scores",
-    "compression_property_check",
-    "coreset_property_check",
-    "embedding_near_dup",
-    # --- stalest: last green r2 ---
-    "price_percentiles",
-    # --- stalest: last green r3 (44 of 49; 5 deferred to r8) ---
-    "filter_scan",
-    "point_lookup",
-    "distinct_values",
-    "group_counts",
-    "max_key",
-    "latest_snapshot",
-    "home_stats",
-    "nation_stats",
-    "status_timeline",
-    "page_fetch",
-    "top_fees",
-    "corrections_overlay",
-    "slug_rollup",
-    "fts_search",
-    "fts_index_search",
-    "keyset_page",
-    "quality_filter",
-    "nation_page",
-    "fee_sort",
-    "date_normalize",
-    "resolution_buckets",
-    "status_rollup",
-    "rss_items",
-    "agency_rss_items",
-    "pricing_summary",
-    "top3_per_group",
-    "semi_join",
-    "anti_join",
-    "region_revenue",
-    "asof_join",
-    "events_hourly",
-    "sessionization",
-    "quality_scores",
-    "lang_id_confusion",
-    "exact_dedup",
-    "jaccard_near_dup",
-    "minhash_near_dup",
-    "simhash_dups",
-    "embedding_topk",
-    "embedding_lsh_topk",
-    "multimodal_meta",
-    "ivf_topk",
-    "upsert_merge",
-    "events_hourly_stream",
+    # --- stalest: last green r4 (44 of 48; 4 deferred to r9) ---
+    "audio_decode_meta",
+    "blame_supplier",
+    "bm25_rank",
+    "cdc_apply",
+    "cluster_best_pick",
+    "curated_corpus",
+    "decontam_overlap",
+    "disjunctive_revenue",
+    "dpp_star_join",
+    "dup_clusters",
+    "excess_qty_suppliers",
+    "fts_stored_index_search",
+    "image_decode_meta",
+    "important_parts",
+    "incremental_rollup",
+    "ivfpq_recall_check",
+    "k_anonymity",
+    "knn_join",
+    "large_volume_customers",
+    "leakage_free_split",
+    "market_share",
+    "min_cost_supplier",
+    "order_priority",
+    "partition_pruned_revenue",
+    "passage_dedup",
+    "pii_scrub",
+    "pq_recall_check",
+    "product_profit",
+    "scd2_asof_lookup",
+    "scd2_history",
+    "semdedup_property_check",
+    "sessionization_stream",
+    "shipping_priority",
+    "sketch_rollup_merge",
+    "skew_salted_join",
+    "snapshot_cdc_diff",
+    "stateful_counts_stream",
+    "stream_dedup",
+    "stream_static_join",
+    "stream_stream_join",
+    "stream_stream_outer_join",
+    "stream_upsert",
+    "top_supplier",
+    "winnow_near_dup",
 ]
 
 

@@ -1069,40 +1069,42 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     each source doc scored by its grams' summed LLR; `selected` marks
     docs that look more target- than source-like.
 
-    Scale + determinism shape (r7 — kills the r6 bench flag): TWO
-    passes over the gram stream and nothing in between. Pass 1
-    aggregates grams to the 64-row bucket model (map-side partials ->
-    64 groups) and collects it — a CONSTANT-bounded collect, the
-    documented bloom-bitset / BPE posture, 64 rows at any corpus
-    size. The per-bucket LLR values come back as a 64-element literal
-    array, so pass 2 is a single element_at projection + one
-    doc-keyed groupBy — no bucket join, no broadcast build, no
-    materialization step at all (measured at bench SF: the r6 eager
-    localCheckpoint, a persist, and a per-doc count-vector pivot ALL
-    lose to plainly recomputing the explode — 265k integer gram rows
-    re-derive faster than they round-trip through the block manager;
-    at 100 TB the balance flips and the integer (doc_id, bucket)
-    projection is what you'd checkpoint between the passes — one
-    line, same plan above it). Determinism: the collected stats are
-    exact INTEGERS; the LLR ratio is assembled with Python float
-    multiply/divide (IEEE-exact, same value as the oracle's DOUBLE
-    expressions) and the ln + ROUND(.,6) + DECIMAL(18,6) cast stay
-    INSIDE Catalyst (constant-folded with java.lang.Math.log — the
-    same fold the r6 executor-side form used), following the
-    unigram_surprisal precedent; per-doc LLR = SUM(lv) over grams,
-    decimal-exact and identical to the oracle's per-gram sum. The toy
-    bucket hash (ascii arithmetic, SQL-mirrorable) stands in for
-    xxhash64 at production scale — swapping it changes one
-    expression."""
+    Scale + determinism shape (r8 — single-JOB broadcast form, VERDICT
+    r7 item 1, third iteration on this flag): NO driver collect and NO
+    cache. The 64-row bucket model is folded to a single row
+    (map_from_entries of the per-bucket (n_t, n_s) structs plus the two
+    Laplace totals) and attached to the gram stream with
+    ``crossJoin(broadcast(...))`` — per-gram lv is then one 64-entry
+    map probe + the same fold-safe ln/ROUND/DECIMAL expression the
+    oracle computes per row. Why this shape won the r8 A/B (min-of-6,
+    interleaved, sf0.1): at bench SF the corpus compute is ~0.2 s and
+    everything else is per-JOB overhead, so the two-pass r7 form
+    (collect job + score job: 1.49 s) and the verdict-suggested
+    aggregate-once-persist form (cache write + 162k-group shuffle +
+    two cache-reader jobs: 2.8 s) both lose to collapsing the model
+    derivation into the score job's broadcast build side (0.89 s).
+    The build side re-derives the grams (two evaluations of a ~0.2 s
+    subtree inside ONE job) — at 100 TB that balance flips and the
+    per-doc bucket projection is what you'd persist between the
+    sides; the plan above it is unchanged. Skew-free by construction:
+    the broadcast is one constant-size row, the only wide exchange is
+    the doc-keyed groupBy. Determinism: n_t/n_s/tt/ts are exact
+    INTEGERS carried to the probe row; lv = ROUND(ln((n_t+1)*(ts+64)
+    / ((n_s+1)*(tt+64))), 6)::DECIMAL(18,6) evaluates with the same
+    IEEE double multiplies and java.lang.Math.log the oracle's DOUBLE
+    expressions use (the unigram_surprisal precedent), and per-doc
+    LLR = SUM(lv) is exact decimal arithmetic identical to the
+    oracle's per-gram sum. The toy bucket hash (ascii arithmetic,
+    SQL-mirrorable) stands in for xxhash64 at production scale —
+    swapping it changes one expression."""
     n_buckets = 64
     # one explicit 8-way exchange before the tokenize: the bench layout
-    # stores documents as one row group, so without it BOTH gram passes
-    # fold+split+ngram the whole corpus on a single core (the `spread`
-    # rationale, but 8 ways, measured faster than 32 here — wide enough
-    # to amortize the tokenize, narrow enough that task overhead stays
-    # under it; A/B min-of-4: 8-way 1.23 s, 32-way 1.65 s, none 1.63 s,
-    # r6 ckpt+join 1.44 s). On a multi-file production table the
-    # exchange is ~free relative to the scan it feeds and keeps the
+    # stores documents as one row group, so without it the single gram
+    # pass fold+split+ngrams the whole corpus on a single core (the
+    # `spread` rationale, but 8 ways, measured faster than 32 in the r7
+    # A/B — wide enough to amortize the tokenize, narrow enough that
+    # task overhead stays under it). On a multi-file production table
+    # the exchange is ~free relative to the scan it feeds and keeps the
     # plan shape identical.
     par = min(8, spark.sparkContext.defaultParallelism)
     docs = (
@@ -1125,50 +1127,46 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bucket"),
         (F.col("doc_id") % 50 == 0).alias("is_target"),
     )
-    stats = {
-        r["bucket"]: (r["n_t"], r["n_s"])
-        for r in grams.groupBy("bucket")
+    # the whole 64-bucket model as ONE broadcastable row: per-bucket
+    # (n_t, n_s) counts as a map plus the two Laplace totals
+    model = (
+        grams.groupBy("bucket")
         .agg(
             F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("n_t"),
             F.sum(F.when(F.col("is_target"), 0).otherwise(1)).alias("n_s"),
         )
-        .collect()  # <= 64 rows — constant at any corpus size
-    }
-    tt = sum(v[0] for v in stats.values())
-    ts = sum(v[1] for v in stats.values())
-    lv_arr = F.array(
-        *[
-            F.round(
-                # exact-integer products combined in IEEE doubles — the
-                # same value the oracle's DOUBLE expressions produce;
-                # ln/round fold inside Catalyst via java.lang.Math.log
-                F.log(
-                    F.lit(
-                        float(stats.get(i, (0, 0))[0] + 1)
-                        * float(ts + n_buckets)
-                    )
-                    / F.lit(
-                        float(stats.get(i, (0, 0))[1] + 1)
-                        * float(tt + n_buckets)
-                    )
-                ),
-                6,
-            ).cast("decimal(18,6)")
-            for i in range(n_buckets)
-        ]
+        .agg(
+            F.sum("n_t").alias("tt"),
+            F.sum("n_s").alias("ts"),
+            F.map_from_entries(
+                F.collect_list(F.struct("bucket", F.struct("n_t", "n_s")))
+            ).alias("m"),
+        )
     )
+    e = F.element_at("m", F.col("bucket"))
+    lv = F.round(
+        # exact-integer products combined in IEEE doubles — the same
+        # value the oracle's DOUBLE expressions produce; ln is
+        # java.lang.Math.log on both paths
+        F.log(
+            ((e["n_t"] + 1).cast("double") * (F.col("ts") + n_buckets))
+            / ((e["n_s"] + 1).cast("double") * (F.col("tt") + n_buckets))
+        ),
+        6,
+    ).cast("decimal(18,6)")
     return (
         grams.where(~F.col("is_target"))
-        .select(
-            "doc_id", F.element_at(lv_arr, F.col("bucket") + 1).alias("lv")
-        )
+        .crossJoin(F.broadcast(model))
+        .select("doc_id", lv.alias("lv"))
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_grams"),
             F.sum("lv").cast("double").alias("llr"),
             (F.sum("lv") > 0).alias("selected"),
         )
-        .orderBy("doc_id")
+        # no presentation orderBy: the oracle compare is row-order-
+        # insensitive (tools/check_oracle.py canonicalizes) and the
+        # range-partitioning sample job costs ~0.15 s at bench SF
     )
 
 
