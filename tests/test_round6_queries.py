@@ -610,6 +610,80 @@ def test_streaming_near_dup_pruned_matches_and_prunes(spark, tmp_path):
     assert pruned_lines, "index scan did not carry a pbucket PartitionFilter"
 
 
+def test_stored_index_stop_band_guard_same_pairs(spark, tmp_path):
+    """r8 (VERDICT r7 item 4): the stop-band guard applied at stored-index
+    BUILD (write_band_index(max_band_bucket=)) bounds the foreachBatch
+    gate against a boilerplate-heavy arriving shard — the exact ingest
+    scenario where the measured 18x hot-band candidate blowup lands on
+    micro-batch wall. Same hot-band fixture as the batch guard test
+    (test_similarity_dedup.py): ~1/3 of substantial docs share an
+    80-token template block, incoming docs are near-dup mutations of a
+    slice of them. Asserts the guard ENGAGED (guarded index strictly
+    smaller: hot corpus buckets dropped) and the gate's verified pair
+    set is IDENTICAL — hot-bucket candidates are junk the exact verify
+    rejects, so only wasted work is removed."""
+    from wvfoia_sync_spark.functions.text import tokens
+    from wvfoia_sync_spark.sources.tables import load_table
+    from wvfoia_sync_spark.streaming import jobs
+
+    boiler = " ".join(
+        f"boilerplate term{i % 17} clause{i % 23} notice{i}" for i in range(20)
+    )
+
+    def templated(df):
+        return df.select(
+            "doc_id",
+            F.when(
+                (F.col("doc_id") % 3 == 0) & (F.size(tokens("text")) >= 40),
+                F.concat(F.lit(boiler + " "), F.col("text")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+
+    corpus = templated(
+        load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    )
+    cap = 20
+    idx_raw = str(tmp_path / "idx_raw")
+    idx_guard = str(tmp_path / "idx_guard")
+    jobs.write_band_index(corpus, idx_raw, num_hashes=64, bands=16)
+    jobs.write_band_index(
+        corpus, idx_guard, num_hashes=64, bands=16, max_band_bucket=cap
+    )
+    n_raw = spark.read.parquet(f"{idx_raw}/bands").count()
+    n_guard = spark.read.parquet(f"{idx_guard}/bands").count()
+    assert n_guard < n_raw, "guard did not drop any hot corpus buckets"
+
+    # boilerplate-heavy arriving shard: near-dup mutations of template docs
+    incoming = (
+        templated(jobs.documents_stream(spark, SF_DIR).select("doc_id", "text"))
+        .where(F.col("doc_id") % 13 == 0)
+        .select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" trailing mutation")).alias("text"),
+        )
+    )
+    got = {}
+    for tag, idx in (("raw", idx_raw), ("guard", idx_guard)):
+        out = jobs.streaming_near_dup_pruned(
+            incoming,
+            idx,
+            f"snd_guard_{tag}",
+            str(tmp_path / f"sink_{tag}"),
+            threshold=0.8,
+            num_hashes=64,
+            bands=16,
+            checkpoint_path=str(tmp_path / f"ckpt_{tag}"),
+        )
+        got[tag] = {(r["eval_id"], r["train_id"]) for r in out.collect()}
+    assert got["raw"] and got["guard"] == got["raw"], (
+        f"stored-index guard changed the verified pair set: "
+        f"lost {len(got['raw'] - got['guard'])}, "
+        f"gained {len(got['guard'] - got['raw'])}"
+    )
+
+
 # ---------------------------------- compression / near-dup matrix ---
 
 

@@ -1,0 +1,144 @@
+"""Stop-band guard probe for the STORED-INDEX / foreachBatch gate path
+(r8, VERDICT r7 item 4): the r7 band-skew probe established that Zipfian
+boilerplate inflates LSH candidates ~18x with zero new true pairs in the
+BATCH self-join; this probe measures the same hazard where it actually
+bites a deployment — inside the pruned streaming gate, where a
+boilerplate-heavy arriving shard's candidate join lands directly on
+micro-batch wall (ingest latency), probing a stored index built with and
+without ``write_band_index(max_band_bucket=)``.
+
+Grid: {clean shard, hot shard} x {raw index, guarded index}. The corpus
+re-uses the r7 fixture geometry (80-token template block prefixed onto
+~1/3 of substantial docs — long enough that cross-template Jaccard stays
+below threshold, so every hot-bucket candidate is junk); shards are
+near-dup mutations (two-token suffix) of a doc slice: the "hot" shard
+mutates templated docs, the "clean" shard only untemplated ones.
+
+Claims under test, asserted per row:
+- the guarded index is strictly smaller (hot corpus buckets dropped);
+- the verified pair set is IDENTICAL raw vs guarded for BOTH shards
+  (junk candidates only — the exact verify would reject them anyway);
+- guarded wall <= raw wall on the hot shard (the point of the guard).
+
+Usage: python tools/stream_guard_probe.py [out_jsonl]
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from wvfoia_sync_spark.functions.text import tokens  # noqa: E402
+from wvfoia_sync_spark.session import get_spark  # noqa: E402
+from wvfoia_sync_spark.sources.tables import load_table  # noqa: E402
+from wvfoia_sync_spark.streaming import jobs  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+CAP = 50
+BOILER = " ".join(
+    f"boilerplate term{i % 17} clause{i % 23} notice{i}" for i in range(20)
+)
+
+
+def templated(df):
+    return df.select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 3 == 0) & (F.size(tokens("text")) >= 40),
+            F.concat(F.lit(BOILER + " "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def main() -> None:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALE_probe_r8_streamguard.jsonl"
+    spark = get_spark("stream_guard_probe")
+    work = Path(tempfile.mkdtemp(prefix="stream_guard_probe_"))
+
+    corpus = templated(load_table(spark, BASE, "documents").select("doc_id", "text"))
+    # materialize the templated corpus as parquet so the streaming source
+    # reads the SAME fixture rows the indexes were built from
+    corpus_dir = work / "corpus"
+    corpus.write.mode("overwrite").parquet(str(corpus_dir / "documents.parquet"))
+
+    indexes = {}
+    for tag, cap in (("raw", None), (f"guarded_cap{CAP}", CAP)):
+        idx = str(work / f"idx_{tag}")
+        jobs.write_band_index(
+            corpus, idx, num_hashes=64, bands=16, max_band_bucket=cap
+        )
+        indexes[tag] = (idx, spark.read.parquet(f"{idx}/bands").count())
+    assert indexes[f"guarded_cap{CAP}"][1] < indexes["raw"][1], (
+        "guard did not drop any hot corpus buckets"
+    )
+
+    rows = []
+    pair_sets: dict[tuple[str, str], set] = {}
+    for shard in ("clean", "hot"):
+        cond = (
+            (F.col("doc_id") % 3 != 0)
+            if shard == "clean"
+            else (F.col("doc_id") % 3 == 0) & (F.size(tokens("text")) >= 40)
+        )
+        for tag, (idx, idx_rows) in indexes.items():
+            incoming = (
+                jobs.documents_stream(spark, str(corpus_dir))
+                .where((F.col("doc_id") % 13 == 0) & cond)
+                .select(
+                    (F.col("doc_id") + 1_000_000).alias("doc_id"),
+                    F.concat(F.col("text"), F.lit(" trailing mutation")).alias(
+                        "text"
+                    ),
+                )
+            )
+            sink = str(work / f"sink_{shard}_{tag}")
+            t0 = time.time()
+            res = jobs.streaming_near_dup_pruned(
+                incoming,
+                idx,
+                f"probe_{shard}_{tag}",
+                sink,
+                threshold=0.8,
+                num_hashes=64,
+                bands=16,
+            )
+            pairs = {(r["eval_id"], r["train_id"]) for r in res.collect()}
+            wall = round(time.time() - t0, 2)
+            pair_sets[(shard, tag)] = pairs
+            rows.append(
+                {
+                    "op": "stream_gate_stop_band",
+                    "shard": shard,
+                    "index": tag,
+                    "index_rows": idx_rows,
+                    "gate_wall_s": wall,
+                    "pairs": len(pairs),
+                }
+            )
+    for shard in ("clean", "hot"):
+        lost = pair_sets[(shard, "raw")] - pair_sets[(shard, f"guarded_cap{CAP}")]
+        gained = pair_sets[(shard, f"guarded_cap{CAP}")] - pair_sets[(shard, "raw")]
+        assert pair_sets[(shard, "raw")], f"{shard}: no pairs at all"
+        for r in rows:
+            if r["shard"] == shard:
+                r["pairs_lost_by_guard"] = len(lost)
+                r["pairs_gained_by_guard"] = len(gained)
+    with open(out_path, "a") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+            print(json.dumps(r))
+    shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

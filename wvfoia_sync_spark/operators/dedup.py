@@ -583,6 +583,23 @@ def _band_signatures(
     ).select("id", *carry, "bb.band", "bb.bhash")
 
 
+def drop_hot_band_buckets(banded: DataFrame, max_band_bucket: int) -> DataFrame:
+    """Stop-band guard core, shared by the batch LSH self-join
+    (minhash_lsh_candidates), the stored band index build
+    (streaming/jobs.py:write_band_index), and the stream-static gate
+    (streaming_near_dup): drop (band, bhash) buckets holding more than
+    ``max_band_bucket`` rows via a broadcast anti-join against the tiny
+    heavy-hitter bucket set — the hot set is small by construction
+    (Zipfian head), so this never shuffles the banded corpus."""
+    hot = (
+        banded.groupBy("band", "bhash")
+        .agg(F.count("*").alias("_bn"))
+        .where(F.col("_bn") > max_band_bucket)
+        .select("band", "bhash")
+    )
+    return banded.join(F.broadcast(hot), ["band", "bhash"], "left_anti")
+
+
 def minhash_lsh_candidates(
     signatures: DataFrame, bands: int = 16, max_band_bucket: int | None = None
 ) -> DataFrame:
@@ -612,13 +629,7 @@ def minhash_lsh_candidates(
     anti-join is a broadcast, not a shuffle of the banded corpus."""
     banded = _band_signatures(signatures, bands)
     if max_band_bucket is not None:
-        hot = (
-            banded.groupBy("band", "bhash")
-            .agg(F.count("*").alias("_bn"))
-            .where(F.col("_bn") > max_band_bucket)
-            .select("band", "bhash")
-        )
-        banded = banded.join(F.broadcast(hot), ["band", "bhash"], "left_anti")
+        banded = drop_hot_band_buckets(banded, max_band_bucket)
     a = banded.select(F.col("id").alias("id_a"), "band", "bhash")
     b = banded.select(F.col("id").alias("id_b"), "band", "bhash")
     return (

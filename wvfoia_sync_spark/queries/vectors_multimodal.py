@@ -958,11 +958,12 @@ def coreset_property_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # runs at driver-fixture SFs (hundreds of vectors); pointing it at a
     # production-scale table is a bug, so fail loudly instead of OOMing.
     n = emb.count()
-    assert n <= 100_000, (
-        f"coreset_property_check collects the embeddings table for its "
-        f"Python reference and is a fixture-scale gate; got {n} rows. "
-        f"Verify k_center_select at scale via the rank/radius invariants."
-    )
+    if n > 100_000:  # real raise, not assert: survives python -O
+        raise ValueError(
+            f"coreset_property_check collects the embeddings table for its "
+            f"Python reference and is a fixture-scale gate; got {n} rows. "
+            f"Verify k_center_select at scale via the rank/radius invariants."
+        )
     pts = {
         r["vec_id"]: [float(x) for x in r["embedding"]]
         for r in emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")).collect()

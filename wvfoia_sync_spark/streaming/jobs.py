@@ -17,6 +17,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
+from pyspark.sql.utils import AnalysisException
 
 from ..session import configure_session
 
@@ -460,6 +461,7 @@ def streaming_near_dup(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_size: int = 3,
+    max_band_bucket: int | None = None,
 ) -> DataFrame:
     """Ingest-time near-duplicate gate: a STREAM of incoming documents
     checked against a STATIC banded-MinHash index of the existing
@@ -483,7 +485,18 @@ def streaming_near_dup(
     once so repeated micro-batches re-join, never recompute, it. At
     100 TB the index is a bucketed table maintained incrementally (the
     fts_index segment pattern); the per-batch work stays proportional
-    to the arriving shard."""
+    to the arriving shard.
+
+    ``max_band_bucket`` applies the r7 stop-band guard (Zipfian hot-band
+    mitigation, operators/dedup.py:minhash_lsh_candidates) to the STATIC
+    index side: corpus band buckets holding more than this many docs are
+    dropped at index build, bounding each arriving doc's candidate term
+    at (bands x cap) instead of (bands x hot-bucket size) — at ingest
+    time a boilerplate-heavy shard otherwise reproduces the measured 18x
+    candidate blowup inside the micro-batch, where wall directly gates
+    ingest latency. Same recall contract as the batch guard: a true pair
+    is lost only if it collides in NO surviving bucket (near-dups keep
+    colliding on their non-boilerplate shingles); OFF by default."""
     from ..operators.dedup import (
         _band_signatures,
         _sig_from_hashed_pandas,
@@ -504,6 +517,10 @@ def streaming_near_dup(
     index = _band_signatures(
         h_corpus.select("id", sig(F.col("hs")).alias("sig")), bands
     ).select(F.col("id").alias("train_id"), "band", "bhash")
+    if max_band_bucket is not None:
+        from ..operators.dedup import drop_hot_band_buckets
+
+        index = drop_hot_band_buckets(index, max_band_bucket)
 
     h_in = hashed_shingles(incoming, id_col, text_col, shingle_size)
     banded_in = _band_signatures(
@@ -534,13 +551,26 @@ def write_band_index(
     bands: int = 16,
     shingle_size: int = 3,
     prune_buckets: int = 64,
+    max_band_bucket: int | None = None,
 ) -> None:
     """Persist the banded-MinHash index as the PRUNABLE on-disk layout the
     100 TB deployment of the streaming gate uses: band rows Hive-partitioned
     on ``pbucket = pmod(bhash, prune_buckets)`` (so a micro-batch's bucket
     set becomes a PartitionFilter on the scan), plus the corpus shingle
     table for the exact verify. Rebuild-on-corpus-change here; production
-    appends segments the fts_index way."""
+    appends segments the fts_index way.
+
+    ``max_band_bucket`` bakes the stop-band guard INTO the stored index
+    (r8, VERDICT r7 item 4): corpus band buckets above the cap are
+    dropped at build time, so every downstream consumer — the pruned
+    foreachBatch gate, contamination probes — is bounded without its
+    own guard pass. The guard belongs at build: a bucket hot in the
+    stored index inflates EVERY arriving shard's candidate join (the
+    measured 18x blowup), and dropping it once here is cheaper than
+    re-deriving the heavy-hitter set per micro-batch. Same recall
+    contract as minhash_lsh_candidates(max_band_bucket=): a true pair
+    is lost only if it collides in NO surviving bucket. OFF by
+    default."""
     from ..operators.dedup import (
         _band_signatures,
         _sig_from_hashed_pandas,
@@ -551,11 +581,13 @@ def write_band_index(
     sig = _sig_from_hashed_pandas(num_hashes)
     index = _band_signatures(
         h_corpus.select("id", sig(F.col("hs")).alias("sig")), bands
-    ).select(
-        F.col("id").alias("train_id"),
-        "band",
-        "bhash",
-        F.pmod("bhash", F.lit(prune_buckets)).cast("int").alias("pbucket"),
+    ).select(F.col("id").alias("train_id"), "band", "bhash")
+    if max_band_bucket is not None:
+        from ..operators.dedup import drop_hot_band_buckets
+
+        index = drop_hot_band_buckets(index, max_band_bucket)
+    index = index.withColumn(
+        "pbucket", F.pmod("bhash", F.lit(prune_buckets)).cast("int")
     )
     index.write.mode("overwrite").partitionBy("pbucket").parquet(f"{path}/bands")
     h_corpus.select(F.col("id").alias("train_id"), "hs").write.mode(
@@ -596,8 +628,12 @@ def streaming_near_dup_pruned(
     pbucket key set, bounded by the prune_buckets CONSTANT (the
     documented bloom-bitset posture). After the availableNow run
     terminates the sink is read back and returned as the result
-    DataFrame — a convenience for tests/registry; a deployment just
-    keeps consuming the sink table. ``checkpoint_path``, when given, is
+    DataFrame — a convenience for tests/registry. SINK CONTRACT for a
+    deployment consuming ``sink_path`` directly: each ``batch=<epoch>``
+    directory is internally distinct, but the raw sink is a MULTISET
+    across epochs — a pair recurs when a doc re-arrives in a later
+    batch — so readers own the ``distinct()`` (or read through this
+    function, which applies it). ``checkpoint_path``, when given, is
     passed through so a restarted stream resumes from the source offset
     frontier instead of re-gating the history. ``plan_tap``, when
     given, receives each batch's executed-plan string so tests can
@@ -667,17 +703,27 @@ def streaming_near_dup_pruned(
         writer = writer.option("checkpointLocation", checkpoint_path)
     q = writer.start()
     q.awaitTermination()
-    import os
-
-    if not os.path.isdir(sink_path):  # zero batches arrived
+    # Explicit schema: an all-empty sink (every epoch's pair set empty —
+    # AQE empty-relation propagation can leave only _SUCCESS in each
+    # batch= dir) has nothing to infer from, and a zero-batch run has no
+    # sink directory at all. With the schema pinned, both degrade to an
+    # empty DataFrame; only true absence raises, which the except below
+    # translates — works for any sink URI scheme (hdfs://, s3a://, ...),
+    # unlike an os.path probe that is always False off the local FS.
+    try:
+        sink = spark.read.schema("eval_id long, train_id long").parquet(
+            sink_path
+        )
+        sink.head(1)  # force path resolution while we can still catch it
+    except AnalysisException:  # zero batches arrived: no sink directory
         return spark.createDataFrame([], "eval_id long, train_id long")
     return (
-        spark.read.parquet(sink_path)
-        .select("eval_id", "train_id")
-        .distinct()  # multi-band hits of one pair may span... (collapsed
-        # per-batch by the exact verify, but a pair can recur across
-        # epochs if the same doc re-arrives; the gate's contract is the
-        # SET of flagged pairs)
+        sink.select("eval_id", "train_id")
+        # cross-EPOCH dedup: each epoch's directory is internally
+        # distinct (the batch-side verify collapses multi-band hits),
+        # but a pair recurs across epochs when a doc re-arrives; the
+        # gate's contract is the SET of flagged pairs
+        .distinct()
     )
 
 
