@@ -1,0 +1,218 @@
+"""Corpus-growth probe for the r8 dsir_importance shape
+(queries/corpus_text.py): the registered single-JOB broadcast-model form
+derives the gram subtree TWICE inside one job (once on the broadcast
+build side for the 64-bucket model, once on the probe side for scoring).
+At bench SF that recompute wins — per-job overhead dominates and a cache
+round-trip costs more than re-tokenizing 600 KB — but the docstring
+claims the balance flips at scale, where the corpus scan is the dominant
+term and the thing to persist is the slim integer (doc_id, bucket,
+is_target) gram projection between the two sides.
+
+This probe measures that claim instead of asserting it: documents grown
+k-fold (replica-prefixed tokens — genuinely NEW content, same shape), three
+shapes timed per k with outputs asserted identical:
+
+- ``broadcast_recompute`` — the registered form, gram subtree evaluated 2x;
+- ``broadcast_persist``   — same plan with ``grams.persist()`` between the
+  sides (the documented 100 TB variant: one tokenize, cache holds 3 ints/gram);
+- ``two_pass_collect``    — the r7 form (64-row collect + literal array),
+  for reference.
+
+Usage: python tools/dsir_scale_probe.py [out_jsonl] [k1,k2,...]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from wvfoia_sync_spark.functions import text as text_fns  # noqa: E402
+from wvfoia_sync_spark.session import get_spark  # noqa: E402
+from wvfoia_sync_spark.sources.tables import load_table  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+NB = 64
+
+
+def grown_docs(spark, k: int):
+    docs = load_table(spark, BASE, "documents").select("doc_id", "text")
+    n = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    parts = [docs]
+    for j in range(1, k):
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + j * n).alias("doc_id"),
+                F.regexp_replace(F.col("text"), r"(\w+)", f"r{j}_$1").alias(
+                    "text"
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def gram_frame(docs, par: int):
+    d = docs.repartition(par).select(
+        "doc_id", text_fns.tokens("text").alias("t")
+    )
+    return d.select(
+        "doc_id", F.explode(text_fns.ngrams("t", 2)).alias("g")
+    ).select(
+        "doc_id",
+        (
+            (
+                F.ascii(F.substring("g", 1, 1)) * 7
+                + F.ascii(F.expr("substr(g, -1, 1)")) * 13
+                + F.length("g")
+            )
+            % NB
+        ).alias("bucket"),
+        (F.col("doc_id") % 50 == 0).alias("is_target"),
+    )
+
+
+def broadcast_form(grams):
+    model = (
+        grams.groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("n_t"),
+            F.sum(F.when(F.col("is_target"), 0).otherwise(1)).alias("n_s"),
+        )
+        .agg(
+            F.sum("n_t").alias("tt"),
+            F.sum("n_s").alias("ts"),
+            F.map_from_entries(
+                F.collect_list(F.struct("bucket", F.struct("n_t", "n_s")))
+            ).alias("m"),
+        )
+    )
+    e = F.element_at("m", F.col("bucket"))
+    lv = F.round(
+        F.log(
+            ((e["n_t"] + 1).cast("double") * (F.col("ts") + NB))
+            / ((e["n_s"] + 1).cast("double") * (F.col("tt") + NB))
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    return (
+        grams.where(~F.col("is_target"))
+        .crossJoin(F.broadcast(model))
+        .select("doc_id", lv.alias("lv"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum("lv").cast("double").alias("llr"),
+            (F.sum("lv") > 0).alias("selected"),
+        )
+    )
+
+
+def two_pass_form(grams):
+    stats = {
+        r["bucket"]: (r["n_t"], r["n_s"])
+        for r in grams.groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("n_t"),
+            F.sum(F.when(F.col("is_target"), 0).otherwise(1)).alias("n_s"),
+        )
+        .collect()
+    }
+    tt = sum(v[0] for v in stats.values())
+    ts = sum(v[1] for v in stats.values())
+    lv_arr = F.array(
+        *[
+            F.round(
+                F.log(
+                    F.lit(float(stats.get(i, (0, 0))[0] + 1) * float(ts + NB))
+                    / F.lit(float(stats.get(i, (0, 0))[1] + 1) * float(tt + NB))
+                ),
+                6,
+            ).cast("decimal(18,6)")
+            for i in range(NB)
+        ]
+    )
+    return (
+        grams.where(~F.col("is_target"))
+        .select("doc_id", F.element_at(lv_arr, F.col("bucket") + 1).alias("lv"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum("lv").cast("double").alias("llr"),
+            (F.sum("lv") > 0).alias("selected"),
+        )
+    )
+
+
+def main() -> None:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALE_probe_r8_dsir.jsonl"
+    ks = [int(x) for x in (sys.argv[2].split(",") if len(sys.argv) > 2 else [1, 10, 100])]
+    spark = get_spark("dsir_scale_probe")
+    rows = []
+    for k in ks:
+        # materialize the grown corpus once so every shape scans the same
+        # parquet (replication cost excluded from the timings)
+        src = f"/tmp/dsir_probe_docs_x{k}"
+        grown_docs(spark, k).write.mode("overwrite").parquet(src)
+        docs = spark.read.parquet(src)
+        n_docs = docs.count()
+        par = min(32, max(8, spark.sparkContext.defaultParallelism))
+        shapes = {
+            "broadcast_recompute": lambda: broadcast_form(
+                gram_frame(docs, par)
+            ),
+            "broadcast_persist": None,  # built per-run (owns its cache)
+            "two_pass_collect": lambda: two_pass_form(gram_frame(docs, par)),
+        }
+        sums = {}
+        for name in shapes:
+            best = float("inf")
+            for _ in range(2):
+                held = None
+                t0 = time.time()
+                if name == "broadcast_persist":
+                    held = gram_frame(docs, par).persist()
+                    df = broadcast_form(held)
+                else:
+                    df = shapes[name]()
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
+                if held is not None:
+                    held.unpersist()
+            # output equality (checksum of the full result, sort-free)
+            if name == "broadcast_persist":
+                held = gram_frame(docs, par).persist()
+                df = broadcast_form(held)
+            else:
+                df = shapes[name]()
+            chk = df.agg(
+                F.expr("bit_xor(xxhash64(doc_id, n_grams, llr, selected))")
+            ).collect()[0][0]
+            if name == "broadcast_persist":
+                held.unpersist()
+            sums[name] = chk
+            rows.append(
+                {
+                    "op": "dsir_importance_growth",
+                    "k": k,
+                    "n_docs": n_docs,
+                    "shape": name,
+                    "wall_s": round(best, 2),
+                }
+            )
+        assert len(set(sums.values())) == 1, f"shapes disagree at k={k}: {sums}"
+    with open(out_path, "a") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+            print(json.dumps(r))
+
+
+if __name__ == "__main__":
+    main()
