@@ -1,0 +1,64 @@
+"""Noise-aware diff of two bench artifacts (the regression instrument the
+r6->r7 `boilerplate_purge` adjudication was missing: a cross-run
+CacheManager artifact burned a round because nothing compared artifacts
+structurally).
+
+Classifies each common query:
+
+- ``regressed``  — new/old > ratio_floor AND new wall > abs_floor AND the
+  delta exceeds the sub-second noise class (both walls matter: a 0.2 s ->
+  0.5 s swing is machine state, not a plan change);
+- ``improved``   — the same test in the other direction;
+- ``noise``      — everything else.
+
+Per the r7 adjudication protocol, a `regressed` row is a PROMPT to re-time
+interleaved on an idle machine (min-of-N, both shapes in one session),
+never a verdict by itself — single-JVM bench runs swing 2-5x on sub-3 s
+queries with zero plan changes (measured r7: pq_topk 1.15->2.59 s,
+semantic_dedup 1.44->2.81 s, both noise).
+
+Usage: python tools/bench_diff.py OLD.json NEW.json [ratio_floor] [abs_floor_s]
+Exit code 0 always (informational); prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def diff(
+    old: dict, new: dict, ratio_floor: float = 1.5, abs_floor: float = 1.0
+) -> dict:
+    qo, qn = old["queries"], new["queries"]
+    common = sorted(set(qo) & set(qn))
+    out = {"regressed": {}, "improved": {}, "noise_n": 0}
+    for name in common:
+        a, b = qo[name], qn[name]
+        if b > abs_floor and a > 0 and b / a > ratio_floor:
+            out["regressed"][name] = [a, b, round(b / a, 2)]
+        elif a > abs_floor and b > 0 and a / b > ratio_floor:
+            out["improved"][name] = [a, b, round(b / a, 2)]
+        else:
+            out["noise_n"] += 1
+    out["common_n"] = len(common)
+    out["only_old"] = sorted(set(qo) - set(qn))
+    out["only_new"] = sorted(set(qn) - set(qo))
+    out["total_old_s"] = round(sum(qo[n] for n in common), 1)
+    out["total_new_s"] = round(sum(qn[n] for n in common), 1)
+    for side in ("old", "new"):
+        d = old if side == "old" else new
+        out[f"substantive_{side}"] = d.get("ratio_gt2_substantive")
+    return out
+
+
+def main() -> None:
+    old = json.load(open(sys.argv[1]))
+    new = json.load(open(sys.argv[2]))
+    rf = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+    af = float(sys.argv[4]) if len(sys.argv) > 4 else 1.0
+    print(json.dumps(diff(old, new, rf, af)))
+
+
+if __name__ == "__main__":
+    main()
