@@ -54,8 +54,16 @@ def test_pricing_summary_partial_aggregation_and_codegen(spark):
     simple = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "simple"
     )
-    assert simple.count("Exchange") <= 2  # shuffle (+ AQE read) only
-    assert "*(" in simple
+    # ONE group-key shuffle in the FINAL adaptive plan (the simple AQE
+    # explain appends the Initial Plan section, duplicating every line).
+    # The r8 spread=True opt-in adds a local-only ROUND-ROBIN exchange
+    # below the map stage (see test_spread_is_opt_in_and_enumerated) —
+    # count hash exchanges specifically so the property stays "combine
+    # before the shuffle, group-cardinality rows moved", which
+    # round-robin doesn't affect.
+    final = simple.split("Initial Plan")[0]
+    assert final.count("Exchange hashpartitioning") <= 1
+    assert "*(" in final
 
 
 def test_no_row_python_udfs_in_headline_plans(spark):
@@ -263,6 +271,10 @@ def test_spread_is_opt_in_and_enumerated():
         "winnow_near_dup",
         "curated_corpus",
         "table_profile",
+        # r8: six exact-decimal sum expressions (two chained 128-bit
+        # products) per row — the one-row-group bench layout put the
+        # whole map stage on one core (1.98 s -> 1.20 s, min-of-5)
+        "pricing_summary",
     }, f"unexpected spread=True sites: {users}"
 
 

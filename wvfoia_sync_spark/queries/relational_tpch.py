@@ -44,8 +44,16 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism note: decimals are cast from RAW 2-dp inputs only — casting
     a *computed* double to decimal rounds at the 4-dp midpoint differently
-    across engines; exact decimal products never do."""
-    li = load_table(spark, sf_dir, "lineitem")
+    across engines; exact decimal products never do.
+
+    spread=True (r8): the partial-aggregate map stage evaluates six exact
+    decimal sum expressions (two of them chained 128-bit products) per
+    row — on the bench layout's one-row-group lineitem that entire hot
+    loop lands on a single core while 31 idle. Interleaved min-of-5 at
+    sf0.1: 1.98 s plain -> 1.20 s spread. On a multi-file production
+    table the scan splits naturally and the exchange is never applied
+    (local-only, sources/tables.py)."""
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
     dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
     price = F.col("l_extendedprice").cast("decimal(12,2)")
     one = F.lit(1).cast("decimal(3,2)")
