@@ -21,11 +21,14 @@ from wvfoia_sync_spark import registry
 # holds (a) the five r3 plain aggregates deliberately deferred from the
 # r7 window (window_totals, salted_agg, events_sliding, token_stats,
 # token_histogram — the only names whose latest green predates r4),
-# (b) dsir_importance, whose implementation CHANGED in r8 (single-job
-# broadcast-model form), then (c) 44 of the 48 names last green in r4.
-# Four plain unchanged TPC-H aggregates (promo_revenue, returned_items,
-# small_qty_revenue, volume_shipping — hash-matched r4, untouched since
-# r1) are deferred to the r9 head, exactly the r7->r8 deferral pattern.
+# (b) the three queries whose implementation CHANGED in r8 —
+# dsir_importance (single-job broadcast-model form), gopher_repetition
+# (shuffle-free sorted-run-length rewrite), pricing_summary (spread
+# opt-in; values unchanged, plan changed) — then (c) 42 of the 48 names
+# last green in r4. Six plain unchanged TPC-H aggregates
+# (promo_revenue, returned_items, small_qty_revenue, volume_shipping,
+# top_supplier, product_profit — hash-matched r4, untouched since r1)
+# are deferred to the r9 head, exactly the r7->r8 deferral pattern.
 # Everything else follows in registration order, so a wider window only
 # adds coverage.
 DRIVER_WINDOW: list[str] = [
@@ -37,7 +40,9 @@ DRIVER_WINDOW: list[str] = [
     "token_histogram",
     # --- changed in r8: re-verify first ---
     "dsir_importance",
-    # --- stalest: last green r4 (44 of 48; 4 deferred to r9) ---
+    "gopher_repetition",
+    "pricing_summary",
+    # --- stalest: last green r4 (42 of 48; 6 deferred to r9) ---
     "audio_decode_meta",
     "blame_supplier",
     "bm25_rank",
@@ -65,7 +70,6 @@ DRIVER_WINDOW: list[str] = [
     "passage_dedup",
     "pii_scrub",
     "pq_recall_check",
-    "product_profit",
     "scd2_asof_lookup",
     "scd2_history",
     "semdedup_property_check",
@@ -80,7 +84,6 @@ DRIVER_WINDOW: list[str] = [
     "stream_stream_join",
     "stream_stream_outer_join",
     "stream_upsert",
-    "top_supplier",
     "winnow_near_dup",
 ]
 

@@ -275,6 +275,9 @@ def test_spread_is_opt_in_and_enumerated():
         # products) per row — the one-row-group bench layout put the
         # whole map stage on one core (1.98 s -> 1.20 s, min-of-5)
         "pricing_summary",
+        # r8: tokenize + per-doc bigram sort + run-length fold IS the
+        # whole query after the shuffle-free rewrite (1.13 s -> 0.43 s)
+        "gopher_repetition",
     }, f"unexpected spread=True sites: {users}"
 
 
