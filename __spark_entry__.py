@@ -21,14 +21,16 @@ from wvfoia_sync_spark import registry
 # holds (a) the five r3 plain aggregates deliberately deferred from the
 # r7 window (window_totals, salted_agg, events_sliding, token_stats,
 # token_histogram — the only names whose latest green predates r4),
-# (b) the three queries whose implementation CHANGED in r8 —
+# (b) the queries CHANGED or ADDED in r8 —
 # dsir_importance (single-job broadcast-model form), gopher_repetition
 # (shuffle-free sorted-run-length rewrite), pricing_summary (spread
-# opt-in; values unchanged, plan changed) — then (c) 42 of the 48 names
-# last green in r4. Six plain unchanged TPC-H aggregates
-# (promo_revenue, returned_items, small_qty_revenue, volume_shipping,
-# top_supplier, product_profit — hash-matched r4, untouched since r1)
-# are deferred to the r9 head, exactly the r7->r8 deferral pattern.
+# opt-in; values unchanged, plan changed), and the NEW decontam_scrub
+# (never driver-checked — coverage beats freshness) — then (c) 41 of
+# the 48 names last green in r4. Seven plain unchanged
+# TPC-H aggregates (promo_revenue, returned_items, small_qty_revenue,
+# volume_shipping, top_supplier, product_profit, market_share —
+# hash-matched r4, untouched since r1) are deferred to the r9 head,
+# exactly the r7->r8 deferral pattern.
 # Everything else follows in registration order, so a wider window only
 # adds coverage.
 DRIVER_WINDOW: list[str] = [
@@ -42,7 +44,8 @@ DRIVER_WINDOW: list[str] = [
     "dsir_importance",
     "gopher_repetition",
     "pricing_summary",
-    # --- stalest: last green r4 (42 of 48; 6 deferred to r9) ---
+    "decontam_scrub",
+    # --- stalest: last green r4 (41 of 48; 7 deferred to r9) ---
     "audio_decode_meta",
     "blame_supplier",
     "bm25_rank",
@@ -63,7 +66,6 @@ DRIVER_WINDOW: list[str] = [
     "knn_join",
     "large_volume_customers",
     "leakage_free_split",
-    "market_share",
     "min_cost_supplier",
     "order_priority",
     "partition_pruned_revenue",

@@ -78,6 +78,7 @@ HEADLINE = [
     "events_hourly_stream",
     "pii_scrub",
     "decontam_overlap",
+    "decontam_scrub",
     "gopher_repetition",
     "token_chunks",
     "pack_bins",

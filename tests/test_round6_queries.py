@@ -892,3 +892,51 @@ def test_snapshot_drift_sketch_properties_and_plan(spark):
 
     p = plan(registry.QUERIES["snapshot_drift_sketch"](spark, SF_DIR))
     assert "ntile(10)" not in p and "percentile_approx" in p
+
+
+# ------------------------------------------- decontamination scrub ---
+
+
+def test_decontam_scrub_semantics(spark):
+    """Span-removal semantics against an independent Python reference on
+    the fixture corpus: (a) docs with no eval-gram overlap come back
+    md5-identical to their own token join (nothing removed); (b) docs
+    flagged by decontam_overlap lose exactly the tokens covered by a
+    matching 4-gram start (positions recomputed in Python from the
+    collected token arrays); (c) the fixture is non-trivial — at least
+    one doc actually gets scrubbed."""
+    import hashlib
+
+    from wvfoia_sync_spark.functions import text as text_fns
+    from wvfoia_sync_spark.sources.tables import load_table
+
+    toks = {
+        r["doc_id"]: list(r["t"])
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id", text_fns.tokens("text").alias("t"))
+        .collect()
+    }
+    ev_grams = {
+        " ".join(t[i : i + 4])
+        for d, t in toks.items()
+        if d % 50 == 0
+        for i in range(len(t) - 3)
+    }
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["scrubbed_md5"])
+        for r in registry.QUERIES["decontam_scrub"](spark, SF_DIR).collect()
+    }
+    assert set(got) == {d for d in toks if d % 50 != 0}
+    scrubbed_any = 0
+    for d, (n_tokens, n_removed, md5) in got.items():
+        t = toks[d]
+        assert n_tokens == len(t)
+        starts = [
+            i for i in range(len(t) - 3) if " ".join(t[i : i + 4]) in ev_grams
+        ]
+        removed = {p for i in starts for p in range(i, i + 4)}
+        kept = [x for i, x in enumerate(t) if i not in removed]
+        assert n_removed == len(removed)
+        assert md5 == hashlib.md5(" ".join(kept).encode()).hexdigest()
+        scrubbed_any += bool(removed)
+    assert scrubbed_any > 0, "fixture produced no contaminated training doc"

@@ -503,6 +503,104 @@ def decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "decontam_scrub",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS.format(c='text')} AS toks FROM documents),
+    tr AS (SELECT doc_id, toks FROM t WHERE doc_id % 50 <> 0),
+    evg AS (
+      SELECT DISTINCT array_to_string(toks[i:i+3], ' ') AS gram
+      FROM t, UNNEST(range(1, len(toks) - 2)) AS u(i)
+      WHERE doc_id % 50 = 0 AND len(toks) >= 4
+    ),
+    hit AS (
+      SELECT tr.doc_id, u.i AS i
+      FROM tr, UNNEST(range(1, len(toks) - 2)) AS u(i)
+      WHERE len(toks) >= 4
+        AND array_to_string(toks[i:i+3], ' ') IN (SELECT gram FROM evg)
+    ),
+    pos AS (
+      SELECT tr.doc_id, v.p AS p, toks[v.p] AS tok
+      FROM tr, UNNEST(range(1, len(toks) + 1)) AS v(p)
+    ),
+    kept AS (
+      SELECT pos.doc_id, COUNT(*) AS n_kept,
+             string_agg(pos.tok, ' ' ORDER BY pos.p) AS txt
+      FROM pos
+      WHERE NOT EXISTS (
+        SELECT 1 FROM hit
+        WHERE hit.doc_id = pos.doc_id AND pos.p BETWEEN hit.i AND hit.i + 3
+      )
+      GROUP BY pos.doc_id
+    )
+    SELECT tr.doc_id,
+           CAST(len(tr.toks) AS BIGINT) AS n_tokens,
+           CAST(len(tr.toks) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
+           md5(COALESCE(k.txt, '')) AS scrubbed_md5
+    FROM tr LEFT JOIN kept k USING (doc_id)
+    ORDER BY tr.doc_id
+    """,
+)
+def decontam_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-level benchmark decontamination (the removal half of
+    decontam_overlap, which only FLAGS): every training-doc token
+    covered by a 4-gram that also occurs anywhere in the eval slice
+    (doc_id % 50 == 0) is dropped, and the doc is re-emitted scrubbed —
+    the GPT-3 appendix-C / FineWeb decontamination step that keeps the
+    document but cuts the leaked span. Output per training doc: original
+    token count, tokens removed, and md5 of the space-joined surviving
+    tokens (md5 keeps the differential compare compact while pinning
+    the full scrubbed content, order included).
+
+    Shape: eval 4-gram SET broadcast (dimension-sized at any corpus, the
+    decontam_overlap posture) against the posexploded training grams —
+    map-side semi-join, one doc-keyed collect_set of matched gram
+    STARTS (bounded by doc length), one doc-keyed join back, then the
+    scrub is a single higher-order filter over the token array (token i
+    survives iff no matched start m has m <= i <= m+3) — no second
+    tokenize, no quadratic term, two doc-keyed exchanges total.
+    Determinism: pure integer positions and exact string equality; the
+    only computed output is md5 of a deterministic string.
+
+    Seam caveat: plain token removal can form NEW grams across the cut
+    (the reason GPT-3 SPLIT documents at removal points instead); a
+    consumer needing split semantics groups the surviving tokens into
+    contiguous runs — the matched starts are position-exact, so the
+    split points are recoverable from this op's inputs."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", text_fns.tokens("text").alias("toks")
+    )
+    ev_grams = (
+        docs.where(F.col("doc_id") % 50 == 0)
+        .select(F.explode(text_fns.ngrams("toks", 4)).alias("gram"))
+        .distinct()
+    )
+    tr = docs.where(F.col("doc_id") % 50 != 0)
+    hits = (
+        tr.select(
+            "doc_id", F.posexplode(text_fns.ngrams("toks", 4)).alias("i", "gram")
+        )
+        .join(F.broadcast(ev_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.collect_set("i").alias("mpos"))
+    )
+    mpos = F.coalesce("mpos", F.array().cast("array<int>"))
+    scrub = F.filter(
+        "toks",
+        lambda x, i: ~F.exists(mpos, lambda m: (i >= m) & (i <= m + 3)),
+    )
+    return (
+        tr.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tokens"),
+            (F.size("toks") - F.size(scrub)).cast("long").alias("n_removed"),
+            F.md5(F.array_join(scrub, " ")).alias("scrubbed_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 
 @register(
     "gopher_repetition",
