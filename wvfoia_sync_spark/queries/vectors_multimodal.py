@@ -122,6 +122,10 @@ def image_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .select("doc_id")
         .where(F.col("doc_id") < 200)
+        # full-Arrow-batch posture for the codec stages (see the
+        # image_ahash_dedup note + SCALE.md round-8): local split merge,
+        # no shuffle, bounded fixture
+        .coalesce(2)
     )
 
     def enc(batches):
@@ -180,6 +184,10 @@ def audio_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .select("doc_id")
         .where(F.col("doc_id") < 200)
+        # full-Arrow-batch posture for the codec stages (see the
+        # image_ahash_dedup note + SCALE.md round-8): local split merge,
+        # no shuffle, bounded fixture
+        .coalesce(2)
     )
 
     def enc(batches):
@@ -1064,6 +1072,15 @@ def image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .select("doc_id")
         .where(F.col("doc_id") < 400)
+        # coalesce the <=400-row id dimension BEFORE the encode/decode
+        # mapInPandas stages: on a multi-file layout the scan arrives as
+        # one split per file, and per-row Python codec work wants FEW,
+        # FULL Arrow batches, not 32 under-filled ones (measured r8
+        # multifile bench: 0.40 s -> 2.74 s from batch fragmentation
+        # alone; SCALE.md round-8). coalesce is a local split merge — no
+        # shuffle — and 2 partitions of a 400-row fixture keep both
+        # codec stages amortized while still overlapping two cores.
+        .coalesce(2)
     )
     base = docs.select(
         F.col("doc_id").alias("media_id"),
@@ -1154,6 +1171,15 @@ def audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .select("doc_id")
         .where(F.col("doc_id") < 400)
+        # coalesce the <=400-row id dimension BEFORE the encode/decode
+        # mapInPandas stages: on a multi-file layout the scan arrives as
+        # one split per file, and per-row Python codec work wants FEW,
+        # FULL Arrow batches, not 32 under-filled ones (measured r8
+        # multifile bench: 0.40 s -> 2.74 s from batch fragmentation
+        # alone; SCALE.md round-8). coalesce is a local split merge — no
+        # shuffle — and 2 partitions of a 400-row fixture keep both
+        # codec stages amortized while still overlapping two cores.
+        .coalesce(2)
     )
     base = docs.select(
         F.col("doc_id").alias("media_id"),
