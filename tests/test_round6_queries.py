@@ -940,3 +940,62 @@ def test_decontam_scrub_semantics(spark):
         assert md5 == hashlib.md5(" ".join(kept).encode()).hexdigest()
         scrubbed_any += bool(removed)
     assert scrubbed_any > 0, "fixture produced no contaminated training doc"
+
+
+def test_append_band_index_equivalent_to_rebuild(spark, tmp_path):
+    """r8: incremental band-index maintenance (append_band_index) is
+    gate-equivalent to a full rebuild — write(base) + append(delta)
+    and write(base ∪ delta) give the pruned streaming gate the
+    IDENTICAL verified pair set, and the appended layout keeps the
+    pbucket partition directories (the PartitionFilter pruning
+    contract) while touching only delta-sized work."""
+    import os
+
+    from wvfoia_sync_spark.sources.tables import load_table
+    from wvfoia_sync_spark.streaming import jobs
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    base = docs.where(F.col("doc_id") % 5 != 0)
+    delta = docs.where(F.col("doc_id") % 5 == 0)
+
+    idx_full = str(tmp_path / "idx_full")
+    idx_inc = str(tmp_path / "idx_inc")
+    jobs.write_band_index(docs, idx_full, num_hashes=64, bands=16)
+    jobs.write_band_index(base, idx_inc, num_hashes=64, bands=16)
+    jobs.append_band_index(delta, idx_inc, num_hashes=64, bands=16)
+
+    # same rows in both layouts (bands + shingle verify table); the
+    # shingle column is an array -> tuple-ize for set membership
+    key = lambda df: {
+        tuple(tuple(x) if isinstance(x, list) else x for x in r)
+        for r in df.collect()
+    }
+    for sub in ("bands", "shingles"):
+        a = key(spark.read.parquet(f"{idx_full}/{sub}"))
+        b = key(spark.read.parquet(f"{idx_inc}/{sub}"))
+        assert a == b, f"{sub} diverged: {len(a ^ b)} rows"
+    assert any(
+        d.startswith("pbucket=") for d in os.listdir(f"{idx_inc}/bands")
+    )
+
+    incoming = (
+        jobs.documents_stream(spark, SF_DIR)
+        .where(F.col("doc_id") % 31 == 0)
+        .select(
+            (F.col("doc_id") + 500000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit("  ")).alias("text"),
+        )
+    )
+    pairs = {}
+    for tag, idx in (("full", idx_full), ("inc", idx_inc)):
+        out = jobs.streaming_near_dup_pruned(
+            incoming,
+            idx,
+            f"snd_append_{tag}",
+            str(tmp_path / f"sink_{tag}"),
+            threshold=0.8,
+            num_hashes=64,
+            bands=16,
+        )
+        pairs[tag] = {(r["eval_id"], r["train_id"]) for r in out.collect()}
+    assert pairs["full"] and pairs["inc"] == pairs["full"]

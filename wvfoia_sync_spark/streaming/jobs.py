@@ -595,6 +595,59 @@ def write_band_index(
     ).parquet(f"{path}/shingles")
 
 
+def append_band_index(
+    corpus_delta: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+    prune_buckets: int = 64,
+    max_band_bucket: int | None = None,
+) -> None:
+    """INCREMENTAL maintenance for the stored band index (the fts_index
+    segment posture write_band_index's docstring promises): a corpus
+    delta (new docs) appends its band rows as new part files inside the
+    same ``pbucket=`` partition directories and its shingle rows to the
+    verify table — work proportional to the DELTA, never a rebuild.
+    Equivalence contract (tested): a gate run against write(base) +
+    append(delta) returns the identical pair set as against
+    write(base ∪ delta), because band rows are keyed facts — the union
+    of per-segment rows IS the full index, and the pbucket
+    PartitionFilter prunes both layouts the same way.
+
+    ``max_band_bucket`` caveat: the guard is applied PER CALL (over this
+    delta's buckets only) — a bucket hot only across base+delta is not
+    retro-dropped. Production recipe: append with the guard off (or a
+    loose cap) and re-apply the tight cap at the periodic compaction
+    that rewrites the partition directories (the fts_index compact
+    pass); ingest-side boundedness meanwhile comes from the gate's own
+    probe-side cap."""
+    from ..operators.dedup import (
+        _band_signatures,
+        _sig_from_hashed_pandas,
+        hashed_shingles,
+    )
+
+    h_delta = hashed_shingles(corpus_delta, id_col, text_col, shingle_size)
+    sig = _sig_from_hashed_pandas(num_hashes)
+    index = _band_signatures(
+        h_delta.select("id", sig(F.col("hs")).alias("sig")), bands
+    ).select(F.col("id").alias("train_id"), "band", "bhash")
+    if max_band_bucket is not None:
+        from ..operators.dedup import drop_hot_band_buckets
+
+        index = drop_hot_band_buckets(index, max_band_bucket)
+    index = index.withColumn(
+        "pbucket", F.pmod("bhash", F.lit(prune_buckets)).cast("int")
+    )
+    index.write.mode("append").partitionBy("pbucket").parquet(f"{path}/bands")
+    h_delta.select(F.col("id").alias("train_id"), "hs").write.mode(
+        "append"
+    ).parquet(f"{path}/shingles")
+
+
 def streaming_near_dup_pruned(
     incoming: DataFrame,
     index_path: str,
