@@ -386,6 +386,10 @@ def test_no_pinned_broadcast_of_fact_scaled_tables(spark):
         # eval-set shingles: fixed-size benchmark in production; the
         # doc_id % 50 slice is the test stand-in
         "decontam_overlap",
+        # same eval-set posture as decontam_overlap (r8 removal half):
+        # the broadcast side is the benchmark's gram SET — fixed-size in
+        # production, doc_id % 50 slice as the test stand-in
+        "decontam_scrub",
         # query batch is an absolute id slice (vec_id < 20): constant
         # cardinality at any SF, asserted broadcast by its own plan test
         "knn_join",
