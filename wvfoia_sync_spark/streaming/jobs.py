@@ -622,8 +622,10 @@ def append_band_index(
     retro-dropped. Production recipe: append with the guard off (or a
     loose cap) and re-apply the tight cap at the periodic compaction
     that rewrites the partition directories (the fts_index compact
-    pass); ingest-side boundedness meanwhile comes from the gate's own
-    probe-side cap."""
+    pass); between compactions the residual cross-segment hot-bucket
+    exposure is bounded by the delta sizes, and the stream-static form
+    (streaming_near_dup(max_band_bucket=)) re-derives its guard from
+    the live index if ingest latency demands a hard bound sooner."""
     from ..operators.dedup import (
         _band_signatures,
         _sig_from_hashed_pandas,
