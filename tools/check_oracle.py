@@ -46,9 +46,29 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
+# The documented sf0.1 sweep exclusion class (SCALE.md rounds 5/6/8): the
+# recursive-CTE twins (hash-verified at sf0.01; dup_clusters and
+# cluster_best_pick additionally value-verified at sf0.1 via the
+# union-find test) and the all-pairs-quadratic near-dup matrix oracle.
+# `--exclude-quadratic` runs the whole registry minus this set, making
+# the per-round full-corpus sweep one reproducible command:
+#   python tools/check_oracle.py /root/testdata/sf0.1 --exclude-quadratic
+QUADRATIC_TWINS = {
+    "leakage_free_split",
+    "dup_clusters",
+    "cluster_best_pick",
+    "near_dup_rate_matrix",
+}
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[2:]
+    exclude: set[str] = set()
+    if "--exclude-quadratic" in args:
+        args = [a for a in args if a != "--exclude-quadratic"]
+        exclude = QUADRATIC_TWINS
+    only = set(args)
     unknown = only - set(registry.QUERIES)
     if unknown:
         # a typo'd/renamed name must not produce a 0-queries false green
@@ -64,7 +84,7 @@ def main() -> int:
     spark = get_spark("oracle-check")
     failures, passes = [], []
     for name, fn in registry.QUERIES.items():
-        if only and name not in only:
+        if (only and name not in only) or name in exclude:
             continue
         t0 = time.time()
         try:
