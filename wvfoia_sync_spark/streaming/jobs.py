@@ -14,6 +14,9 @@ batch-equivalent runs — the tests assert stream output == batch output.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -237,8 +240,6 @@ def events_stream_flushed(
     copy is derived state (sources/derived.py: content-fingerprinted
     cache key, rename-if-absent publication), same contract as the
     partitioned layouts."""
-    import os
-
     from ..sources import derived
     from ..sources.tables import load_table
 
@@ -443,8 +444,6 @@ def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     file beside siblings -> pathGlobFilter; a directory of part files ->
     the directory is the source). No timestamp columns, so no
     normalization pass."""
-    import os
-
     p = os.path.join(sf_dir, "documents.parquet")
     reader = spark.readStream.schema(DOCUMENTS_SCHEMA).format("parquet")
     if os.path.isdir(p):
@@ -833,9 +832,6 @@ def stream_upsert_sink(
     The swap is write-new -> atomic rename, the same pattern as
     foia/export's staged artifacts: readers see the old table or the new
     one, never a half-written directory."""
-    import os
-    import shutil
-
     from pyspark.sql import Window as W
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -885,8 +881,6 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     DIRECTORY of part files (any production/multifile layout — the
     directory IS the source; a file-name glob would match nothing and
     schema inference dies)."""
-    import os
-
     p = os.path.join(sf_dir, "events.parquet")
     if os.path.isdir(p):
         return read_events_stream(spark, p)
