@@ -1168,3 +1168,107 @@ def test_compact_band_index_drops_cross_segment_hot_bucket(spark, tmp_path):
     assert post.where(F.col("train_id") >= 100).count() == 9 * 16
     # shingle verify table is NOT capped — only the candidate-gen side
     assert spark.read.parquet(f"{idx}/shingles").count() == 18
+
+
+def test_dsir_persist_grams_hash_identical_and_plan_differs_only_by_cache(
+    spark,
+):
+    """r9 (the r8 verdict's What's-wrong #1): persist_grams=True — the
+    measured 100x-scale side of the SCALE_probe_r8_dsir crossover — is
+    value-identical to the default recompute form, and the two plans
+    differ ONLY by the InMemoryRelation under the gram consumers (same
+    aggregate/broadcast shape above the cache)."""
+    from tests.test_plan_quality import plan
+    from wvfoia_sync_spark.queries.corpus_text import dsir_importance
+
+    rows = lambda df: sorted(
+        (r["doc_id"], r["n_grams"], round(r["llr"], 9), r["selected"])
+        for r in df.collect()
+    )
+    # plan+collect the base form BEFORE the persist exists: Spark's
+    # cache manager substitutes matching subtrees globally, so a
+    # later-planned "uncached" query would silently read the cache too
+    base = dsir_importance(spark, SF_DIR)
+    p_base, r_base = plan(base), rows(base)
+    try:
+        cached = dsir_importance(spark, SF_DIR, persist_grams=True)
+        p_cached, r_cached = plan(cached), rows(cached)
+        assert r_base == r_cached
+        assert "InMemoryTableScan" not in p_base
+        assert "InMemoryTableScan" in p_cached
+        # same shape above the cache: the one-row broadcast model attach
+        # and the doc-keyed aggregate survive in both forms
+        for frag in ("BroadcastNestedLoopJoin", "HashAggregate"):
+            assert frag in p_base and frag in p_cached
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_decontam_split_semantics(spark):
+    """Split-document semantics against an independent Python reference
+    on the fixture corpus: surviving positions recomputed in Python
+    from the collected token arrays are grouped into contiguous runs;
+    the query's (run_idx, n_toks, run_md5) rows must match run-for-run
+    in document order. Also pins the scrub<->split relationship: per
+    doc, sum of run lengths == n_tokens - n_removed from decontam_scrub,
+    and a doc with >= 2 runs exists (a real mid-document cut — the
+    fixture exercises the seam the operator is FOR)."""
+    import hashlib
+
+    from wvfoia_sync_spark.functions import text as text_fns
+    from wvfoia_sync_spark.sources.tables import load_table
+
+    toks = {
+        r["doc_id"]: list(r["t"])
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id", text_fns.tokens("text").alias("t"))
+        .collect()
+    }
+    ev_grams = {
+        " ".join(t[i : i + 4])
+        for d, t in toks.items()
+        if d % 50 == 0
+        for i in range(len(t) - 3)
+    }
+    expected: dict[int, list[tuple[int, str]]] = {}
+    for d, t in toks.items():
+        if d % 50 == 0:
+            continue
+        starts = [
+            i for i in range(len(t) - 3) if " ".join(t[i : i + 4]) in ev_grams
+        ]
+        removed = {p for i in starts for p in range(i, i + 4)}
+        runs: list[list[str]] = []
+        prev = None
+        for i, x in enumerate(t):
+            if i in removed:
+                continue
+            if prev is None or i != prev + 1:
+                runs.append([])
+            runs[-1].append(x)
+            prev = i
+        expected[d] = [
+            (len(r), hashlib.md5(" ".join(r).encode()).hexdigest())
+            for r in runs
+        ]
+
+    got: dict[int, dict[int, tuple[int, str]]] = {}
+    for r in registry.QUERIES["decontam_split"](spark, SF_DIR).collect():
+        got.setdefault(r["doc_id"], {})[r["run_idx"]] = (
+            r["n_toks"],
+            r["run_md5"],
+        )
+    assert set(got) == {d for d, rs in expected.items() if rs}
+    multi = 0
+    for d, runs_d in got.items():
+        assert sorted(runs_d) == list(range(len(runs_d)))  # dense 0-based
+        assert [runs_d[i] for i in range(len(runs_d))] == expected[d]
+        multi += len(runs_d) >= 2
+
+    scrub = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"])
+        for r in registry.QUERIES["decontam_scrub"](spark, SF_DIR).collect()
+    }
+    for d, (n_tokens, n_removed) in scrub.items():
+        assert sum(n for n, _ in expected[d]) == n_tokens - n_removed
+    assert multi > 0, "fixture produced no mid-document cut"

@@ -74,6 +74,12 @@ def main() -> int:
         # a typo'd/renamed name must not produce a 0-queries false green
         print(f"ERROR: unknown query name(s): {sorted(unknown)}")
         return 2
+    # an explicitly requested name wins over --exclude-quadratic: the
+    # flag trims the default full sweep, it must not silently turn
+    # `check_oracle.py DIR dup_clusters --exclude-quadratic` into a
+    # 0-query false green (the same failure mode the unknown-name
+    # guard exists for)
+    exclude -= only
 
     con = duckdb.connect()
     for t in TABLE_NAMES:

@@ -609,6 +609,151 @@ def decontam_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "decontam_split",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS.format(c='text')} AS toks FROM documents),
+    tr AS (SELECT doc_id, toks FROM t WHERE doc_id % 50 <> 0),
+    evg AS (
+      SELECT DISTINCT array_to_string(toks[i:i+3], ' ') AS gram
+      FROM t, UNNEST(range(1, len(toks) - 2)) AS u(i)
+      WHERE doc_id % 50 = 0 AND len(toks) >= 4
+    ),
+    hit AS (
+      SELECT tr.doc_id, u.i AS i
+      FROM tr, UNNEST(range(1, len(toks) - 2)) AS u(i)
+      WHERE len(toks) >= 4
+        AND array_to_string(toks[i:i+3], ' ') IN (SELECT gram FROM evg)
+    ),
+    pos AS (
+      SELECT tr.doc_id, v.p AS p, toks[v.p] AS tok
+      FROM tr, UNNEST(range(1, len(toks) + 1)) AS v(p)
+    ),
+    kept AS (
+      SELECT pos.doc_id, pos.p, pos.tok,
+             pos.p - ROW_NUMBER() OVER (
+               PARTITION BY pos.doc_id ORDER BY pos.p) AS grp
+      FROM pos
+      WHERE NOT EXISTS (
+        SELECT 1 FROM hit
+        WHERE hit.doc_id = pos.doc_id AND pos.p BETWEEN hit.i AND hit.i + 3
+      )
+    ),
+    runs AS (
+      SELECT doc_id, grp, MIN(p) AS start_p, COUNT(*) AS n,
+             md5(string_agg(tok, ' ' ORDER BY p)) AS run_md5
+      FROM kept GROUP BY doc_id, grp
+    )
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY doc_id ORDER BY start_p) - 1 AS BIGINT) AS run_idx,
+           CAST(n AS BIGINT) AS n_toks,
+           run_md5
+    FROM runs ORDER BY doc_id, run_idx
+    """,
+)
+def decontam_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPLIT-document decontamination (GPT-3 appendix C proper — the
+    r8 seam caveat made first-class): where decontam_scrub re-joins the
+    surviving tokens of a contaminated doc into ONE cleaned doc (and
+    can thereby form new grams across the cut), this emits each
+    CONTIGUOUS surviving token run as its own row
+    ``(doc_id, run_idx, n_toks, run_md5)`` — the pieces a training
+    pipeline would keep as separate documents so no synthetic
+    cross-cut n-gram ever enters the corpus. A clean doc yields one
+    run (the whole doc); a fully-covered doc yields zero rows; run_idx
+    is 0-based in document order.
+
+    Shape: the scrub machinery unchanged up to the matched-start set
+    (broadcast eval-gram dimension -> map-side semi-join -> one
+    doc-keyed collect_set, one doc-keyed join back — two doc-keyed
+    exchanges total, the scrub budget), then the run structure is pure
+    per-row array algebra: surviving indices via one higher-order
+    filter, run BOUNDARIES as the index positions whose predecessor is
+    not adjacent (kept[j] != kept[j-1] + 1), each run sliced back out
+    and folded to (length, md5) — no window, no second shuffle, no
+    per-token explode; the only row multiplication is the final
+    posexplode of the per-doc runs array (output-sized). Determinism:
+    integer positions and md5 of exact strings, same as scrub."""
+    par = min(8, spark.sparkContext.defaultParallelism)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(par)
+        .select("doc_id", text_fns.tokens("text").alias("toks"))
+    )
+    ev_grams = (
+        docs.where(F.col("doc_id") % 50 == 0)
+        .select(F.explode(text_fns.ngrams("toks", 4)).alias("gram"))
+        .distinct()
+    )
+    tr = docs.where(F.col("doc_id") % 50 != 0)
+    hits = (
+        tr.select(
+            "doc_id", F.posexplode(text_fns.ngrams("toks", 4)).alias("i", "gram")
+        )
+        .join(F.broadcast(ev_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.collect_set("i").alias("mpos"))
+    )
+    mpos = F.coalesce("mpos", F.array().cast("array<int>"))
+    n = F.size("toks")
+    # surviving 0-based token indices (same predicate as scrub)
+    kept = F.when(
+        n > 0,
+        F.filter(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: ~F.exists(mpos, lambda m: (i >= m) & (i <= m + 3)),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    base = tr.join(hits, "doc_id", "left").select(
+        "doc_id", "toks", kept.alias("kept")
+    )
+    nk = F.size("kept")
+    # positions WITHIN kept where a new run starts: j == 0 or the
+    # surviving index is not adjacent to its predecessor
+    brk = F.when(
+        nk > 0,
+        F.filter(
+            F.sequence(F.lit(0), nk - 1),
+            lambda j: (j == F.lit(0))
+            | (
+                F.element_at(F.col("kept"), j + 1)
+                != F.element_at(F.col("kept"), j) + 1
+            ),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    base = base.select("doc_id", "toks", "kept", brk.alias("brk"))
+    nb = F.size("brk")
+
+    def mk_run(k):
+        s = F.element_at(F.col("brk"), k + 1)
+        e = F.when(k + 1 < nb, F.element_at(F.col("brk"), k + 2)).otherwise(
+            F.size("kept")
+        )
+        toks_run = F.transform(
+            F.slice("kept", s + 1, e - s),
+            lambda i: F.element_at(F.col("toks"), i + 1),
+        )
+        return F.struct(
+            (e - s).cast("long").alias("n_toks"),
+            F.md5(F.array_join(toks_run, " ")).alias("run_md5"),
+        )
+
+    runs = F.when(
+        nb > 0, F.transform(F.sequence(F.lit(0), nb - 1), mk_run)
+    ).otherwise(
+        F.array().cast("array<struct<n_toks:bigint,run_md5:string>>")
+    )
+    return base.select(
+        "doc_id", F.posexplode(runs).alias("run_idx", "r")
+    ).select(
+        "doc_id",
+        F.col("run_idx").cast("long").alias("run_idx"),
+        F.col("r.n_toks").alias("n_toks"),
+        F.col("r.run_md5").alias("run_md5"),
+    )
+
 
 @register(
     "gopher_repetition",
@@ -1184,7 +1329,9 @@ def passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM scored GROUP BY doc_id ORDER BY doc_id
     """.replace("{tok}", _SQL_TOKENS.format(c="text")),
 )
-def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dsir_importance(
+    spark: SparkSession, sf_dir: str, persist_grams: bool = False
+) -> DataFrame:
     """DSIR-shaped data selection (importance weighting toward a target
     distribution — Xie et al. 2023's hashed-n-gram importance
     resampling, the curation step that tilts a web crawl toward a
@@ -1211,7 +1358,16 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     The build side re-derives the grams (two evaluations of a ~0.2 s
     subtree inside ONE job) — at 100 TB that balance flips and the
     per-doc bucket projection is what you'd persist between the
-    sides; the plan above it is unchanged. Skew-free by construction:
+    sides; the plan above it is unchanged. ``persist_grams=True`` IS
+    that flip, exposed (r9, the r8 verdict's What's-wrong #1): the
+    per-doc bucket projection is cached so the model build and the
+    score pass share one gram materialization — the measured crossover
+    (SCALE_probe_r8_dsir.jsonl: recompute wins at bench SF, persist
+    wins 1.6x at 100x corpus / 28.7 s vs 18.1 s at 500k docs) becomes
+    a one-arg switch instead of a future scale regression. Both
+    settings are hash-identical; the plans differ only by the
+    InMemoryRelation under the two gram consumers (tested).
+    Skew-free by construction:
     the broadcast is one constant-size row, the only wide exchange is
     the doc-keyed groupBy. Determinism: n_t/n_s/tt/ts are exact
     INTEGERS carried to the probe row; lv = ROUND(ln((n_t+1)*(ts+64)
@@ -1252,6 +1408,8 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bucket"),
         (F.col("doc_id") % 50 == 0).alias("is_target"),
     )
+    if persist_grams:  # the measured 100x-scale side of the crossover
+        grams = grams.persist()
     # the whole 64-bucket model as ONE broadcastable row: per-bucket
     # (n_t, n_s) counts as a map plus the two Laplace totals
     model = (
