@@ -23,14 +23,16 @@ from wvfoia_sync_spark import registry
 # returned_items, small_qty_revenue, volume_shipping, top_supplier,
 # product_profit, market_share — last green r4, untouched since r1),
 # (b) the queries ADDED or CHANGED in r9 — the NEW decontam_split
-# (GPT-3 appendix-C split semantics, never driver-checked) and
-# stream_near_dup (its streaming_near_dup path now checkpoints the
-# guarded index; values unchanged, static-side plan changed) — then
-# (c) 41 of the 48 names last green in r5. After this window lands, no
-# name's latest green predates r5, and only the seven r5 names listed
-# at the end of this comment remain pre-r6 (queued for the r10 head:
-# table_profile, tfidf_top_terms, token_chunks, train_test_split,
-# value_outliers, variant_shred_stats, weighted_sample).
+# (GPT-3 appendix-C split semantics) and band_lifecycle_property_check
+# (the stored band index's write->append->gate->compact story), both
+# never driver-checked, plus stream_near_dup (its streaming_near_dup
+# path now checkpoints the guarded index; values unchanged,
+# static-side plan changed) — then (c) 40 of the 48 names last green
+# in r5. After this window lands, no name's latest green predates r5,
+# and only the eight r5 names listed here remain pre-r6 (queued for
+# the r10 head: status_sequence, table_profile, tfidf_top_terms,
+# token_chunks, train_test_split, value_outliers, variant_shred_stats,
+# weighted_sample).
 # Everything else follows in registration order, so a wider window only
 # adds coverage.
 DRIVER_WINDOW: list[str] = [
@@ -44,8 +46,9 @@ DRIVER_WINDOW: list[str] = [
     "market_share",
     # --- added/changed in r9: coverage beats freshness ---
     "decontam_split",
+    "band_lifecycle_property_check",
     "stream_near_dup",
-    # --- stalest: last green r5 (41 of 48; 7 deferred to r10) ---
+    # --- stalest: last green r5 (40 of 48; 8 deferred to r10) ---
     "above_avg_orders",
     "balanced_sample",
     "bloom_semi_join",
@@ -86,7 +89,6 @@ DRIVER_WINDOW: list[str] = [
     "sql_interface",
     "status_cube",
     "status_grouping_sets",
-    "status_sequence",
 ]
 
 

@@ -79,6 +79,7 @@ HEADLINE = [
     "pii_scrub",
     "decontam_overlap",
     "decontam_scrub",
+    "decontam_split",
     "gopher_repetition",
     "token_chunks",
     "pack_bins",

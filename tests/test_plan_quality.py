@@ -390,6 +390,9 @@ def test_no_pinned_broadcast_of_fact_scaled_tables(spark):
         # the broadcast side is the benchmark's gram SET — fixed-size in
         # production, doc_id % 50 slice as the test stand-in
         "decontam_scrub",
+        # split variant (r9): the identical eval-gram broadcast side as
+        # decontam_scrub — only the post-join run algebra differs
+        "decontam_split",
         # query batch is an absolute id slice (vec_id < 20): constant
         # cardinality at any SF, asserted broadcast by its own plan test
         "knn_join",

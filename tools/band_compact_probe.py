@@ -1,0 +1,157 @@
+"""Band-index compaction probe (r9, VERDICT r8 item 1): measures the
+cost of compact_band_index against the alternative it replaces — a full
+write_band_index rebuild of the union — and the read-side benefit the
+segmented layout pays for between compactions (the pruned gate's
+newest-wins live-resolution joins, skipped entirely on a single-segment
+index).
+
+Setup: the sf0.1 documents corpus is split into a base (1/2) plus four
+appended deltas (1/8 each), one of which RE-ARRIVES a slice of base doc
+ids with mutated text — so compaction exercises the stale-row drop, not
+just the segment fold. Rows emitted per run:
+
+- append walls (delta-sized, the incremental claim re-checked post-r9
+  layout: seg column + manifest);
+- compact wall vs fresh-rebuild wall on the same union (the compaction
+  claim: same order of magnitude, one scan each of bands+shingles vs a
+  full re-shingle/re-sign of the corpus — compaction must be CHEAPER
+  because it never touches text);
+- gate wall against the 5-segment index vs the compacted index (the
+  between-compactions rent: live-resolution joins per batch).
+
+Asserted invariants: compacted bands/shingles row counts equal the fresh
+rebuild's; gate pair sets identical across all three layouts; manifest
+max_seg resets to 0.
+
+Usage: python tools/band_compact_probe.py [out_jsonl]
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from wvfoia_sync_spark.session import get_spark  # noqa: E402
+from wvfoia_sync_spark.sources.tables import load_table  # noqa: E402
+from wvfoia_sync_spark.streaming import jobs  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+
+
+def gate_pairs(spark, tmp, idx, tag):
+    incoming = (
+        jobs.documents_stream(spark, BASE)
+        .where(F.col("doc_id") % 31 == 0)
+        .select(
+            (F.col("doc_id") + 500000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit("  ")).alias("text"),
+        )
+    )
+    t0 = time.time()
+    out = jobs.streaming_near_dup_pruned(
+        incoming, idx, f"compact_probe_{tag}", f"{tmp}/sink_{tag}",
+        threshold=0.8, num_hashes=64, bands=16,
+    )
+    pairs = {(r["eval_id"], r["train_id"]) for r in out.collect()}
+    return pairs, round(time.time() - t0, 3)
+
+
+def main() -> int:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALE_probe_r9_compact.jsonl"
+    spark = get_spark("band-compact-probe")
+    tmp = tempfile.mkdtemp(prefix="band_compact_probe_")
+    rows = []
+    try:
+        docs = load_table(spark, BASE, "documents").select("doc_id", "text")
+        n_docs = docs.count()
+        base = docs.where(F.col("doc_id") % 2 == 0)
+        deltas = [
+            docs.where((F.col("doc_id") % 2 == 1) & (F.col("doc_id") % 8 == k))
+            for k in (1, 3, 5)
+        ]
+        # 4th delta RE-ARRIVES every 16th base doc with mutated text:
+        # compaction must drop the stale rows, not just fold segments
+        rearrive = docs.where(
+            (F.col("doc_id") % 2 == 0) & (F.col("doc_id") % 16 == 0)
+        ).select(
+            "doc_id", F.concat(F.lit("updated "), F.col("text")).alias("text")
+        )
+        deltas.append(
+            docs.where((F.col("doc_id") % 2 == 1) & (F.col("doc_id") % 8 == 7))
+            .unionByName(rearrive)
+        )
+        upserted = docs.join(
+            rearrive.select("doc_id"), "doc_id", "left_anti"
+        ).unionByName(rearrive)
+
+        idx = f"{tmp}/idx_seg"
+        t0 = time.time()
+        jobs.write_band_index(base, idx, num_hashes=64, bands=16)
+        w_base = round(time.time() - t0, 3)
+        append_walls = []
+        for d in deltas:
+            t0 = time.time()
+            jobs.append_band_index(d, idx)
+            append_walls.append(round(time.time() - t0, 3))
+
+        pairs_seg, gate_seg = gate_pairs(spark, tmp, idx, "seg")
+
+        t0 = time.time()
+        jobs.compact_band_index(spark, idx)
+        w_compact = round(time.time() - t0, 3)
+        assert jobs._band_manifest_read(idx)["max_seg"] == 0
+
+        idx_fresh = f"{tmp}/idx_fresh"
+        t0 = time.time()
+        jobs.write_band_index(upserted, idx_fresh, num_hashes=64, bands=16)
+        w_rebuild = round(time.time() - t0, 3)
+
+        counts = {}
+        for tag, p in (("compacted", idx), ("fresh", idx_fresh)):
+            counts[tag] = {
+                sub: spark.read.parquet(f"{p}/{sub}").count()
+                for sub in ("bands", "shingles")
+            }
+        assert counts["compacted"] == counts["fresh"], counts
+
+        pairs_compact, gate_compact = gate_pairs(spark, tmp, idx, "compacted")
+        pairs_fresh, gate_fresh = gate_pairs(spark, tmp, idx_fresh, "fresh")
+        assert pairs_seg == pairs_compact == pairs_fresh
+        assert pairs_seg, "fixture produced no gate pairs"
+
+        rows.append(
+            {
+                "probe": "band_compact_r9",
+                "sf": 0.1,
+                "n_docs": n_docs,
+                "write_base_s": w_base,
+                "append_walls_s": append_walls,
+                "compact_s": w_compact,
+                "rebuild_union_s": w_rebuild,
+                "gate_wall_5seg_s": gate_seg,
+                "gate_wall_compacted_s": gate_compact,
+                "gate_wall_freshbuild_s": gate_fresh,
+                "rows": counts["compacted"],
+                "n_pairs": len(pairs_seg),
+                "pair_sets_identical": True,
+            }
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    with open(out_path, "a") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    print(json.dumps(rows[-1]))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

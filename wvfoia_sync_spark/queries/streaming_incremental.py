@@ -653,6 +653,121 @@ def stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.distinct()
 
 
+@register(
+    "band_lifecycle_property_check",
+    oracle="""
+    SELECT 'appended_live_view_equals_fresh_rebuild' AS property, TRUE AS ok
+    UNION ALL SELECT 'compacted_layout_equals_fresh_rebuild', TRUE
+    UNION ALL SELECT 'gate_pairs_stable_across_compaction', TRUE
+    UNION ALL SELECT 'manifest_resets_to_single_segment', TRUE
+    ORDER BY property
+    """,
+)
+def band_lifecycle_property_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-green equivalence gate for the STORED band index's full
+    lifecycle (r9: write_band_index -> append_band_index with a
+    RE-ARRIVING updated doc -> streaming_near_dup_pruned ->
+    compact_band_index), the incremental-maintenance story the
+    contamination gate runs in production. Four properties, all
+    hash-compared against pinned TRUE rows; every equality below is
+    computed DISTRIBUTED (count + exceptAll-empty — multiset equality),
+    never by collecting index rows:
+
+    1. appended_live_view_equals_fresh_rebuild — after appending a
+       delta that UPDATES an indexed doc's text, load_band_index's
+       newest-wins view is row-identical (bands and shingles) to a
+       fresh write_band_index of the upserted corpus: stale rows are
+       invisible, new docs present.
+    2. gate_pairs_stable_across_compaction — the pruned foreachBatch
+       gate returns the identical (nonempty) pair set against the
+       2-segment index and the compacted one.
+    3. compacted_layout_equals_fresh_rebuild — after
+       compact_band_index, the RAW stored rows (seg included) equal the
+       fresh rebuild's: stale segments physically gone, not just
+       filtered.
+    4. manifest_resets_to_single_segment — max_seg folds back to 0, so
+       subsequent gate runs skip live resolution entirely.
+
+    The only driver-side materializations are the gate pair sets
+    (match-bounded, the stream_near_dup read-back posture) and the
+    boolean comparisons."""
+    import shutil
+    import tempfile
+
+    from ..streaming import jobs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.where(F.col("doc_id") % 2 == 0)
+    # delta: the odd half PLUS updated re-arrivals of every 16th even
+    # doc — the upsert path that makes segment resolution load-bearing
+    rearrive = docs.where(
+        (F.col("doc_id") % 2 == 0) & (F.col("doc_id") % 16 == 0)
+    ).select(
+        "doc_id", F.concat(F.lit("updated "), F.col("text")).alias("text")
+    )
+    delta = docs.where(F.col("doc_id") % 2 == 1).unionByName(rearrive)
+    upserted = docs.join(
+        rearrive.select("doc_id"), "doc_id", "left_anti"
+    ).unionByName(rearrive)
+
+    def same_rows(a: DataFrame, b: DataFrame) -> bool:
+        return a.count() == b.count() and a.exceptAll(b).isEmpty()
+
+    def gate(idx: str, tag: str) -> set:
+        incoming = (
+            jobs.documents_stream(spark, sf_dir)
+            .where(F.col("doc_id") % 31 == 0)
+            .select(
+                (F.col("doc_id") + 500000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit("  ")).alias("text"),
+            )
+        )
+        out = jobs.streaming_near_dup_pruned(
+            incoming, idx, f"band_lifecycle_{tag}", f"{tmp}/sink_{tag}",
+            threshold=0.8,
+        )
+        return {(r["eval_id"], r["train_id"]) for r in out.collect()}
+
+    tmp = tempfile.mkdtemp(prefix="band_lifecycle_")
+    try:
+        idx = f"{tmp}/idx"
+        idx_fresh = f"{tmp}/idx_fresh"
+        jobs.write_band_index(base, idx, num_hashes=64, bands=16)
+        jobs.append_band_index(delta, idx)
+        jobs.write_band_index(upserted, idx_fresh, num_hashes=64, bands=16)
+
+        live_ok = all(
+            same_rows(a, b)
+            for a, b in zip(
+                jobs.load_band_index(spark, idx),
+                jobs.load_band_index(spark, idx_fresh),
+            )
+        )
+        pairs_seg = gate(idx, "seg")
+        jobs.compact_band_index(spark, idx)
+        manifest_ok = jobs._band_manifest_read(idx)["max_seg"] == 0
+        pairs_compact = gate(idx, "compact")
+        raw_ok = all(
+            same_rows(
+                spark.read.parquet(f"{idx}/{sub}"),
+                spark.read.parquet(f"{idx_fresh}/{sub}"),
+            )
+            for sub in ("bands", "shingles")
+        )
+        gate_ok = bool(pairs_seg) and pairs_seg == pairs_compact
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            ("appended_live_view_equals_fresh_rebuild", bool(live_ok)),
+            ("compacted_layout_equals_fresh_rebuild", bool(raw_ok)),
+            ("gate_pairs_stable_across_compaction", bool(gate_ok)),
+            ("manifest_resets_to_single_segment", bool(manifest_ok)),
+        ],
+        "property string, ok boolean",
+    )
+
+
 
 @register(
     "partition_pruned_revenue",

@@ -799,10 +799,10 @@ def streaming_near_dup_pruned(
     query_name: str,
     sink_path: str,
     threshold: float = 0.8,
-    num_hashes: int = 64,
-    bands: int = 16,
-    shingle_size: int = 3,
-    prune_buckets: int = 64,
+    num_hashes: int | None = None,
+    bands: int | None = None,
+    shingle_size: int | None = None,
+    prune_buckets: int | None = None,
     plan_tap: list | None = None,
     checkpoint_path: str | None = None,
 ) -> "DataFrame":
@@ -835,12 +835,37 @@ def streaming_near_dup_pruned(
     passed through so a restarted stream resumes from the source offset
     frontier instead of re-gating the history. ``plan_tap``, when
     given, receives each batch's executed-plan string so tests can
-    assert the PartitionFilters actually materialized."""
+    assert the PartitionFilters actually materialized.
+
+    Index GEOMETRY (num_hashes / bands / shingle_size / prune_buckets)
+    defaults to the stored index's own manifest (r9): the arriving
+    side must be shingled, signed, and banded with exactly the
+    parameters the index was built with, or candidates silently miss —
+    passing them explicitly is allowed for doc value, but a mismatch
+    with the manifest raises instead of returning wrong answers."""
     from ..operators.dedup import (
         _band_signatures,
         _sig_from_hashed_pandas,
         hashed_shingles,
     )
+
+    man = _band_manifest_read(index_path)
+    for arg, key in (
+        (num_hashes, "num_hashes"),
+        (bands, "bands"),
+        (shingle_size, "shingle_size"),
+        (prune_buckets, "prune_buckets"),
+    ):
+        if arg is not None and arg != man[key]:
+            raise ValueError(
+                f"{key}={arg} disagrees with the stored index's manifest "
+                f"({man[key]}) — the gate must band the arriving side "
+                "with the index's own geometry"
+            )
+    num_hashes = man["num_hashes"]
+    bands = man["bands"]
+    shingle_size = man["shingle_size"]
+    prune_buckets = man["prune_buckets"]
 
     spark = incoming.sparkSession
     sig = _sig_from_hashed_pandas(num_hashes)
