@@ -7,6 +7,7 @@ ends. Usage:  python tools/check_oracle.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 from pathlib import Path
@@ -83,8 +84,14 @@ def main() -> int:
 
     con = duckdb.connect()
     for t in TABLE_NAMES:
+        # layout-tolerant view: the driver testdata is one FILE per
+        # table; a production/multifile layout (bench.py
+        # materialize_multifile) is a DIRECTORY of part files — give
+        # DuckDB the matching glob so the same sweep runs on both
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
         con.execute(
-            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{src}')"
         )
 
     spark = get_spark("oracle-check")
