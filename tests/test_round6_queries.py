@@ -1272,3 +1272,53 @@ def test_decontam_split_semantics(spark):
     for d, (n_tokens, n_removed) in scrub.items():
         assert sum(n for n, _ in expected[d]) == n_tokens - n_removed
     assert multi > 0, "fixture produced no mid-document cut"
+
+
+def test_append_guard_on_divergence_reconverged_by_compaction(spark, tmp_path):
+    """r9 (pins the r8 advice's delta-local over-dropping caveat as
+    SEMANTICS, not just prose): appending a large delta WITH the cap
+    drops buckets that are merely popular within the delta but under
+    the cap corpus-wide, and conversely buckets jointly hot across
+    base+delta survive because no single call sees them — so
+    write(base)+append(delta, cap) diverges from write(base ∪ delta,
+    cap). The production recipe (re-apply the tight cap at
+    compact_band_index) makes the layouts row-identical again. Both
+    halves asserted."""
+    from wvfoia_sync_spark.streaming import jobs
+
+    # Cross-segment under-dropping fixture: 3 boilerplate copies in the
+    # base + 3 more in the delta, cap=5. Each per-call guard sees only
+    # 3 (under cap, nothing dropped) while a fresh capped rebuild of
+    # the union sees 6 > 5 and drops the bucket — the divergence the
+    # docstring documents. Compaction with the same cap re-converges
+    # the appended layout to the fresh rebuild, row for row.
+    boiler = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    mk = lambda lo, hi: spark.createDataFrame(
+        [(i, boiler) for i in range(lo, hi)]
+        + [(i + 100, f"unique doc {i} " + " ".join(f"w{i}{j}" for j in range(8)))
+           for i in range(lo, hi)],
+        "doc_id long, text string",
+    )
+    idx_inc = str(tmp_path / "idx_inc")
+    idx_fresh = str(tmp_path / "idx_fresh")
+    jobs.write_band_index(mk(0, 3), idx_inc, num_hashes=64, bands=16,
+                          max_band_bucket=5)
+    jobs.append_band_index(mk(3, 6), idx_inc, max_band_bucket=5)
+    jobs.write_band_index(
+        mk(0, 3).unionByName(mk(3, 6)), idx_fresh,
+        num_hashes=64, bands=16, max_band_bucket=5,
+    )
+    live_inc = jobs.load_band_index(spark, idx_inc)[0]
+    live_fresh = jobs.load_band_index(spark, idx_fresh)[0]
+    # divergence: the per-call guard saw 3 per segment (under cap) and
+    # kept the boilerplate buckets; the fresh capped rebuild dropped
+    # them (6 > 5 across the union)
+    assert live_inc.where(F.col("train_id") < 100).count() == 6 * 16
+    assert live_fresh.where(F.col("train_id") < 100).count() == 0
+
+    # the documented recipe: compaction re-applies the cap across the
+    # merged whole and re-converges the layouts row-for-row
+    jobs.compact_band_index(spark, idx_inc, max_band_bucket=5)
+    assert _rowset(spark.read.parquet(f"{idx_inc}/bands")) == _rowset(
+        spark.read.parquet(f"{idx_fresh}/bands")
+    )
