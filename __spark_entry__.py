@@ -23,16 +23,17 @@ from wvfoia_sync_spark import registry
 # returned_items, small_qty_revenue, volume_shipping, top_supplier,
 # product_profit, market_share — last green r4, untouched since r1),
 # (b) the queries ADDED or CHANGED in r9 — the NEW decontam_split
-# (GPT-3 appendix-C split semantics) and band_lifecycle_property_check
-# (the stored band index's write->append->gate->compact story), both
+# (GPT-3 appendix-C split semantics), band_lifecycle_property_check
+# (the stored band index's write->append->gate->compact story), and
+# repetition_budget (data-constrained waterfilling allocator), all
 # never driver-checked, plus stream_near_dup (its streaming_near_dup
 # path now checkpoints the guarded index; values unchanged,
-# static-side plan changed) — then (c) 40 of the 48 names last green
+# static-side plan changed) — then (c) 39 of the 48 names last green
 # in r5. After this window lands, no name's latest green predates r5,
-# and only the eight r5 names listed here remain pre-r6 (queued for
-# the r10 head: status_sequence, table_profile, tfidf_top_terms,
-# token_chunks, train_test_split, value_outliers, variant_shred_stats,
-# weighted_sample).
+# and only the nine r5 names listed here remain pre-r6 (queued for
+# the r10 head: status_grouping_sets, status_sequence, table_profile,
+# tfidf_top_terms, token_chunks, train_test_split, value_outliers,
+# variant_shred_stats, weighted_sample).
 # Everything else follows in registration order, so a wider window only
 # adds coverage.
 DRIVER_WINDOW: list[str] = [
@@ -47,8 +48,9 @@ DRIVER_WINDOW: list[str] = [
     # --- added/changed in r9: coverage beats freshness ---
     "decontam_split",
     "band_lifecycle_property_check",
+    "repetition_budget",
     "stream_near_dup",
-    # --- stalest: last green r5 (40 of 48; 8 deferred to r10) ---
+    # --- stalest: last green r5 (39 of 48; 9 deferred to r10) ---
     "above_avg_orders",
     "balanced_sample",
     "bloom_semi_join",
@@ -88,7 +90,6 @@ DRIVER_WINDOW: list[str] = [
     "skew_report",
     "sql_interface",
     "status_cube",
-    "status_grouping_sets",
 ]
 
 

@@ -171,6 +171,7 @@ HEADLINE = [
     "hll_union_rollup",
     "quality_classifier_score",
     "temperature_mixture",
+    "repetition_budget",
     "coreset_select",
     "dup_rate_matrix",
     "filtered_knn",

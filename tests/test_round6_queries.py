@@ -1322,3 +1322,62 @@ def test_append_guard_on_divergence_reconverged_by_compaction(spark, tmp_path):
     assert _rowset(spark.read.parquet(f"{idx_inc}/bands")) == _rowset(
         spark.read.parquet(f"{idx_fresh}/bands")
     )
+
+
+def test_repetition_budget_waterfilling_semantics(spark):
+    """r9: repetition_budget against an independent sequential
+    waterfilling reference in Python (ascending-capacity sweep: cap out
+    while capacity < remaining/remaining_sources, then equal shares
+    with largest-remainder to the last sources in order). Also pins the
+    allocation laws: budget exactly conserved, capped sources sit at
+    exactly 4.000000 epochs, no source exceeds its capacity, and the
+    fixture is non-trivial (both capped and uncapped sources occur)."""
+    from wvfoia_sync_spark.functions import text as text_fns
+    from wvfoia_sync_spark.sources.tables import load_table
+
+    c = {
+        r["source"]: r["c"]
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("source", F.size(text_fns.tokens("text")).alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").alias("c"))
+        .collect()
+    }
+    budget = 39 * sum(c.values()) // 10
+    order = sorted(c, key=lambda s: (c[s], s))
+    rem, rem_n = budget, len(order)
+    expected = {}
+    i = 0
+    for i, s in enumerate(order):
+        if 4 * c[s] * rem_n < rem:
+            expected[s] = (4 * c[s], True)
+            rem -= 4 * c[s]
+            rem_n -= 1
+        else:
+            break
+    uncapped = order[len(expected):]
+    if uncapped:
+        base, extra = rem // len(uncapped), rem % len(uncapped)
+        for j, s in enumerate(uncapped):
+            expected[s] = (
+                base + (1 if j >= len(uncapped) - extra else 0),
+                False,
+            )
+
+    got = {
+        r["source"]: r
+        for r in registry.QUERIES["repetition_budget"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(c)
+    for s, r in got.items():
+        alloc, capped = expected[s]
+        assert r["unique_tokens"] == c[s]
+        assert r["capacity"] == 4 * c[s]
+        assert (r["allocated_tokens"], r["capped"]) == (alloc, capped), s
+        assert r["allocated_tokens"] <= r["capacity"]
+        assert r["epochs_ppm"] == r["allocated_tokens"] * 1000000 // c[s]
+        if capped:
+            assert r["epochs_ppm"] == 4000000
+    assert sum(r["allocated_tokens"] for r in got.values()) == budget
+    caps = {r["capped"] for r in got.values()}
+    assert caps == {True, False}, "fixture should mix capped and uncapped"

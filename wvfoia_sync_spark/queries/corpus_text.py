@@ -1818,6 +1818,139 @@ def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "repetition_budget",
+    oracle=f"""
+    WITH s AS (
+      SELECT source,
+             CAST(SUM(len({_SQL_TOKENS.format(c='text')})) AS BIGINT) AS c
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(c) AS t, COUNT(*) AS k FROM s),
+    r AS (
+      SELECT source, c,
+             ROW_NUMBER() OVER (ORDER BY c, source) AS rn,
+             SUM(c) OVER (ORDER BY c, source ROWS UNBOUNDED PRECEDING) AS cum
+      FROM s
+    ),
+    x AS (
+      SELECT r.*, tot.k, (39 * tot.t) // 10 AS b, 4 * r.c AS cap,
+             (4 * r.c * (tot.k - r.rn + 1) < (39 * tot.t) // 10 - 4 * (r.cum - r.c))
+               AS is_capped
+      FROM r, tot
+    ),
+    st AS (
+      SELECT COALESCE(SUM(CASE WHEN is_capped THEN cap END), 0) AS scap,
+             SUM(CASE WHEN is_capped THEN 1 ELSE 0 END) AS m
+      FROM x
+    ),
+    alloc AS (
+      SELECT x.source, x.c, x.cap, x.is_capped,
+             CAST(CASE
+               WHEN x.is_capped OR x.k - st.m = 0 THEN x.cap
+               ELSE (x.b - st.scap) // (x.k - st.m)
+                    + CASE WHEN (x.rn - st.m) >
+                             (x.k - st.m) - ((x.b - st.scap) % (x.k - st.m))
+                           THEN 1 ELSE 0 END
+             END AS BIGINT) AS allocated_tokens
+      FROM x, st
+    )
+    SELECT source, c AS unique_tokens, cap AS capacity, allocated_tokens,
+           CAST(allocated_tokens * 1000000 // c AS BIGINT) AS epochs_ppm,
+           is_capped AS capped
+    FROM alloc ORDER BY source
+    """,
+)
+def repetition_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained token-budget allocation (Muennighoff et al.
+    2023, "Scaling Data-Constrained Language Models": repeating data up
+    to ~4 epochs is nearly as good as fresh data; beyond that returns
+    decay fast): given a training budget of 3.9x the corpus's unique
+    tokens and a hard cap of R=4 epochs per source, split the budget
+    EQUALLY across sources by waterfilling — a source whose 4-epoch
+    capacity is below the rising waterline caps out and its unclaimed
+    share is redistributed to the sources that can still absorb it.
+    Output per source: unique tokens, 4-epoch capacity, allocated
+    tokens, resulting epochs (ppm, exact integer), capped flag — the
+    mixing table a data-constrained pretraining run is scheduled from.
+
+    Shape: everything after the per-source token sum is
+    SOURCE-CARDINALITY-sized. The waterline is solved in CLOSED FORM,
+    no iteration and no window: sources sorted by capacity cap out
+    exactly while cap_i x (sources remaining) < budget remaining, and
+    that test is evaluated per row from a rank + prefix-sum computed
+    via a broadcast triangular self-join of the source dimension
+    (k^2 rows, k = #sources — the dimension-sized idiom, cheaper than
+    a partition-less window which is banned repo-wide). Equal-share
+    remainders go to the LAST ``extra`` sources in (capacity, source)
+    order — integer-exact largest-remainder, the temperature_mixture
+    convention. Determinism: every quantity is exact BIGINT arithmetic
+    (products, floor-div, mod); no doubles anywhere.
+
+    At 100 TB the source dimension stays small (corpus registries are
+    dimension tables); the one corpus-scaled stage is the token-count
+    aggregate, a single map-side-combinable groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    src = (
+        docs.select("source", F.size(text_fns.tokens("text")).alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").cast("long").alias("c"))
+    )
+    tot = src.agg(F.sum("c").alias("t"), F.count("*").alias("k"))
+    a, b = src.alias("a"), src.alias("b")
+    leq = (F.col("b.c") < F.col("a.c")) | (
+        (F.col("b.c") == F.col("a.c")) & (F.col("b.source") <= F.col("a.source"))
+    )
+    ranked = (
+        a.join(F.broadcast(b), leq)
+        .groupBy(F.col("a.source").alias("source"), F.col("a.c").alias("c"))
+        .agg(F.count("*").alias("rn"), F.sum("b.c").alias("cum"))
+    )
+    x = (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "c",
+            "rn",
+            "cum",
+            "k",
+            F.expr("(39 * t) div 10").alias("b"),
+            (F.col("c") * 4).alias("cap"),
+        )
+        .withColumn(
+            "is_capped",
+            F.col("cap") * (F.col("k") - F.col("rn") + 1)
+            < F.col("b") - (F.col("cum") - F.col("c")) * 4,
+        )
+    )
+    stats = x.agg(
+        F.coalesce(F.sum(F.when(F.col("is_capped"), F.col("cap"))), F.lit(0))
+        .alias("scap"),
+        F.sum(F.when(F.col("is_capped"), 1).otherwise(0)).alias("m"),
+    )
+    u = F.col("k") - F.col("m")
+    base = F.expr("(b - scap) div (k - m)")
+    extra = (F.col("b") - F.col("scap")) % u
+    urank = F.col("rn") - F.col("m")
+    allocated = F.when(F.col("is_capped") | (u == 0), F.col("cap")).otherwise(
+        base + F.when(urank > u - extra, 1).otherwise(0)
+    )
+    return (
+        x.crossJoin(F.broadcast(stats))
+        .withColumn("allocated_tokens", allocated.cast("long"))
+        .select(
+            "source",
+            F.col("c").alias("unique_tokens"),
+            F.col("cap").alias("capacity"),
+            "allocated_tokens",
+            F.expr("allocated_tokens * 1000000 div c")
+            .cast("long")
+            .alias("epochs_ppm"),
+            F.col("is_capped").alias("capped"),
+        )
+    )
+
+
 @register("compression_scores")  # no SQL oracle: DEFLATE is not SQL-expressible
 def compression_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zlib compression-ratio quality signal (operators/textops.py
