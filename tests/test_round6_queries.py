@@ -1381,3 +1381,46 @@ def test_repetition_budget_waterfilling_semantics(spark):
     assert sum(r["allocated_tokens"] for r in got.values()) == budget
     caps = {r["capped"] for r in got.values()}
     assert caps == {True, False}, "fixture should mix capped and uncapped"
+
+
+def test_decontam_split_production_rules(spark):
+    """r9: the GPT-3 appendix-C production rules as parameters —
+    min_run_tokens discards short pieces (keeping ORIGINAL run_idx),
+    max_runs drops whole docs whose split count (pre-length-floor)
+    exceeds the cap. Verified by filtering the default output in
+    Python and comparing row sets; both rules must actually fire on
+    the fixture."""
+    from wvfoia_sync_spark.queries.corpus_text import decontam_split
+
+    base_rows = [
+        (r["doc_id"], r["run_idx"], r["n_toks"], r["run_md5"])
+        for r in decontam_split(spark, SF_DIR).collect()
+    ]
+    by_doc: dict[int, list] = {}
+    for row in base_rows:
+        by_doc.setdefault(row[0], []).append(row)
+
+    MIN, MAXR = 20, 1
+    expected = {
+        row
+        for d, rows_d in by_doc.items()
+        if len(rows_d) <= MAXR
+        for row in rows_d
+        if row[2] >= MIN
+    }
+    got = {
+        (r["doc_id"], r["run_idx"], r["n_toks"], r["run_md5"])
+        for r in decontam_split(
+            spark, SF_DIR, min_run_tokens=MIN, max_runs=MAXR
+        ).collect()
+    }
+    assert got == expected
+    # both rules fired: some doc dropped for splitting, some run
+    # dropped for length (among docs that survived the split cap)
+    assert any(len(rows_d) > MAXR for rows_d in by_doc.values())
+    assert any(
+        row[2] < MIN
+        for d, rows_d in by_doc.items()
+        if len(rows_d) <= MAXR
+        for row in rows_d
+    )

@@ -652,7 +652,12 @@ def decontam_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM runs ORDER BY doc_id, run_idx
     """,
 )
-def decontam_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+def decontam_split(
+    spark: SparkSession,
+    sf_dir: str,
+    min_run_tokens: int = 0,
+    max_runs: int | None = None,
+) -> DataFrame:
     """SPLIT-document decontamination (GPT-3 appendix C proper — the
     r8 seam caveat made first-class): where decontam_scrub re-joins the
     surviving tokens of a contaminated doc into ONE cleaned doc (and
@@ -663,6 +668,18 @@ def decontam_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-cut n-gram ever enters the corpus. A clean doc yields one
     run (the whole doc); a fully-covered doc yields zero rows; run_idx
     is 0-based in document order.
+
+    The appendix's two PRODUCTION rules ship as parameters (defaults
+    off — the registered/oracled form is the pure split):
+    ``min_run_tokens`` discards pieces shorter than the floor (GPT-3
+    discarded pieces under 200 characters), and ``max_runs`` drops a
+    document ENTIRELY when the split produced more than this many
+    pieces (GPT-3 removed docs split more than 10 times — a heavily
+    contaminated doc is more likely benchmark-derived than merely
+    touched). ``max_runs`` counts pieces BEFORE the length floor (the
+    split count is the contamination signal, independent of piece
+    size), and surviving pieces keep their ORIGINAL run_idx — stable
+    provenance under either filter.
 
     Shape: the scrub machinery unchanged up to the matched-start set
     (broadcast eval-gram dimension -> map-side semi-join -> one
@@ -736,20 +753,33 @@ def decontam_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.element_at(F.col("toks"), i + 1),
         )
         return F.struct(
-            (e - s).cast("long").alias("n_toks"),
+            k.cast("long").alias("run_idx"),  # ORIGINAL index: stable
+            (e - s).cast("long").alias("n_toks"),  # under the filters
             F.md5(F.array_join(toks_run, " ")).alias("run_md5"),
         )
 
     runs = F.when(
         nb > 0, F.transform(F.sequence(F.lit(0), nb - 1), mk_run)
     ).otherwise(
-        F.array().cast("array<struct<n_toks:bigint,run_md5:string>>")
+        F.array().cast(
+            "array<struct<run_idx:bigint,n_toks:bigint,run_md5:string>>"
+        )
     )
-    return base.select(
-        "doc_id", F.posexplode(runs).alias("run_idx", "r")
+    out = base.select("doc_id", runs.alias("runs"))
+    if max_runs is not None:  # split count = contamination signal
+        out = out.where(F.size("runs") <= max_runs)
+    if min_run_tokens > 0:  # GPT-3's short-piece discard
+        out = out.select(
+            "doc_id",
+            F.filter(
+                "runs", lambda r: r["n_toks"] >= min_run_tokens
+            ).alias("runs"),
+        )
+    return out.select(
+        "doc_id", F.explode("runs").alias("r")
     ).select(
         "doc_id",
-        F.col("run_idx").cast("long").alias("run_idx"),
+        F.col("r.run_idx").alias("run_idx"),
         F.col("r.n_toks").alias("n_toks"),
         F.col("r.run_md5").alias("run_md5"),
     )
