@@ -160,3 +160,81 @@ def test_upsert_rejects_drifted_delta(spark, tmp_path):
         )
     # the failed upsert wrote nothing
     assert ann_index.load_ann_index(spark, d).count() == base.count()
+
+
+def test_upsert_rearriving_vec_newest_wins(spark, tmp_path):
+    """r9: a delta that RE-ARRIVES existing vec_ids with changed
+    embeddings must not leave the stale codes visible — readers resolve
+    each vec_id to its newest segment, so build(base) + upsert(updated
+    delta) loads exactly what a fresh build of the upserted corpus
+    loads, even when the update moves a vector to a different cell.
+    Previously both versions stayed visible and top-k could return a
+    vector that no longer exists."""
+    emb, cents, books, _ = _artifacts(spark)
+    # update: negate every 7th vector — guaranteed different codes and
+    # (for most) a different nearest centroid, i.e. a cell MOVE
+    moved = emb.where(F.col("vec_id") % 7 == 0).withColumn(
+        "embedding", F.transform("embedding", lambda x: -x)
+    )
+    upserted = emb.join(moved.select("vec_id"), "vec_id", "left_anti").unionByName(
+        moved
+    )
+
+    inc_dir = str(tmp_path / "inc_idx")
+    fresh_dir = str(tmp_path / "fresh_idx")
+    ann_index.build_ann_index(emb, cents, books, inc_dir)
+    # negated vectors fit the centroids worse by construction: this is
+    # an update-correctness test, not a drift test — disable the gate
+    ann_index.upsert_ann_index(
+        moved, cents, books, inc_dir, drift_tolerance=1000.0
+    )
+    ann_index.build_ann_index(upserted, cents, books, fresh_dir)
+
+    def rows(path):
+        return {
+            (r["vec_id"], r["ivf_cell"], tuple(r["pq_code"]))
+            for r in ann_index.load_ann_index(spark, path).collect()
+        }
+
+    assert rows(inc_dir) == rows(fresh_dir)
+    # each id appears exactly once in the live view
+    live = ann_index.load_ann_index(spark, inc_dir)
+    assert live.count() == live.select("vec_id").distinct().count()
+
+
+def test_compact_ann_index_equivalent_and_resets(spark, tmp_path):
+    """r9: compact_ann_index folds the segments into a raw layout
+    row-identical to a fresh build of the upserted corpus (stale rows
+    physically gone, not just filtered), keeps the ivf_cell partition
+    dirs, and resets _max_seg so loads take the fast path again."""
+    import json
+
+    emb, cents, books, _ = _artifacts(spark)
+    moved = emb.where(F.col("vec_id") % 7 == 0).withColumn(
+        "embedding", F.transform("embedding", lambda x: -x)
+    )
+    upserted = emb.join(moved.select("vec_id"), "vec_id", "left_anti").unionByName(
+        moved
+    )
+
+    inc_dir = str(tmp_path / "inc_idx")
+    fresh_dir = str(tmp_path / "fresh_idx")
+    ann_index.build_ann_index(emb, cents, books, inc_dir)
+    ann_index.upsert_ann_index(
+        moved, cents, books, inc_dir, drift_tolerance=1000.0
+    )
+    ann_index.compact_ann_index(spark, inc_dir)
+    ann_index.build_ann_index(upserted, cents, books, fresh_dir)
+
+    def raw(path):
+        return {
+            (r["vec_id"], r["ivf_cell"], tuple(r["pq_code"]), r["seg"])
+            for r in spark.read.parquet(path).collect()
+        }
+
+    assert raw(inc_dir) == raw(fresh_dir)
+    with open(os.path.join(inc_dir, ann_index.STATS_FILE)) as f:
+        assert json.load(f)[ann_index._MAX_SEG_KEY] == 0
+    assert any(
+        d.startswith("ivf_cell=") for d in os.listdir(inc_dir)
+    )

@@ -43,6 +43,9 @@ def index_path(sf_dir: str, n_cells: int, m: int, n_cents: int) -> str:
 
 
 STATS_FILE = "_ann_stats.json"
+# reserved key inside STATS_FILE holding the newest segment id; the
+# per-cell merge/drift loops index by str(cell) so the key is inert there
+_MAX_SEG_KEY = "_max_seg"
 
 
 def cell_similarity_stats(
@@ -114,13 +117,17 @@ def build_ann_index(
     def build(tmp: str) -> None:
         idx = _encode(emb, centroids, codebooks, id_col, vec_col)
         # one file per cell at test scale; a cluster build keeps task
-        # parallelism per cell instead
-        idx.repartition("ivf_cell").write.mode("overwrite").partitionBy(
-            "ivf_cell"
-        ).parquet(tmp)
+        # parallelism per cell instead; seg=0 is the segment column the
+        # upsert/compact lifecycle resolves newest-wins (r9, the
+        # band-index/fts_index posture)
+        idx.withColumn("seg", F.lit(0)).repartition("ivf_cell").write.mode(
+            "overwrite"
+        ).partitionBy("ivf_cell").parquet(tmp)
         stats = cell_similarity_stats(emb, centroids, vec_col, id_col)
+        payload = {str(k): v for k, v in stats.items()}
+        payload[_MAX_SEG_KEY] = 0
         with open(os.path.join(tmp, STATS_FILE), "w") as f:
-            json.dump({str(k): v for k, v in stats.items()}, f)
+            json.dump(payload, f)
 
     return derived.publish(build, out)
 
@@ -143,10 +150,9 @@ def check_centroid_drift(
     degrades, capped semantics left to the caller's tolerance."""
     with open(os.path.join(index_dir, STATS_FILE)) as f:
         built = json.load(f)
-    total_n = sum(v["n"] for v in built.values())
-    built_mean = (
-        sum(v["n"] * v["mean_sim"] for v in built.values()) / total_n
-    )
+    cells = [v for v in built.values() if isinstance(v, dict)]  # skip _max_seg
+    total_n = sum(v["n"] for v in cells)
+    built_mean = sum(v["n"] * v["mean_sim"] for v in cells) / total_n
     delta_stats = cell_similarity_stats(delta, centroids, vec_col, id_col)
     d_n = sum(v["n"] for v in delta_stats.values())
     if d_n == 0:
@@ -181,7 +187,16 @@ def upsert_ann_index(
     their `ivf_cell=` dirs only at task commit); a crashed upsert leaves
     orphan temp files, not corrupt data — a table format (Delta/Iceberg)
     supplies full transactionality in production. Like the FTS upsert,
-    the stats-file merge assumes a single writer (the ingest job)."""
+    the stats-file merge assumes a single writer (the ingest job).
+
+    RE-ARRIVING vec_ids are SAFE (r9): the delta lands as a NEW SEGMENT
+    (``seg = max_seg + 1``) and readers (load_ann_index,
+    compact_ann_index) resolve each vec_id to its newest segment — an
+    updated vector's stale codes drop out of every query even when the
+    update moved it to a DIFFERENT cell (resolution is by id, not by
+    cell). Same contract as the stored band index and the FTS live-docs
+    filter; previously a re-arriving id left both versions visible to
+    top-k."""
     drift = check_centroid_drift(delta, centroids, index_dir, vec_col, id_col)
     if drift > drift_tolerance:
         raise CentroidDriftError(
@@ -189,13 +204,14 @@ def upsert_ann_index(
             f"(tolerance {drift_tolerance:.0%}); retrain centroids and "
             "rebuild instead of upserting"
         )
-    idx = _encode(delta, centroids, codebooks, id_col, vec_col)
-    idx.repartition("ivf_cell").write.mode("append").partitionBy(
-        "ivf_cell"
-    ).parquet(index_dir)
-    # merge per-cell stats count-weighted
     with open(os.path.join(index_dir, STATS_FILE)) as f:
         built = json.load(f)
+    seg = built.get(_MAX_SEG_KEY, 0) + 1
+    idx = _encode(delta, centroids, codebooks, id_col, vec_col)
+    idx.withColumn("seg", F.lit(seg)).repartition("ivf_cell").write.mode(
+        "append"
+    ).partitionBy("ivf_cell").parquet(index_dir)
+    # merge per-cell stats count-weighted
     for cell, s in cell_similarity_stats(
         delta, centroids, vec_col, id_col
     ).items():
@@ -205,10 +221,62 @@ def upsert_ann_index(
             "n": n,
             "mean_sim": (b["n"] * b["mean_sim"] + s["n"] * s["mean_sim"]) / n,
         }
+    built[_MAX_SEG_KEY] = seg
     with open(os.path.join(index_dir, STATS_FILE), "w") as f:
         json.dump(built, f)
     return index_dir
 
 
+def _index_id_col(df: DataFrame) -> str:
+    """The stored index's id column: whatever the build's id_col was —
+    the one column that is not codes, cell, or segment."""
+    rest = [c for c in df.columns if c not in ("pq_code", "ivf_cell", "seg")]
+    if len(rest) != 1:
+        raise ValueError(f"ambiguous index id column among {df.columns}")
+    return rest[0]
+
+
 def load_ann_index(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+    """CURRENT index state: newest segment wins per vec_id. The
+    single-segment fast path (max_seg == 0: a fresh build or a
+    just-compacted index, the common case) skips the live join
+    entirely, so queries over an un-upserted index pay zero resolution
+    overhead — the band-index/fts pattern."""
+    df = spark.read.parquet(path)
+    with open(os.path.join(path, STATS_FILE)) as f:
+        max_seg = json.load(f).get(_MAX_SEG_KEY, 0)
+    if max_seg == 0:
+        return df.drop("seg")
+    id_col = _index_id_col(df)
+    live = df.groupBy(id_col).agg(F.max("seg").alias("seg"))
+    return df.join(live, [id_col, "seg"]).drop("seg")
+
+
+def compact_ann_index(spark: SparkSession, path: str) -> str:
+    """Fold all upserted segments back into a single-segment index:
+    newest-wins resolution materializes, stale versions' rows are
+    physically dropped, and the ``ivf_cell=`` partition layout (the
+    PartitionFilter pruning contract) is rebuilt identically. Rewrite
+    goes through a temp dir + whole-directory swap so a concurrent
+    reader resolves the old layout or the new one, never a half-written
+    directory (compact_fts_index posture). Cell stats carry over as-is:
+    they are count-weighted FIT statistics for the drift baseline, not
+    row counts, and the trained artifacts they describe are unchanged;
+    ``_max_seg`` resets to 0 so subsequent loads take the fast path."""
+    live = load_ann_index(spark, path)
+    tmp = path + "._compact"
+    live.withColumn("seg", F.lit(0)).repartition("ivf_cell").write.mode(
+        "overwrite"
+    ).partitionBy("ivf_cell").parquet(tmp)
+    with open(os.path.join(path, STATS_FILE)) as f:
+        built = json.load(f)
+    built[_MAX_SEG_KEY] = 0
+    with open(os.path.join(tmp, STATS_FILE), "w") as f:
+        json.dump(built, f)
+    old = path + "._old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    import shutil
+
+    shutil.rmtree(old, ignore_errors=True)
+    return path
