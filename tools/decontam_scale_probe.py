@@ -1,0 +1,108 @@
+"""Corpus-growth probe for the r9 decontam_split shape
+(queries/corpus_text.py): split shares decontam_scrub's pipeline up to
+the matched-start set (broadcast eval-gram dim, two doc-keyed
+exchanges) and replaces the final md5-of-joined-survivors projection
+with per-row run algebra (boundary detection + slice + md5 fold) plus
+an output-sized explode. The claim under test: the run algebra is a
+per-row constant, so split tracks scrub's wall at every corpus size —
+no hidden super-linear term in the higher-order-function stack.
+
+Documents are grown k-fold with replica-prefixed tokens (genuinely new
+content, same shape), written to a temp dataset dir so the REGISTERED
+query callables run unmodified. Unlike dsir_scale_probe's ``r{j}_``
+prefix, the prefix here has NO separator: the tokenizer splits on
+non-alnum, so ``r1_the`` would become two tokens ("r1", "the") and the
+constant interleave would collapse the 4-gram structure — fine for
+dsir's hashed buckets, fatal for a gram-match fixture. ``r1the`` keeps
+one token per word and an isomorphic gram structure per replica. Per k:
+both walls (min of 3 interleaved), output row counts, and the
+split/scrub wall ratio.
+
+Usage: python tools/decontam_scale_probe.py [out_jsonl] [k1,k2,...]
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from wvfoia_sync_spark import registry  # noqa: E402
+from wvfoia_sync_spark.session import get_spark  # noqa: E402
+from wvfoia_sync_spark.sources.tables import load_table  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+
+
+def grown_dir(spark, k: int, tmp_root: str) -> str:
+    docs = load_table(spark, BASE, "documents").select("doc_id", "text")
+    n = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    parts = [docs]
+    for j in range(1, k):
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + j * n).alias("doc_id"),
+                F.regexp_replace(F.col("text"), r"(\w+)", f"r{j}$1").alias(
+                    "text"
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    d = f"{tmp_root}/k{k}"
+    out.repartition(8).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet"
+    )
+    return d
+
+
+def main() -> int:
+    out_path = (
+        sys.argv[1] if len(sys.argv) > 1 else "SCALE_probe_r9_decontam.jsonl"
+    )
+    ks = [int(x) for x in (sys.argv[2].split(",") if len(sys.argv) > 2 else [1, 4])]
+    spark = get_spark("decontam-scale-probe")
+    tmp = tempfile.mkdtemp(prefix="decontam_probe_")
+    rows = []
+    try:
+        for k in ks:
+            d = grown_dir(spark, k, tmp)
+            walls = {"decontam_scrub": [], "decontam_split": []}
+            counts = {}
+            for _ in range(3):  # interleaved min-of-3
+                for name in ("decontam_scrub", "decontam_split"):
+                    t0 = time.time()
+                    counts[name] = registry.QUERIES[name](spark, d).count()
+                    walls[name].append(time.time() - t0)
+            scrub = round(min(walls["decontam_scrub"]), 3)
+            split = round(min(walls["decontam_split"]), 3)
+            rows.append(
+                {
+                    "probe": "decontam_split_growth_r9",
+                    "k": k,
+                    "scrub_s": scrub,
+                    "split_s": split,
+                    "split_over_scrub": round(split / scrub, 3),
+                    "scrub_rows": counts["decontam_scrub"],
+                    "split_rows": counts["decontam_split"],
+                }
+            )
+            print(json.dumps(rows[-1]))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    with open(out_path, "a") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
