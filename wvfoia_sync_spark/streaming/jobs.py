@@ -842,7 +842,17 @@ def streaming_near_dup_pruned(
     side must be shingled, signed, and banded with exactly the
     parameters the index was built with, or candidates silently miss —
     passing them explicitly is allowed for doc value, but a mismatch
-    with the manifest raises instead of returning wrong answers."""
+    with the manifest raises instead of returning wrong answers.
+
+    APPEND-WHILE-STREAMING (r10, closes the r9 advice finding): an
+    ``append_band_index`` concurrent with a running gate is visible at
+    the NEXT batch boundary — each batch re-reads the manifest and
+    re-derives the newest-wins live map only when max_seg moved (the
+    common no-append case pays one JSON stat per batch, zero Spark
+    work). Earlier the live map was snapshotted once at stream start
+    while each batch re-read the parquet fresh: appended docs were
+    silently invisible, re-arrived docs gated against stale text, and a
+    0 -> >0 max_seg transition exposed BOTH versions."""
     from ..operators.dedup import (
         _band_signatures,
         _sig_from_hashed_pandas,
@@ -869,17 +879,34 @@ def streaming_near_dup_pruned(
 
     spark = incoming.sparkSession
     sig = _sig_from_hashed_pandas(num_hashes)
-    # Newest-segment-wins live resolution, computed ONCE before the
-    # stream starts and checkpointed (doc-cardinality — two longs per
-    # indexed doc), so appended indexes with re-arriving doc_ids gate
-    # against current content only and the resolution aggregate does
-    # NOT re-run per micro-batch (the r8 advice's built-once posture).
-    # Fresh/compacted indexes (max_seg == 0) skip it entirely.
-    live = None
-    if _band_manifest_read(index_path)["max_seg"] > 0:
-        live = _live_train_segs(spark, index_path).localCheckpoint()
+    # Newest-segment-wins live resolution, computed once and checkpointed
+    # (doc-cardinality — two longs per indexed doc), so the resolution
+    # aggregate does NOT re-run per micro-batch (the r8 advice's
+    # built-once posture). Fresh/compacted indexes (max_seg == 0) skip it
+    # entirely. A concurrent append_band_index during a running stream IS
+    # tolerated (r9 advice): each batch re-reads the manifest (one tiny
+    # JSON read — no Spark job) and re-derives the live map only when
+    # max_seg actually moved, so mid-stream appends become visible at the
+    # next batch boundary, a re-arrived doc gates against its newest text,
+    # and the 0 -> >0 transition (which would otherwise expose BOTH
+    # versions through the fast path) picks up resolution the moment it
+    # is needed. Batches between the append and the next manifest read
+    # gate against the pre-append snapshot — the same eventual-visibility
+    # contract as any snapshot-isolated reader.
+    seen = {"max_seg": man["max_seg"], "live": None}
+    if seen["max_seg"] > 0:
+        seen["live"] = _live_train_segs(spark, index_path).localCheckpoint()
 
     def gate(batch_df: DataFrame, epoch_id: int) -> None:
+        cur_seg = _band_manifest_read(index_path)["max_seg"]
+        if cur_seg != seen["max_seg"]:  # mid-stream append (or compact)
+            seen["max_seg"] = cur_seg
+            seen["live"] = (
+                _live_train_segs(spark, index_path).localCheckpoint()
+                if cur_seg > 0
+                else None
+            )
+        live = seen["live"]
         h_in = hashed_shingles(batch_df, "doc_id", "text", shingle_size)
         banded_in = _band_signatures(
             h_in.select("id", F.col("hs"), sig(F.col("hs")).alias("sig")),
