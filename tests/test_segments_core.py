@@ -1,0 +1,102 @@
+"""Unit tests for the shared segment-lifecycle core
+(operators/segments.py, r10): the three stored indexes (FTS, band, ANN)
+all delegate manifest IO, newest-wins resolution, and compaction swap
+here, so the contract is pinned once. The index-level behaviors remain
+pinned end-to-end by tests/test_fts_index_incremental.py,
+tests/test_round6_queries.py (band lifecycle), and
+tests/test_ann_index.py — all green UNCHANGED across the extraction,
+which is the refactor's acceptance criterion (VERDICT r9 item 2).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from wvfoia_sync_spark.operators import segments
+
+
+def test_manifest_roundtrip_and_atomic_replace(tmp_path):
+    d = str(tmp_path)
+    segments.write_manifest(d, "_m.json", {"max_seg": 0, "p": 3})
+    assert segments.read_manifest(d, "_m.json") == {"max_seg": 0, "p": 3}
+    segments.write_manifest(d, "_m.json", {"max_seg": 2, "p": 3})
+    assert segments.read_manifest(d, "_m.json")["max_seg"] == 2
+    # replace, not append: no temp residue
+    assert sorted(os.listdir(d)) == ["_m.json"]
+
+
+def test_read_manifest_missing_raises_rebuild_hint(tmp_path):
+    with pytest.raises(FileNotFoundError, match="[Rr]ebuild"):
+        segments.read_manifest(str(tmp_path), "_m.json")
+
+
+def test_next_seg_requires_key():
+    assert segments.next_seg({"max_seg": 4}) == 5
+    with pytest.raises(KeyError):  # legacy manifest must not default
+        segments.next_seg({})
+
+
+def test_live_resolution_newest_wins(spark):
+    df = spark.createDataFrame(
+        [(1, 0, "a0"), (2, 0, "b0"), (1, 1, "a1"), (3, 2, "c2"), (1, 2, "a2")],
+        ["id", "seg", "payload"],
+    )
+    live = segments.live_view(df, "id")
+    assert {(r["id"], r["seg"]) for r in live.collect()} == {
+        (1, 2), (2, 0), (3, 2)
+    }
+    resolved = segments.resolve_newest(df, live, "id")
+    assert "seg" not in resolved.columns
+    assert {(r["id"], r["payload"]) for r in resolved.collect()} == {
+        (1, "a2"), (2, "b0"), (3, "c2")
+    }
+    # 2 of 5 stored rows are shadowed
+    assert segments.stale_fraction(df, live, "id") == pytest.approx(0.4)
+
+
+def test_stale_fraction_empty_is_zero(spark):
+    df = spark.createDataFrame([], "id int, seg int")
+    assert segments.stale_fraction(df, segments.live_view(df, "id"), "id") == 0.0
+
+
+def test_compact_swap_publishes_complete_dir_and_clears_residue(tmp_path):
+    path = str(tmp_path / "idx")
+    os.makedirs(path)
+    with open(os.path.join(path, "data"), "w") as f:
+        f.write("old")
+    # residue from a previously crashed compaction must not break the next
+    os.makedirs(path + "._compact")
+    os.makedirs(path + "._old")
+
+    def write_into(tmp):
+        os.makedirs(tmp, exist_ok=True)
+        with open(os.path.join(tmp, "data"), "w") as f:
+            f.write("new")
+        segments.write_manifest(tmp, "_m.json", {"max_seg": 0})
+
+    out = segments.compact_swap(path, write_into)
+    assert out == path
+    with open(os.path.join(path, "data")) as f:
+        assert f.read() == "new"
+    # manifest arrived WITH the layout (written pre-swap into the temp dir)
+    with open(os.path.join(path, "_m.json")) as f:
+        assert json.load(f)["max_seg"] == 0
+    assert not os.path.exists(path + "._compact")
+    assert not os.path.exists(path + "._old")
+
+
+def test_compact_swap_crash_before_swap_leaves_old_intact(tmp_path):
+    path = str(tmp_path / "idx")
+    os.makedirs(path)
+    segments.write_manifest(path, "_m.json", {"max_seg": 3})
+
+    def boom(tmp):
+        raise RuntimeError("writer crashed")
+
+    with pytest.raises(RuntimeError):
+        segments.compact_swap(path, boom)
+    # live path untouched, manifest still the multi-segment one
+    assert segments.read_manifest(path, "_m.json")["max_seg"] == 3

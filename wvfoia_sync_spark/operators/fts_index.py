@@ -25,17 +25,24 @@ Cache discipline per sources/derived.py: content-fingerprinted paths,
 rename-if-absent publication. Token buckets keep query-time equality
 probes narrow; prefix terms span buckets by nature (documented — the
 reference's FTS5 prefix scan has the same shape).
+
+The lifecycle mechanics (manifest IO, newest-wins resolution,
+single-segment fast path, compaction swap) are the shared segment core
+(operators/segments.py, r10) — this module owns only the FTS-specific
+layout: tokenization, token-bucket partitioning, and the separate
+``live/`` table that makes the live aggregate doc-sized instead of
+posting-sized.
 """
 
 from __future__ import annotations
 
-import json
 import os
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..sources import derived
+from . import segments
 from .fts import with_tokens
 
 MANIFEST = "_fts_manifest.json"
@@ -86,8 +93,9 @@ def build_fts_index(
         docs.select(F.col(id_col).alias("id")).distinct().withColumn(
             "seg", F.lit(0)
         ).write.mode("overwrite").parquet(os.path.join(tmp, "live"))
-        with open(os.path.join(tmp, MANIFEST), "w") as f:
-            json.dump({"max_seg": 0, "num_buckets": num_buckets}, f)
+        segments.write_manifest(
+            tmp, MANIFEST, {"max_seg": 0, "num_buckets": num_buckets}
+        )
         open(os.path.join(tmp, "_SUCCESS"), "w").close()
 
     return derived.publish(build, out)
@@ -109,9 +117,8 @@ def upsert_fts_index(
     upserters — production puts this behind the ingest job's own
     serialization (or a table format's commit protocol)."""
     text_cols = text_cols or ["text"]
-    with open(os.path.join(index_dir, MANIFEST)) as f:
-        man = json.load(f)
-    seg = man["max_seg"] + 1
+    man = segments.read_manifest(index_dir, MANIFEST)
+    seg = segments.next_seg(man)
     p = _postings(delta_docs, id_col, text_cols, man["num_buckets"], seg=seg)
     p.repartition("bucket").write.mode("append").partitionBy("bucket").parquet(
         os.path.join(index_dir, "postings")
@@ -120,68 +127,69 @@ def upsert_fts_index(
         "seg", F.lit(seg)
     ).write.mode("append").parquet(os.path.join(index_dir, "live"))
     man["max_seg"] = seg
-    with open(os.path.join(index_dir, MANIFEST), "w") as f:
-        json.dump(man, f)
+    segments.write_manifest(index_dir, MANIFEST, man)
     return seg
 
 
 def load_fts_index(spark: SparkSession, index_dir: str) -> DataFrame:
     """(token, id) posting view of the CURRENT corpus state: per-id max
-    live seg (doc-cardinality aggregate) equi-joined onto postings — the
-    live-docs filter. Stale segments' rows drop out of the join."""
+    live seg (doc-cardinality aggregate, from the doc-sized ``live/``
+    table — never the posting-sized one) equi-joined onto postings —
+    the live-docs filter. Stale segments' rows drop out of the join.
+    Single-segment indexes (max_seg == 0: fresh build or just
+    compacted, the common case) skip the live join entirely (r10 — the
+    fast path the band/ANN indexes already had; an un-upserted index
+    now pays zero resolution overhead on every FTS query)."""
     postings = spark.read.parquet(os.path.join(index_dir, "postings"))
-    live = (
-        spark.read.parquet(os.path.join(index_dir, "live"))
-        .groupBy("id")
-        .agg(F.max("seg").alias("seg"))
+    if segments.read_manifest(index_dir, MANIFEST)["max_seg"] == 0:
+        return postings.select("token", "id")
+    live = segments.live_view(
+        spark.read.parquet(os.path.join(index_dir, "live")), "id"
     )
-    return postings.join(live, ["id", "seg"]).select("token", "id")
+    return segments.resolve_newest(postings, live, "id").select("token", "id")
 
 
 def dead_fraction(spark: SparkSession, index_dir: str) -> float:
     """Fraction of stored posting rows that the live filter discards —
-    the compaction trigger metric."""
-    postings = spark.read.parquet(os.path.join(index_dir, "postings"))
-    total = postings.count()
-    if total == 0:
+    the compaction trigger metric. Zero by construction for a
+    single-segment index (each id has exactly one segment)."""
+    if segments.read_manifest(index_dir, MANIFEST)["max_seg"] == 0:
         return 0.0
-    alive = load_fts_index(spark, index_dir).count()
-    return 1.0 - alive / total
+    postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+    live = segments.live_view(
+        spark.read.parquet(os.path.join(index_dir, "live")), "id"
+    )
+    return segments.stale_fraction(postings, live, "id")
 
 
 def compact_fts_index(spark: SparkSession, index_dir: str) -> str:
-    """Fold the live postings into a fresh single-segment index dir
-    (write-new + swap via a new content-keyed path is the caller's
-    choice; here we rewrite in place through a temp subdir + rename,
-    safe because readers resolve files at scan time)."""
-    with open(os.path.join(index_dir, MANIFEST)) as f:
-        man = json.load(f)
+    """Fold the live postings into a single-segment index via the
+    shared whole-directory swap (segments.compact_swap — crash-safe
+    single-writer rewrite; the max_seg=0 manifest and the _SUCCESS
+    completeness marker are written INTO the temp dir before the swap,
+    so no crash leaves a manifest that disagrees with the layout or a
+    postings table that disagrees with live/). Reader-safe publication
+    under a new content-keyed path is the caller's alternative."""
+    man = segments.read_manifest(index_dir, MANIFEST)
     alive = (
         load_fts_index(spark, index_dir)
         .withColumn("seg", F.lit(0))
         .withColumn(
             "bucket", F.pmod(F.xxhash64("token"), F.lit(man["num_buckets"]))
         )
-    )
-    tmp_postings = os.path.join(index_dir, "postings._compact")
-    alive.repartition("bucket").write.mode("overwrite").partitionBy(
-        "bucket"
-    ).parquet(tmp_postings)
-    live_ids = alive.select("id").distinct().withColumn("seg", F.lit(0))
-    tmp_live = os.path.join(index_dir, "live._compact")
-    live_ids.write.mode("overwrite").parquet(tmp_live)
-    import shutil
+    ).localCheckpoint()  # two consumers (postings + live); fold once
 
-    for name, tmp in (("postings", tmp_postings), ("live", tmp_live)):
-        final = os.path.join(index_dir, name)
-        old = final + "._old"
-        os.rename(final, old)
-        os.rename(tmp, final)
-        shutil.rmtree(old, ignore_errors=True)
-    man["max_seg"] = 0
-    with open(os.path.join(index_dir, MANIFEST), "w") as f:
-        json.dump(man, f)
-    return index_dir
+    def write_into(tmp: str) -> None:
+        alive.repartition("bucket").write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(os.path.join(tmp, "postings"))
+        alive.select("id").distinct().withColumn("seg", F.lit(0)).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(tmp, "live"))
+        segments.write_manifest(tmp, MANIFEST, {**man, "max_seg": 0})
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+
+    return segments.compact_swap(index_dir, write_into)
 
 
 def stream_maintain_fts_index(

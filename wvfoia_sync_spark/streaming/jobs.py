@@ -14,7 +14,6 @@ batch-equivalent runs — the tests assert stream output == batch output.
 
 from __future__ import annotations
 
-import json
 import os
 import shutil
 
@@ -23,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 from pyspark.sql.utils import AnalysisException
 
+from ..operators import segments
 from ..session import configure_session
 
 def _events_schema(ts_type: T.DataType) -> T.StructType:
@@ -551,13 +551,11 @@ _BAND_MANIFEST = "_manifest.json"
 
 
 def _band_manifest_read(path: str) -> dict:
-    with open(os.path.join(path, _BAND_MANIFEST)) as f:
-        return json.load(f)
+    return segments.read_manifest(path, _BAND_MANIFEST)
 
 
 def _band_manifest_write(path: str, man: dict) -> None:
-    with open(os.path.join(path, _BAND_MANIFEST), "w") as f:
-        json.dump(man, f)
+    segments.write_manifest(path, _BAND_MANIFEST, man)
 
 
 def _banded_corpus(
@@ -687,7 +685,7 @@ def append_band_index(
     re-derives its guard from the live index if ingest latency demands
     a hard bound sooner."""
     man = _band_manifest_read(path)
-    seg = man["max_seg"] + 1
+    seg = segments.next_seg(man)
     index, shingles = _banded_corpus(
         corpus_delta,
         id_col,
@@ -715,11 +713,10 @@ def append_band_index(
 def _live_train_segs(spark: SparkSession, path: str) -> DataFrame:
     """(train_id, seg) of each doc's NEWEST segment — the live-docs
     filter (one row per indexed doc; shingles has exactly one row per
-    (train_id, seg), so the max-seg aggregate is doc-cardinality)."""
-    return (
-        spark.read.parquet(f"{path}/shingles")
-        .groupBy("train_id")
-        .agg(F.max("seg").alias("seg"))
+    (train_id, seg), so the max-seg aggregate is doc-cardinality —
+    never run it on the much larger bands table)."""
+    return segments.live_view(
+        spark.read.parquet(f"{path}/shingles"), "train_id"
     )
 
 
@@ -739,9 +736,45 @@ def load_band_index(
         return bands.drop("seg"), shingles.drop("seg")
     live = _live_train_segs(spark, path)
     return (
-        bands.join(live, ["train_id", "seg"]).drop("seg"),
-        shingles.join(live, ["train_id", "seg"]).drop("seg"),
+        segments.resolve_newest(bands, live, "train_id"),
+        segments.resolve_newest(shingles, live, "train_id"),
     )
+
+
+def band_index_staleness(spark: SparkSession, path: str) -> dict:
+    """Measurable compaction trigger for the stored band index (r10,
+    VERDICT r9 item 4 — the band twin of fts_index.dead_fraction, so
+    the SCALE.md cadence rule "compact when accumulated gate-side
+    live-join rent exceeds one compaction" is computable instead of
+    folklore). Returns::
+
+        {"max_seg": int,          # segments since last compaction
+         "stale_fraction": float} # band rows the live filter discards
+
+    Cost: zero Spark work for a single-segment index (manifest read
+    only); otherwise one scan of the bands table + the doc-cardinality
+    live aggregate — the same work ONE gate run's live join pays, so
+    measuring is never costlier than the rent being measured.
+
+    Cadence recipe (measured, SCALE_probe_r10_bandstale.jsonl): every
+    multi-segment gate run pays the live join on top of its own work;
+    compaction costs roughly one index rebuild minus the banding (the
+    r9 probe: 2.44 s vs 3.62 s at sf0.1 geometry) and repays itself in
+    about one gate run (4.78 s -> 1.98 s same probe). So trigger when
+    ``max_seg > 0`` and the expected number of gate runs before the
+    next natural rebuild exceeds ~1, or unconditionally once
+    stale_fraction clears ~0.3 (the fts compaction bar) — stale rows
+    inflate every candidate join's build side, not just the resolution
+    aggregate."""
+    max_seg = _band_manifest_read(path)["max_seg"]
+    if max_seg == 0:
+        return {"max_seg": 0, "stale_fraction": 0.0}
+    bands = spark.read.parquet(f"{path}/bands")
+    live = _live_train_segs(spark, path)
+    return {
+        "max_seg": max_seg,
+        "stale_fraction": segments.stale_fraction(bands, live, "train_id"),
+    }
 
 
 def compact_band_index(
@@ -759,14 +792,20 @@ def compact_band_index(
     is row-identical to a fresh write_band_index of the upserted union
     with the same cap, and the pruned gate's pair set is unchanged.
 
-    Posture matches compact_fts_index: rewrite through temp subdirs +
-    atomic rename, so a concurrent reader sees the old layout or the
-    new one, never a half-written directory; the pbucket Hive
-    partitioning (the PartitionFilter pruning contract) is rebuilt
-    identically. Work is one scan of each table + the doc-cardinality
-    live aggregate + (guard on) the bucket heavy-hitter aggregate —
-    proportional to the index, run at the cadence dead_fraction-style
-    triggers choose; appends stay delta-sized between runs."""
+    Posture (r10): the shared whole-directory swap
+    (operators/segments.py compact_swap) — the compacted bands,
+    shingles, AND the max_seg=0 manifest are materialized into one
+    temp dir and published as a single rename pair, so no crash leaves
+    a manifest disagreeing with the layout or the two tables
+    disagreeing about segment numbering (the r9 per-subdir swaps had
+    both windows). Crash-safe single-writer rewrite; NOT safe for
+    concurrent readers mid-query — see compact_swap's docstring. The
+    pbucket Hive partitioning (the PartitionFilter pruning contract)
+    is rebuilt identically. Work is one scan of each table + the
+    doc-cardinality live aggregate + (guard on) the bucket
+    heavy-hitter aggregate — proportional to the index, run at the
+    cadence band_index_staleness's trigger chooses; appends stay
+    delta-sized between runs."""
     man = _band_manifest_read(path)
     bands_live, shingles_live = load_band_index(spark, path)
     if max_band_bucket is not None:
@@ -776,21 +815,17 @@ def compact_band_index(
     bands_out = bands_live.withColumn("seg", F.lit(0)).withColumn(
         "pbucket", F.pmod("bhash", F.lit(man["prune_buckets"])).cast("int")
     )
-    tmp_bands = f"{path}/bands._compact"
-    tmp_shingles = f"{path}/shingles._compact"
-    bands_out.write.mode("overwrite").partitionBy("pbucket").parquet(tmp_bands)
-    shingles_live.withColumn("seg", F.lit(0)).write.mode("overwrite").parquet(
-        tmp_shingles
-    )
-    for name, tmp in (("bands", tmp_bands), ("shingles", tmp_shingles)):
-        final = os.path.join(path, name)
-        old = final + "._old"
-        os.rename(final, old)
-        os.rename(tmp, final)
-        shutil.rmtree(old, ignore_errors=True)
-    man["max_seg"] = 0
-    _band_manifest_write(path, man)
-    return path
+
+    def write_into(tmp: str) -> None:
+        bands_out.write.mode("overwrite").partitionBy("pbucket").parquet(
+            os.path.join(tmp, "bands")
+        )
+        shingles_live.withColumn("seg", F.lit(0)).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(tmp, "shingles"))
+        _band_manifest_write(tmp, {**man, "max_seg": 0})
+
+    return segments.compact_swap(path, write_into)
 
 
 def streaming_near_dup_pruned(
