@@ -17,79 +17,85 @@ from wvfoia_sync_spark import registry
 # The driver's correctness gate samples a fixed-size window from the
 # head of this dict, so ordering IS verification coverage. Rounds 1-6
 # drove all 198 registered names to a driver-green row at least once;
-# r7 started freshness rotation (stalest-first). This round (r9) drains
-# the freshness queue exactly as the r8 plan prescribed: (a) the seven
-# plain TPC-H aggregates deferred from the r8 window (promo_revenue,
-# returned_items, small_qty_revenue, volume_shipping, top_supplier,
-# product_profit, market_share — last green r4, untouched since r1),
-# (b) the queries ADDED or CHANGED in r9 — the NEW decontam_split
-# (GPT-3 appendix-C split semantics), band_lifecycle_property_check
-# (the stored band index's write->append->gate->compact story), and
-# repetition_budget (data-constrained waterfilling allocator), all
-# never driver-checked, plus stream_near_dup (its streaming_near_dup
-# path now checkpoints the guarded index; values unchanged,
-# static-side plan changed) — then (c) 39 of the 48 names last green
-# in r5. After this window lands, no name's latest green predates r5,
-# and only the nine r5 names listed here remain pre-r6 (queued for
-# the r10 head: status_grouping_sets, status_sequence, table_profile,
-# tfidf_top_terms, token_chunks, train_test_split, value_outliers,
-# variant_shred_stats, weighted_sample).
+# r7 started freshness rotation (stalest-first). This round (r10):
+# (a) the NEW exact_substring_dedup (Lee et al. 2022 ExactSubstr —
+# within-corpus verbatim-span removal, keep-first), never checked;
+# (b) the nine r5 names the r9 plan queued for this head
+# (status_grouping_sets ... weighted_sample — the last pre-r6 rows);
+# (c) every query whose PLAN or stored-index FORMAT changed this
+# round, values unchanged: decontam_split (run fold extracted into the
+# shared _survivor_runs helper), repetition_budget (zero-token nullif
+# + overflow-safe epochs_ppm + max_sources guard + localCheckpoint),
+# band_lifecycle_property_check and stream_near_dup (band index now on
+# the shared operators/segments.py core; the pruned gate re-derives
+# the live map when the manifest moves mid-stream),
+# fts_stored_index_search (single-segment fast path in load_fts_index),
+# and the four stored-ANN queries pq_topk / pq_recall_check /
+# ivfpq_topk / ivfpq_recall_check (index format v2: csim column,
+# versioned derived path, per-segment drift stats);
+# (d) 31 of the 45 names last green in r6, alphabetically. After this
+# window lands, no name's latest green predates r6; the remaining 12
+# r6 names are queued for the r11 head (semantic_dedup, shard_manifest,
+# shard_manifest_incremental, simhash_property_check, snapshot_drift,
+# snapshot_drift_sketch, sq8_recall_check, sq8_topk,
+# temperature_mixture, triangle_count, unigram_surprisal, winnow_stats).
 # Everything else follows in registration order, so a wider window only
 # adds coverage.
 DRIVER_WINDOW: list[str] = [
-    # --- deferred from r8 (last green r4) ---
-    "promo_revenue",
-    "returned_items",
-    "small_qty_revenue",
-    "volume_shipping",
-    "top_supplier",
-    "product_profit",
-    "market_share",
-    # --- added/changed in r9: coverage beats freshness ---
+    # --- new in r10: coverage beats freshness ---
+    "exact_substring_dedup",
+    # --- stalest: last green r5 (queued by the r9 plan) ---
+    "status_grouping_sets",
+    "status_sequence",
+    "table_profile",
+    "tfidf_top_terms",
+    "token_chunks",
+    "train_test_split",
+    "value_outliers",
+    "variant_shred_stats",
+    "weighted_sample",
+    # --- plan/format changed in r10 (values unchanged) ---
     "decontam_split",
-    "band_lifecycle_property_check",
     "repetition_budget",
+    "band_lifecycle_property_check",
     "stream_near_dup",
-    # --- stalest: last green r5 (39 of 48; 9 deferred to r10) ---
-    "above_avg_orders",
-    "balanced_sample",
-    "bloom_semi_join",
-    "bpe_token_stats",
-    "cohort_retention",
-    "customer_distribution",
-    "cycle_time",
-    "dq_checks",
-    "equidepth_hist",
-    "events_rolling_hour",
-    "events_time_rollup",
-    "forecast_revenue",
-    "fts_vocab",
-    "funnel_counts",
-    "fuzzy_name_match",
-    "hll_error_check",
-    "hll_union_rollup",
-    "inactive_rich_customers",
-    "interpolate_series",
-    "interval_attribution",
-    "local_supplier_volume",
-    "metrics_unpivot",
-    "modal_status",
-    "multiset_except",
-    "multiset_intersect",
-    "pack_bins",
-    "parts_supplier_relationship",
-    "phrase_search",
-    "price_band_pairs",
-    "price_percent_rank",
-    "price_qty_corr",
-    "price_quartiles",
-    "props_json_stats",
-    "revenue_trend",
-    "set_ops_funnel",
-    "shipmode_priority",
-    "skew_report",
-    "sql_interface",
-    "status_cube",
+    "fts_stored_index_search",
+    "pq_topk",
+    "pq_recall_check",
+    "ivfpq_topk",
+    "ivfpq_recall_check",
+    # --- stalest remaining: last green r6 (31 of 45) ---
+    "approx_distinct_users",
+    "approx_quantile_check",
+    "audio_fingerprint_dedup",
+    "bigram_counts",
+    "boilerplate_purge",
+    "bpe_encode_property_check",
+    "bpe_merge_candidates",
+    "bpe_train_property_check",
+    "centroid_classify",
+    "contamination_pairs",
+    "coreset_select",
+    "dup_rate_matrix",
+    "embedding_centroids",
+    "filtered_knn",
+    "frame_sample",
+    "hard_negatives",
+    "heavy_hitters_sketch",
+    "image_ahash_dedup",
+    "ivf_recall_check",
+    "kmv_distinct_sketch",
+    "kmv_set_algebra",
+    "lsh_recall_check",
+    "minhash_property_check",
+    "mixture_sample",
+    "nation_pagerank",
+    "near_dup_rate_matrix",
+    "next_event_examples",
+    "observed_scan_metrics",
+    "pmi_collocations",
+    "provenance_counts",
+    "quality_classifier_score",
 ]
 
 

@@ -80,6 +80,7 @@ HEADLINE = [
     "decontam_overlap",
     "decontam_scrub",
     "decontam_split",
+    "exact_substring_dedup",
     "gopher_repetition",
     "token_chunks",
     "pack_bins",

@@ -1424,3 +1424,123 @@ def test_decontam_split_production_rules(spark):
         if len(rows_d) <= MAXR
         for row in rows_d
     )
+
+
+def test_exact_substring_dedup_semantics(spark):
+    """r10 (Lee et al. 2022 ExactSubstr): the query's surviving runs
+    against an independent Python reference on the fixture corpus —
+    every 6-gram occurrence is enumerated in Python, grams with >= 2
+    occurrences mark all BUT the (doc_id, position)-first occurrence,
+    covered positions fold into contiguous surviving runs, and the
+    query's (run_idx, n_toks, run_md5) rows must match run-for-run.
+    Also pins that the fixture exercises the semantics (a cross-doc
+    duplicated gram exists; its canonical doc keeps tokens a later doc
+    loses; some doc splits mid-document) and that fingerprint=True
+    (xxhash64 keys, the narrow-shuffle scale form) is row-identical on
+    collision-free data."""
+    import hashlib
+
+    from wvfoia_sync_spark.functions import text as text_fns
+    from wvfoia_sync_spark.queries.corpus_text import exact_substring_dedup
+    from wvfoia_sync_spark.sources.tables import load_table
+
+    SPAN = 6
+    toks = {
+        r["doc_id"]: list(r["t"])
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id", text_fns.tokens("text").alias("t"))
+        .collect()
+    }
+    occ: dict[str, list[tuple[int, int]]] = {}
+    for d, t in toks.items():
+        for i in range(len(t) - SPAN + 1):
+            occ.setdefault(" ".join(t[i : i + SPAN]), []).append((d, i))
+    removed: dict[int, set[int]] = {d: set() for d in toks}
+    cross_doc_dup = False
+    for g, positions in occ.items():
+        if len(positions) < 2:
+            continue
+        first = min(positions)
+        cross_doc_dup |= len({d for d, _ in positions}) >= 2
+        for d, i in positions:
+            if (d, i) != first:
+                removed[d].update(range(i, i + SPAN))
+    assert cross_doc_dup, "fixture has no cross-document duplicated gram"
+
+    expected: dict[int, list[tuple[int, str]]] = {}
+    for d, t in toks.items():
+        runs: list[list[str]] = []
+        prev = None
+        for i, x in enumerate(t):
+            if i in removed[d]:
+                continue
+            if prev is None or i != prev + 1:
+                runs.append([])
+            runs[-1].append(x)
+            prev = i
+        expected[d] = [
+            (len(r), hashlib.md5(" ".join(r).encode()).hexdigest())
+            for r in runs
+        ]
+
+    rows = registry.QUERIES["exact_substring_dedup"](spark, SF_DIR).collect()
+    got: dict[int, dict[int, tuple[int, str]]] = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], {})[r["run_idx"]] = (
+            r["n_toks"],
+            r["run_md5"],
+        )
+    assert set(got) == {d for d, rs in expected.items() if rs}
+    for d, runs_d in got.items():
+        assert sorted(runs_d) == list(range(len(runs_d)))  # dense 0-based
+        assert [runs_d[i] for i in range(len(runs_d))] == expected[d]
+    # fixture shape at this SF (the generator plants whole-document and
+    # edge-anchored duplicates; mid-document cuts only appear at sf0.1
+    # and are exercised by the planted-corpus test below): at least one
+    # doc vanishes entirely (a later full copy) and at least one is
+    # partially trimmed — and conservation holds doc-for-doc
+    assert any(t and len(removed[d]) == len(t) for d, t in toks.items())
+    assert any(removed[d] and len(removed[d]) < len(t) for d, t in toks.items())
+    for d, t in toks.items():
+        assert sum(n for n, _ in expected[d]) == len(t) - len(removed[d])
+
+    fp = exact_substring_dedup(spark, SF_DIR, fingerprint=True).collect()
+    assert sorted(map(tuple, fp)) == sorted(map(tuple, rows))
+
+
+def test_exact_substring_dedup_planted_mid_cut(spark, tmp_path):
+    """r10: the planted-corpus twin of the semantics test, forcing the
+    shapes the generated fixture lacks at small SF — a MID-document
+    duplicated passage (later copy splits into two runs), a whole-doc
+    later copy (zero rows), and the keep-first guarantee (the canonical
+    doc keeps the passage verbatim)."""
+    import hashlib
+
+    from wvfoia_sync_spark.queries.corpus_text import exact_substring_dedup
+
+    shared = "s1 s2 s3 s4 s5 s6 s7"  # 7 tokens: two 6-grams, both dup'd
+    d1 = "a1 a2 a3 a4 a5 a6 " + shared + " b1 b2 b3 b4 b5 b6"
+    d2 = "c1 c2 c3 c4 c5 c6 " + shared + " e1 e2 e3 e4 e5 e6"
+    d4 = "f1 f2 f3 f4 f5 f6 f7 f8 f9 f10"
+    spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d1), (4, d4)], "doc_id long, text string"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    got = sorted(
+        map(tuple, exact_substring_dedup(spark, str(tmp_path)).collect())
+    )
+    expected = sorted(
+        [
+            # doc 1 is every gram's first occurrence: intact, one run
+            (1, 0, 19, md5(d1)),
+            # doc 2: the shared mid-passage is a later copy — exactly
+            # its 7 tokens drop, leaving the two flanks as runs
+            (2, 0, 6, md5("c1 c2 c3 c4 c5 c6")),
+            (2, 1, 6, md5("e1 e2 e3 e4 e5 e6")),
+            # doc 3 is a whole-doc later copy: zero rows
+            # doc 4 shares nothing: intact
+            (4, 0, 10, md5(d4)),
+        ]
+    )
+    assert got == expected

@@ -1,0 +1,138 @@
+"""Band-index staleness-trigger probe (r10, VERDICT r9 item 4): shows
+`jobs.band_index_staleness` making the SCALE.md compaction cadence rule
+("compact when accumulated gate-side live-join rent exceeds one
+compaction") computable — the trigger's inputs are measured on the same
+fixture the r9 compact probe priced, so the firing point lands next to
+the measured crossover (gate 4.78 s multi-seg vs 1.98 s compacted;
+compaction 2.44 s).
+
+Fixture: band_compact_probe's — sf0.1 base (1/2 of docs) plus four
+appended deltas (1/8 each), the last RE-ARRIVING a slice of base ids
+with mutated text so stale_fraction counts genuinely dead rows, not
+just extra segments. Per stage (post-write, post-each-append):
+staleness report + its own wall (the claim in the docstring: measuring
+is never costlier than one gate run's live-join rent). Final row: the
+measured rent per gate run (multi-seg gate wall minus compacted gate
+wall), compaction wall, and whether the two trigger conditions fire.
+
+Usage: python tools/band_stale_probe.py [out_jsonl]
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from wvfoia_sync_spark.session import get_spark  # noqa: E402
+from wvfoia_sync_spark.sources.tables import load_table  # noqa: E402
+from wvfoia_sync_spark.streaming import jobs  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+
+
+def gate_wall(spark, tmp, idx, tag) -> float:
+    incoming = (
+        jobs.documents_stream(spark, BASE)
+        .where(F.col("doc_id") % 31 == 0)
+        .select(
+            (F.col("doc_id") + 500000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit("  ")).alias("text"),
+        )
+    )
+    t0 = time.time()
+    jobs.streaming_near_dup_pruned(
+        incoming, idx, f"stale_probe_{tag}", f"{tmp}/sink_{tag}",
+        threshold=0.8, num_hashes=64, bands=16,
+    ).collect()
+    return round(time.time() - t0, 3)
+
+
+def main() -> int:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALE_probe_r10_bandstale.jsonl"
+    spark = get_spark("band-stale-probe")
+    tmp = tempfile.mkdtemp(prefix="band_stale_probe_")
+    rows = []
+    try:
+        docs = load_table(spark, BASE, "documents").select("doc_id", "text")
+        base = docs.where(F.col("doc_id") % 2 == 0)
+        deltas = [
+            docs.where((F.col("doc_id") % 2 == 1) & (F.col("doc_id") % 8 == k))
+            for k in (1, 3, 5)
+        ]
+        rearrive = docs.where(
+            (F.col("doc_id") % 2 == 0) & (F.col("doc_id") % 16 == 0)
+        ).select(
+            "doc_id", F.concat(F.lit("updated "), F.col("text")).alias("text")
+        )
+        deltas.append(
+            docs.where((F.col("doc_id") % 2 == 1) & (F.col("doc_id") % 8 == 7))
+            .unionByName(rearrive)
+        )
+
+        idx = f"{tmp}/idx_seg"
+        jobs.write_band_index(base, idx, num_hashes=64, bands=16)
+
+        def report(stage):
+            t0 = time.time()
+            s = jobs.band_index_staleness(spark, idx)
+            rows.append(
+                {
+                    "probe": "band_stale_r10",
+                    "stage": stage,
+                    "max_seg": s["max_seg"],
+                    "stale_fraction": round(s["stale_fraction"], 4),
+                    "staleness_wall_s": round(time.time() - t0, 3),
+                }
+            )
+            print(json.dumps(rows[-1]))
+
+        report("write_base")
+        for j, d in enumerate(deltas, start=1):
+            jobs.append_band_index(d, idx)
+            report(f"append_{j}")
+
+        g_seg = gate_wall(spark, tmp, idx, "seg")
+        t0 = time.time()
+        jobs.compact_band_index(spark, idx)
+        w_compact = round(time.time() - t0, 3)
+        report("post_compact")
+        g_compact = gate_wall(spark, tmp, idx, "compacted")
+
+        rent = round(g_seg - g_compact, 3)
+        final = rows[-2]  # last multi-segment report (append_4)
+        rows.append(
+            {
+                "probe": "band_stale_r10",
+                "stage": "trigger_eval",
+                "gate_wall_multiseg_s": g_seg,
+                "gate_wall_compacted_s": g_compact,
+                "rent_per_gate_s": rent,
+                "compact_s": w_compact,
+                "gate_runs_to_repay": round(w_compact / rent, 2)
+                if rent > 0
+                else None,
+                "fires_rent_rule": bool(
+                    final["max_seg"] > 0 and rent > 0 and w_compact / rent <= 2
+                ),
+                "fires_stale_rule": final["stale_fraction"] >= 0.3,
+            }
+        )
+        print(json.dumps(rows[-1]))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    with open(out_path, "a") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,104 @@
+"""Corpus-growth probe for the r10 exact_substring_dedup shape
+(queries/corpus_text.py): the duplicated-position set is derived with
+NO pair materialization — one groupBy(gram) whose aggregates (count +
+min(struct)) are map-side combinable, one equi-join back whose output
+is at most its input — so, unlike near-dup's banded candidate term
+(which needs the stop-band cap), the whole pipeline should track
+corpus size linearly with no cap at all. The claim under test: wall
+grows ~k when the corpus grows k-fold.
+
+Growth uses decontam_scale_probe's separator-free replica prefix
+(``r1the``): the tokenizer splits on non-alnum, so a ``r1_`` prefix
+would shatter every word and collapse the gram structure; prefix-fused
+tokens keep one token per word and an isomorphic duplicate structure
+per replica (dup grams and positions both scale exactly k-fold).
+
+Usage: python tools/exact_substring_probe.py [out_jsonl] [k1,k2,...]
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from wvfoia_sync_spark import registry  # noqa: E402
+from wvfoia_sync_spark.session import get_spark  # noqa: E402
+from wvfoia_sync_spark.sources.tables import load_table  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+
+
+def grown_dir(spark, k: int, tmp_root: str) -> str:
+    docs = load_table(spark, BASE, "documents").select("doc_id", "text")
+    n = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    parts = [docs]
+    for j in range(1, k):
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + j * n).alias("doc_id"),
+                F.regexp_replace(F.col("text"), r"(\w+)", f"r{j}$1").alias(
+                    "text"
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    d = f"{tmp_root}/k{k}"
+    out.repartition(8).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet"
+    )
+    return d
+
+
+def main() -> int:
+    out_path = (
+        sys.argv[1]
+        if len(sys.argv) > 1
+        else "SCALE_probe_r10_exact_substring.jsonl"
+    )
+    ks = [
+        int(x)
+        for x in (sys.argv[2].split(",") if len(sys.argv) > 2 else [1, 2, 4])
+    ]
+    spark = get_spark("exact-substring-probe")
+    tmp = tempfile.mkdtemp(prefix="exact_substring_probe_")
+    rows = []
+    try:
+        for k in ks:
+            d = grown_dir(spark, k, tmp)
+            walls = []
+            n_rows = 0
+            for _ in range(3):  # min-of-3
+                t0 = time.time()
+                n_rows = registry.QUERIES["exact_substring_dedup"](
+                    spark, d
+                ).count()
+                walls.append(time.time() - t0)
+            rows.append(
+                {
+                    "probe": "exact_substring_growth_r10",
+                    "k": k,
+                    "wall_s": round(min(walls), 3),
+                    "rows": n_rows,
+                }
+            )
+            print(json.dumps(rows[-1]))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    with open(out_path, "a") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

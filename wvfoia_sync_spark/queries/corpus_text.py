@@ -713,21 +713,41 @@ def decontam_split(
         .groupBy("doc_id")
         .agg(F.collect_set("i").alias("mpos"))
     )
+    base = tr.join(hits, "doc_id", "left")
+    return _survivor_runs(
+        base, span=4, min_run_tokens=min_run_tokens, max_runs=max_runs
+    )
+
+
+def _survivor_runs(
+    base: DataFrame,
+    span: int,
+    min_run_tokens: int = 0,
+    max_runs: int | None = None,
+) -> DataFrame:
+    """Shared split-document tail (decontam_split and
+    exact_substring_dedup): given rows ``(doc_id, toks, mpos)`` where
+    ``mpos`` is the (nullable) set of matched 0-based gram STARTS and
+    each start covers tokens ``m..m+span-1``, emit every contiguous
+    surviving token run as ``(doc_id, run_idx, n_toks, run_md5)``.
+
+    Run BOUNDS (token-index [s, e) pairs) in ONE aggregate fold over
+    the position sequence. Single-reference discipline: higher-order
+    functions run interpreted (no whole-stage codegen, so no common-
+    subexpression elimination), and project-collapse INLINES an
+    aliased array into every element_at that touches it — a
+    breaks-array formulation that probes kept[j] and kept[j-1] per
+    position re-evaluates the whole O(n*m) survivor filter per probe,
+    O(n^2*m) per doc (measured: 7.7 s vs 0.55 s for the scrub twin at
+    sf0.1). Here every upstream array is referenced exactly once per
+    pass: mpos once inside the keep predicate, bounds once by the
+    final transform, toks once across all md5 slices."""
     mpos = F.coalesce("mpos", F.array().cast("array<int>"))
     n = F.size("toks")
-    # Run BOUNDS (token-index [s, e) pairs) in ONE aggregate fold over
-    # the position sequence. Single-reference discipline: higher-order
-    # functions run interpreted (no whole-stage codegen, so no common-
-    # subexpression elimination), and project-collapse INLINES an
-    # aliased array into every element_at that touches it — a
-    # breaks-array formulation that probes kept[j] and kept[j-1] per
-    # position re-evaluates the whole O(n*m) survivor filter per probe,
-    # O(n^2*m) per doc (measured: 7.7 s vs 0.55 s for the scrub twin at
-    # sf0.1). Here every upstream array is referenced exactly once per
-    # pass: mpos once inside the keep predicate, bounds once by the
-    # final transform, toks once across all md5 slices.
     empty_bounds = F.array().cast("array<struct<s:int,e:int>>")
-    keep = lambda i: ~F.exists(mpos, lambda m: (i >= m) & (i <= m + 3))  # noqa: E731
+    keep = lambda i: ~F.exists(  # noqa: E731
+        mpos, lambda m: (i >= m) & (i <= m + (span - 1))
+    )
     bounds = F.when(
         n > 0,
         F.aggregate(
@@ -766,9 +786,7 @@ def decontam_split(
             lambda acc: acc["bs"],
         ),
     ).otherwise(empty_bounds)
-    base = tr.join(hits, "doc_id", "left").select(
-        "doc_id", "toks", bounds.alias("bounds")
-    )
+    base = base.select("doc_id", "toks", bounds.alias("bounds"))
     runs = F.transform(
         "bounds",
         lambda b, k: F.struct(
@@ -796,6 +814,129 @@ def decontam_split(
         F.col("r.run_idx").alias("run_idx"),
         F.col("r.n_toks").alias("n_toks"),
         F.col("r.run_md5").alias("run_md5"),
+    )
+
+
+@register(
+    "exact_substring_dedup",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS.format(c='text')} AS toks FROM documents),
+    g AS (SELECT doc_id, u.i AS i, array_to_string(toks[u.i:u.i+5], ' ') AS gram
+          FROM t, UNNEST(range(1, len(toks) - 4)) AS u(i)
+          WHERE len(toks) >= 6),
+    r AS (SELECT doc_id, i,
+                 COUNT(*) OVER (PARTITION BY gram) AS n_occ,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY gram ORDER BY doc_id, i) AS rn
+          FROM g),
+    hit AS (SELECT doc_id, i FROM r WHERE n_occ >= 2 AND rn > 1),
+    pos AS (SELECT t.doc_id, v.p AS p, toks[v.p] AS tok
+            FROM t, UNNEST(range(1, len(toks) + 1)) AS v(p)),
+    kept AS (
+      SELECT pos.doc_id, pos.p, pos.tok,
+             pos.p - ROW_NUMBER() OVER (
+               PARTITION BY pos.doc_id ORDER BY pos.p) AS grp
+      FROM pos
+      WHERE NOT EXISTS (
+        SELECT 1 FROM hit
+        WHERE hit.doc_id = pos.doc_id AND pos.p BETWEEN hit.i AND hit.i + 5)
+    ),
+    runs AS (SELECT doc_id, grp, MIN(p) AS start_p, COUNT(*) AS n,
+                    md5(string_agg(tok, ' ' ORDER BY p)) AS run_md5
+             FROM kept GROUP BY doc_id, grp)
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY doc_id ORDER BY start_p) - 1 AS BIGINT) AS run_idx,
+           CAST(n AS BIGINT) AS n_toks,
+           run_md5
+    FROM runs ORDER BY doc_id, run_idx
+    """,
+)
+def exact_substring_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    span: int = 6,
+    min_dup: int = 2,
+    min_run_tokens: int = 0,
+    max_runs: int | None = None,
+    fingerprint: bool = False,
+) -> DataFrame:
+    """Exact-substring deduplication WITHIN the corpus (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" —
+    ExactSubstr): every token covered by a ``span``-gram whose exact
+    text occurs at >= ``min_dup`` positions anywhere in the corpus is
+    removed, EXCEPT in the gram's globally-first occurrence (min by
+    (doc_id, position) — the canonical copy of a duplicated passage
+    keeps it; every later copy loses it, which is the paper's
+    keep-one-occurrence intent realized gram-wise instead of via a
+    suffix array). Output is decontam_split's shape: each contiguous
+    surviving token run as ``(doc_id, run_idx, n_toks, run_md5)`` — a
+    doc that is nobody's duplicate yields one run (itself); a doc that
+    is entirely a later copy of other text yields zero rows. The two
+    GPT-3 production rules pass through (``min_run_tokens``,
+    ``max_runs``), defaults off.
+
+    Shape — and why there is NO pair term and NO hot-gram cap: unlike
+    near-dup (which must materialize candidate PAIRS and so needs the
+    stop-band cap), the duplicated-position set needs only the
+    per-gram occurrence COUNT and FIRST occurrence: one groupBy(gram)
+    with count + min(struct(doc_id, i)) — both map-side combinable, so
+    a boilerplate gram repeated a billion times still collapses to one
+    row per map task before the exchange — then one equi-join back
+    (grams x one-row-per-dup-gram: output <= input, no blowup; AQE can
+    skew-split a hot gram's join partition). A windowed single-exchange
+    formulation (count + row_number over gram) was rejected: a hot
+    gram's window partition is one task, unsplittable — the exact
+    skew the aggregate path collapses map-side. After the gram stages
+    the tail is decontam_split's: one doc-keyed collect_set of covered
+    starts, one doc-keyed join, per-row run fold. Work is linear in
+    corpus grams; growth probe in SCALE_probe_r10_exact_substring.jsonl.
+
+    ``fingerprint=True`` swaps the gram STRING for xxhash64(gram) as
+    the group/join key — at ~50-token production spans the key drops
+    from ~300 bytes to 8 and both gram-keyed exchanges shrink
+    proportionally, at the cost of a ~n^2/2^65 false-duplicate rate
+    (collisions mark a non-duplicated span; at 10^13 grams that is
+    ~1e-7 of positions — noise against Lee et al.'s own boundary
+    heuristics, but not hash-exact, so the oracled form keeps exact
+    strings). Determinism (default form): exact string equality,
+    integer positions, md5 of exact strings."""
+    par = min(8, spark.sparkContext.defaultParallelism)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(par)
+        .select("doc_id", text_fns.tokens("text").alias("toks"))
+    )
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(text_fns.ngrams("toks", span)).alias("i", "gram"),
+    )
+    if fingerprint:
+        grams = grams.select("doc_id", "i", F.xxhash64("gram").alias("gram"))
+    dup = (
+        grams.groupBy("gram")
+        .agg(
+            F.count("*").alias("n_occ"),
+            F.min(F.struct("doc_id", "i")).alias("first"),
+        )
+        .where(F.col("n_occ") >= min_dup)
+        .select("gram", "first")
+    )
+    hits = (
+        grams.join(dup, "gram")
+        .where(
+            ~(
+                (F.col("doc_id") == F.col("first.doc_id"))
+                & (F.col("i") == F.col("first.i"))
+            )
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("i").alias("mpos"))
+    )
+    base = docs.join(hits, "doc_id", "left")
+    return _survivor_runs(
+        base, span=span, min_run_tokens=min_run_tokens, max_runs=max_runs
     )
 
 
