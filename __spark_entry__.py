@@ -18,8 +18,9 @@ from wvfoia_sync_spark import registry
 # head of this dict, so ordering IS verification coverage. Rounds 1-6
 # drove all 198 registered names to a driver-green row at least once;
 # r7 started freshness rotation (stalest-first). This round (r10):
-# (a) the NEW exact_substring_dedup (Lee et al. 2022 ExactSubstr —
-# within-corpus verbatim-span removal, keep-first), never checked;
+# (a) the NEW exact_substring_dedup + exact_substring_stats (Lee et
+# al. 2022 ExactSubstr — within-corpus verbatim-span removal,
+# keep-first, plus the per-source report twin), never checked;
 # (b) the nine r5 names the r9 plan queued for this head
 # (status_grouping_sets ... weighted_sample — the last pre-r6 rows);
 # (c) every query whose PLAN or stored-index FORMAT changed this
@@ -33,9 +34,10 @@ from wvfoia_sync_spark import registry
 # and the four stored-ANN queries pq_topk / pq_recall_check /
 # ivfpq_topk / ivfpq_recall_check (index format v2: csim column,
 # versioned derived path, per-segment drift stats);
-# (d) 31 of the 45 names last green in r6, alphabetically. After this
-# window lands, no name's latest green predates r6; the remaining 12
-# r6 names are queued for the r11 head (semantic_dedup, shard_manifest,
+# (d) 30 of the 45 names last green in r6, alphabetically. After this
+# window lands, no name's latest green predates r6; the remaining 13
+# r6 names are queued for the r11 head (quality_classifier_score,
+# semantic_dedup, shard_manifest,
 # shard_manifest_incremental, simhash_property_check, snapshot_drift,
 # snapshot_drift_sketch, sq8_recall_check, sq8_topk,
 # temperature_mixture, triangle_count, unigram_surprisal, winnow_stats).
@@ -44,6 +46,7 @@ from wvfoia_sync_spark import registry
 DRIVER_WINDOW: list[str] = [
     # --- new in r10: coverage beats freshness ---
     "exact_substring_dedup",
+    "exact_substring_stats",
     # --- stalest: last green r5 (queued by the r9 plan) ---
     "status_grouping_sets",
     "status_sequence",
@@ -64,7 +67,7 @@ DRIVER_WINDOW: list[str] = [
     "pq_recall_check",
     "ivfpq_topk",
     "ivfpq_recall_check",
-    # --- stalest remaining: last green r6 (31 of 45) ---
+    # --- stalest remaining: last green r6 (30 of 45) ---
     "approx_distinct_users",
     "approx_quantile_check",
     "audio_fingerprint_dedup",
@@ -95,7 +98,6 @@ DRIVER_WINDOW: list[str] = [
     "observed_scan_metrics",
     "pmi_collocations",
     "provenance_counts",
-    "quality_classifier_score",
 ]
 
 

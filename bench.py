@@ -81,6 +81,7 @@ HEADLINE = [
     "decontam_scrub",
     "decontam_split",
     "exact_substring_dedup",
+    "exact_substring_stats",
     "gopher_repetition",
     "token_chunks",
     "pack_bins",

@@ -1523,7 +1523,8 @@ def test_exact_substring_dedup_planted_mid_cut(spark, tmp_path):
     d2 = "c1 c2 c3 c4 c5 c6 " + shared + " e1 e2 e3 e4 e5 e6"
     d4 = "f1 f2 f3 f4 f5 f6 f7 f8 f9 f10"
     spark.createDataFrame(
-        [(1, d1), (2, d2), (3, d1), (4, d4)], "doc_id long, text string"
+        [(1, d1, "src_a"), (2, d2, "src_a"), (3, d1, "src_b"), (4, d4, "src_b")],
+        "doc_id long, text string, source string",
     ).write.parquet(str(tmp_path / "documents.parquet"))
 
     md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
@@ -1544,3 +1545,22 @@ def test_exact_substring_dedup_planted_mid_cut(spark, tmp_path):
         ]
     )
     assert got == expected
+
+    # the report twin on the same corpus: per-source duplicated-token
+    # accounting, exact (interval-union fold == oracle's DISTINCT count)
+    from wvfoia_sync_spark.queries.corpus_text import exact_substring_stats
+
+    stats = {
+        r["source"]: (
+            r["n_docs"],
+            r["n_docs_touched"],
+            r["n_tokens"],
+            r["n_dup_tokens"],
+            r["dup_frac"],
+        )
+        for r in exact_substring_stats(spark, str(tmp_path)).collect()
+    }
+    assert stats == {
+        "src_a": (2, 1, 38, 7, 7 / 38),  # doc 2 loses exactly the passage
+        "src_b": (2, 1, 29, 19, 19 / 29),  # doc 3 is fully non-canonical
+    }

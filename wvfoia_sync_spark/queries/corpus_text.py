@@ -901,12 +901,35 @@ def exact_substring_dedup(
     heuristics, but not hash-exact, so the oracled form keeps exact
     strings). Determinism (default form): exact string equality,
     integer positions, md5 of exact strings."""
+    docs, hits = _exact_substring_hits(
+        spark, sf_dir, span=span, min_dup=min_dup, fingerprint=fingerprint
+    )
+    base = docs.join(hits, "doc_id", "left")
+    return _survivor_runs(
+        base, span=span, min_run_tokens=min_run_tokens, max_runs=max_runs
+    )
+
+
+def _exact_substring_hits(
+    spark: SparkSession,
+    sf_dir: str,
+    span: int,
+    min_dup: int,
+    fingerprint: bool,
+    extra_cols: tuple[str, ...] = (),
+) -> tuple[DataFrame, DataFrame]:
+    """Shared head of the ExactSubstr family: returns ``(docs, hits)``
+    where docs is (doc_id, *extra_cols, toks) and hits is the per-doc
+    set of NON-FIRST duplicated gram starts (doc_id, mpos) — see
+    exact_substring_dedup's docstring for why the count+min aggregate
+    beats both a pair self-join (quadratic, needs a cap) and a windowed
+    row_number (hot-gram partitions unsplittable)."""
     par = min(8, spark.sparkContext.defaultParallelism)
     docs = (
         load_table(spark, sf_dir, "documents")
-        .select("doc_id", "text")
+        .select("doc_id", *extra_cols, "text")
         .repartition(par)
-        .select("doc_id", text_fns.tokens("text").alias("toks"))
+        .select("doc_id", *extra_cols, text_fns.tokens("text").alias("toks"))
     )
     grams = docs.select(
         "doc_id",
@@ -934,9 +957,102 @@ def exact_substring_dedup(
         .groupBy("doc_id")
         .agg(F.collect_set("i").alias("mpos"))
     )
-    base = docs.join(hits, "doc_id", "left")
-    return _survivor_runs(
-        base, span=span, min_run_tokens=min_run_tokens, max_runs=max_runs
+    return docs, hits
+
+
+@register(
+    "exact_substring_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source,
+                      {_SQL_TOKENS.format(c='text')} AS toks FROM documents),
+    g AS (SELECT doc_id, u.i AS i, array_to_string(toks[u.i:u.i+5], ' ') AS gram
+          FROM t, UNNEST(range(1, len(toks) - 4)) AS u(i)
+          WHERE len(toks) >= 6),
+    r AS (SELECT doc_id, i,
+                 COUNT(*) OVER (PARTITION BY gram) AS n_occ,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY gram ORDER BY doc_id, i) AS rn
+          FROM g),
+    hit AS (SELECT doc_id, i FROM r WHERE n_occ >= 2 AND rn > 1),
+    cov AS (SELECT doc_id, COUNT(DISTINCT p) AS n_dup
+            FROM (SELECT hit.doc_id AS doc_id, u.p AS p
+                  FROM hit, UNNEST(range(hit.i, hit.i + 6)) AS u(p))
+            GROUP BY doc_id)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN COALESCE(n_dup, 0) > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs_touched,
+           CAST(SUM(len(toks)) AS BIGINT) AS n_tokens,
+           CAST(SUM(COALESCE(n_dup, 0)) AS BIGINT) AS n_dup_tokens,
+           CAST(SUM(COALESCE(n_dup, 0)) AS DOUBLE)
+             / CAST(SUM(len(toks)) AS DOUBLE) AS dup_frac
+    FROM t LEFT JOIN cov USING (doc_id)
+    GROUP BY source ORDER BY source
+    """,
+)
+def exact_substring_stats(
+    spark: SparkSession,
+    sf_dir: str,
+    span: int = 6,
+    min_dup: int = 2,
+    fingerprint: bool = False,
+) -> DataFrame:
+    """The REPORT half of exact_substring_dedup (Lee et al. 2022 run
+    this before committing to removal): per source, how many tokens are
+    non-canonical duplicated text — ``(source, n_docs, n_docs_touched,
+    n_tokens, n_dup_tokens, dup_frac)``. The curation decision this
+    feeds: a source with dup_frac ~0.3 needs dedup before training; one
+    at 0.001 doesn't justify the pass.
+
+    Shape: the shared _exact_substring_hits head (same two skew-immune
+    gram-keyed exchanges, one doc-keyed collect_set), then the covered-
+    position COUNT per doc is one fold over the SORTED start set —
+    interval-union arithmetic (new coverage per start = max(0,
+    (m+span) − max(m, end)), carry end) — no position explode, no
+    distinct: the oracle's COUNT(DISTINCT p) over an unnested range is
+    exactly what this avoids at scale. One final source-keyed aggregate
+    (dimension-sized). dup_frac divides two exact BIGINTs as doubles —
+    bit-identical IEEE across engines (registry determinism rules)."""
+    docs, hits = _exact_substring_hits(
+        spark,
+        sf_dir,
+        span=span,
+        min_dup=min_dup,
+        fingerprint=fingerprint,
+        extra_cols=("source",),
+    )
+    sorted_m = F.sort_array(
+        F.coalesce("mpos", F.array().cast("array<int>"))
+    )
+    covered = F.aggregate(
+        sorted_m,
+        F.struct(
+            F.lit(0).cast("long").alias("tot"), F.lit(0).alias("end")
+        ),
+        lambda acc, m: F.struct(
+            (
+                acc["tot"]
+                + F.greatest(
+                    F.lit(0), (m + span) - F.greatest(m, acc["end"])
+                )
+            ).alias("tot"),
+            F.greatest(acc["end"], m + span).alias("end"),
+        ),
+        lambda acc: acc["tot"],
+    )
+    per_doc = docs.join(hits, "doc_id", "left").select(
+        "source",
+        F.size("toks").cast("long").alias("n_tok"),
+        covered.alias("n_dup"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("n_dup") > 0).cast("long")).alias("n_docs_touched"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.sum("n_dup").alias("n_dup_tokens"),
+        (
+            F.sum("n_dup").cast("double") / F.sum("n_tok").cast("double")
+        ).alias("dup_frac"),
     )
 
 
