@@ -18,9 +18,12 @@ from wvfoia_sync_spark import registry
 # head of this dict, so ordering IS verification coverage. Rounds 1-6
 # drove all 198 registered names to a driver-green row at least once;
 # r7 started freshness rotation (stalest-first). This round (r10):
-# (a) the NEW exact_substring_dedup + exact_substring_stats (Lee et
-# al. 2022 ExactSubstr — within-corpus verbatim-span removal,
-# keep-first, plus the per-source report twin), never checked;
+# (a) the NEW ExactSubstr family (Lee et al. 2022): within-corpus
+# exact_substring_dedup (verbatim-span removal, keep-first), the
+# per-source report twin exact_substring_stats, the ingest-direction
+# exact_substring_gate (stored gram index, operators/gram_index.py —
+# the segments core's fourth caller), and its lifecycle equivalence
+# gate gram_lifecycle_property_check — all never checked;
 # (b) the nine r5 names the r9 plan queued for this head
 # (status_grouping_sets ... weighted_sample — the last pre-r6 rows);
 # (c) every query whose PLAN or stored-index FORMAT changed this
@@ -34,9 +37,10 @@ from wvfoia_sync_spark import registry
 # and the four stored-ANN queries pq_topk / pq_recall_check /
 # ivfpq_topk / ivfpq_recall_check (index format v2: csim column,
 # versioned derived path, per-segment drift stats);
-# (d) 30 of the 45 names last green in r6, alphabetically. After this
-# window lands, no name's latest green predates r6; the remaining 13
-# r6 names are queued for the r11 head (quality_classifier_score,
+# (d) 28 of the 45 names last green in r6, alphabetically. After this
+# window lands, no name's latest green predates r6; the remaining 15
+# r6 names are queued for the r11 head (pmi_collocations,
+# provenance_counts, quality_classifier_score,
 # semantic_dedup, shard_manifest,
 # shard_manifest_incremental, simhash_property_check, snapshot_drift,
 # snapshot_drift_sketch, sq8_recall_check, sq8_topk,
@@ -47,6 +51,8 @@ DRIVER_WINDOW: list[str] = [
     # --- new in r10: coverage beats freshness ---
     "exact_substring_dedup",
     "exact_substring_stats",
+    "exact_substring_gate",
+    "gram_lifecycle_property_check",
     # --- stalest: last green r5 (queued by the r9 plan) ---
     "status_grouping_sets",
     "status_sequence",
@@ -67,7 +73,7 @@ DRIVER_WINDOW: list[str] = [
     "pq_recall_check",
     "ivfpq_topk",
     "ivfpq_recall_check",
-    # --- stalest remaining: last green r6 (30 of 45) ---
+    # --- stalest remaining: last green r6 (28 of 45) ---
     "approx_distinct_users",
     "approx_quantile_check",
     "audio_fingerprint_dedup",
@@ -96,8 +102,6 @@ DRIVER_WINDOW: list[str] = [
     "near_dup_rate_matrix",
     "next_event_examples",
     "observed_scan_metrics",
-    "pmi_collocations",
-    "provenance_counts",
 ]
 
 

@@ -82,6 +82,7 @@ HEADLINE = [
     "decontam_split",
     "exact_substring_dedup",
     "exact_substring_stats",
+    "exact_substring_gate",
     "gopher_repetition",
     "token_chunks",
     "pack_bins",

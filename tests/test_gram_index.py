@@ -1,0 +1,114 @@
+"""Stored gram-index lifecycle (operators/gram_index.py, r10): the
+fourth caller of the segments core — newest-wins re-arrivals, the
+staleness trigger, geometry pinning, and gate semantics on a planted
+corpus (the equivalence story is driver-visible via the registered
+gram_lifecycle_property_check; these tests pin the focused edges)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from wvfoia_sync_spark.functions import text as text_fns
+from wvfoia_sync_spark.operators import gram_index
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+SHARED = "s1 s2 s3 s4 s5 s6 s7"  # 7 tokens -> two 6-grams
+A = "a1 a2 a3 a4 a5 a6 " + SHARED + " b1 b2 b3 b4 b5 b6"
+B = "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10"
+
+
+def _gate_runs(spark, idx, incoming):
+    from wvfoia_sync_spark.queries.corpus_text import _survivor_runs
+
+    hits = gram_index.match_starts(spark, idx, incoming)
+    probe = incoming.select(
+        "doc_id", text_fns.tokens("text").alias("toks")
+    ).join(hits, "doc_id", "left")
+    return sorted(map(tuple, _survivor_runs(probe, span=6).collect()))
+
+
+def test_gram_index_gate_semantics_planted(spark, tmp_path):
+    """Incoming doc sharing A's mid passage splits into two flanks; an
+    exact copy of A is fully rejected (zero rows); unrelated text is
+    admitted whole. No keep-first at the gate: the corpus copy is
+    canonical by definition."""
+    idx = str(tmp_path / "idx")
+    gram_index.write_gram_index(_docs(spark, [(1, A), (2, B)]), idx, span=6)
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    incoming = _docs(
+        spark,
+        [
+            (10, "c1 c2 c3 c4 c5 c6 " + SHARED + " e1 e2 e3 e4 e5 e6"),
+            (11, A),
+            (12, "f1 f2 f3 f4 f5 f6 f7 f8 f9"),
+        ],
+    )
+    assert _gate_runs(spark, idx, incoming) == sorted(
+        [
+            (10, 0, 6, md5("c1 c2 c3 c4 c5 c6")),
+            (10, 1, 6, md5("e1 e2 e3 e4 e5 e6")),
+            # doc 11 (verbatim corpus copy): zero rows
+            (12, 0, 9, md5("f1 f2 f3 f4 f5 f6 f7 f8 f9")),
+        ]
+    )
+
+
+def test_gram_index_rearrival_newest_wins_and_staleness(spark, tmp_path):
+    """Updating doc 1's text via append kills its OLD grams on every
+    read path (an incoming copy of the old text stops being gated by
+    it), the staleness report prices the dead rows, and compaction
+    drops them physically and restores the zero-work fast path."""
+    idx = str(tmp_path / "idx")
+    gram_index.write_gram_index(_docs(spark, [(1, A), (2, B)]), idx, span=6)
+    assert gram_index.gram_index_staleness(spark, idx) == {
+        "max_seg": 0,
+        "stale_fraction": 0.0,
+    }
+
+    # doc 1 re-arrives with entirely new text
+    NEW = "n1 n2 n3 n4 n5 n6 n7 n8 n9 n10 n11 n12"
+    gram_index.append_gram_index(_docs(spark, [(1, NEW)]), idx)
+
+    incoming = _docs(spark, [(20, A), (21, NEW)])
+    runs = _gate_runs(spark, idx, incoming)
+    # old text admitted whole (its grams are stale); new text rejected
+    assert [r[0] for r in runs] == [20]
+    assert runs[0][2] == 19  # A intact: one 19-token run
+
+    s = gram_index.gram_index_staleness(spark, idx)
+    assert s["max_seg"] == 1 and s["stale_fraction"] > 0
+
+    live_before = sorted(
+        map(tuple, gram_index.load_gram_index(spark, idx).collect())
+    )
+    gram_index.compact_gram_index(spark, idx)
+    assert gram_index.gram_index_staleness(spark, idx) == {
+        "max_seg": 0,
+        "stale_fraction": 0.0,
+    }
+    assert (
+        sorted(map(tuple, gram_index.load_gram_index(spark, idx).collect()))
+        == live_before
+    )
+    assert _gate_runs(spark, idx, incoming) == runs
+
+
+def test_gram_index_geometry_pinned(spark, tmp_path):
+    """A disagreeing explicit span RAISES (grams of different spans
+    never match — the append would silently contribute nothing), and
+    appending into a non-index directory raises the rebuild hint."""
+    idx = str(tmp_path / "idx")
+    gram_index.write_gram_index(_docs(spark, [(1, A)]), idx, span=6)
+    with pytest.raises(ValueError, match="disagrees with the index"):
+        gram_index.append_gram_index(_docs(spark, [(2, B)]), idx, span=5)
+    with pytest.raises(FileNotFoundError, match="Rebuild the index"):
+        gram_index.append_gram_index(
+            _docs(spark, [(2, B)]), str(tmp_path / "not_an_index")
+        )

@@ -1,0 +1,261 @@
+"""Stored exact-substring gram index (r10) — the ingest-time half of
+Lee et al. 2022's ExactSubstr.
+
+``exact_substring_dedup`` (queries/corpus_text.py) deduplicates a
+corpus against ITSELF in one batch pass. Production pipelines also
+need the INGEST direction: text arriving later must not re-introduce
+verbatim spans the curated corpus already contains, and re-crawls of
+the same corpus must not be compared against their own stale text.
+That requires the corpus's gram set as a STORED artifact with an
+incremental-maintenance story — this module, the fourth caller of the
+shared segment-lifecycle core (operators/segments.py), after the FTS
+posting index, the band index, and the ANN code index.
+
+Layout (plain parquet under ``path``):
+
+- ``grams/``: one row per DISTINCT (doc_id, g) — g is md5 of the
+  space-joined token ``span``-gram. md5, not xxhash64: cross-engine
+  identical (DuckDB computes the same hex string, so the gate's oracle
+  is EXACT, not collision-probabilistic), and at 32 bytes still ~10x
+  narrower than a ~50-token production gram. Positions are NOT stored:
+  gate semantics need only membership ("does any live doc contain this
+  gram"), and dropping positions lets the per-doc distinct shrink
+  boilerplate-heavy docs. Hive-partitioned on
+  ``gbucket = pmod(xxhash64(g), prune_buckets)`` so a micro-batch's
+  gram set prunes the stored scan to its buckets (PartitionFilters),
+  the band index's pbucket posture. Carries ``seg``.
+- ``_manifest.json``: ``{max_seg, span, prune_buckets}`` — geometry is
+  pinned at build; an append with a DISAGREEING explicit span raises
+  instead of silently indexing incomparable grams.
+
+Lifecycle (all mechanics from operators/segments.py): fresh build is
+seg 0; ``append_gram_index`` writes the delta as seg max+1 (re-arriving
+doc_ids allowed — readers resolve newest-segment-wins per doc, so an
+updated doc's OLD grams stop gating the moment the append lands);
+``compact_gram_index`` folds live rows back to seg 0 through the
+whole-directory crash-safe swap; ``gram_index_staleness`` is the
+computable compaction trigger (band_index_staleness's shape).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions import text as text_fns
+from ..sources import derived
+from . import segments
+
+_MANIFEST = "_manifest.json"
+
+
+def gram_index_path(sf_dir: str, span: int = 6, tag: str = "") -> str:
+    """Derived-cache location for a corpus's gram index (ann_index
+    posture: keyed by params AND source-content fingerprint, version
+    token in the params so a future format change rebuilds instead of
+    appending into a legacy layout). ``tag`` distinguishes indexes
+    built from different SLICES of the same source table."""
+    suffix = f"_{tag}" if tag else ""
+    return derived.derived_path(
+        "gram_idx",
+        sf_dir,
+        params=f"v1_s{span}{suffix}",
+        fingerprint_of=[os.path.join(sf_dir, "documents.parquet")],
+    )
+
+
+def _manifest_read(path: str) -> dict:
+    return segments.read_manifest(path, _MANIFEST)
+
+
+def doc_grams(
+    docs: DataFrame,
+    span: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    with_pos: bool = False,
+) -> DataFrame:
+    """(id, g[, i]) rows for every token ``span``-gram — the ONE gram
+    derivation both the index write path and the gate's probe side use
+    (a tokenizer or hash drift between them would silently miss every
+    match, so there is exactly one copy). ``with_pos=False`` dedups to
+    distinct (id, g) — index storage; ``with_pos=True`` keeps the
+    0-based start for span marking — the gate's probe side."""
+    toks = docs.select(
+        F.col(id_col), text_fns.tokens(text_col).alias("toks")
+    )
+    grams = toks.select(
+        id_col, F.posexplode(text_fns.ngrams("toks", span)).alias("i", "gram")
+    ).select(id_col, "i", F.md5(F.col("gram")).alias("g"))
+    if with_pos:
+        return grams
+    return grams.select(id_col, "g").distinct()
+
+
+def write_gram_index(
+    corpus: DataFrame,
+    path: str,
+    span: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prune_buckets: int = 64,
+) -> str:
+    """Fresh build: distinct per-doc grams as seg 0 plus the pinned
+    manifest. One tokenize pass, one doc-local distinct; the only wide
+    exchange is the gram distinct + the gbucket-partitioned write.
+    Idempotent via rename-if-absent (fts_index posture) so registered
+    queries and bench loops pay the build once per (corpus, params)."""
+    rows = (
+        doc_grams(corpus, span, id_col, text_col)
+        .withColumn("seg", F.lit(0))
+        .withColumn(
+            "gbucket",
+            F.pmod(F.xxhash64("g"), F.lit(prune_buckets)).cast("int"),
+        )
+    )
+
+    def build(tmp: str) -> None:
+        os.makedirs(tmp, exist_ok=True)
+        rows.write.mode("overwrite").partitionBy("gbucket").parquet(
+            f"{tmp}/grams"
+        )
+        segments.write_manifest(
+            tmp,
+            _MANIFEST,
+            {"max_seg": 0, "span": span, "prune_buckets": prune_buckets},
+        )
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+
+    return derived.publish(build, path)
+
+
+def append_gram_index(
+    delta: DataFrame,
+    path: str,
+    span: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> int:
+    """Append a delta as a NEW segment — O(|delta|), never touches the
+    stored corpus. Re-arriving doc_ids are the supported update path:
+    their fresh grams land in the new segment and every reader resolves
+    newest-segment-wins, so the stale text stops gating immediately.
+    An explicit ``span`` that disagrees with the manifest RAISES
+    (grams of different spans never match — the append would silently
+    contribute nothing)."""
+    man = _manifest_read(path)
+    if span is not None and span != man["span"]:
+        raise ValueError(
+            f"append_gram_index(span={span}) disagrees with the index "
+            f"manifest (span={man['span']}); grams of different spans "
+            "never match — rebuild the index at the new span instead."
+        )
+    seg = segments.next_seg(man)
+    rows = (
+        doc_grams(delta, man["span"], id_col, text_col)
+        .withColumn("seg", F.lit(seg))
+        .withColumn(
+            "gbucket",
+            F.pmod(F.xxhash64("g"), F.lit(man["prune_buckets"])).cast("int"),
+        )
+    )
+    rows.write.mode("append").partitionBy("gbucket").parquet(f"{path}/grams")
+    man["max_seg"] = seg
+    segments.write_manifest(path, _MANIFEST, man)
+    return seg
+
+
+def load_gram_index(
+    spark: SparkSession, path: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """The LIVE gram set (id, g, gbucket): newest-segment-wins per doc.
+    Single-segment fast path pays zero resolution work — the common
+    state between appends, and permanent after compaction."""
+    man = _manifest_read(path)
+    rows = spark.read.parquet(f"{path}/grams")
+    if man["max_seg"] == 0:
+        return rows.drop("seg")
+    live = segments.live_view(rows.select(id_col, "seg"), id_col)
+    return segments.resolve_newest(rows, live, id_col)
+
+
+def gram_index_staleness(spark: SparkSession, path: str) -> dict:
+    """{max_seg, stale_fraction} — the computable compaction trigger
+    (band_index_staleness's contract: zero Spark work single-segment;
+    otherwise one scan + the doc-cardinality live aggregate, never
+    costlier than the live-join rent one gate run pays)."""
+    man = _manifest_read(path)
+    if man["max_seg"] == 0:
+        return {"max_seg": 0, "stale_fraction": 0.0}
+    rows = spark.read.parquet(f"{path}/grams")
+    live = segments.live_view(rows.select("doc_id", "seg"), "doc_id")
+    return {
+        "max_seg": man["max_seg"],
+        "stale_fraction": segments.stale_fraction(rows, live, "doc_id"),
+    }
+
+
+def compact_gram_index(
+    spark: SparkSession, path: str, id_col: str = "doc_id"
+) -> str:
+    """Fold the live rows back into a single segment via the shared
+    crash-safe whole-directory swap (manifest written into the temp dir
+    BEFORE publication — see segments.compact_swap for the guarantee
+    and its single-writer caveat). Stale segments' rows are dropped for
+    good; subsequent readers take the single-segment fast path."""
+    man = _manifest_read(path)
+    live = load_gram_index(spark, path, id_col).withColumn(
+        "seg", F.lit(0)
+    )
+    # materialize BEFORE the swap unlinks the source files: the fold
+    # below must not lazily re-scan a directory that no longer exists
+    live = live.localCheckpoint(eager=True)
+
+    def write_into(tmp: str) -> None:
+        os.makedirs(tmp, exist_ok=True)
+        live.write.mode("overwrite").partitionBy("gbucket").parquet(
+            f"{tmp}/grams"
+        )
+        segments.write_manifest(
+            tmp,
+            _MANIFEST,
+            {
+                "max_seg": 0,
+                "span": man["span"],
+                "prune_buckets": man["prune_buckets"],
+            },
+        )
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            # preserve the derived-cache publish marker across the swap
+            open(os.path.join(tmp, "_SUCCESS"), "w").close()
+
+    return segments.compact_swap(path, write_into)
+
+
+def match_starts(
+    spark: SparkSession,
+    path: str,
+    incoming: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The gate's probe: per incoming doc, the 0-based starts of every
+    ``span``-gram ALSO present in the live stored corpus — ``(id,
+    mpos array<int>)``, ready for the _survivor_runs fold. Unlike
+    decontam's broadcast eval set, the reference side here is
+    corpus-scaled: membership is a shuffle LEFT SEMI join on the 32-byte
+    md5 key (output <= probe input, skew AQE-splittable), against the
+    live view whose distinct-(doc, gram) rows are exactly what the
+    semi-join needs — no occurrence counts, no first-occurrence
+    bookkeeping, because ingest semantics are "the corpus already has
+    this text, so the arriving copy is never canonical"."""
+    man = _manifest_read(path)
+    probe = doc_grams(incoming, man["span"], id_col, text_col, with_pos=True)
+    stored = load_gram_index(spark, path, id_col).select("g")
+    return (
+        probe.join(stored, "g", "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_set("i").alias("mpos"))
+    )

@@ -1057,6 +1057,202 @@ def exact_substring_stats(
 
 
 @register(
+    "exact_substring_gate",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS.format(c='text')} AS toks FROM documents),
+    corp AS (SELECT DISTINCT array_to_string(toks[i:i+5], ' ') AS gram
+             FROM t, UNNEST(range(1, len(toks) - 4)) AS u(i)
+             WHERE doc_id % 7 <> 0 AND len(toks) >= 6),
+    inc AS (SELECT doc_id, toks FROM t WHERE doc_id % 7 = 0),
+    hit AS (SELECT inc.doc_id, u.i AS i
+            FROM inc, UNNEST(range(1, len(toks) - 4)) AS u(i)
+            WHERE len(toks) >= 6
+              AND array_to_string(toks[u.i:u.i+5], ' ')
+                  IN (SELECT gram FROM corp)),
+    pos AS (SELECT inc.doc_id, v.p AS p, toks[v.p] AS tok
+            FROM inc, UNNEST(range(1, len(toks) + 1)) AS v(p)),
+    kept AS (
+      SELECT pos.doc_id, pos.p, pos.tok,
+             pos.p - ROW_NUMBER() OVER (
+               PARTITION BY pos.doc_id ORDER BY pos.p) AS grp
+      FROM pos
+      WHERE NOT EXISTS (
+        SELECT 1 FROM hit
+        WHERE hit.doc_id = pos.doc_id AND pos.p BETWEEN hit.i AND hit.i + 5)
+    ),
+    runs AS (SELECT doc_id, grp, MIN(p) AS start_p, COUNT(*) AS n,
+                    md5(string_agg(tok, ' ' ORDER BY p)) AS run_md5
+             FROM kept GROUP BY doc_id, grp)
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY doc_id ORDER BY start_p) - 1 AS BIGINT) AS run_idx,
+           CAST(n AS BIGINT) AS n_toks,
+           run_md5
+    FROM runs ORDER BY doc_id, run_idx
+    """,
+)
+def exact_substring_gate(
+    spark: SparkSession,
+    sf_dir: str,
+    span: int = 6,
+    min_run_tokens: int = 0,
+    max_runs: int | None = None,
+) -> DataFrame:
+    """The INGEST direction of ExactSubstr (operators/gram_index.py):
+    arriving documents are gated against the STORED gram index of the
+    curated corpus — every span covered by a 6-gram the corpus already
+    contains is cut, and the arriving doc is admitted as its surviving
+    runs (decontam_split's output shape; GPT-3 production rules pass
+    through). No keep-first here: the corpus copy is by definition
+    canonical, so EVERY matching incoming span drops. Fixture: the
+    doc_id % 7 == 0 slice arrives against the index of the rest.
+
+    Shape vs decontam_scrub: same probe-side pipeline, but the
+    reference set is CORPUS-SCALED — a stored distinct-(doc, gram)
+    parquet index, not a broadcastable eval dim — so membership is a
+    shuffle LEFT SEMI join on the 32-byte md5 gram key (output <=
+    probe input, AQE-skew-splittable) against the index's newest-wins
+    live view. The index is a derived artifact (rename-if-absent
+    publish, fingerprint-keyed path), built once per corpus and
+    maintained incrementally: append_gram_index admits each batch's
+    survivors as a new segment (O(|delta|)), re-arrivals newest-wins,
+    compact_gram_index folds segments back — the fourth caller of the
+    operators/segments.py lifecycle core. Determinism: md5 gram keys
+    are cross-engine exact (DuckDB computes the identical hex), so the
+    oracle match is exact, not collision-probabilistic."""
+    from ..operators import gram_index
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 7 != 0)
+    incoming = docs.where(F.col("doc_id") % 7 == 0)
+    path = gram_index.gram_index_path(sf_dir, span=span, tag="gate7")
+    gram_index.write_gram_index(corpus, path, span=span)
+    hits = gram_index.match_starts(spark, path, incoming)
+    base = incoming.select(
+        "doc_id", text_fns.tokens("text").alias("toks")
+    ).join(hits, "doc_id", "left")
+    return _survivor_runs(
+        base, span=span, min_run_tokens=min_run_tokens, max_runs=max_runs
+    )
+
+
+@register(
+    "gram_lifecycle_property_check",
+    oracle="""
+    SELECT 'appended_live_view_equals_fresh_rebuild' AS property, TRUE AS ok
+    UNION ALL SELECT 'compacted_layout_equals_fresh_rebuild', TRUE
+    UNION ALL SELECT 'gate_runs_stable_across_compaction', TRUE
+    UNION ALL SELECT 'manifest_resets_to_single_segment', TRUE
+    ORDER BY property
+    """,
+)
+def gram_lifecycle_property_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Driver-green equivalence gate for the stored GRAM index's full
+    lifecycle (band_lifecycle_property_check's contract, applied to the
+    r10 exact-substring ingest machinery): write_gram_index(base) ->
+    append_gram_index(delta with a RE-ARRIVING updated doc) -> gate ->
+    compact_gram_index. Four properties, hash-compared against pinned
+    TRUE rows; every equality is computed DISTRIBUTED (count +
+    exceptAll-empty), never by collecting index rows:
+
+    1. appended_live_view_equals_fresh_rebuild — after a delta that
+       UPDATES indexed docs, load_gram_index's newest-wins view is
+       row-identical to a fresh build of the upserted corpus (stale
+       grams invisible, new docs present).
+    2. gate_runs_stable_across_compaction — the ingest gate emits the
+       identical (nonempty) run set against the 2-segment index and
+       the compacted one.
+    3. compacted_layout_equals_fresh_rebuild — post-compaction the RAW
+       stored rows (seg included) equal the fresh rebuild's: stale
+       rows physically gone, not just filtered.
+    4. manifest_resets_to_single_segment — max_seg folds to 0, so
+       readers take the single-segment fast path thereafter."""
+    import shutil
+    import tempfile
+
+    from ..operators import gram_index
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.where(F.col("doc_id") % 2 == 0)
+    rearrive = docs.where(
+        (F.col("doc_id") % 2 == 0) & (F.col("doc_id") % 16 == 0)
+    ).select(
+        "doc_id", F.concat(F.lit("updated "), F.col("text")).alias("text")
+    )
+    delta = docs.where(F.col("doc_id") % 2 == 1).unionByName(rearrive)
+    upserted = docs.join(
+        rearrive.select("doc_id"), "doc_id", "left_anti"
+    ).unionByName(rearrive)
+
+    def same_rows(a: DataFrame, b: DataFrame) -> bool:
+        return a.count() == b.count() and a.exceptAll(b).isEmpty()
+
+    def gate_runs(idx: str) -> DataFrame:
+        incoming = docs.where(F.col("doc_id") % 31 == 0).select(
+            (F.col("doc_id") + 500000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit("  ")).alias("text"),
+        )
+        hits = gram_index.match_starts(spark, idx, incoming)
+        probe = incoming.select(
+            "doc_id", text_fns.tokens("text").alias("toks")
+        ).join(hits, "doc_id", "left")
+        return _survivor_runs(probe, span=6)
+
+    tmp = tempfile.mkdtemp(prefix="gram_lifecycle_")
+    try:
+        idx = f"{tmp}/idx"
+        idx_fresh = f"{tmp}/idx_fresh"
+        gram_index.write_gram_index(base, idx, span=6)
+        gram_index.append_gram_index(delta, idx)
+        gram_index.write_gram_index(upserted, idx_fresh, span=6)
+
+        live_ok = same_rows(
+            gram_index.load_gram_index(spark, idx),
+            gram_index.load_gram_index(spark, idx_fresh),
+        )
+        # materialize BEFORE the compaction swap: the plan re-reads the
+        # index path lazily, and post-swap the old part files are gone
+        runs_seg = gate_runs(idx).localCheckpoint(eager=True)
+        # a fully-admitted probe doc yields one whole-doc run; HITS are
+        # what make the property non-vacuous — require some probe doc
+        # to have been cut (fewer surviving tokens than a no-index run)
+        n_cut = (
+            runs_seg.groupBy("doc_id")
+            .agg(F.sum("n_toks").alias("kept"))
+            .join(
+                docs.where(F.col("doc_id") % 31 == 0).select(
+                    (F.col("doc_id") + 500000).alias("doc_id"),
+                    F.size(text_fns.tokens("text")).cast("long").alias("n"),
+                ),
+                "doc_id",
+                "right",
+            )
+            .where(F.coalesce("kept", F.lit(0)) < F.col("n"))
+            .count()
+        )
+        gram_index.compact_gram_index(spark, idx)
+        manifest_ok = gram_index._manifest_read(idx)["max_seg"] == 0
+        raw_ok = same_rows(
+            spark.read.parquet(f"{idx}/grams"),
+            spark.read.parquet(f"{idx_fresh}/grams"),
+        )
+        gate_ok = n_cut > 0 and same_rows(runs_seg, gate_runs(idx))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            ("appended_live_view_equals_fresh_rebuild", bool(live_ok)),
+            ("compacted_layout_equals_fresh_rebuild", bool(raw_ok)),
+            ("gate_runs_stable_across_compaction", bool(gate_ok)),
+            ("manifest_resets_to_single_segment", bool(manifest_ok)),
+        ],
+        "property string, ok boolean",
+    )
+
+
+@register(
     "gopher_repetition",
     oracle=f"""
     WITH t AS (SELECT doc_id, {_SQL_TOKENS.format(c='text')} AS toks FROM documents),
