@@ -23,7 +23,9 @@ from wvfoia_sync_spark import registry
 # per-source report twin exact_substring_stats, the ingest-direction
 # exact_substring_gate (stored gram index, operators/gram_index.py —
 # the segments core's fourth caller), and its lifecycle equivalence
-# gate gram_lifecycle_property_check — all never checked;
+# gate gram_lifecycle_property_check, plus the streaming ingest form
+# stream_substring_gate (per-epoch tombstoned sink, gbucket-pruned
+# scans) — all never checked;
 # (b) the nine r5 names the r9 plan queued for this head
 # (status_grouping_sets ... weighted_sample — the last pre-r6 rows);
 # (c) every query whose PLAN or stored-index FORMAT changed this
@@ -37,9 +39,10 @@ from wvfoia_sync_spark import registry
 # and the four stored-ANN queries pq_topk / pq_recall_check /
 # ivfpq_topk / ivfpq_recall_check (index format v2: csim column,
 # versioned derived path, per-segment drift stats);
-# (d) 28 of the 45 names last green in r6, alphabetically. After this
-# window lands, no name's latest green predates r6; the remaining 15
-# r6 names are queued for the r11 head (pmi_collocations,
+# (d) 27 of the 45 names last green in r6, alphabetically. After this
+# window lands, no name's latest green predates r6; the remaining 16
+# r6 names are queued for the r11 head (observed_scan_metrics,
+# pmi_collocations,
 # provenance_counts, quality_classifier_score,
 # semantic_dedup, shard_manifest,
 # shard_manifest_incremental, simhash_property_check, snapshot_drift,
@@ -53,6 +56,7 @@ DRIVER_WINDOW: list[str] = [
     "exact_substring_stats",
     "exact_substring_gate",
     "gram_lifecycle_property_check",
+    "stream_substring_gate",
     # --- stalest: last green r5 (queued by the r9 plan) ---
     "status_grouping_sets",
     "status_sequence",
@@ -73,7 +77,7 @@ DRIVER_WINDOW: list[str] = [
     "pq_recall_check",
     "ivfpq_topk",
     "ivfpq_recall_check",
-    # --- stalest remaining: last green r6 (28 of 45) ---
+    # --- stalest remaining: last green r6 (27 of 45) ---
     "approx_distinct_users",
     "approx_quantile_check",
     "audio_fingerprint_dedup",
@@ -101,7 +105,6 @@ DRIVER_WINDOW: list[str] = [
     "nation_pagerank",
     "near_dup_rate_matrix",
     "next_event_examples",
-    "observed_scan_metrics",
 ]
 
 

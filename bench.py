@@ -83,6 +83,7 @@ HEADLINE = [
     "exact_substring_dedup",
     "exact_substring_stats",
     "exact_substring_gate",
+    "stream_substring_gate",
     "gopher_repetition",
     "token_chunks",
     "pack_bins",

@@ -112,3 +112,69 @@ def test_gram_index_geometry_pinned(spark, tmp_path):
         gram_index.append_gram_index(
             _docs(spark, [(2, B)]), str(tmp_path / "not_an_index")
         )
+
+
+def test_streaming_substring_gate_prunes_and_resumes(spark, tmp_path):
+    """The streaming ingest gate (streaming/jobs.py, r10): (a) runs
+    identical to the batch gate on the same slices, read back from the
+    per-epoch parquet sink; (b) the per-batch stored-index scan carries
+    a gbucket PartitionFilter (corpus scan pruned to the arriving
+    shard's bucket set); (c) a checkpointed SECOND run processes only
+    the newly arrived file, and the read-back resolves the re-arrived
+    doc to its NEWEST epoch's runs (the index's own re-arrival
+    contract, applied to the sink)."""
+    import hashlib
+
+    from wvfoia_sync_spark.streaming import jobs
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    idx = str(tmp_path / "idx")
+    gram_index.write_gram_index(_docs(spark, [(1, A), (2, B)]), idx, span=6)
+
+    src = tmp_path / "arrivals" / "documents.parquet"
+    first = _docs(
+        spark,
+        [
+            (10, "c1 c2 c3 c4 c5 c6 " + SHARED + " e1 e2 e3 e4 e5 e6"),
+            (11, A),
+            (12, "f1 f2 f3 f4 f5 f6 f7 f8 f9"),
+        ],
+    )
+    first.write.parquet(str(src))
+
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    plans: list = []
+    incoming = jobs.documents_stream(spark, str(tmp_path / "arrivals"))
+    out = jobs.streaming_substring_gate(
+        incoming, idx, "ssg_test_1", sink, plan_tap=plans,
+        checkpoint_path=ckpt,
+    )
+    got = sorted(map(tuple, out.collect()))
+    assert got == sorted(
+        [
+            (10, 0, 6, md5("c1 c2 c3 c4 c5 c6")),
+            (10, 1, 6, md5("e1 e2 e3 e4 e5 e6")),
+            (12, 0, 9, md5("f1 f2 f3 f4 f5 f6 f7 f8 f9")),
+        ]
+    )
+    assert plans and any(
+        "PartitionFilters" in ln and "gbucket" in ln
+        for p in plans
+        for ln in p.splitlines()
+    ), "stored-index scan did not carry a gbucket PartitionFilter"
+
+    # doc 10 RE-ARRIVES with text that is now entirely corpus-known;
+    # the checkpointed resume must process only this file, and the
+    # read-back must show doc 10's NEWEST runs (none) — not epoch 0's
+    _docs(spark, [(10, A)]).write.mode("append").parquet(str(src))
+    incoming2 = jobs.documents_stream(spark, str(tmp_path / "arrivals"))
+    out2 = jobs.streaming_substring_gate(
+        incoming2, idx, "ssg_test_2", sink, checkpoint_path=ckpt
+    )
+    got2 = sorted(map(tuple, out2.collect()))
+    assert got2 == sorted(
+        [
+            (12, 0, 9, md5("f1 f2 f3 f4 f5 f6 f7 f8 f9")),
+        ]
+    ), got2

@@ -719,102 +719,11 @@ def decontam_split(
     )
 
 
-def _survivor_runs(
-    base: DataFrame,
-    span: int,
-    min_run_tokens: int = 0,
-    max_runs: int | None = None,
-) -> DataFrame:
-    """Shared split-document tail (decontam_split and
-    exact_substring_dedup): given rows ``(doc_id, toks, mpos)`` where
-    ``mpos`` is the (nullable) set of matched 0-based gram STARTS and
-    each start covers tokens ``m..m+span-1``, emit every contiguous
-    surviving token run as ``(doc_id, run_idx, n_toks, run_md5)``.
 
-    Run BOUNDS (token-index [s, e) pairs) in ONE aggregate fold over
-    the position sequence. Single-reference discipline: higher-order
-    functions run interpreted (no whole-stage codegen, so no common-
-    subexpression elimination), and project-collapse INLINES an
-    aliased array into every element_at that touches it — a
-    breaks-array formulation that probes kept[j] and kept[j-1] per
-    position re-evaluates the whole O(n*m) survivor filter per probe,
-    O(n^2*m) per doc (measured: 7.7 s vs 0.55 s for the scrub twin at
-    sf0.1). Here every upstream array is referenced exactly once per
-    pass: mpos once inside the keep predicate, bounds once by the
-    final transform, toks once across all md5 slices."""
-    mpos = F.coalesce("mpos", F.array().cast("array<int>"))
-    n = F.size("toks")
-    empty_bounds = F.array().cast("array<struct<s:int,e:int>>")
-    keep = lambda i: ~F.exists(  # noqa: E731
-        mpos, lambda m: (i >= m) & (i <= m + (span - 1))
-    )
-    bounds = F.when(
-        n > 0,
-        F.aggregate(
-            F.sequence(F.lit(0), n - 1),
-            F.struct(
-                empty_bounds.alias("bs"), F.lit(False).alias("open")
-            ),
-            lambda acc, i: F.when(
-                ~keep(i),  # covered token: close any open run
-                F.struct(acc["bs"].alias("bs"), F.lit(False).alias("open")),
-            )
-            .when(
-                acc["open"],  # survivor extends the open run: bump e
-                F.struct(
-                    F.concat(
-                        F.slice(acc["bs"], 1, F.size(acc["bs"]) - 1),
-                        F.array(
-                            F.struct(
-                                F.element_at(acc["bs"], -1)["s"].alias("s"),
-                                (i + 1).alias("e"),
-                            )
-                        ),
-                    ).alias("bs"),
-                    F.lit(True).alias("open"),
-                ),
-            )
-            .otherwise(  # survivor opens a new run
-                F.struct(
-                    F.concat(
-                        acc["bs"],
-                        F.array(F.struct(i.alias("s"), (i + 1).alias("e"))),
-                    ).alias("bs"),
-                    F.lit(True).alias("open"),
-                )
-            ),
-            lambda acc: acc["bs"],
-        ),
-    ).otherwise(empty_bounds)
-    base = base.select("doc_id", "toks", bounds.alias("bounds"))
-    runs = F.transform(
-        "bounds",
-        lambda b, k: F.struct(
-            k.cast("long").alias("run_idx"),  # ORIGINAL index: stable
-            (b["e"] - b["s"]).cast("long").alias("n_toks"),  # under filters
-            F.md5(
-                F.array_join(F.slice("toks", b["s"] + 1, b["e"] - b["s"]), " ")
-            ).alias("run_md5"),
-        ),
-    )
-    out = base.select("doc_id", runs.alias("runs"))
-    if max_runs is not None:  # split count = contamination signal
-        out = out.where(F.size("runs") <= max_runs)
-    if min_run_tokens > 0:  # GPT-3's short-piece discard
-        out = out.select(
-            "doc_id",
-            F.filter(
-                "runs", lambda r: r["n_toks"] >= min_run_tokens
-            ).alias("runs"),
-        )
-    return out.select(
-        "doc_id", F.explode("runs").alias("r")
-    ).select(
-        "doc_id",
-        F.col("r.run_idx").alias("run_idx"),
-        F.col("r.n_toks").alias("n_toks"),
-        F.col("r.run_md5").alias("run_md5"),
-    )
+# the run fold lives in operators/textops.py (survivor_runs) so the
+# streaming ingest gate can use it without a queries->streaming cycle;
+# this alias keeps the query-side call sites unchanged
+_survivor_runs = textops.survivor_runs
 
 
 @register(
@@ -1250,6 +1159,80 @@ def gram_lifecycle_property_check(
         ],
         "property string, ok boolean",
     )
+
+
+@register(
+    "stream_substring_gate",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS.format(c='text')} AS toks FROM documents),
+    corp AS (SELECT DISTINCT array_to_string(toks[i:i+5], ' ') AS gram
+             FROM t, UNNEST(range(1, len(toks) - 4)) AS u(i)
+             WHERE doc_id % 7 <> 0 AND len(toks) >= 6),
+    inc AS (SELECT doc_id, toks FROM t WHERE doc_id % 7 = 0),
+    hit AS (SELECT inc.doc_id, u.i AS i
+            FROM inc, UNNEST(range(1, len(toks) - 4)) AS u(i)
+            WHERE len(toks) >= 6
+              AND array_to_string(toks[u.i:u.i+5], ' ')
+                  IN (SELECT gram FROM corp)),
+    pos AS (SELECT inc.doc_id, v.p AS p, toks[v.p] AS tok
+            FROM inc, UNNEST(range(1, len(toks) + 1)) AS v(p)),
+    kept AS (
+      SELECT pos.doc_id, pos.p, pos.tok,
+             pos.p - ROW_NUMBER() OVER (
+               PARTITION BY pos.doc_id ORDER BY pos.p) AS grp
+      FROM pos
+      WHERE NOT EXISTS (
+        SELECT 1 FROM hit
+        WHERE hit.doc_id = pos.doc_id AND pos.p BETWEEN hit.i AND hit.i + 5)
+    ),
+    runs AS (SELECT doc_id, grp, MIN(p) AS start_p, COUNT(*) AS n,
+                    md5(string_agg(tok, ' ' ORDER BY p)) AS run_md5
+             FROM kept GROUP BY doc_id, grp)
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY doc_id ORDER BY start_p) - 1 AS BIGINT) AS run_idx,
+           CAST(n AS BIGINT) AS n_toks,
+           run_md5
+    FROM runs ORDER BY doc_id, run_idx
+    """,
+)
+def stream_substring_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST: the exact-substring ingest gate run as a REAL streaming
+    query — the doc_id % 7 == 0 slice arrives as a file-source stream
+    and is gated per micro-batch against the stored gram index of the
+    rest (streaming/jobs.py streaming_substring_gate: gbucket
+    PartitionFilter pruning, per-batch manifest re-read for
+    append-while-streaming visibility, per-epoch idempotent parquet
+    sink). Same oracle as the batch exact_substring_gate — the
+    streaming decomposition must be answer-invariant. The only
+    driver-side materialization is the admitted-run read-back
+    (match-bounded, the stream_near_dup posture), re-emitted as a
+    DataFrame so the sink's temp dir can be reclaimed."""
+    import shutil
+    import tempfile
+
+    from ..operators import gram_index
+    from ..streaming import jobs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 7 != 0)
+    path = gram_index.gram_index_path(sf_dir, span=6, tag="gate7")
+    gram_index.write_gram_index(corpus, path, span=6)
+    incoming = (
+        jobs.documents_stream(spark, sf_dir)
+        .where(F.col("doc_id") % 7 == 0)
+        .select("doc_id", "text")
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_substring_gate_")
+    try:
+        out = jobs.streaming_substring_gate(
+            incoming, path, "stream_substring_gate", f"{tmp}/sink"
+        )
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
 
 
 @register(

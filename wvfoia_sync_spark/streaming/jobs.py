@@ -1141,3 +1141,170 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if os.path.isdir(p):
         return read_events_stream(spark, p)
     return read_events_stream(spark, sf_dir, glob="events.parquet")
+
+
+def streaming_substring_gate(
+    incoming: DataFrame,
+    index_path: str,
+    query_name: str,
+    sink_path: str,
+    span: int | None = None,
+    plan_tap: list | None = None,
+    checkpoint_path: str | None = None,
+) -> DataFrame:
+    """Streaming form of the exact-substring ingest gate (r10 — the
+    production shape of queries/corpus_text.exact_substring_gate):
+    each micro-batch of arriving documents is gated against the STORED
+    gram index (operators/gram_index.py) and admitted as its surviving
+    runs ``(doc_id, run_idx, n_toks, run_md5)``, written inside the
+    batch to ``sink_path/batch=<epoch>`` (per-epoch overwrite:
+    idempotent under batch retry; nothing row-sized crosses the
+    driver). The streaming_near_dup_pruned postures carry over
+    verbatim:
+
+    - PARTITION PRUNING: the batch's distinct gbucket values — bounded
+      by the index's prune_buckets CONSTANT, the only driver-side
+      collect — become an isin PartitionFilter on the stored scan, so
+      the probe term is proportional to the arriving shard, not the
+      corpus. ``plan_tap`` receives each batch's executed plan so tests
+      can assert the filter materialized.
+    - APPEND-WHILE-STREAMING: each batch re-reads the manifest (one
+      JSON stat, no Spark work) and re-derives the newest-wins live map
+      only when max_seg moved — a concurrent append_gram_index becomes
+      visible at the next batch boundary; single-segment indexes skip
+      resolution entirely.
+    - GEOMETRY PINNING: an explicit ``span`` that disagrees with the
+      manifest raises (grams of different spans never match — the gate
+      would silently admit everything).
+
+    SINK CONTRACT: each batch= directory is internally consistent and
+    carries one TOMBSTONE row (run_idx = -1, n_toks = 0) per processed
+    doc — the presence marker that lets newest-epoch-wins retire a
+    re-arrived doc's older runs even when its new text was FULLY
+    rejected (zero surviving runs). The raw sink is a MULTISET across
+    epochs; the read-back returned here resolves each doc to its last
+    epoch (the index's own re-arrival semantics) and drops tombstones.
+    A deployment consuming ``sink_path`` directly owns that resolution.
+    ``checkpoint_path`` resumes from the source frontier.
+    """
+    from ..operators import gram_index
+    from ..operators.textops import survivor_runs
+
+    man = gram_index._manifest_read(index_path)
+    if span is not None and span != man["span"]:
+        raise ValueError(
+            f"span={span} disagrees with the stored index's manifest "
+            f"(span={man['span']}) — the gate must shingle the arriving "
+            "side with the index's own geometry"
+        )
+    span = man["span"]
+    prune_buckets = man["prune_buckets"]
+    spark = incoming.sparkSession
+
+    seen = {"max_seg": man["max_seg"], "live": None}
+    if seen["max_seg"] > 0:
+        rows = spark.read.parquet(f"{index_path}/grams")
+        seen["live"] = segments.live_view(
+            rows.select("doc_id", "seg"), "doc_id"
+        ).localCheckpoint()
+
+    from ..functions import text as text_fns
+
+    def gate(batch_df: DataFrame, epoch_id: int) -> None:
+        cur_seg = gram_index._manifest_read(index_path)["max_seg"]
+        if cur_seg != seen["max_seg"]:  # mid-stream append (or compact)
+            seen["max_seg"] = cur_seg
+            seen["live"] = (
+                segments.live_view(
+                    spark.read.parquet(f"{index_path}/grams").select(
+                        "doc_id", "seg"
+                    ),
+                    "doc_id",
+                ).localCheckpoint()
+                if cur_seg > 0
+                else None
+            )
+        probe = gram_index.doc_grams(
+            batch_df, span, with_pos=True
+        ).withColumn(
+            "gbucket",
+            F.pmod(F.xxhash64("g"), F.lit(prune_buckets)).cast("int"),
+        )
+        probe = probe.localCheckpoint()  # two consumers: keys + join
+        # the only driver-side collect, bounded by prune_buckets
+        gb = [r[0] for r in probe.select("gbucket").distinct().collect()]
+        stored = spark.read.parquet(f"{index_path}/grams").where(
+            F.col("gbucket").isin(gb)
+        )
+        if seen["live"] is not None:  # stale segments drop out
+            stored = stored.join(seen["live"], ["doc_id", "seg"])
+        hits = (
+            probe.drop("gbucket")
+            .join(stored.select("g"), "g", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.collect_set("i").alias("mpos"))
+        )
+        base = batch_df.select(
+            "doc_id", text_fns.tokens("text").alias("toks")
+        ).join(hits, "doc_id", "left")
+        runs = survivor_runs(base, span=span)
+        # one TOMBSTONE row (run_idx = -1) per processed doc per epoch:
+        # a re-arrival that is FULLY rejected emits zero runs, and
+        # without a presence marker the read-back's newest-epoch-wins
+        # could not distinguish "doc not in this batch" from "doc
+        # re-arrived and nothing survived" — the old epoch's runs would
+        # wrongly win. Filtered out after resolution.
+        marks = base.select(
+            "doc_id",
+            F.lit(-1).cast("long").alias("run_idx"),
+            F.lit(0).cast("long").alias("n_toks"),
+            F.lit(None).cast("string").alias("run_md5"),
+        )
+        out = runs.unionByName(marks).withColumn(
+            # epoch written INTO the rows (not a partition dir to be
+            # re-inferred): the read-back's newest-epoch-wins resolution
+            # must not depend on partition-discovery interplay with an
+            # explicit schema
+            "epoch",
+            F.lit(epoch_id).cast("long"),
+        )
+        if plan_tap is not None:
+            plan_tap.append(
+                out._jdf.queryExecution().executedPlan().toString()
+            )
+        out.write.mode("overwrite").parquet(f"{sink_path}/batch={epoch_id}")
+
+    writer = (
+        incoming.writeStream.foreachBatch(gate)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_path is not None:
+        writer = writer.option("checkpointLocation", checkpoint_path)
+    q = writer.start()
+    q.awaitTermination()
+    run_schema = T.StructType(
+        [
+            T.StructField("doc_id", incoming.schema["doc_id"].dataType),
+            T.StructField("run_idx", T.LongType()),
+            T.StructField("n_toks", T.LongType()),
+            T.StructField("run_md5", T.StringType()),
+            T.StructField("epoch", T.LongType()),
+        ]
+    )
+    out_cols = ["doc_id", "run_idx", "n_toks", "run_md5"]
+    try:
+        sink = spark.read.schema(run_schema).parquet(sink_path)
+        sink.head(1)
+    except AnalysisException:  # zero batches arrived: no sink directory
+        return spark.createDataFrame([], run_schema).select(out_cols)
+    # newest-epoch-wins per doc (the re-arrival contract, matching the
+    # index's own resolution) — one doc-cardinality aggregate + equi-join
+    # over ALL rows including tombstones (so a fully-rejected re-arrival
+    # retires its older runs), then the tombstones drop out
+    latest = sink.groupBy("doc_id").agg(F.max("epoch").alias("epoch"))
+    return (
+        sink.join(latest, ["doc_id", "epoch"])
+        .where(F.col("run_idx") >= 0)
+        .select(out_cols)
+    )
