@@ -118,9 +118,13 @@ def write_gram_index(
 
     def build(tmp: str) -> None:
         os.makedirs(tmp, exist_ok=True)
-        rows.write.mode("overwrite").partitionBy("gbucket").parquet(
-            f"{tmp}/grams"
-        )
+        # repartition on the partition column (fts_index posture): without
+        # it every writer task emits a file into every bucket dir — 8x32
+        # tiny files whose listing+footer overhead dominates the gate's
+        # stored scan (measured 384 files vs 64 at sf0.1)
+        rows.repartition("gbucket").write.mode("overwrite").partitionBy(
+            "gbucket"
+        ).parquet(f"{tmp}/grams")
         segments.write_manifest(
             tmp,
             _MANIFEST,
@@ -161,7 +165,9 @@ def append_gram_index(
             F.pmod(F.xxhash64("g"), F.lit(man["prune_buckets"])).cast("int"),
         )
     )
-    rows.write.mode("append").partitionBy("gbucket").parquet(f"{path}/grams")
+    rows.repartition("gbucket").write.mode("append").partitionBy(
+        "gbucket"
+    ).parquet(f"{path}/grams")
     man["max_seg"] = seg
     segments.write_manifest(path, _MANIFEST, man)
     return seg
@@ -215,9 +221,9 @@ def compact_gram_index(
 
     def write_into(tmp: str) -> None:
         os.makedirs(tmp, exist_ok=True)
-        live.write.mode("overwrite").partitionBy("gbucket").parquet(
-            f"{tmp}/grams"
-        )
+        live.repartition("gbucket").write.mode("overwrite").partitionBy(
+            "gbucket"
+        ).parquet(f"{tmp}/grams")
         segments.write_manifest(
             tmp,
             _MANIFEST,

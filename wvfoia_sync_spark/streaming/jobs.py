@@ -1231,6 +1231,10 @@ def streaming_substring_gate(
             F.pmod(F.xxhash64("g"), F.lit(prune_buckets)).cast("int"),
         )
         probe = probe.localCheckpoint()  # two consumers: keys + join
+        # (measured: dropping this checkpoint and recomputing the probe
+        # grams per consumer is SLOWER at micro-batch sizes — 2.6-3.0 s
+        # vs 2.4-2.6 s gate wall — the two downstream jobs each re-run
+        # tokenize+explode+md5 without it)
         # the only driver-side collect, bounded by prune_buckets
         gb = [r[0] for r in probe.select("gbucket").distinct().collect()]
         stored = spark.read.parquet(f"{index_path}/grams").where(
@@ -1281,8 +1285,18 @@ def streaming_substring_gate(
     )
     if checkpoint_path is not None:
         writer = writer.option("checkpointLocation", checkpoint_path)
-    q = writer.start()
-    q.awaitTermination()
+    # scope shuffle partitions to batch volume around the stream's
+    # lifetime (the _run_available_now posture): each micro-batch runs
+    # several shuffles (probe distinct, hits aggregate, sink write) on
+    # shard-sized data, and 32-way exchanges on a few-hundred-doc batch
+    # are pure task-scheduling overhead
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = writer.start()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     run_schema = T.StructType(
         [
             T.StructField("doc_id", incoming.schema["doc_id"].dataType),
