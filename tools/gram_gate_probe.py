@@ -1,0 +1,146 @@
+"""Gram-index gate pruning probe (r10): substantiates the streaming
+gate's scale claim — "the probe term is proportional to the arriving
+shard's bucket set, not the corpus" — with a measurement.
+
+Fixture: the sf0.1 corpus grown k-fold (exact_substring_probe's
+replica-prefix growth), indexed at prune_buckets=1024 with a FIXED
+2-doc incoming batch (~100 distinct grams -> ~86 buckets = 8% of the
+index). The regime matters and was measured the wrong way first: an
+8-doc batch (~430 grams) at 256 buckets touches 172 of them — pruning
+degenerates to a 2/3 scan and saves nothing. The operational rule the
+probe encodes: prune_buckets must stay >> the per-batch DISTINCT gram
+count for the PartitionFilter to bite, so at production scale the
+bucket count is sized to the corpus (micro-batch gram count is the
+constant; per-bucket bytes grow with corpus/buckets). Per k, the hits
+computation (the gate's per-batch core) is timed two ways:
+
+- pruned: stored scan filtered to the batch's distinct gbucket values
+  (the isin that lands in PartitionFilters — what streaming_substring_gate
+  runs);
+- full:   stored scan unfiltered (what a naive stream-static join pays).
+
+Claimed shape: pruned wall ~flat in k while full-scan wall grows with
+the corpus; identical hit sets both ways (pruning is an optimization,
+never a semantics change).
+
+Usage: python tools/gram_gate_probe.py [out_jsonl] [k1,k2,...]
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from wvfoia_sync_spark.operators import gram_index  # noqa: E402
+from wvfoia_sync_spark.session import get_spark  # noqa: E402
+from wvfoia_sync_spark.sources.tables import load_table  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+PRUNE_BUCKETS = 1024
+
+
+def grown(spark, k: int):
+    docs = load_table(spark, BASE, "documents").select("doc_id", "text")
+    n = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    parts = [docs]
+    for j in range(1, k):
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + j * n).alias("doc_id"),
+                F.regexp_replace(F.col("text"), r"(\w+)", f"r{j}$1").alias(
+                    "text"
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def hits_rows(spark, probe, stored):
+    return sorted(
+        map(
+            tuple,
+            probe.drop("gbucket")
+            .join(stored.select("g"), "g", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.sort_array(F.collect_set("i")).alias("mpos"))
+            .select("doc_id", F.concat_ws(",", F.col("mpos").cast("array<string>")).alias("m"))
+            .collect(),
+        )
+    )
+
+
+def main() -> int:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALE_probe_r10_gramgate.jsonl"
+    ks = [int(x) for x in (sys.argv[2].split(",") if len(sys.argv) > 2 else [1, 4])]
+    spark = get_spark("gram-gate-probe")
+    tmp = tempfile.mkdtemp(prefix="gram_gate_probe_")
+    rows = []
+    try:
+        # fixed tiny batch: 2 base docs (present in every grown corpus,
+        # so hits are nonempty at all k)
+        batch = (
+            load_table(spark, BASE, "documents")
+            .select("doc_id", "text")
+            .where(F.col("doc_id") % 2500 == 0)
+        )
+        batch = spark.createDataFrame(batch.collect(), batch.schema)
+        for k in ks:
+            idx = f"{tmp}/idx_k{k}"
+            gram_index.write_gram_index(
+                grown(spark, k), idx, span=6, prune_buckets=PRUNE_BUCKETS
+            )
+            probe = gram_index.doc_grams(batch, 6, with_pos=True).withColumn(
+                "gbucket",
+                F.pmod(F.xxhash64("g"), F.lit(PRUNE_BUCKETS)).cast("int"),
+            )
+            probe = probe.localCheckpoint()
+            gb = [r[0] for r in probe.select("gbucket").distinct().collect()]
+            full = spark.read.parquet(f"{idx}/grams")
+            pruned = full.where(F.col("gbucket").isin(gb))
+            walls = {}
+            got = {}
+            for tag, stored in (("pruned", pruned), ("full", full)):
+                best = float("inf")
+                for _ in range(3):
+                    t0 = time.time()
+                    got[tag] = hits_rows(spark, probe, stored)
+                    best = min(best, time.time() - t0)
+                walls[tag] = round(best, 3)
+            assert got["pruned"] == got["full"] and got["pruned"], (
+                "pruning changed the hit set"
+            )
+            rows.append(
+                {
+                    "probe": "gram_gate_prune_r10",
+                    "k": k,
+                    "n_index_rows": full.count(),
+                    "n_batch_buckets": len(gb),
+                    "prune_buckets": PRUNE_BUCKETS,
+                    "pruned_scan_rows": pruned.count(),
+                    "hits_wall_pruned_s": walls["pruned"],
+                    "hits_wall_full_s": walls["full"],
+                    "n_hit_docs": len(got["pruned"]),
+                }
+            )
+            print(json.dumps(rows[-1]))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    with open(out_path, "a") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
