@@ -25,7 +25,8 @@ from wvfoia_sync_spark import registry
 # the segments core's fourth caller), and its lifecycle equivalence
 # gate gram_lifecycle_property_check, plus the streaming ingest form
 # stream_substring_gate (per-epoch tombstoned sink, gbucket-pruned
-# scans) — all never checked;
+# scans) and the cross-source verbatim-overlap matrix
+# exact_substring_source_matrix — all never checked;
 # (b) the nine r5 names the r9 plan queued for this head
 # (status_grouping_sets ... weighted_sample — the last pre-r6 rows);
 # (c) every query whose PLAN or stored-index FORMAT changed this
@@ -39,9 +40,10 @@ from wvfoia_sync_spark import registry
 # and the four stored-ANN queries pq_topk / pq_recall_check /
 # ivfpq_topk / ivfpq_recall_check (index format v2: csim column,
 # versioned derived path, per-segment drift stats);
-# (d) 27 of the 45 names last green in r6, alphabetically. After this
-# window lands, no name's latest green predates r6; the remaining 16
-# r6 names are queued for the r11 head (observed_scan_metrics,
+# (d) 26 of the 45 names last green in r6, alphabetically. After this
+# window lands, no name's latest green predates r6; the remaining 17
+# r6 names are queued for the r11 head (next_event_examples,
+# observed_scan_metrics,
 # pmi_collocations,
 # provenance_counts, quality_classifier_score,
 # semantic_dedup, shard_manifest,
@@ -57,6 +59,7 @@ DRIVER_WINDOW: list[str] = [
     "exact_substring_gate",
     "gram_lifecycle_property_check",
     "stream_substring_gate",
+    "exact_substring_source_matrix",
     # --- stalest: last green r5 (queued by the r9 plan) ---
     "status_grouping_sets",
     "status_sequence",
@@ -77,7 +80,7 @@ DRIVER_WINDOW: list[str] = [
     "pq_recall_check",
     "ivfpq_topk",
     "ivfpq_recall_check",
-    # --- stalest remaining: last green r6 (27 of 45) ---
+    # --- stalest remaining: last green r6 (26 of 45) ---
     "approx_distinct_users",
     "approx_quantile_check",
     "audio_fingerprint_dedup",
@@ -104,7 +107,6 @@ DRIVER_WINDOW: list[str] = [
     "mixture_sample",
     "nation_pagerank",
     "near_dup_rate_matrix",
-    "next_event_examples",
 ]
 
 

@@ -84,6 +84,7 @@ HEADLINE = [
     "exact_substring_stats",
     "exact_substring_gate",
     "stream_substring_gate",
+    "exact_substring_source_matrix",
     "gopher_repetition",
     "token_chunks",
     "pack_bins",

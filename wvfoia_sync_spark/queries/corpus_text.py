@@ -1107,7 +1107,10 @@ def gram_lifecycle_property_check(
         probe = incoming.select(
             "doc_id", text_fns.tokens("text").alias("toks")
         ).join(hits, "doc_id", "left")
-        return _survivor_runs(probe, span=6)
+        # span from the index manifest, not a re-stated constant: the
+        # fold's coverage arithmetic must use the gram width the index
+        # was built with
+        return _survivor_runs(probe, span=gram_index._manifest_read(idx)["span"])
 
     tmp = tempfile.mkdtemp(prefix="gram_lifecycle_")
     try:
@@ -1233,6 +1236,91 @@ def stream_substring_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+@register(
+    "exact_substring_source_matrix",
+    oracle=f"""
+    WITH t AS (SELECT source, {_SQL_TOKENS.format(c='text')} AS toks FROM documents),
+    g AS (SELECT DISTINCT source,
+                 array_to_string(toks[i:i+5], ' ') AS gram
+          FROM t, UNNEST(range(1, len(toks) - 4)) AS u(i)
+          WHERE len(toks) >= 6),
+    n AS (SELECT source, COUNT(*) AS n_grams FROM g GROUP BY source),
+    p AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+          FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+          GROUP BY 1, 2)
+    SELECT p.src_a, p.src_b,
+           CAST(p.n_shared AS BIGINT) AS n_shared_grams,
+           CAST(na.n_grams AS BIGINT) AS n_grams_a,
+           CAST(nb.n_grams AS BIGINT) AS n_grams_b,
+           CAST(p.n_shared AS DOUBLE)
+             / (na.n_grams + nb.n_grams - p.n_shared) AS jaccard
+    FROM p JOIN n na ON na.source = p.src_a
+           JOIN n nb ON nb.source = p.src_b
+    ORDER BY src_a, src_b
+    """,
+)
+def exact_substring_source_matrix(
+    spark: SparkSession, sf_dir: str, span: int = 6
+) -> DataFrame:
+    """Cross-source VERBATIM-overlap matrix — the exact-substring
+    analogue of dup_rate_matrix (whole-doc fingerprints) and
+    near_dup_rate_matrix (MinHash): for every source pair, how many
+    distinct token ``span``-grams the two sources both contain, plus
+    each side's gram-set size and the Jaccard of the sets. The
+    curation read: a high pair says the sources plagiarize each other
+    (mirrors, syndication, shared boilerplate) and cross-source dedup
+    must run BEFORE per-source budgets are allocated.
+
+    Shape: distinct (source, gram) — one gram-keyed exchange with
+    map-side partial dedup — then a gram-keyed self-join whose per-gram
+    fanout is |sources containing g|^2 <= n_sources^2: because the
+    distinct collapsed each (gram, source) to ONE row first, a
+    boilerplate gram in a billion documents contributes the same
+    n_sources^2 rows as a rare one — the join output is
+    SUM_g |S_g|^2 <= distinct_grams x n_sources^2, corpus-scaled only
+    in the gram count, never in occurrences. Same dimension-sized
+    ``source`` assumption as repetition_budget (documented there with a
+    guard; here the blowup is quadratic only in source cardinality,
+    and the final aggregate is source-pair-sized). Determinism: exact
+    string grams, BIGINT counts, one int/int double division."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", text_fns.tokens("text").alias("toks")
+    )
+    g = docs.select(
+        "source", F.explode(text_fns.ngrams("toks", span)).alias("gram")
+    ).distinct()
+    n = g.groupBy("source").agg(F.count("*").alias("n_grams"))
+    a = g.select(F.col("source").alias("src_a"), "gram")
+    b = g.select(F.col("source").alias("src_b"), "gram")
+    p = (
+        a.join(b, "gram")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_shared_grams"))
+    )
+    na = n.select(F.col("source").alias("src_a"), F.col("n_grams").alias("n_grams_a"))
+    nb = n.select(F.col("source").alias("src_b"), F.col("n_grams").alias("n_grams_b"))
+    return (
+        p.join(F.broadcast(na), "src_a")
+        .join(F.broadcast(nb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared_grams",
+            "n_grams_a",
+            "n_grams_b",
+            (
+                F.col("n_shared_grams").cast("double")
+                / (
+                    F.col("n_grams_a")
+                    + F.col("n_grams_b")
+                    - F.col("n_shared_grams")
+                )
+            ).alias("jaccard"),
+        )
+    )
 
 
 @register(
