@@ -178,3 +178,90 @@ def test_streaming_substring_gate_prunes_and_resumes(spark, tmp_path):
             (12, 0, 9, md5("f1 f2 f3 f4 f5 f6 f7 f8 f9")),
         ]
     ), got2
+
+
+def test_gram_index_crash_and_orphan_tolerance(spark, tmp_path):
+    """The module-docstring crash contract, exercised: (a) a manifest
+    pointing at a segment with no data (crash after the manifest bump,
+    before the writes) leaves every read correct — just fewer rows for
+    that segment — and the segment id is never reused, so re-running
+    the append repairs the index to exactly a fresh rebuild; (b) data
+    rows ABOVE the manifest bound (a concurrent append mid-read, or a
+    crashed pre-v2 append's orphans) are invisible to every reader."""
+    import json
+
+    idx = str(tmp_path / "idx")
+    gram_index.write_gram_index(_docs(spark, [(1, A), (2, B)]), idx, span=6)
+    baseline = sorted(
+        map(tuple, gram_index.load_gram_index(spark, idx).collect())
+    )
+
+    # (a) crash-simulated append: manifest bumped, no data written
+    man = gram_index._manifest_read(idx)
+    man["max_seg"] = 1
+    with open(f"{idx}/_manifest.json", "w") as f:
+        json.dump(man, f)
+    assert (
+        sorted(map(tuple, gram_index.load_gram_index(spark, idx).collect()))
+        == baseline
+    )
+    s = gram_index.gram_index_staleness(spark, idx)
+    assert s["max_seg"] == 1 and s["stale_fraction"] == 0.0
+
+    # retry the append for real: seg 1 is NOT reused (next is 2), and
+    # the result equals a fresh rebuild of the upserted corpus
+    NEW = "n1 n2 n3 n4 n5 n6 n7 n8 n9 n10"
+    assert gram_index.append_gram_index(_docs(spark, [(1, NEW)]), idx) == 2
+    fresh = str(tmp_path / "fresh")
+    gram_index.write_gram_index(_docs(spark, [(1, NEW), (2, B)]), fresh, span=6)
+    assert sorted(
+        (r["g"],) for r in gram_index.load_gram_index(spark, idx).collect()
+    ) == sorted(
+        (r["g"],) for r in gram_index.load_gram_index(spark, fresh).collect()
+    )
+
+    # (b) rows above the manifest bound are invisible
+    import pyspark.sql.functions as F
+
+    orphan = (
+        gram_index.doc_grams(_docs(spark, [(9, A)]), 6)
+        .withColumn("seg", F.lit(99))
+        .withColumn("gbucket", F.pmod(F.xxhash64("g"), F.lit(64)).cast("int"))
+    )
+    orphan.write.mode("append").partitionBy("gbucket").parquet(f"{idx}/grams")
+    live_ids = {
+        r[0] for r in gram_index.load_gram_index(spark, idx).select("doc_id").collect()
+    }
+    assert 9 not in live_ids
+
+
+def test_streaming_substring_gate_two_versions_one_batch(spark, tmp_path):
+    """Within-batch re-arrival (two files, NO checkpoint -> one batch
+    delivers both versions of doc 10): the gate resolves to ONE
+    deterministically-chosen version instead of merging both versions'
+    match positions into a corrupted run set. The chosen version is the
+    greatest non-id tuple — here the text sorting last."""
+    import hashlib
+
+    from wvfoia_sync_spark.streaming import jobs
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    idx = str(tmp_path / "idx")
+    gram_index.write_gram_index(_docs(spark, [(1, A)]), idx, span=6)
+
+    src = tmp_path / "arrivals" / "documents.parquet"
+    v_low = "a0 " + A  # contains A's grams -> heavily gated
+    v_high = "w1 w2 w3 w4 w5 w6 w7 w8"  # clean -> admitted whole
+    assert v_high > v_low  # the deterministic pick
+    _docs(spark, [(10, v_low)]).write.parquet(str(src))
+    _docs(spark, [(10, v_high)]).write.mode("append").parquet(str(src))
+
+    out = jobs.streaming_substring_gate(
+        jobs.documents_stream(spark, str(tmp_path / "arrivals")),
+        idx,
+        "ssg_two_versions",
+        str(tmp_path / "sink"),
+    )
+    assert sorted(map(tuple, out.collect())) == [
+        (10, 0, 8, md5(v_high)),
+    ]

@@ -227,12 +227,15 @@ def upsert_ann_index(
             "rebuild instead of upserting"
         )
     seg = segments.next_seg(man)
+    # manifest FIRST (r10 crash contract, see gram_index module
+    # docstring): crash mid-append -> never-reused seg id, partial
+    # segment invisible to newest-wins, re-run repairs fully
+    man[segments.MAX_SEG_KEY] = seg
+    segments.write_manifest(index_dir, MANIFEST, man)
     idx = _encode(delta, centroids, codebooks, id_col, vec_col)
     idx.withColumn("seg", F.lit(seg)).repartition("ivf_cell").write.mode(
         "append"
     ).partitionBy("ivf_cell").parquet(index_dir)
-    man[segments.MAX_SEG_KEY] = seg
-    segments.write_manifest(index_dir, MANIFEST, man)
     return index_dir
 
 

@@ -119,6 +119,11 @@ def upsert_fts_index(
     text_cols = text_cols or ["text"]
     man = segments.read_manifest(index_dir, MANIFEST)
     seg = segments.next_seg(man)
+    # manifest FIRST (r10 crash contract, see gram_index module
+    # docstring): crash mid-append -> never-reused seg id, partial
+    # segment invisible to newest-wins, re-run repairs fully
+    man["max_seg"] = seg
+    segments.write_manifest(index_dir, MANIFEST, man)
     p = _postings(delta_docs, id_col, text_cols, man["num_buckets"], seg=seg)
     p.repartition("bucket").write.mode("append").partitionBy("bucket").parquet(
         os.path.join(index_dir, "postings")
@@ -126,8 +131,6 @@ def upsert_fts_index(
     delta_docs.select(F.col(id_col).alias("id")).distinct().withColumn(
         "seg", F.lit(seg)
     ).write.mode("append").parquet(os.path.join(index_dir, "live"))
-    man["max_seg"] = seg
-    segments.write_manifest(index_dir, MANIFEST, man)
     return seg
 
 

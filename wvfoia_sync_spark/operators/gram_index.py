@@ -13,7 +13,7 @@ posting index, the band index, and the ANN code index.
 
 Layout (plain parquet under ``path``):
 
-- ``grams/``: one row per DISTINCT (doc_id, g) — g is md5 of the
+- ``grams/``: one row per DISTINCT (id, g) — g is md5 of the
   space-joined token ``span``-gram. md5, not xxhash64: cross-engine
   identical (DuckDB computes the same hex string, so the gate's oracle
   is EXACT, not collision-probabilistic), and at 32 bytes still ~10x
@@ -24,17 +24,37 @@ Layout (plain parquet under ``path``):
   ``gbucket = pmod(xxhash64(g), prune_buckets)`` so a micro-batch's
   gram set prunes the stored scan to its buckets (PartitionFilters),
   the band index's pbucket posture. Carries ``seg``.
-- ``_manifest.json``: ``{max_seg, span, prune_buckets}`` — geometry is
-  pinned at build; an append with a DISAGREEING explicit span raises
-  instead of silently indexing incomparable grams.
+- ``live/``: one row per (id, seg) — the DOC-SIZED table newest-wins
+  resolution aggregates over (segments.live_view's stated contract:
+  "run it on the smallest table that has one row per (key, seg)"; the
+  fts index's live/ posture). Without it every multi-segment read
+  would pay a corpus-gram-sized exchange for a doc-cardinality answer.
+- ``_manifest.json``: ``{max_seg, span, prune_buckets, id_col}`` —
+  geometry AND the id column are pinned at build; an append with a
+  DISAGREEING explicit span raises instead of silently indexing
+  incomparable grams.
 
-Lifecycle (all mechanics from operators/segments.py): fresh build is
-seg 0; ``append_gram_index`` writes the delta as seg max+1 (re-arriving
-doc_ids allowed — readers resolve newest-segment-wins per doc, so an
-updated doc's OLD grams stop gating the moment the append lands);
-``compact_gram_index`` folds live rows back to seg 0 through the
-whole-directory crash-safe swap; ``gram_index_staleness`` is the
+Lifecycle (mechanics from operators/segments.py): fresh build is
+seg 0; ``append_gram_index`` writes the delta as seg max+1
+(re-arriving ids allowed — readers resolve newest-segment-wins per
+doc, so an updated doc's OLD grams stop gating the moment the append
+lands); ``compact_gram_index`` folds live rows back to seg 0 through
+the whole-directory crash-safe swap; ``gram_index_staleness`` is the
 computable compaction trigger (band_index_staleness's shape).
+
+CRASH/CONCURRENCY CONTRACT (single writer, as every index here): the
+manifest's ``max_seg`` is bumped BEFORE the segment's data is written,
+and every reader bounds its scan to ``seg <= manifest.max_seg`` as of
+its own manifest read. Consequences: (a) a crash mid-append leaves a
+manifest pointing at a missing-or-partial segment — readers simply see
+fewer (or zero) rows for that segment, never a torn newest-wins view,
+and the segment id is NEVER reused, so re-running the same append
+repairs the index completely (the retry's segment is newer and wins);
+(b) a reader that grabbed the manifest before a concurrent append
+CANNOT half-see it (the new segment's rows are above its bound) — the
+snapshot-isolation contract the streaming gate's per-batch manifest
+re-read builds on, including the 0 -> 1 transition where the reader
+has no live join at all.
 """
 
 from __future__ import annotations
@@ -61,7 +81,8 @@ def gram_index_path(sf_dir: str, span: int = 6, tag: str = "") -> str:
     return derived.derived_path(
         "gram_idx",
         sf_dir,
-        params=f"v1_s{span}{suffix}",
+        # v2: live/ table + id_col in manifest + manifest-first appends
+        params=f"v2_s{span}{suffix}",
         fingerprint_of=[os.path.join(sf_dir, "documents.parquet")],
     )
 
@@ -76,22 +97,46 @@ def doc_grams(
     id_col: str = "doc_id",
     text_col: str = "text",
     with_pos: bool = False,
+    tokenized: bool = False,
 ) -> DataFrame:
     """(id, g[, i]) rows for every token ``span``-gram — the ONE gram
     derivation both the index write path and the gate's probe side use
     (a tokenizer or hash drift between them would silently miss every
     match, so there is exactly one copy). ``with_pos=False`` dedups to
     distinct (id, g) — index storage; ``with_pos=True`` keeps the
-    0-based start for span marking — the gate's probe side."""
-    toks = docs.select(
-        F.col(id_col), text_fns.tokens(text_col).alias("toks")
-    )
+    0-based start for span marking — the gate's probe side.
+    ``tokenized=True`` means ``docs`` already carries a ``toks`` array
+    column (callers that also need the tokens for the survivor fold
+    tokenize ONCE and pass the projection in)."""
+    if tokenized:
+        toks = docs.select(id_col, "toks")
+    else:
+        toks = docs.select(
+            F.col(id_col), text_fns.tokens(text_col).alias("toks")
+        )
     grams = toks.select(
         id_col, F.posexplode(text_fns.ngrams("toks", span)).alias("i", "gram")
     ).select(id_col, "i", F.md5(F.col("gram")).alias("g"))
     if with_pos:
         return grams
     return grams.select(id_col, "g").distinct()
+
+
+def _segment_rows(
+    docs: DataFrame,
+    span: int,
+    id_col: str,
+    text_col: str,
+    seg: int,
+    prune_buckets: int,
+) -> tuple[DataFrame, DataFrame]:
+    """(grams rows, live rows) for one segment."""
+    g = doc_grams(docs, span, id_col, text_col)
+    rows = g.withColumn("seg", F.lit(seg)).withColumn(
+        "gbucket", F.pmod(F.xxhash64("g"), F.lit(prune_buckets)).cast("int")
+    )
+    live = g.select(id_col).distinct().withColumn("seg", F.lit(seg))
+    return rows, live
 
 
 def write_gram_index(
@@ -102,33 +147,34 @@ def write_gram_index(
     text_col: str = "text",
     prune_buckets: int = 64,
 ) -> str:
-    """Fresh build: distinct per-doc grams as seg 0 plus the pinned
-    manifest. One tokenize pass, one doc-local distinct; the only wide
-    exchange is the gram distinct + the gbucket-partitioned write.
-    Idempotent via rename-if-absent (fts_index posture) so registered
-    queries and bench loops pay the build once per (corpus, params)."""
-    rows = (
-        doc_grams(corpus, span, id_col, text_col)
-        .withColumn("seg", F.lit(0))
-        .withColumn(
-            "gbucket",
-            F.pmod(F.xxhash64("g"), F.lit(prune_buckets)).cast("int"),
-        )
-    )
+    """Fresh build: distinct per-doc grams as seg 0, the doc-sized
+    live table, and the pinned manifest. One tokenize pass, one
+    doc-local distinct; the only wide exchange is the gram distinct +
+    the gbucket-partitioned write. Idempotent via rename-if-absent
+    (fts_index posture) so registered queries and bench loops pay the
+    build once per (corpus, params)."""
+    rows, live = _segment_rows(corpus, span, id_col, text_col, 0, prune_buckets)
 
     def build(tmp: str) -> None:
         os.makedirs(tmp, exist_ok=True)
-        # repartition on the partition column (fts_index posture): without
-        # it every writer task emits a file into every bucket dir — 8x32
-        # tiny files whose listing+footer overhead dominates the gate's
-        # stored scan (measured 384 files vs 64 at sf0.1)
+        # repartition on the partition column (fts_index posture):
+        # without it every writer task emits a file into every bucket
+        # dir — writers x buckets tiny files whose listing+footer
+        # overhead dominates the gate's stored scan (measured 384 files
+        # vs 64 at sf0.1)
         rows.repartition("gbucket").write.mode("overwrite").partitionBy(
             "gbucket"
         ).parquet(f"{tmp}/grams")
+        live.write.mode("overwrite").parquet(f"{tmp}/live")
         segments.write_manifest(
             tmp,
             _MANIFEST,
-            {"max_seg": 0, "span": span, "prune_buckets": prune_buckets},
+            {
+                "max_seg": 0,
+                "span": span,
+                "prune_buckets": prune_buckets,
+                "id_col": id_col,
+            },
         )
         open(os.path.join(tmp, "_SUCCESS"), "w").close()
 
@@ -139,16 +185,21 @@ def append_gram_index(
     delta: DataFrame,
     path: str,
     span: int | None = None,
-    id_col: str = "doc_id",
     text_col: str = "text",
 ) -> int:
     """Append a delta as a NEW segment — O(|delta|), never touches the
-    stored corpus. Re-arriving doc_ids are the supported update path:
+    stored corpus. Re-arriving ids are the supported update path:
     their fresh grams land in the new segment and every reader resolves
     newest-segment-wins, so the stale text stops gating immediately.
     An explicit ``span`` that disagrees with the manifest RAISES
     (grams of different spans never match — the append would silently
-    contribute nothing)."""
+    contribute nothing). The id column comes from the manifest — it is
+    an index property, not a per-call choice.
+
+    ORDERING (see module docstring): the manifest's max_seg is bumped
+    FIRST, then live/, then grams/. A crash at any point leaves a
+    never-reused segment id and readers that ignore the partial
+    segment's missing rows; re-running the append repairs fully."""
     man = _manifest_read(path)
     if span is not None and span != man["span"]:
         raise ValueError(
@@ -157,73 +208,84 @@ def append_gram_index(
             "never match — rebuild the index at the new span instead."
         )
     seg = segments.next_seg(man)
-    rows = (
-        doc_grams(delta, man["span"], id_col, text_col)
-        .withColumn("seg", F.lit(seg))
-        .withColumn(
-            "gbucket",
-            F.pmod(F.xxhash64("g"), F.lit(man["prune_buckets"])).cast("int"),
-        )
+    rows, live = _segment_rows(
+        delta, man["span"], man["id_col"], text_col, seg, man["prune_buckets"]
     )
+    man["max_seg"] = seg
+    segments.write_manifest(path, _MANIFEST, man)
+    live.write.mode("append").parquet(f"{path}/live")
     rows.repartition("gbucket").write.mode("append").partitionBy(
         "gbucket"
     ).parquet(f"{path}/grams")
-    man["max_seg"] = seg
-    segments.write_manifest(path, _MANIFEST, man)
     return seg
 
 
-def load_gram_index(
-    spark: SparkSession, path: str, id_col: str = "doc_id"
-) -> DataFrame:
-    """The LIVE gram set (id, g, gbucket): newest-segment-wins per doc.
-    Single-segment fast path pays zero resolution work — the common
-    state between appends, and permanent after compaction."""
+def _bounded(spark: SparkSession, path: str, sub: str, max_seg: int) -> DataFrame:
+    """Scan one index table bounded to the manifest snapshot: rows of
+    segments NEWER than the reader's manifest read (a concurrent
+    append, or a crashed pre-v2 append's orphans) are invisible, so
+    every reader sees a consistent point-in-time view even on the
+    single-segment fast path."""
+    rows = spark.read.parquet(f"{path}/{sub}")
+    return rows.where(F.col("seg") <= F.lit(max_seg))
+
+
+def load_gram_index(spark: SparkSession, path: str) -> DataFrame:
+    """The LIVE gram set (id, g, gbucket): newest-segment-wins per doc,
+    resolved via the DOC-SIZED live table. Single-segment fast path
+    pays zero resolution work — the common state between appends, and
+    permanent after compaction."""
     man = _manifest_read(path)
-    rows = spark.read.parquet(f"{path}/grams")
+    id_col = man["id_col"]
+    rows = _bounded(spark, path, "grams", man["max_seg"])
     if man["max_seg"] == 0:
         return rows.drop("seg")
-    live = segments.live_view(rows.select(id_col, "seg"), id_col)
+    live = segments.live_view(
+        _bounded(spark, path, "live", man["max_seg"]), id_col
+    )
     return segments.resolve_newest(rows, live, id_col)
 
 
 def gram_index_staleness(spark: SparkSession, path: str) -> dict:
     """{max_seg, stale_fraction} — the computable compaction trigger
     (band_index_staleness's contract: zero Spark work single-segment;
-    otherwise one scan + the doc-cardinality live aggregate, never
+    otherwise one grams scan + the DOC-SIZED live aggregate, never
     costlier than the live-join rent one gate run pays)."""
     man = _manifest_read(path)
     if man["max_seg"] == 0:
         return {"max_seg": 0, "stale_fraction": 0.0}
-    rows = spark.read.parquet(f"{path}/grams")
-    live = segments.live_view(rows.select("doc_id", "seg"), "doc_id")
+    id_col = man["id_col"]
+    rows = _bounded(spark, path, "grams", man["max_seg"])
+    live = segments.live_view(
+        _bounded(spark, path, "live", man["max_seg"]), id_col
+    )
     return {
         "max_seg": man["max_seg"],
-        "stale_fraction": segments.stale_fraction(rows, live, "doc_id"),
+        "stale_fraction": segments.stale_fraction(rows, live, id_col),
     }
 
 
-def compact_gram_index(
-    spark: SparkSession, path: str, id_col: str = "doc_id"
-) -> str:
+def compact_gram_index(spark: SparkSession, path: str) -> str:
     """Fold the live rows back into a single segment via the shared
     crash-safe whole-directory swap (manifest written into the temp dir
     BEFORE publication — see segments.compact_swap for the guarantee
     and its single-writer caveat). Stale segments' rows are dropped for
-    good; subsequent readers take the single-segment fast path."""
+    good; subsequent readers take the single-segment fast path. No
+    pre-materialization needed: compact_swap runs ``write_into`` BEFORE
+    the rename pair, so the source directory exists for the whole
+    write."""
     man = _manifest_read(path)
-    live = load_gram_index(spark, path, id_col).withColumn(
+    live = load_gram_index(spark, path).withColumn("seg", F.lit(0))
+    live_ids = live.select(man["id_col"]).distinct().withColumn(
         "seg", F.lit(0)
     )
-    # materialize BEFORE the swap unlinks the source files: the fold
-    # below must not lazily re-scan a directory that no longer exists
-    live = live.localCheckpoint(eager=True)
 
     def write_into(tmp: str) -> None:
         os.makedirs(tmp, exist_ok=True)
         live.repartition("gbucket").write.mode("overwrite").partitionBy(
             "gbucket"
         ).parquet(f"{tmp}/grams")
+        live_ids.write.mode("overwrite").parquet(f"{tmp}/live")
         segments.write_manifest(
             tmp,
             _MANIFEST,
@@ -231,6 +293,7 @@ def compact_gram_index(
                 "max_seg": 0,
                 "span": man["span"],
                 "prune_buckets": man["prune_buckets"],
+                "id_col": man["id_col"],
             },
         )
         if os.path.exists(os.path.join(path, "_SUCCESS")):
@@ -244,24 +307,33 @@ def match_starts(
     spark: SparkSession,
     path: str,
     incoming: DataFrame,
-    id_col: str = "doc_id",
     text_col: str = "text",
+    tokenized: bool = False,
 ) -> DataFrame:
     """The gate's probe: per incoming doc, the 0-based starts of every
     ``span``-gram ALSO present in the live stored corpus — ``(id,
-    mpos array<int>)``, ready for the _survivor_runs fold. Unlike
+    mpos array<int>)``, ready for the survivor_runs fold. Unlike
     decontam's broadcast eval set, the reference side here is
     corpus-scaled: membership is a shuffle LEFT SEMI join on the 32-byte
     md5 key (output <= probe input, skew AQE-splittable), against the
     live view whose distinct-(doc, gram) rows are exactly what the
     semi-join needs — no occurrence counts, no first-occurrence
     bookkeeping, because ingest semantics are "the corpus already has
-    this text, so the arriving copy is never canonical"."""
+    this text, so the arriving copy is never canonical". The id column
+    comes from the index manifest; ``tokenized=True`` accepts a
+    pre-tokenized (id, toks) frame so gate callers tokenize once."""
     man = _manifest_read(path)
-    probe = doc_grams(incoming, man["span"], id_col, text_col, with_pos=True)
-    stored = load_gram_index(spark, path, id_col).select("g")
+    probe = doc_grams(
+        incoming,
+        man["span"],
+        man["id_col"],
+        text_col,
+        with_pos=True,
+        tokenized=tokenized,
+    )
+    stored = load_gram_index(spark, path).select("g")
     return (
         probe.join(stored, "g", "left_semi")
-        .groupBy(id_col)
+        .groupBy(man["id_col"])
         .agg(F.collect_set("i").alias("mpos"))
     )

@@ -1033,13 +1033,15 @@ def exact_substring_gate(
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = docs.where(F.col("doc_id") % 7 != 0)
-    incoming = docs.where(F.col("doc_id") % 7 == 0)
+    # tokenize the arriving side ONCE: the probe grams and the survivor
+    # fold share this projection (match_starts(tokenized=True))
+    toks_df = docs.where(F.col("doc_id") % 7 == 0).select(
+        "doc_id", text_fns.tokens("text").alias("toks")
+    )
     path = gram_index.gram_index_path(sf_dir, span=span, tag="gate7")
     gram_index.write_gram_index(corpus, path, span=span)
-    hits = gram_index.match_starts(spark, path, incoming)
-    base = incoming.select(
-        "doc_id", text_fns.tokens("text").alias("toks")
-    ).join(hits, "doc_id", "left")
+    hits = gram_index.match_starts(spark, path, toks_df, tokenized=True)
+    base = toks_df.join(hits, "doc_id", "left")
     return _survivor_runs(
         base, span=span, min_run_tokens=min_run_tokens, max_runs=max_runs
     )

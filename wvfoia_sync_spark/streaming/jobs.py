@@ -701,23 +701,36 @@ def append_band_index(
     index = index.withColumn("seg", F.lit(seg)).withColumn(
         "pbucket", F.pmod("bhash", F.lit(man["prune_buckets"])).cast("int")
     )
+    # manifest FIRST (r10, the gram-index crash contract applied to all
+    # four indexes): a crash mid-append then leaves a never-reused
+    # segment id and a partial segment readers simply see less of —
+    # re-running the append repairs completely (newest-wins). The old
+    # data-first ordering could crash before the manifest bump and (a)
+    # expose the orphan rows through the single-segment fast path, (b)
+    # REUSE the segment id on the next append, permanently pinning a
+    # twice-updated doc's retired text into the live view.
+    man["max_seg"] = seg
+    _band_manifest_write(path, man)
     index.write.mode("append").partitionBy("pbucket").parquet(f"{path}/bands")
     shingles.withColumn("seg", F.lit(seg)).write.mode("append").parquet(
         f"{path}/shingles"
     )
-    man["max_seg"] = seg
-    _band_manifest_write(path, man)
     return seg
 
 
-def _live_train_segs(spark: SparkSession, path: str) -> DataFrame:
+def _live_train_segs(
+    spark: SparkSession, path: str, max_seg: int | None = None
+) -> DataFrame:
     """(train_id, seg) of each doc's NEWEST segment — the live-docs
     filter (one row per indexed doc; shingles has exactly one row per
     (train_id, seg), so the max-seg aggregate is doc-cardinality —
-    never run it on the much larger bands table)."""
-    return segments.live_view(
-        spark.read.parquet(f"{path}/shingles"), "train_id"
-    )
+    never run it on the much larger bands table). ``max_seg`` bounds
+    the view to a manifest snapshot (segments committed by a
+    concurrent manifest-first append stay invisible)."""
+    rows = spark.read.parquet(f"{path}/shingles")
+    if max_seg is not None:
+        rows = rows.where(F.col("seg") <= F.lit(max_seg))
+    return segments.live_view(rows, "train_id")
 
 
 def load_band_index(
@@ -928,19 +941,25 @@ def streaming_near_dup_pruned(
     # is needed. Batches between the append and the next manifest read
     # gate against the pre-append snapshot — the same eventual-visibility
     # contract as any snapshot-isolated reader.
-    seen = {"max_seg": man["max_seg"], "live": None}
-    if seen["max_seg"] > 0:
-        seen["live"] = _live_train_segs(spark, index_path).localCheckpoint()
+    def _band_live(max_seg: int):
+        if max_seg == 0:
+            return None
+        # persist (not localCheckpoint) so a superseded snapshot can be
+        # explicitly unpersisted when a mid-stream append re-derives it;
+        # bounded to this snapshot's max_seg (manifest-first appends)
+        lm = _live_train_segs(spark, index_path, max_seg).persist()
+        lm.count()
+        return lm
+
+    seen = {"max_seg": man["max_seg"], "live": _band_live(man["max_seg"])}
 
     def gate(batch_df: DataFrame, epoch_id: int) -> None:
         cur_seg = _band_manifest_read(index_path)["max_seg"]
         if cur_seg != seen["max_seg"]:  # mid-stream append (or compact)
+            if seen["live"] is not None:
+                seen["live"].unpersist()  # free the superseded snapshot
             seen["max_seg"] = cur_seg
-            seen["live"] = (
-                _live_train_segs(spark, index_path).localCheckpoint()
-                if cur_seg > 0
-                else None
-            )
+            seen["live"] = _band_live(cur_seg)
         live = seen["live"]
         h_in = hashed_shingles(batch_df, "doc_id", "text", shingle_size)
         banded_in = _band_signatures(
@@ -959,12 +978,22 @@ def streaming_near_dup_pruned(
         # NOT by batch or corpus size — the documented constant-collect
         # posture (cf. bloom bitset, BPE one-row-per-iteration)
         pb = [r[0] for r in banded_in.select("pbucket").distinct().collect()]
-        idx = spark.read.parquet(f"{index_path}/bands").where(
-            F.col("pbucket").isin(pb)
+        # bound both scans to this batch's manifest snapshot: a
+        # concurrent append (manifest-first as of r10) commits its
+        # manifest before its data, and without the bound the 0 -> 1
+        # transition's fast path (no live join) would read the new
+        # segment's half-committed rows alongside the old ones —
+        # exposing both versions of a re-arrived doc mid-batch
+        idx = (
+            spark.read.parquet(f"{index_path}/bands")
+            .where(F.col("seg") <= F.lit(seen["max_seg"]))
+            .where(F.col("pbucket").isin(pb))
         )
-        shingle_t = spark.read.parquet(
-            f"{index_path}/shingles"
-        ).withColumnRenamed("hs", "hs_t")
+        shingle_t = (
+            spark.read.parquet(f"{index_path}/shingles")
+            .where(F.col("seg") <= F.lit(seen["max_seg"]))
+            .withColumnRenamed("hs", "hs_t")
+        )
         if live is not None:  # stale-segment rows drop out of the join
             idx = idx.join(live, ["train_id", "seg"])
             shingle_t = shingle_t.join(live, ["train_id", "seg"])
@@ -997,7 +1026,11 @@ def streaming_near_dup_pruned(
     if checkpoint_path is not None:
         writer = writer.option("checkpointLocation", checkpoint_path)
     q = writer.start()
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        if seen["live"] is not None:
+            seen["live"].unpersist()  # the stream owns its snapshots
     # Explicit schema: an all-empty sink (every epoch's pair set empty —
     # AQE empty-relation propagation can leave only _SUCCESS in each
     # batch= dir) has nothing to infer from, and a zero-batch run has no
@@ -1186,6 +1219,23 @@ def streaming_substring_gate(
     epoch (the index's own re-arrival semantics) and drops tombstones.
     A deployment consuming ``sink_path`` directly owns that resolution.
     ``checkpoint_path`` resumes from the source frontier.
+
+    WITHIN-BATCH RE-ARRIVAL: a file source with no version column can
+    deliver TWO versions of one doc in a single micro-batch (old and
+    new file both unprocessed at stream start). Gating both would merge
+    match positions computed against different token arrays into one
+    per-doc set — corrupting BOTH versions' runs — so the gate first
+    resolves each id to ONE deterministically-chosen version per batch
+    (greatest non-id column tuple; with a real version column upstream,
+    pre-resolve before the gate). Cross-batch re-arrivals resolve by
+    epoch as documented above.
+
+    SNAPSHOT ISOLATION: each batch bounds its stored scans to
+    ``seg <= max_seg`` as of its OWN manifest read, so a concurrent
+    append landing mid-batch cannot be half-seen — including the
+    0 -> 1 transition, where the fast path would otherwise read
+    freshly-appended rows with no live join and expose both versions
+    of a re-arrived doc (the gram_index module docstring's contract).
     """
     from ..operators import gram_index
     from ..operators.textops import survivor_runs
@@ -1199,58 +1249,66 @@ def streaming_substring_gate(
         )
     span = man["span"]
     prune_buckets = man["prune_buckets"]
+    id_col = man["id_col"]
     spark = incoming.sparkSession
 
-    seen = {"max_seg": man["max_seg"], "live": None}
-    if seen["max_seg"] > 0:
-        rows = spark.read.parquet(f"{index_path}/grams")
-        seen["live"] = segments.live_view(
-            rows.select("doc_id", "seg"), "doc_id"
-        ).localCheckpoint()
+    def _live_map(max_seg: int):
+        if max_seg == 0:
+            return None
+        # doc-sized live table (never the corpus-sized grams), bounded
+        # to this snapshot; persist (not localCheckpoint) so the
+        # superseded map can be explicitly unpersisted on re-derive
+        lm = segments.live_view(
+            gram_index._bounded(spark, index_path, "live", max_seg), id_col
+        ).persist()
+        lm.count()  # materialize once, reused every batch until replaced
+        return lm
+
+    seen = {"max_seg": man["max_seg"], "live": _live_map(man["max_seg"])}
 
     from ..functions import text as text_fns
 
     def gate(batch_df: DataFrame, epoch_id: int) -> None:
         cur_seg = gram_index._manifest_read(index_path)["max_seg"]
         if cur_seg != seen["max_seg"]:  # mid-stream append (or compact)
+            if seen["live"] is not None:
+                seen["live"].unpersist()  # free the superseded snapshot
             seen["max_seg"] = cur_seg
-            seen["live"] = (
-                segments.live_view(
-                    spark.read.parquet(f"{index_path}/grams").select(
-                        "doc_id", "seg"
-                    ),
-                    "doc_id",
-                ).localCheckpoint()
-                if cur_seg > 0
-                else None
-            )
+            seen["live"] = _live_map(cur_seg)
+        # within-batch version resolution (see docstring): one
+        # deterministic row per id before any gating
+        others = [c for c in batch_df.columns if c != id_col]
+        batch_df = batch_df.groupBy(id_col).agg(
+            F.max(F.struct(*others)).alias("_v")
+        ).select(id_col, *[F.col(f"_v.{c}").alias(c) for c in others])
+        # tokenize ONCE: the probe grams and the survivor-fold base
+        # share this projection
+        toks_df = batch_df.select(
+            id_col, text_fns.tokens("text").alias("toks")
+        ).localCheckpoint()
+        # (measured: dropping this checkpoint and recomputing per
+        # consumer is SLOWER at micro-batch sizes — 2.6-3.0 s vs
+        # 2.4-2.6 s gate wall)
         probe = gram_index.doc_grams(
-            batch_df, span, with_pos=True
+            toks_df, span, id_col=id_col, with_pos=True, tokenized=True
         ).withColumn(
             "gbucket",
             F.pmod(F.xxhash64("g"), F.lit(prune_buckets)).cast("int"),
         )
-        probe = probe.localCheckpoint()  # two consumers: keys + join
-        # (measured: dropping this checkpoint and recomputing the probe
-        # grams per consumer is SLOWER at micro-batch sizes — 2.6-3.0 s
-        # vs 2.4-2.6 s gate wall — the two downstream jobs each re-run
-        # tokenize+explode+md5 without it)
         # the only driver-side collect, bounded by prune_buckets
         gb = [r[0] for r in probe.select("gbucket").distinct().collect()]
-        stored = spark.read.parquet(f"{index_path}/grams").where(
-            F.col("gbucket").isin(gb)
-        )
+        stored = gram_index._bounded(
+            spark, index_path, "grams", seen["max_seg"]
+        ).where(F.col("gbucket").isin(gb))
         if seen["live"] is not None:  # stale segments drop out
-            stored = stored.join(seen["live"], ["doc_id", "seg"])
+            stored = stored.join(seen["live"], [id_col, "seg"])
         hits = (
             probe.drop("gbucket")
             .join(stored.select("g"), "g", "left_semi")
-            .groupBy("doc_id")
+            .groupBy(id_col)
             .agg(F.collect_set("i").alias("mpos"))
         )
-        base = batch_df.select(
-            "doc_id", text_fns.tokens("text").alias("toks")
-        ).join(hits, "doc_id", "left")
+        base = toks_df.join(hits, id_col, "left")
         runs = survivor_runs(base, span=span)
         # one TOMBSTONE row (run_idx = -1) per processed doc per epoch:
         # a re-arrival that is FULLY rejected emits zero runs, and
@@ -1259,7 +1317,7 @@ def streaming_substring_gate(
         # re-arrived and nothing survived" — the old epoch's runs would
         # wrongly win. Filtered out after resolution.
         marks = base.select(
-            "doc_id",
+            id_col,
             F.lit(-1).cast("long").alias("run_idx"),
             F.lit(0).cast("long").alias("n_toks"),
             F.lit(None).cast("string").alias("run_md5"),
@@ -1297,16 +1355,18 @@ def streaming_substring_gate(
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        if seen["live"] is not None:
+            seen["live"].unpersist()  # the stream owns its snapshots
     run_schema = T.StructType(
         [
-            T.StructField("doc_id", incoming.schema["doc_id"].dataType),
+            T.StructField(id_col, incoming.schema[id_col].dataType),
             T.StructField("run_idx", T.LongType()),
             T.StructField("n_toks", T.LongType()),
             T.StructField("run_md5", T.StringType()),
             T.StructField("epoch", T.LongType()),
         ]
     )
-    out_cols = ["doc_id", "run_idx", "n_toks", "run_md5"]
+    out_cols = [id_col, "run_idx", "n_toks", "run_md5"]
     try:
         sink = spark.read.schema(run_schema).parquet(sink_path)
         sink.head(1)
@@ -1316,9 +1376,9 @@ def streaming_substring_gate(
     # index's own resolution) — one doc-cardinality aggregate + equi-join
     # over ALL rows including tombstones (so a fully-rejected re-arrival
     # retires its older runs), then the tombstones drop out
-    latest = sink.groupBy("doc_id").agg(F.max("epoch").alias("epoch"))
+    latest = sink.groupBy(id_col).agg(F.max("epoch").alias("epoch"))
     return (
-        sink.join(latest, ["doc_id", "epoch"])
+        sink.join(latest, [id_col, "epoch"])
         .where(F.col("run_idx") >= 0)
         .select(out_cols)
     )
