@@ -265,3 +265,30 @@ def test_streaming_substring_gate_two_versions_one_batch(spark, tmp_path):
     assert sorted(map(tuple, out.collect())) == [
         (10, 0, 8, md5(v_high)),
     ]
+
+
+def test_gram_index_short_text_rearrival_kills_old_grams(spark, tmp_path):
+    """r10 review repro, pinned: a re-arrived doc whose NEW text is
+    shorter than the span yields zero grams — live rows must come from
+    the delta's IDS (not its gram rows), or the doc's old segment
+    would keep resolving as live and its retired grams would gate
+    forever. After the append, the doc's old text must be admitted
+    whole; after compaction the index must hold no grams for the doc
+    at all while other docs are untouched."""
+    idx = str(tmp_path / "idx")
+    gram_index.write_gram_index(_docs(spark, [(1, A), (2, B)]), idx, span=6)
+    # doc 1 re-arrives with 2 tokens — below span, zero grams
+    gram_index.append_gram_index(_docs(spark, [(1, "tiny doc")]), idx)
+
+    live = gram_index.load_gram_index(spark, idx)
+    assert live.where(live.doc_id == 1).count() == 0  # old grams dead
+    assert live.where(live.doc_id == 2).count() > 0
+
+    # an arriving copy of doc 1's OLD text is now admitted whole
+    runs = _gate_runs(spark, idx, _docs(spark, [(30, A)]))
+    assert [(r[0], r[2]) for r in runs] == [(30, 19)]
+
+    gram_index.compact_gram_index(spark, idx)
+    live2 = gram_index.load_gram_index(spark, idx)
+    assert live2.where(live2.doc_id == 1).count() == 0
+    assert _gate_runs(spark, idx, _docs(spark, [(30, A)])) == runs

@@ -256,8 +256,9 @@ def load_ann_index(spark: SparkSession, path: str) -> DataFrame:
     just-compacted index, the common case) skips the live join
     entirely, so queries over an un-upserted index pay zero resolution
     overhead — the shared segment-core pattern."""
-    df = spark.read.parquet(path)
-    if segments.read_manifest(path, MANIFEST)[segments.MAX_SEG_KEY] == 0:
+    max_seg = segments.read_manifest(path, MANIFEST)[segments.MAX_SEG_KEY]
+    df = segments.bounded(spark.read.parquet(path), max_seg)
+    if max_seg == 0:
         return df.drop("seg")
     id_col = _index_id_col(df)
     return segments.resolve_newest(df, segments.live_view(df, id_col), id_col)

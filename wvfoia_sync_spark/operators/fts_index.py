@@ -143,11 +143,17 @@ def load_fts_index(spark: SparkSession, index_dir: str) -> DataFrame:
     compacted, the common case) skip the live join entirely (r10 — the
     fast path the band/ANN indexes already had; an un-upserted index
     now pays zero resolution overhead on every FTS query)."""
-    postings = spark.read.parquet(os.path.join(index_dir, "postings"))
-    if segments.read_manifest(index_dir, MANIFEST)["max_seg"] == 0:
+    max_seg = segments.read_manifest(index_dir, MANIFEST)["max_seg"]
+    postings = segments.bounded(
+        spark.read.parquet(os.path.join(index_dir, "postings")), max_seg
+    )
+    if max_seg == 0:
         return postings.select("token", "id")
     live = segments.live_view(
-        spark.read.parquet(os.path.join(index_dir, "live")), "id"
+        segments.bounded(
+            spark.read.parquet(os.path.join(index_dir, "live")), max_seg
+        ),
+        "id",
     )
     return segments.resolve_newest(postings, live, "id").select("token", "id")
 
@@ -156,11 +162,17 @@ def dead_fraction(spark: SparkSession, index_dir: str) -> float:
     """Fraction of stored posting rows that the live filter discards —
     the compaction trigger metric. Zero by construction for a
     single-segment index (each id has exactly one segment)."""
-    if segments.read_manifest(index_dir, MANIFEST)["max_seg"] == 0:
+    max_seg = segments.read_manifest(index_dir, MANIFEST)["max_seg"]
+    if max_seg == 0:
         return 0.0
-    postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+    postings = segments.bounded(
+        spark.read.parquet(os.path.join(index_dir, "postings")), max_seg
+    )
     live = segments.live_view(
-        spark.read.parquet(os.path.join(index_dir, "live")), "id"
+        segments.bounded(
+            spark.read.parquet(os.path.join(index_dir, "live")), max_seg
+        ),
+        "id",
     )
     return segments.stale_fraction(postings, live, "id")
 

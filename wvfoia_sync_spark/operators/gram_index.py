@@ -130,12 +130,18 @@ def _segment_rows(
     seg: int,
     prune_buckets: int,
 ) -> tuple[DataFrame, DataFrame]:
-    """(grams rows, live rows) for one segment."""
+    """(grams rows, live rows) for one segment. live comes from the
+    DELTA'S ids, never from the gram rows: a re-arrived doc whose new
+    text is shorter than ``span`` yields NO grams, and deriving live
+    from grams would leave its old segment's grams resolving as live
+    forever — the exact stale-gating the re-arrival contract forbids.
+    A live row pointing at a segment with zero grams is the correct
+    representation of "this doc's current text contains no grams"."""
     g = doc_grams(docs, span, id_col, text_col)
     rows = g.withColumn("seg", F.lit(seg)).withColumn(
         "gbucket", F.pmod(F.xxhash64("g"), F.lit(prune_buckets)).cast("int")
     )
-    live = g.select(id_col).distinct().withColumn("seg", F.lit(seg))
+    live = docs.select(id_col).distinct().withColumn("seg", F.lit(seg))
     return rows, live
 
 
@@ -213,10 +219,15 @@ def append_gram_index(
     )
     man["max_seg"] = seg
     segments.write_manifest(path, _MANIFEST, man)
-    live.write.mode("append").parquet(f"{path}/live")
+    # grams BEFORE live: a crash between the two leaves re-arrived docs
+    # resolving to their OLD segment (conservative — the stale text
+    # still gates) rather than to a new segment whose grams are missing
+    # (under-gating, the worst direction for a contamination gate);
+    # either way the retry repairs fully
     rows.repartition("gbucket").write.mode("append").partitionBy(
         "gbucket"
     ).parquet(f"{path}/grams")
+    live.write.mode("append").parquet(f"{path}/live")
     return seg
 
 
@@ -276,8 +287,15 @@ def compact_gram_index(spark: SparkSession, path: str) -> str:
     write."""
     man = _manifest_read(path)
     live = load_gram_index(spark, path).withColumn("seg", F.lit(0))
-    live_ids = live.select(man["id_col"]).distinct().withColumn(
-        "seg", F.lit(0)
+    # live ids from the live TABLE, not the gram rows: a doc whose
+    # current text has no grams is still live (its row is what keeps
+    # its retired grams dead), and must survive compaction
+    live_ids = (
+        segments.live_view(
+            _bounded(spark, path, "live", man["max_seg"]), man["id_col"]
+        )
+        .select(man["id_col"])
+        .withColumn("seg", F.lit(0))
     )
 
     def write_into(tmp: str) -> None:

@@ -71,6 +71,17 @@ def next_seg(man: dict, key: str = MAX_SEG_KEY) -> int:
     return man[key] + 1
 
 
+def bounded(df: DataFrame, max_seg: int) -> DataFrame:
+    """Snapshot bound: only rows of segments the reader's manifest read
+    already covers. With manifest-first appends (r10) a concurrent
+    append commits its manifest BEFORE its data, so an unbounded scan —
+    especially the max_seg==0 fast path, which skips the live join —
+    could list a half-committed newer segment and expose both versions
+    of a re-arrived key. Every reader applies this to every table it
+    scans, using the max_seg of its OWN manifest read."""
+    return df.where(F.col(SEG_COL) <= F.lit(max_seg))
+
+
 def live_view(df: DataFrame, id_col: str) -> DataFrame:
     """(id, seg) of each key's NEWEST segment — the live-docs filter.
     One aggregate at key cardinality; run it on the smallest table
@@ -94,6 +105,40 @@ def stale_fraction(df: DataFrame, live: DataFrame, id_col: str) -> float:
         return 0.0
     alive = resolve_newest(df, live, id_col).count()
     return 1.0 - alive / total
+
+
+def live_snapshot_cache(derive: Callable[[int], DataFrame]):
+    """Per-stream cache of the newest-wins live map (r10, extracted
+    from the two streaming gates that each hand-rolled it): ``derive``
+    builds the live view for a given max_seg; ``current(max_seg)``
+    returns the cached persisted map, re-deriving (and explicitly
+    unpersisting the superseded snapshot) only when max_seg moved —
+    the common no-append batch pays one dict compare, zero Spark work.
+    max_seg == 0 yields None (single-segment fast path). ``close()``
+    frees the final snapshot when the stream ends; the stream owns its
+    snapshots."""
+    state: dict = {"max_seg": None, "live": None}
+
+    def current(max_seg: int):
+        if state["max_seg"] != max_seg:
+            if state["live"] is not None:
+                state["live"].unpersist()
+            lm = derive(max_seg) if max_seg > 0 else None
+            if lm is not None:
+                # persist (not localCheckpoint) so the superseded
+                # snapshot can be explicitly unpersisted on re-derive
+                lm = lm.persist()
+                lm.count()  # materialize once, reused every batch
+            state["max_seg"], state["live"] = max_seg, lm
+        return state["live"]
+
+    def close() -> None:
+        if state["live"] is not None:
+            state["live"].unpersist()
+            state["live"] = None
+            state["max_seg"] = None
+
+    return current, close
 
 
 def compact_swap(path: str, write_into: Callable[[str], None]) -> str:

@@ -449,12 +449,15 @@ def survivor_runs(
     span: int,
     min_run_tokens: int = 0,
     max_runs: int | None = None,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Shared split-document tail (decontam_split and
-    exact_substring_dedup): given rows ``(doc_id, toks, mpos)`` where
+    exact_substring_dedup): given rows ``(id, toks, mpos)`` where
     ``mpos`` is the (nullable) set of matched 0-based gram STARTS and
     each start covers tokens ``m..m+span-1``, emit every contiguous
-    surviving token run as ``(doc_id, run_idx, n_toks, run_md5)``.
+    surviving token run as ``(id, run_idx, n_toks, run_md5)``.
+    ``id_col`` names the id column — the streaming gate threads the
+    index manifest's pinned id through here.
 
     Run BOUNDS (token-index [s, e) pairs) in ONE aggregate fold over
     the position sequence. Single-reference discipline: higher-order
@@ -511,7 +514,7 @@ def survivor_runs(
             lambda acc: acc["bs"],
         ),
     ).otherwise(empty_bounds)
-    base = base.select("doc_id", "toks", bounds.alias("bounds"))
+    base = base.select(id_col, "toks", bounds.alias("bounds"))
     runs = F.transform(
         "bounds",
         lambda b, k: F.struct(
@@ -522,20 +525,20 @@ def survivor_runs(
             ).alias("run_md5"),
         ),
     )
-    out = base.select("doc_id", runs.alias("runs"))
+    out = base.select(id_col, runs.alias("runs"))
     if max_runs is not None:  # split count = contamination signal
         out = out.where(F.size("runs") <= max_runs)
     if min_run_tokens > 0:  # GPT-3's short-piece discard
         out = out.select(
-            "doc_id",
+            id_col,
             F.filter(
                 "runs", lambda r: r["n_toks"] >= min_run_tokens
             ).alias("runs"),
         )
     return out.select(
-        "doc_id", F.explode("runs").alias("r")
+        id_col, F.explode("runs").alias("r")
     ).select(
-        "doc_id",
+        id_col,
         F.col("r.run_idx").alias("run_idx"),
         F.col("r.n_toks").alias("n_toks"),
         F.col("r.run_md5").alias("run_md5"),

@@ -1034,9 +1034,14 @@ def exact_substring_gate(
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = docs.where(F.col("doc_id") % 7 != 0)
     # tokenize the arriving side ONCE: the probe grams and the survivor
-    # fold share this projection (match_starts(tokenized=True))
-    toks_df = docs.where(F.col("doc_id") % 7 == 0).select(
-        "doc_id", text_fns.tokens("text").alias("toks")
+    # fold share this projection (match_starts(tokenized=True)) — and
+    # the localCheckpoint is what makes "once" true at EXECUTION, not
+    # just in the plan: Spark reuses exchanges, not arbitrary subplans,
+    # so without it each branch re-runs the scan+tokenize subtree
+    toks_df = (
+        docs.where(F.col("doc_id") % 7 == 0)
+        .select("doc_id", text_fns.tokens("text").alias("toks"))
+        .localCheckpoint()
     )
     path = gram_index.gram_index_path(sf_dir, span=span, tag="gate7")
     gram_index.write_gram_index(corpus, path, span=span)
@@ -1209,14 +1214,19 @@ def stream_substring_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     PartitionFilter pruning, per-batch manifest re-read for
     append-while-streaming visibility, per-epoch idempotent parquet
     sink). Same oracle as the batch exact_substring_gate — the
-    streaming decomposition must be answer-invariant. The only
-    driver-side materialization is the admitted-run read-back
-    (match-bounded, the stream_near_dup posture), re-emitted as a
-    DataFrame so the sink's temp dir can be reclaimed."""
+    streaming decomposition must be answer-invariant. NOTHING
+    row-sized crosses the driver: the admitted runs stay in the
+    per-epoch parquet sink (a stable per-dataset path, cleared before
+    each run — the sink is slice-sized, not match-bounded, so a
+    collect-and-reemit would materialize a corpus-proportional result
+    on the driver at scale) and the returned DataFrame is the lazy
+    newest-epoch-wins read-back over it."""
+    import os
     import shutil
     import tempfile
 
     from ..operators import gram_index
+    from ..sources.derived import cache_tag
     from ..streaming import jobs
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1228,16 +1238,14 @@ def stream_substring_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("doc_id") % 7 == 0)
         .select("doc_id", "text")
     )
-    tmp = tempfile.mkdtemp(prefix="stream_substring_gate_")
-    try:
-        out = jobs.streaming_substring_gate(
-            incoming, path, "stream_substring_gate", f"{tmp}/sink"
-        )
-        rows = out.collect()
-        schema = out.schema
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    sink = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_stream_gate_sink_{cache_tag(sf_dir)}",
+    )
+    shutil.rmtree(sink, ignore_errors=True)  # this run owns the sink
+    return jobs.streaming_substring_gate(
+        incoming, path, "stream_substring_gate", sink
+    )
 
 
 @register(

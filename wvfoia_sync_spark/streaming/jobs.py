@@ -743,11 +743,14 @@ def load_band_index(
     or just-compacted index, the common case) skip the live join
     entirely — zero resolution overhead until an append actually
     happens."""
-    bands = spark.read.parquet(f"{path}/bands")
-    shingles = spark.read.parquet(f"{path}/shingles")
-    if _band_manifest_read(path)["max_seg"] == 0:
+    max_seg = _band_manifest_read(path)["max_seg"]
+    bands = segments.bounded(spark.read.parquet(f"{path}/bands"), max_seg)
+    shingles = segments.bounded(
+        spark.read.parquet(f"{path}/shingles"), max_seg
+    )
+    if max_seg == 0:
         return bands.drop("seg"), shingles.drop("seg")
-    live = _live_train_segs(spark, path)
+    live = _live_train_segs(spark, path, max_seg)
     return (
         segments.resolve_newest(bands, live, "train_id"),
         segments.resolve_newest(shingles, live, "train_id"),
@@ -782,8 +785,8 @@ def band_index_staleness(spark: SparkSession, path: str) -> dict:
     max_seg = _band_manifest_read(path)["max_seg"]
     if max_seg == 0:
         return {"max_seg": 0, "stale_fraction": 0.0}
-    bands = spark.read.parquet(f"{path}/bands")
-    live = _live_train_segs(spark, path)
+    bands = segments.bounded(spark.read.parquet(f"{path}/bands"), max_seg)
+    live = _live_train_segs(spark, path, max_seg)
     return {
         "max_seg": max_seg,
         "stale_fraction": segments.stale_fraction(bands, live, "train_id"),
@@ -941,26 +944,17 @@ def streaming_near_dup_pruned(
     # is needed. Batches between the append and the next manifest read
     # gate against the pre-append snapshot — the same eventual-visibility
     # contract as any snapshot-isolated reader.
-    def _band_live(max_seg: int):
-        if max_seg == 0:
-            return None
-        # persist (not localCheckpoint) so a superseded snapshot can be
-        # explicitly unpersisted when a mid-stream append re-derives it;
-        # bounded to this snapshot's max_seg (manifest-first appends)
-        lm = _live_train_segs(spark, index_path, max_seg).persist()
-        lm.count()
-        return lm
-
-    seen = {"max_seg": man["max_seg"], "live": _band_live(man["max_seg"])}
+    # live map bounded to each snapshot's max_seg (manifest-first
+    # appends); cache mechanics shared with the gram gate
+    live_cache, live_close = segments.live_snapshot_cache(
+        lambda ms: _live_train_segs(spark, index_path, ms)
+    )
+    seen = {"max_seg": man["max_seg"]}
+    live_cache(man["max_seg"])  # pre-stream materialization
 
     def gate(batch_df: DataFrame, epoch_id: int) -> None:
-        cur_seg = _band_manifest_read(index_path)["max_seg"]
-        if cur_seg != seen["max_seg"]:  # mid-stream append (or compact)
-            if seen["live"] is not None:
-                seen["live"].unpersist()  # free the superseded snapshot
-            seen["max_seg"] = cur_seg
-            seen["live"] = _band_live(cur_seg)
-        live = seen["live"]
+        seen["max_seg"] = _band_manifest_read(index_path)["max_seg"]
+        live = live_cache(seen["max_seg"])
         h_in = hashed_shingles(batch_df, "doc_id", "text", shingle_size)
         banded_in = _band_signatures(
             h_in.select("id", F.col("hs"), sig(F.col("hs")).alias("sig")),
@@ -1029,8 +1023,7 @@ def streaming_near_dup_pruned(
     try:
         q.awaitTermination()
     finally:
-        if seen["live"] is not None:
-            seen["live"].unpersist()  # the stream owns its snapshots
+        live_close()  # the stream owns its snapshots
     # Explicit schema: an all-empty sink (every epoch's pair set empty —
     # AQE empty-relation propagation can leave only _SUCCESS in each
     # batch= dir) has nothing to infer from, and a zero-batch run has no
@@ -1252,29 +1245,20 @@ def streaming_substring_gate(
     id_col = man["id_col"]
     spark = incoming.sparkSession
 
-    def _live_map(max_seg: int):
-        if max_seg == 0:
-            return None
-        # doc-sized live table (never the corpus-sized grams), bounded
-        # to this snapshot; persist (not localCheckpoint) so the
-        # superseded map can be explicitly unpersisted on re-derive
-        lm = segments.live_view(
-            gram_index._bounded(spark, index_path, "live", max_seg), id_col
-        ).persist()
-        lm.count()  # materialize once, reused every batch until replaced
-        return lm
-
-    seen = {"max_seg": man["max_seg"], "live": _live_map(man["max_seg"])}
+    # doc-sized live table (never the corpus-sized grams), bounded to
+    # each snapshot's max_seg; cache mechanics shared with the band gate
+    live_cache, live_close = segments.live_snapshot_cache(
+        lambda ms: segments.live_view(
+            gram_index._bounded(spark, index_path, "live", ms), id_col
+        )
+    )
+    seen = {"max_seg": man["max_seg"]}
+    live_cache(man["max_seg"])  # pre-stream materialization
 
     from ..functions import text as text_fns
 
     def gate(batch_df: DataFrame, epoch_id: int) -> None:
-        cur_seg = gram_index._manifest_read(index_path)["max_seg"]
-        if cur_seg != seen["max_seg"]:  # mid-stream append (or compact)
-            if seen["live"] is not None:
-                seen["live"].unpersist()  # free the superseded snapshot
-            seen["max_seg"] = cur_seg
-            seen["live"] = _live_map(cur_seg)
+        seen["max_seg"] = gram_index._manifest_read(index_path)["max_seg"]
         # within-batch version resolution (see docstring): one
         # deterministic row per id before any gating
         others = [c for c in batch_df.columns if c != id_col]
@@ -1300,8 +1284,9 @@ def streaming_substring_gate(
         stored = gram_index._bounded(
             spark, index_path, "grams", seen["max_seg"]
         ).where(F.col("gbucket").isin(gb))
-        if seen["live"] is not None:  # stale segments drop out
-            stored = stored.join(seen["live"], [id_col, "seg"])
+        live = live_cache(seen["max_seg"])
+        if live is not None:  # stale segments drop out
+            stored = stored.join(live, [id_col, "seg"])
         hits = (
             probe.drop("gbucket")
             .join(stored.select("g"), "g", "left_semi")
@@ -1309,7 +1294,7 @@ def streaming_substring_gate(
             .agg(F.collect_set("i").alias("mpos"))
         )
         base = toks_df.join(hits, id_col, "left")
-        runs = survivor_runs(base, span=span)
+        runs = survivor_runs(base, span=span, id_col=id_col)
         # one TOMBSTONE row (run_idx = -1) per processed doc per epoch:
         # a re-arrival that is FULLY rejected emits zero runs, and
         # without a presence marker the read-back's newest-epoch-wins
@@ -1355,8 +1340,7 @@ def streaming_substring_gate(
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-        if seen["live"] is not None:
-            seen["live"].unpersist()  # the stream owns its snapshots
+        live_close()  # the stream owns its snapshots
     run_schema = T.StructType(
         [
             T.StructField(id_col, incoming.schema[id_col].dataType),
