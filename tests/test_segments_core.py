@@ -100,3 +100,111 @@ def test_compact_swap_crash_before_swap_leaves_old_intact(tmp_path):
         segments.compact_swap(path, boom)
     # live path untouched, manifest still the multi-segment one
     assert segments.read_manifest(path, "_m.json")["max_seg"] == 3
+
+
+def test_two_phase_reserve_commit_and_snapshot(tmp_path):
+    """r10 two-phase protocol: reservation moves max_seg but NOT the
+    reader snapshot; commit moves the snapshot; legacy manifests
+    (no committed_seg) fall back to max_seg."""
+    path = str(tmp_path / "idx")
+    os.makedirs(path)
+    segments.write_manifest(
+        path, "_m.json", {"max_seg": 0, "committed_seg": 0, "gen": 0}
+    )
+    man = segments.read_manifest(path, "_m.json")
+    seg = segments.reserve_seg(path, "_m.json", man)
+    assert seg == 1
+    # reserved, not committed: readers still see only seg 0
+    on_disk = segments.read_manifest(path, "_m.json")
+    assert on_disk["max_seg"] == 1
+    assert segments.snapshot_seg(on_disk) == 0
+    segments.commit_seg(path, "_m.json", man, seg)
+    on_disk = segments.read_manifest(path, "_m.json")
+    assert segments.snapshot_seg(on_disk) == 1
+    # pre-protocol manifest: fall back to max_seg (only ever observed
+    # fully built)
+    assert segments.snapshot_seg({"max_seg": 3}) == 3
+
+
+def test_live_snapshot_cache_keys_commit_and_generation(spark):
+    """The cache re-derives exactly when the SNAPSHOT KEY moves: not on
+    reservation (max_seg moved, data not yet real), yes on commit, and
+    yes when a compaction makes a previously-seen committed number
+    recur (the ABA case the generation component exists for)."""
+    calls = []
+
+    def derive(bound):
+        calls.append(bound)
+        return spark.range(bound)
+
+    current, close = segments.live_snapshot_cache(derive)
+    try:
+        base = {"max_seg": 1, "committed_seg": 1, "gen": 0}
+        k = segments.snapshot_key(base)
+        assert current(k, segments.snapshot_seg(base)) is not None
+        assert calls == [1]
+        # an in-flight append: reservation moved, commit didn't —
+        # same key, NO re-derive (the mid-append pin hazard)
+        reserved = {"max_seg": 2, "committed_seg": 1, "gen": 0}
+        assert segments.snapshot_key(reserved) == k
+        current(segments.snapshot_key(reserved), 1)
+        assert calls == [1]
+        # commit lands: key moves, re-derive
+        committed = {"max_seg": 2, "committed_seg": 2, "gen": 0}
+        current(segments.snapshot_key(committed), 2)
+        assert calls == [1, 2]
+        # compact (gen bump, committed back to 0) then append+commit
+        # returning to committed=2: ABA — key differs, re-derive
+        aba = {"max_seg": 2, "committed_seg": 2, "gen": 1}
+        assert segments.snapshot_key(aba) != segments.snapshot_key(committed)
+        current(segments.snapshot_key(aba), 2)
+        assert calls == [1, 2, 2]
+        # bound 0: fast path, None, no derive call
+        fresh = {"max_seg": 0, "committed_seg": 0, "gen": 2}
+        assert current(segments.snapshot_key(fresh), 0) is None
+        assert calls == [1, 2, 2]
+    finally:
+        close()
+
+
+def test_reserved_uncommitted_append_invisible_to_gram_readers(spark, tmp_path):
+    """End-to-end mid-append invisibility: simulate an in-flight append
+    (reserve + data partially/fully written, commit NOT yet) and assert
+    every gram-index reader still serves the pre-append snapshot."""
+    import pyspark.sql.functions as F
+
+    from wvfoia_sync_spark.operators import gram_index
+
+    idx = str(tmp_path / "idx")
+    docs = spark.createDataFrame(
+        [(1, "a1 a2 a3 a4 a5 a6 a7 a8")], "doc_id long, text string"
+    )
+    gram_index.write_gram_index(docs, idx, span=6)
+    before = sorted(
+        map(tuple, gram_index.load_gram_index(spark, idx).collect())
+    )
+    # in-flight append: reserve + write data, no commit
+    man = gram_index._manifest_read(idx)
+    seg = segments.reserve_seg(idx, "_manifest.json", man)
+    delta = spark.createDataFrame(
+        [(1, "b1 b2 b3 b4 b5 b6 b7")], "doc_id long, text string"
+    )
+    rows = (
+        gram_index.doc_grams(delta, 6)
+        .withColumn("seg", F.lit(seg))
+        .withColumn("gbucket", F.pmod(F.xxhash64("g"), F.lit(64)).cast("int"))
+    )
+    rows.write.mode("append").partitionBy("gbucket").parquet(f"{idx}/grams")
+    delta.select("doc_id").withColumn("seg", F.lit(seg)).write.mode(
+        "append"
+    ).parquet(f"{idx}/live")
+    # readers: pre-append view, staleness zero-work report
+    assert (
+        sorted(map(tuple, gram_index.load_gram_index(spark, idx).collect()))
+        == before
+    )
+    assert gram_index.gram_index_staleness(spark, idx)["stale_fraction"] == 0.0
+    # commit: the segment becomes visible, newest-wins applies
+    segments.commit_seg(idx, "_manifest.json", man, seg)
+    after = gram_index.load_gram_index(spark, idx)
+    assert after.count() == 2  # the 7-token delta's two 6-grams

@@ -136,7 +136,11 @@ def build_ann_index(
         idx.withColumn("seg", F.lit(0)).repartition("ivf_cell").write.mode(
             "overwrite"
         ).partitionBy("ivf_cell").parquet(tmp)
-        segments.write_manifest(tmp, MANIFEST, {segments.MAX_SEG_KEY: 0})
+        segments.write_manifest(
+            tmp,
+            MANIFEST,
+            {segments.MAX_SEG_KEY: 0, "committed_seg": 0, "gen": 0},
+        )
 
     return derived.publish(build, out)
 
@@ -226,16 +230,16 @@ def upsert_ann_index(
             f"(tolerance {drift_tolerance:.0%}); retrain centroids and "
             "rebuild instead of upserting"
         )
-    seg = segments.next_seg(man)
-    # manifest FIRST (r10 crash contract, see gram_index module
-    # docstring): crash mid-append -> never-reused seg id, partial
-    # segment invisible to newest-wins, re-run repairs fully
-    man[segments.MAX_SEG_KEY] = seg
-    segments.write_manifest(index_dir, MANIFEST, man)
+    # two-phase (segments.snapshot_seg's protocol): RESERVE the seg id
+    # before any data, write the codes, then COMMIT — readers bound to
+    # the committed seg never see an in-flight or crashed append's
+    # partial segment, and the id is never reused so a retry wins
+    seg = segments.reserve_seg(index_dir, MANIFEST, man)
     idx = _encode(delta, centroids, codebooks, id_col, vec_col)
     idx.withColumn("seg", F.lit(seg)).repartition("ivf_cell").write.mode(
         "append"
     ).partitionBy("ivf_cell").parquet(index_dir)
+    segments.commit_seg(index_dir, MANIFEST, man, seg)
     return index_dir
 
 
@@ -256,9 +260,9 @@ def load_ann_index(spark: SparkSession, path: str) -> DataFrame:
     just-compacted index, the common case) skips the live join
     entirely, so queries over an un-upserted index pay zero resolution
     overhead — the shared segment-core pattern."""
-    max_seg = segments.read_manifest(path, MANIFEST)[segments.MAX_SEG_KEY]
-    df = segments.bounded(spark.read.parquet(path), max_seg)
-    if max_seg == 0:
+    bound = segments.snapshot_seg(segments.read_manifest(path, MANIFEST))
+    df = segments.bounded(spark.read.parquet(path), bound)
+    if bound == 0:
         return df.drop("seg")
     id_col = _index_id_col(df)
     return segments.resolve_newest(df, segments.live_view(df, id_col), id_col)
@@ -276,12 +280,21 @@ def compact_ann_index(spark: SparkSession, path: str) -> str:
     the temp dir BEFORE the swap, so no crash leaves a manifest
     disagreeing with the layout. Crash-safe single-writer rewrite;
     NOT safe for concurrent readers mid-query — see compact_swap."""
+    man = segments.read_manifest(path, MANIFEST)
     live = load_ann_index(spark, path)
 
     def write_into(tmp: str) -> None:
         live.withColumn("seg", F.lit(0)).repartition("ivf_cell").write.mode(
             "overwrite"
         ).partitionBy("ivf_cell").parquet(tmp)
-        segments.write_manifest(tmp, MANIFEST, {segments.MAX_SEG_KEY: 0})
+        segments.write_manifest(
+            tmp,
+            MANIFEST,
+            {
+                segments.MAX_SEG_KEY: 0,
+                "committed_seg": 0,
+                "gen": man.get("gen", 0) + 1,  # ABA guard for caches
+            },
+        )
 
     return segments.compact_swap(path, write_into)

@@ -94,7 +94,14 @@ def build_fts_index(
             "seg", F.lit(0)
         ).write.mode("overwrite").parquet(os.path.join(tmp, "live"))
         segments.write_manifest(
-            tmp, MANIFEST, {"max_seg": 0, "num_buckets": num_buckets}
+            tmp,
+            MANIFEST,
+            {
+                "max_seg": 0,
+                "committed_seg": 0,
+                "gen": 0,
+                "num_buckets": num_buckets,
+            },
         )
         open(os.path.join(tmp, "_SUCCESS"), "w").close()
 
@@ -118,12 +125,11 @@ def upsert_fts_index(
     serialization (or a table format's commit protocol)."""
     text_cols = text_cols or ["text"]
     man = segments.read_manifest(index_dir, MANIFEST)
-    seg = segments.next_seg(man)
-    # manifest FIRST (r10 crash contract, see gram_index module
-    # docstring): crash mid-append -> never-reused seg id, partial
-    # segment invisible to newest-wins, re-run repairs fully
-    man["max_seg"] = seg
-    segments.write_manifest(index_dir, MANIFEST, man)
+    # two-phase (segments.snapshot_seg's protocol): RESERVE the seg id
+    # before any data, write all data, then COMMIT — readers bound to
+    # the committed seg never see an in-flight or crashed append's
+    # partial segment, and the id is never reused so a retry wins
+    seg = segments.reserve_seg(index_dir, MANIFEST, man)
     p = _postings(delta_docs, id_col, text_cols, man["num_buckets"], seg=seg)
     p.repartition("bucket").write.mode("append").partitionBy("bucket").parquet(
         os.path.join(index_dir, "postings")
@@ -131,6 +137,7 @@ def upsert_fts_index(
     delta_docs.select(F.col(id_col).alias("id")).distinct().withColumn(
         "seg", F.lit(seg)
     ).write.mode("append").parquet(os.path.join(index_dir, "live"))
+    segments.commit_seg(index_dir, MANIFEST, man, seg)
     return seg
 
 
@@ -143,15 +150,15 @@ def load_fts_index(spark: SparkSession, index_dir: str) -> DataFrame:
     compacted, the common case) skip the live join entirely (r10 — the
     fast path the band/ANN indexes already had; an un-upserted index
     now pays zero resolution overhead on every FTS query)."""
-    max_seg = segments.read_manifest(index_dir, MANIFEST)["max_seg"]
+    bound = segments.snapshot_seg(segments.read_manifest(index_dir, MANIFEST))
     postings = segments.bounded(
-        spark.read.parquet(os.path.join(index_dir, "postings")), max_seg
+        spark.read.parquet(os.path.join(index_dir, "postings")), bound
     )
-    if max_seg == 0:
+    if bound == 0:
         return postings.select("token", "id")
     live = segments.live_view(
         segments.bounded(
-            spark.read.parquet(os.path.join(index_dir, "live")), max_seg
+            spark.read.parquet(os.path.join(index_dir, "live")), bound
         ),
         "id",
     )
@@ -162,15 +169,15 @@ def dead_fraction(spark: SparkSession, index_dir: str) -> float:
     """Fraction of stored posting rows that the live filter discards —
     the compaction trigger metric. Zero by construction for a
     single-segment index (each id has exactly one segment)."""
-    max_seg = segments.read_manifest(index_dir, MANIFEST)["max_seg"]
-    if max_seg == 0:
+    bound = segments.snapshot_seg(segments.read_manifest(index_dir, MANIFEST))
+    if bound == 0:
         return 0.0
     postings = segments.bounded(
-        spark.read.parquet(os.path.join(index_dir, "postings")), max_seg
+        spark.read.parquet(os.path.join(index_dir, "postings")), bound
     )
     live = segments.live_view(
         segments.bounded(
-            spark.read.parquet(os.path.join(index_dir, "live")), max_seg
+            spark.read.parquet(os.path.join(index_dir, "live")), bound
         ),
         "id",
     )
@@ -201,7 +208,16 @@ def compact_fts_index(spark: SparkSession, index_dir: str) -> str:
         alive.select("id").distinct().withColumn("seg", F.lit(0)).write.mode(
             "overwrite"
         ).parquet(os.path.join(tmp, "live"))
-        segments.write_manifest(tmp, MANIFEST, {**man, "max_seg": 0})
+        segments.write_manifest(
+            tmp,
+            MANIFEST,
+            {
+                **man,
+                "max_seg": 0,
+                "committed_seg": 0,
+                "gen": man.get("gen", 0) + 1,  # ABA guard for caches
+            },
+        )
         open(os.path.join(tmp, "_SUCCESS"), "w").close()
 
     return segments.compact_swap(index_dir, write_into)

@@ -177,6 +177,8 @@ def write_gram_index(
             _MANIFEST,
             {
                 "max_seg": 0,
+                "committed_seg": 0,
+                "gen": 0,
                 "span": span,
                 "prune_buckets": prune_buckets,
                 "id_col": id_col,
@@ -213,47 +215,43 @@ def append_gram_index(
             f"manifest (span={man['span']}); grams of different spans "
             "never match — rebuild the index at the new span instead."
         )
-    seg = segments.next_seg(man)
+    # two-phase (segments.snapshot_seg's protocol): RESERVE the id
+    # before any data (crash never reuses it; the retry is newer and
+    # wins), write all data, then COMMIT — readers bound to the
+    # committed seg, so an in-flight or crashed append's partial
+    # segment is invisible on every path, and snapshot caches keyed on
+    # (gen, committed) re-derive exactly when the segment becomes real
+    seg = segments.reserve_seg(path, _MANIFEST, man)
     rows, live = _segment_rows(
         delta, man["span"], man["id_col"], text_col, seg, man["prune_buckets"]
     )
-    man["max_seg"] = seg
-    segments.write_manifest(path, _MANIFEST, man)
-    # grams BEFORE live: a crash between the two leaves re-arrived docs
-    # resolving to their OLD segment (conservative — the stale text
-    # still gates) rather than to a new segment whose grams are missing
-    # (under-gating, the worst direction for a contamination gate);
-    # either way the retry repairs fully
     rows.repartition("gbucket").write.mode("append").partitionBy(
         "gbucket"
     ).parquet(f"{path}/grams")
     live.write.mode("append").parquet(f"{path}/live")
+    segments.commit_seg(path, _MANIFEST, man, seg)
     return seg
 
 
 def _bounded(spark: SparkSession, path: str, sub: str, max_seg: int) -> DataFrame:
-    """Scan one index table bounded to the manifest snapshot: rows of
-    segments NEWER than the reader's manifest read (a concurrent
-    append, or a crashed pre-v2 append's orphans) are invisible, so
-    every reader sees a consistent point-in-time view even on the
-    single-segment fast path."""
-    rows = spark.read.parquet(f"{path}/{sub}")
-    return rows.where(F.col("seg") <= F.lit(max_seg))
+    """Scan one index table bounded to the manifest snapshot (see
+    segments.bounded — one copy of the predicate)."""
+    return segments.bounded(spark.read.parquet(f"{path}/{sub}"), max_seg)
 
 
 def load_gram_index(spark: SparkSession, path: str) -> DataFrame:
     """The LIVE gram set (id, g, gbucket): newest-segment-wins per doc,
     resolved via the DOC-SIZED live table. Single-segment fast path
     pays zero resolution work — the common state between appends, and
-    permanent after compaction."""
+    permanent after compaction. Bound = the COMMITTED seg (an
+    in-flight append's reserved-but-unwritten segment is invisible)."""
     man = _manifest_read(path)
     id_col = man["id_col"]
-    rows = _bounded(spark, path, "grams", man["max_seg"])
-    if man["max_seg"] == 0:
+    bound = segments.snapshot_seg(man)
+    rows = _bounded(spark, path, "grams", bound)
+    if bound == 0:
         return rows.drop("seg")
-    live = segments.live_view(
-        _bounded(spark, path, "live", man["max_seg"]), id_col
-    )
+    live = segments.live_view(_bounded(spark, path, "live", bound), id_col)
     return segments.resolve_newest(rows, live, id_col)
 
 
@@ -263,13 +261,12 @@ def gram_index_staleness(spark: SparkSession, path: str) -> dict:
     otherwise one grams scan + the DOC-SIZED live aggregate, never
     costlier than the live-join rent one gate run pays)."""
     man = _manifest_read(path)
-    if man["max_seg"] == 0:
-        return {"max_seg": 0, "stale_fraction": 0.0}
+    bound = segments.snapshot_seg(man)
+    if bound == 0:
+        return {"max_seg": man["max_seg"], "stale_fraction": 0.0}
     id_col = man["id_col"]
-    rows = _bounded(spark, path, "grams", man["max_seg"])
-    live = segments.live_view(
-        _bounded(spark, path, "live", man["max_seg"]), id_col
-    )
+    rows = _bounded(spark, path, "grams", bound)
+    live = segments.live_view(_bounded(spark, path, "live", bound), id_col)
     return {
         "max_seg": man["max_seg"],
         "stale_fraction": segments.stale_fraction(rows, live, id_col),
@@ -292,7 +289,8 @@ def compact_gram_index(spark: SparkSession, path: str) -> str:
     # its retired grams dead), and must survive compaction
     live_ids = (
         segments.live_view(
-            _bounded(spark, path, "live", man["max_seg"]), man["id_col"]
+            _bounded(spark, path, "live", segments.snapshot_seg(man)),
+            man["id_col"],
         )
         .select(man["id_col"])
         .withColumn("seg", F.lit(0))
@@ -309,6 +307,12 @@ def compact_gram_index(spark: SparkSession, path: str) -> str:
             _MANIFEST,
             {
                 "max_seg": 0,
+                "committed_seg": 0,
+                # generation bump: post-compaction segment numbering is
+                # a different world — snapshot caches keyed on
+                # (gen, committed) must re-derive even if the committed
+                # NUMBER recurs later (the ABA case)
+                "gen": man.get("gen", 0) + 1,
                 "span": man["span"],
                 "prune_buckets": man["prune_buckets"],
                 "id_col": man["id_col"],

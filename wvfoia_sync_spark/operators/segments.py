@@ -35,6 +35,8 @@ from pyspark.sql import DataFrame
 
 SEG_COL = "seg"
 MAX_SEG_KEY = "max_seg"
+COMMITTED_KEY = "committed_seg"
+GEN_KEY = "gen"
 
 
 def read_manifest(path: str, filename: str) -> dict:
@@ -69,6 +71,48 @@ def next_seg(man: dict, key: str = MAX_SEG_KEY) -> int:
     model — appending seg-bearing rows into a legacy layout makes the
     read schema depend on which parquet footer Spark samples."""
     return man[key] + 1
+
+
+def snapshot_seg(man: dict) -> int:
+    """Highest COMPLETE segment a reader may see — the committed seg,
+    falling back to max_seg for manifests written before the two-phase
+    protocol (those were only ever observed fully built).
+
+    Two-phase append protocol (r10): an append RESERVES its segment id
+    by bumping ``max_seg`` before writing any data (so a crash never
+    reuses an id and a retry always wins by being newer), then COMMITS
+    by setting ``committed_seg`` after the data is fully written.
+    Readers bound their scans to the committed seg: a manifest whose
+    reservation is ahead of its commit is an append in flight (or a
+    crash's residue) and its partial segment is invisible — which also
+    makes snapshot CACHES correct, since the committed value changes
+    exactly when a segment becomes fully visible, never before."""
+    return man.get(COMMITTED_KEY, man[MAX_SEG_KEY])
+
+
+def snapshot_key(man: dict) -> tuple:
+    """Cache key for per-stream live-map snapshots: (generation,
+    committed seg). The generation bumps at every compaction, so a
+    compact-then-append sequence that returns to a previously-seen
+    committed number (the ABA case) still invalidates the cache —
+    post-compaction segment numbering is a different world."""
+    return (man.get(GEN_KEY, 0), snapshot_seg(man))
+
+
+def reserve_seg(path: str, filename: str, man: dict) -> int:
+    """Phase 1 of an append: claim the next segment id in the manifest
+    BEFORE writing data. Mutates ``man`` and persists it."""
+    seg = next_seg(man)
+    man[MAX_SEG_KEY] = seg
+    write_manifest(path, filename, man)
+    return seg
+
+
+def commit_seg(path: str, filename: str, man: dict, seg: int) -> None:
+    """Phase 2 of an append: mark the segment's data complete. Only now
+    do readers (and snapshot caches) see it."""
+    man[COMMITTED_KEY] = seg
+    write_manifest(path, filename, man)
 
 
 def bounded(df: DataFrame, max_seg: int) -> DataFrame:
@@ -110,33 +154,40 @@ def stale_fraction(df: DataFrame, live: DataFrame, id_col: str) -> float:
 def live_snapshot_cache(derive: Callable[[int], DataFrame]):
     """Per-stream cache of the newest-wins live map (r10, extracted
     from the two streaming gates that each hand-rolled it): ``derive``
-    builds the live view for a given max_seg; ``current(max_seg)``
-    returns the cached persisted map, re-deriving (and explicitly
-    unpersisting the superseded snapshot) only when max_seg moved —
-    the common no-append batch pays one dict compare, zero Spark work.
-    max_seg == 0 yields None (single-segment fast path). ``close()``
+    builds the live view for a given snapshot seg bound;
+    ``current(key, bound)`` returns the cached persisted map,
+    re-deriving (and explicitly unpersisting the superseded snapshot)
+    only when ``key`` moved — the common no-append batch pays one dict
+    compare, zero Spark work. Callers MUST key on
+    ``segments.snapshot_key(man)``, never on max_seg alone: max_seg
+    moves at RESERVATION time (before the data exists — a cache keyed
+    on it could pin a map derived mid-append and never see the
+    segment's rows), and a compact-then-append can return to a
+    previously-seen committed number while the segment numbering
+    underneath changed (the generation component catches that).
+    ``bound == 0`` yields None (single-segment fast path). ``close()``
     frees the final snapshot when the stream ends; the stream owns its
     snapshots."""
-    state: dict = {"max_seg": None, "live": None}
+    state: dict = {"key": None, "live": None}
 
-    def current(max_seg: int):
-        if state["max_seg"] != max_seg:
+    def current(key, bound: int):
+        if state["key"] != key:
             if state["live"] is not None:
                 state["live"].unpersist()
-            lm = derive(max_seg) if max_seg > 0 else None
+            lm = derive(bound) if bound > 0 else None
             if lm is not None:
                 # persist (not localCheckpoint) so the superseded
                 # snapshot can be explicitly unpersisted on re-derive
                 lm = lm.persist()
                 lm.count()  # materialize once, reused every batch
-            state["max_seg"], state["live"] = max_seg, lm
+            state["key"], state["live"] = key, lm
         return state["live"]
 
     def close() -> None:
         if state["live"] is not None:
             state["live"].unpersist()
-            state["live"] = None
-            state["max_seg"] = None
+        state["live"] = None
+        state["key"] = None
 
     return current, close
 

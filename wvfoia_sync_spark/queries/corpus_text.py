@@ -1216,17 +1216,17 @@ def stream_substring_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink). Same oracle as the batch exact_substring_gate — the
     streaming decomposition must be answer-invariant. NOTHING
     row-sized crosses the driver: the admitted runs stay in the
-    per-epoch parquet sink (a stable per-dataset path, cleared before
-    each run — the sink is slice-sized, not match-bounded, so a
-    collect-and-reemit would materialize a corpus-proportional result
-    on the driver at scale) and the returned DataFrame is the lazy
-    newest-epoch-wins read-back over it."""
-    import os
-    import shutil
+    per-epoch parquet sink (the sink is slice-sized, not match-bounded,
+    so a collect-and-reemit would materialize a corpus-proportional
+    result on the driver at scale) and the returned DataFrame is the
+    lazy newest-epoch-wins read-back over it. The sink dir is UNIQUE
+    per invocation (never a shared path another run could rmtree out
+    from under a still-lazy result) and intentionally not deleted —
+    the returned DataFrame reads it on every action; the few-MB dirs
+    live under the system tempdir, which owns their lifetime."""
     import tempfile
 
     from ..operators import gram_index
-    from ..sources.derived import cache_tag
     from ..streaming import jobs
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1238,13 +1238,9 @@ def stream_substring_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("doc_id") % 7 == 0)
         .select("doc_id", "text")
     )
-    sink = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_stream_gate_sink_{cache_tag(sf_dir)}",
-    )
-    shutil.rmtree(sink, ignore_errors=True)  # this run owns the sink
+    sink = tempfile.mkdtemp(prefix="spark_graft_stream_gate_sink_")
     return jobs.streaming_substring_gate(
-        incoming, path, "stream_substring_gate", sink
+        incoming, path, "stream_substring_gate", f"{sink}/runs"
     )
 
 

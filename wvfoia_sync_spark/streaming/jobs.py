@@ -636,6 +636,8 @@ def write_band_index(
         path,
         {
             "max_seg": 0,
+            "committed_seg": 0,
+            "gen": 0,
             "num_hashes": num_hashes,
             "bands": bands,
             "shingle_size": shingle_size,
@@ -701,20 +703,20 @@ def append_band_index(
     index = index.withColumn("seg", F.lit(seg)).withColumn(
         "pbucket", F.pmod("bhash", F.lit(man["prune_buckets"])).cast("int")
     )
-    # manifest FIRST (r10, the gram-index crash contract applied to all
-    # four indexes): a crash mid-append then leaves a never-reused
-    # segment id and a partial segment readers simply see less of —
-    # re-running the append repairs completely (newest-wins). The old
-    # data-first ordering could crash before the manifest bump and (a)
-    # expose the orphan rows through the single-segment fast path, (b)
-    # REUSE the segment id on the next append, permanently pinning a
-    # twice-updated doc's retired text into the live view.
+    # two-phase (segments.snapshot_seg's protocol, all four indexes):
+    # RESERVE the seg id before any data (crash never reuses it; a
+    # retry is newer and wins), write bands then shingles, then COMMIT
+    # — readers bound to the committed seg never see an in-flight or
+    # crashed append's partial segment, on any path including the
+    # single-segment fast path.
     man["max_seg"] = seg
     _band_manifest_write(path, man)
     index.write.mode("append").partitionBy("pbucket").parquet(f"{path}/bands")
     shingles.withColumn("seg", F.lit(seg)).write.mode("append").parquet(
         f"{path}/shingles"
     )
+    man["committed_seg"] = seg
+    _band_manifest_write(path, man)
     return seg
 
 
@@ -729,7 +731,7 @@ def _live_train_segs(
     concurrent manifest-first append stay invisible)."""
     rows = spark.read.parquet(f"{path}/shingles")
     if max_seg is not None:
-        rows = rows.where(F.col("seg") <= F.lit(max_seg))
+        rows = segments.bounded(rows, max_seg)
     return segments.live_view(rows, "train_id")
 
 
@@ -743,14 +745,14 @@ def load_band_index(
     or just-compacted index, the common case) skip the live join
     entirely — zero resolution overhead until an append actually
     happens."""
-    max_seg = _band_manifest_read(path)["max_seg"]
-    bands = segments.bounded(spark.read.parquet(f"{path}/bands"), max_seg)
+    bound = segments.snapshot_seg(_band_manifest_read(path))
+    bands = segments.bounded(spark.read.parquet(f"{path}/bands"), bound)
     shingles = segments.bounded(
-        spark.read.parquet(f"{path}/shingles"), max_seg
+        spark.read.parquet(f"{path}/shingles"), bound
     )
-    if max_seg == 0:
+    if bound == 0:
         return bands.drop("seg"), shingles.drop("seg")
-    live = _live_train_segs(spark, path, max_seg)
+    live = _live_train_segs(spark, path, bound)
     return (
         segments.resolve_newest(bands, live, "train_id"),
         segments.resolve_newest(shingles, live, "train_id"),
@@ -782,13 +784,14 @@ def band_index_staleness(spark: SparkSession, path: str) -> dict:
     stale_fraction clears ~0.3 (the fts compaction bar) — stale rows
     inflate every candidate join's build side, not just the resolution
     aggregate."""
-    max_seg = _band_manifest_read(path)["max_seg"]
-    if max_seg == 0:
-        return {"max_seg": 0, "stale_fraction": 0.0}
-    bands = segments.bounded(spark.read.parquet(f"{path}/bands"), max_seg)
-    live = _live_train_segs(spark, path, max_seg)
+    man = _band_manifest_read(path)
+    bound = segments.snapshot_seg(man)
+    if bound == 0:
+        return {"max_seg": man["max_seg"], "stale_fraction": 0.0}
+    bands = segments.bounded(spark.read.parquet(f"{path}/bands"), bound)
+    live = _live_train_segs(spark, path, bound)
     return {
-        "max_seg": max_seg,
+        "max_seg": man["max_seg"],
         "stale_fraction": segments.stale_fraction(bands, live, "train_id"),
     }
 
@@ -839,7 +842,15 @@ def compact_band_index(
         shingles_live.withColumn("seg", F.lit(0)).write.mode(
             "overwrite"
         ).parquet(os.path.join(tmp, "shingles"))
-        _band_manifest_write(tmp, {**man, "max_seg": 0})
+        _band_manifest_write(
+            tmp,
+            {
+                **man,
+                "max_seg": 0,
+                "committed_seg": 0,
+                "gen": man.get("gen", 0) + 1,  # ABA guard for caches
+            },
+        )
 
     return segments.compact_swap(path, write_into)
 
@@ -944,17 +955,21 @@ def streaming_near_dup_pruned(
     # is needed. Batches between the append and the next manifest read
     # gate against the pre-append snapshot — the same eventual-visibility
     # contract as any snapshot-isolated reader.
-    # live map bounded to each snapshot's max_seg (manifest-first
-    # appends); cache mechanics shared with the gram gate
+    # live map bounded to each snapshot's COMMITTED seg and cached on
+    # segments.snapshot_key — never on max_seg, which moves at
+    # reservation time before the data exists (a cache keyed on it
+    # could pin a map derived mid-append and never see the segment's
+    # rows) and can recur across a compaction (the ABA case the
+    # generation component catches); mechanics shared with the gram gate
     live_cache, live_close = segments.live_snapshot_cache(
-        lambda ms: _live_train_segs(spark, index_path, ms)
+        lambda b: _live_train_segs(spark, index_path, b)
     )
-    seen = {"max_seg": man["max_seg"]}
-    live_cache(man["max_seg"])  # pre-stream materialization
+    live_cache(segments.snapshot_key(man), segments.snapshot_seg(man))
 
     def gate(batch_df: DataFrame, epoch_id: int) -> None:
-        seen["max_seg"] = _band_manifest_read(index_path)["max_seg"]
-        live = live_cache(seen["max_seg"])
+        bman = _band_manifest_read(index_path)
+        bound = segments.snapshot_seg(bman)
+        live = live_cache(segments.snapshot_key(bman), bound)
         h_in = hashed_shingles(batch_df, "doc_id", "text", shingle_size)
         banded_in = _band_signatures(
             h_in.select("id", F.col("hs"), sig(F.col("hs")).alias("sig")),
@@ -972,22 +987,17 @@ def streaming_near_dup_pruned(
         # NOT by batch or corpus size — the documented constant-collect
         # posture (cf. bloom bitset, BPE one-row-per-iteration)
         pb = [r[0] for r in banded_in.select("pbucket").distinct().collect()]
-        # bound both scans to this batch's manifest snapshot: a
-        # concurrent append (manifest-first as of r10) commits its
-        # manifest before its data, and without the bound the 0 -> 1
-        # transition's fast path (no live join) would read the new
-        # segment's half-committed rows alongside the old ones —
-        # exposing both versions of a re-arrived doc mid-batch
-        idx = (
-            spark.read.parquet(f"{index_path}/bands")
-            .where(F.col("seg") <= F.lit(seen["max_seg"]))
-            .where(F.col("pbucket").isin(pb))
-        )
-        shingle_t = (
-            spark.read.parquet(f"{index_path}/shingles")
-            .where(F.col("seg") <= F.lit(seen["max_seg"]))
-            .withColumnRenamed("hs", "hs_t")
-        )
+        # bound both scans to this batch's COMMITTED snapshot: an
+        # in-flight append's reserved-but-uncommitted segment stays
+        # invisible on every path, including the 0 -> 1 transition's
+        # fast path (no live join), which would otherwise read the new
+        # segment's half-committed rows alongside the old ones
+        idx = segments.bounded(
+            spark.read.parquet(f"{index_path}/bands"), bound
+        ).where(F.col("pbucket").isin(pb))
+        shingle_t = segments.bounded(
+            spark.read.parquet(f"{index_path}/shingles"), bound
+        ).withColumnRenamed("hs", "hs_t")
         if live is not None:  # stale-segment rows drop out of the join
             idx = idx.join(live, ["train_id", "seg"])
             shingle_t = shingle_t.join(live, ["train_id", "seg"])
@@ -1246,19 +1256,22 @@ def streaming_substring_gate(
     spark = incoming.sparkSession
 
     # doc-sized live table (never the corpus-sized grams), bounded to
-    # each snapshot's max_seg; cache mechanics shared with the band gate
+    # each snapshot's COMMITTED seg and cached on segments.snapshot_key
+    # (see the band gate: max_seg moves at reservation time, and a
+    # compaction can make a committed number recur); mechanics shared
+    # with the band gate
     live_cache, live_close = segments.live_snapshot_cache(
-        lambda ms: segments.live_view(
-            gram_index._bounded(spark, index_path, "live", ms), id_col
+        lambda b: segments.live_view(
+            gram_index._bounded(spark, index_path, "live", b), id_col
         )
     )
-    seen = {"max_seg": man["max_seg"]}
-    live_cache(man["max_seg"])  # pre-stream materialization
+    live_cache(segments.snapshot_key(man), segments.snapshot_seg(man))
 
     from ..functions import text as text_fns
 
     def gate(batch_df: DataFrame, epoch_id: int) -> None:
-        seen["max_seg"] = gram_index._manifest_read(index_path)["max_seg"]
+        bman = gram_index._manifest_read(index_path)
+        bound = segments.snapshot_seg(bman)
         # within-batch version resolution (see docstring): one
         # deterministic row per id before any gating
         others = [c for c in batch_df.columns if c != id_col]
@@ -1282,9 +1295,9 @@ def streaming_substring_gate(
         # the only driver-side collect, bounded by prune_buckets
         gb = [r[0] for r in probe.select("gbucket").distinct().collect()]
         stored = gram_index._bounded(
-            spark, index_path, "grams", seen["max_seg"]
+            spark, index_path, "grams", bound
         ).where(F.col("gbucket").isin(gb))
-        live = live_cache(seen["max_seg"])
+        live = live_cache(segments.snapshot_key(bman), bound)
         if live is not None:  # stale segments drop out
             stored = stored.join(live, [id_col, "seg"])
         hits = (
