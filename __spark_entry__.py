@@ -16,97 +16,105 @@ from wvfoia_sync_spark import registry
 
 # The driver's correctness gate samples a fixed-size window from the
 # head of this dict, so ordering IS verification coverage. Rounds 1-6
-# drove all 198 registered names to a driver-green row at least once;
-# r7 started freshness rotation (stalest-first). This round (r10):
-# (a) the NEW ExactSubstr family (Lee et al. 2022): within-corpus
-# exact_substring_dedup (verbatim-span removal, keep-first), the
-# per-source report twin exact_substring_stats, the ingest-direction
-# exact_substring_gate (stored gram index, operators/gram_index.py —
-# the segments core's fourth caller), and its lifecycle equivalence
-# gate gram_lifecycle_property_check, plus the streaming ingest form
-# stream_substring_gate (per-epoch tombstoned sink, gbucket-pruned
-# scans) and the cross-source verbatim-overlap matrix
-# exact_substring_source_matrix — all never checked;
-# (b) the nine r5 names the r9 plan queued for this head
-# (status_grouping_sets ... weighted_sample — the last pre-r6 rows);
-# (c) every query whose PLAN or stored-index FORMAT changed this
-# round, values unchanged: decontam_split (run fold extracted into the
-# shared _survivor_runs helper), repetition_budget (zero-token nullif
-# + overflow-safe epochs_ppm + max_sources guard + localCheckpoint),
-# band_lifecycle_property_check and stream_near_dup (band index now on
-# the shared operators/segments.py core; the pruned gate re-derives
-# the live map when the manifest moves mid-stream),
-# fts_stored_index_search (single-segment fast path in load_fts_index),
-# and the four stored-ANN queries pq_topk / pq_recall_check /
-# ivfpq_topk / ivfpq_recall_check (index format v2: csim column,
-# versioned derived path, per-segment drift stats);
-# (d) 26 of the 45 names last green in r6, alphabetically. After this
-# window lands, no name's latest green predates r6; the remaining 17
-# r6 names are queued for the r11 head (next_event_examples,
-# observed_scan_metrics,
-# pmi_collocations,
-# provenance_counts, quality_classifier_score,
-# semantic_dedup, shard_manifest,
-# shard_manifest_incremental, simhash_property_check, snapshot_drift,
-# snapshot_drift_sketch, sq8_recall_check, sq8_topk,
-# temperature_mixture, triangle_count, unigram_surprisal, winnow_stats).
+# drove all registered names to a driver-green row at least once; r7
+# started freshness rotation (stalest-first). This round (r11):
+# (a) the 17 names last green in r6 — the final freshness debt, queued
+# verbatim by the r10 plan (after this window no name's latest green
+# predates r7);
+# (b) every query whose PLAN, stored-index path keying, or coverage
+# changed this round, values unchanged except the NEW name:
+# exact_substring_source_matrix (the shared distinct-(source,gram)
+# subtree is localCheckpoint'd ONCE instead of evaluated four times —
+# VERDICT r10's only bench flag), exact_substring_delta_report (NEW:
+# the delta-impact report for within-corpus ExactSubstr — which
+# EXISTING docs' duplicated-position sets an arriving delta would
+# change under keep-first), exact_substring_gate +
+# gram_lifecycle_property_check (batch probe now applies the streaming
+# gate's gbucket PartitionFilter), stream_substring_gate (gram_index
+# derived path now keys prune_buckets — ADVICE r10);
+# (c) the 48 names last green in r7, alphabetically — a 50-wide window
+# covers the first ~28; r12's head takes the remainder.
 # Everything else follows in registration order, so a wider window only
 # adds coverage.
 DRIVER_WINDOW: list[str] = [
-    # --- new in r10: coverage beats freshness ---
-    "exact_substring_dedup",
-    "exact_substring_stats",
-    "exact_substring_gate",
-    "gram_lifecycle_property_check",
-    "stream_substring_gate",
-    "exact_substring_source_matrix",
-    # --- stalest: last green r5 (queued by the r9 plan) ---
-    "status_grouping_sets",
-    "status_sequence",
-    "table_profile",
-    "tfidf_top_terms",
-    "token_chunks",
-    "train_test_split",
-    "value_outliers",
-    "variant_shred_stats",
-    "weighted_sample",
-    # --- plan/format changed in r10 (values unchanged) ---
-    "decontam_split",
-    "repetition_budget",
-    "band_lifecycle_property_check",
-    "stream_near_dup",
-    "fts_stored_index_search",
-    "pq_topk",
-    "pq_recall_check",
-    "ivfpq_topk",
-    "ivfpq_recall_check",
-    # --- stalest remaining: last green r6 (26 of 45) ---
-    "approx_distinct_users",
-    "approx_quantile_check",
-    "audio_fingerprint_dedup",
-    "bigram_counts",
-    "boilerplate_purge",
-    "bpe_encode_property_check",
-    "bpe_merge_candidates",
-    "bpe_train_property_check",
-    "centroid_classify",
-    "contamination_pairs",
-    "coreset_select",
-    "dup_rate_matrix",
-    "embedding_centroids",
-    "filtered_knn",
-    "frame_sample",
-    "hard_negatives",
-    "heavy_hitters_sketch",
-    "image_ahash_dedup",
-    "ivf_recall_check",
-    "kmv_distinct_sketch",
-    "kmv_set_algebra",
-    "lsh_recall_check",
-    "minhash_property_check",
-    "mixture_sample",
-    "nation_pagerank",
-    "near_dup_rate_matrix",
+    # --- r11 head: the 17 names last green in r6 — the final
+    # freshness debt (queued verbatim by the r10 plan; after this
+    # window lands no name's latest green predates r7 and the
+    # rotation has lapped the full 208-name registry twice) ---
+    "next_event_examples",
+    "observed_scan_metrics",
+    "pmi_collocations",
+    "provenance_counts",
+    "quality_classifier_score",
+    "semantic_dedup",
+    "shard_manifest",
+    "shard_manifest_incremental",
+    "simhash_property_check",
+    "snapshot_drift",
+    "snapshot_drift_sketch",
+    "sq8_recall_check",
+    "sq8_topk",
+    "temperature_mixture",
+    "triangle_count",
+    "unigram_surprisal",
+    "winnow_stats",
+    # --- new/changed plans in r11 (values unchanged or new) ---
+    "exact_substring_source_matrix",  # subtree now checkpointed once
+    "exact_substring_delta_report",  # NEW r11: delta-impact report
+    "exact_substring_gate",  # batch probe now gbucket-pruned
+    "gram_lifecycle_property_check",  # exercises the pruned gate path
+    "stream_substring_gate",  # index path now keys prune_buckets
+    # --- then the 48 names last green in r7, alphabetical (the
+    # rotation's next band; a 50-wide window covers the first ~28,
+    # r12 takes the rest) ---
+    "agency_rss_items",
+    "anti_join",
+    "asof_join",
+    "compression_property_check",
+    "compression_scores",
+    "coreset_property_check",
+    "corrections_overlay",
+    "date_normalize",
+    "distinct_values",
+    "embedding_lsh_topk",
+    "embedding_near_dup",
+    "embedding_topk",
+    "events_hourly",
+    "events_hourly_stream",
+    "exact_dedup",
+    "fee_sort",
+    "filter_scan",
+    "fts_index_search",
+    "fts_search",
+    "group_counts",
+    "home_stats",
+    "ivf_topk",
+    "jaccard_near_dup",
+    "keyset_page",
+    "lang_id_confusion",
+    "latest_snapshot",
+    "max_key",
+    "minhash_near_dup",
+    "multimodal_meta",
+    "nation_page",
+    "nation_stats",
+    "page_fetch",
+    "point_lookup",
+    "price_percentiles",
+    "quality_filter",
+    "quality_scores",
+    "region_revenue",
+    "resolution_buckets",
+    "rss_items",
+    "semi_join",
+    "sessionization",
+    "simhash_dups",
+    "slug_rollup",
+    "status_rollup",
+    "status_timeline",
+    "top3_per_group",
+    "top_fees",
+    "upsert_merge",
 ]
 
 

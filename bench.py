@@ -85,6 +85,7 @@ HEADLINE = [
     "exact_substring_gate",
     "stream_substring_gate",
     "exact_substring_source_matrix",
+    "exact_substring_delta_report",
     "gopher_repetition",
     "token_chunks",
     "pack_bins",
@@ -348,15 +349,19 @@ def main() -> None:
         # measures harness overhead, not the plan. Ratios are reported
         # for everything; the >2x list that demands a fix/justification
         # is restricted to comparisons where BOTH engines do measurable
-        # work — Spark >= max(10x floor, 2s) (the plan, not the floor)
+        # work — Spark >= max(10x floor, 1s) (the plan, not the floor)
         # AND DuckDB >= 0.25s (the workload exists at this SF at all).
+        # r11 (VERDICT r10 What's-wrong #2): the wall term dropped from
+        # 2.0s to 1.0s so the 1-2s band is policed; every query the
+        # tighter bar first flagged was either fixed or adjudicated in
+        # SCALE.md (r11 bench adjudication section).
         floor = float("inf")
         for _ in range(5):
             t0 = time.time()
             spark.range(1).write.format("noop").mode("overwrite").save()
             floor = min(floor, time.time() - t0)
         floor = round(floor, 3)
-        cutoff = max(10 * floor, 2.0)
+        cutoff = max(10 * floor, 1.0)
         # dict keys carry units explicitly: a truncated capture of this
         # line once read the per-query RATIO dict as wall-seconds
         # (r4 verdict, "stream_dedup: 191" was a ratio) — "queries" above

@@ -1564,3 +1564,39 @@ def test_exact_substring_dedup_planted_mid_cut(spark, tmp_path):
         "src_a": (2, 1, 38, 7, 7 / 38),  # doc 2 loses exactly the passage
         "src_b": (2, 1, 29, 19, 19 / 29),  # doc 3 is fully non-canonical
     }
+
+
+def test_exact_substring_delta_report_planted_steal(spark, tmp_path):
+    """r11: the delta-impact report's planted twin. A delta doc with a
+    SMALLER doc_id than a corpus gram's first occurrence steals
+    canonicality (the corpus doc is reported with the exact stolen-gram
+    count and interval-union token coverage); a delta doc with a LARGER
+    id does not (the corpus copy stays first); corpus-internal
+    duplication alone never appears (no delta involvement)."""
+    from wvfoia_sync_spark.queries.corpus_text import (
+        exact_substring_delta_report,
+    )
+
+    shared = "s1 s2 s3 s4 s5 s6 s7"  # 7 tokens: two 6-grams
+    shared2 = "u1 u2 u3 u4 u5 u6 u7"
+    dup_c = "d1 d2 d3 d4 d5 d6"  # one 6-gram, duplicated WITHIN corpus
+    rows = [
+        # corpus (doc_id % 7 != 0)
+        (8, "b1 b2 b3 b4 b5 b6 " + shared, "src"),  # victim: 7 < 8
+        (15, "c1 c2 c3 c4 c5 c6 " + shared2, "src"),  # safe: 21 > 15
+        (2, dup_c, "src"),
+        (3, dup_c, "src"),  # corpus-internal dup: not reported
+        # delta (doc_id % 7 == 0)
+        (7, shared, "src"),  # steals doc 8's two shared grams
+        (21, shared2, "src"),  # later than doc 15: steals nothing
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = sorted(
+        map(tuple, exact_substring_delta_report(spark, str(tmp_path)).collect())
+    )
+    # doc 8: shared grams start at 0-based 6 and 7 -> union [6,12)+[7,13)
+    # covers 7 tokens
+    assert got == [(8, 2, 7)]

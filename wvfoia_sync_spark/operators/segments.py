@@ -101,7 +101,18 @@ def snapshot_key(man: dict) -> tuple:
 
 def reserve_seg(path: str, filename: str, man: dict) -> int:
     """Phase 1 of an append: claim the next segment id in the manifest
-    BEFORE writing data. Mutates ``man`` and persists it."""
+    BEFORE writing data. Mutates ``man`` and persists it.
+
+    Legacy pin (r11, ADVICE r10): a manifest written before the
+    two-phase protocol has no ``committed_seg`` key, and
+    ``snapshot_seg``'s fallback returns ``max_seg`` — which this very
+    reservation is about to bump past the last COMPLETE segment. Pin
+    ``committed_seg`` to the pre-reservation max FIRST, so the first
+    upsert into a pre-r10 index leaves its in-flight segment invisible
+    to readers (and ``snapshot_key`` changes at commit, keeping the
+    live-snapshot caches honest) exactly as it does for new-format
+    manifests."""
+    man.setdefault(COMMITTED_KEY, man[MAX_SEG_KEY])
     seg = next_seg(man)
     man[MAX_SEG_KEY] = seg
     write_manifest(path, filename, man)
@@ -221,7 +232,8 @@ def compact_swap(path: str, write_into: Callable[[str], None]) -> str:
     removed. The guarantee is crash-safe SINGLE-WRITER rewrite — the
     ingest job's maintenance window. Fully reader-safe publication is
     a NEW content-keyed directory per sources/derived.py, at the cost
-    of callers re-resolving the path."""
+    of callers re-resolving the path — offered as
+    gram_index.compact_gram_index(reader_safe=True) (r11)."""
     tmp = path + "._compact"
     shutil.rmtree(tmp, ignore_errors=True)
     write_into(tmp)
