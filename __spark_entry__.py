@@ -28,7 +28,9 @@ from wvfoia_sync_spark import registry
 # VERDICT r10's only bench flag), exact_substring_delta_report (NEW:
 # the delta-impact report for within-corpus ExactSubstr — which
 # EXISTING docs' duplicated-position sets an arriving delta would
-# change under keep-first), exact_substring_gate +
+# change under keep-first) with exact_substring_delta_property_check
+# (NEW: its exactness/completeness proof, lifecycle-check posture),
+# exact_substring_gate +
 # gram_lifecycle_property_check (batch probe now applies the streaming
 # gate's gbucket PartitionFilter), stream_substring_gate (gram_index
 # derived path now keys prune_buckets — ADVICE r10);
@@ -40,7 +42,7 @@ DRIVER_WINDOW: list[str] = [
     # --- r11 head: the 17 names last green in r6 — the final
     # freshness debt (queued verbatim by the r10 plan; after this
     # window lands no name's latest green predates r7 and the
-    # rotation has lapped the full 208-name registry twice) ---
+    # rotation has lapped the full pre-r11 registry twice) ---
     "next_event_examples",
     "observed_scan_metrics",
     "pmi_collocations",
@@ -61,6 +63,7 @@ DRIVER_WINDOW: list[str] = [
     # --- new/changed plans in r11 (values unchanged or new) ---
     "exact_substring_source_matrix",  # subtree now checkpointed once
     "exact_substring_delta_report",  # NEW r11: delta-impact report
+    "exact_substring_delta_property_check",  # NEW r11: its exactness proof
     "exact_substring_gate",  # batch probe now gbucket-pruned
     "gram_lifecycle_property_check",  # exercises the pruned gate path
     "stream_substring_gate",  # index path now keys prune_buckets

@@ -268,7 +268,9 @@ def load_ann_index(spark: SparkSession, path: str) -> DataFrame:
     return segments.resolve_newest(df, segments.live_view(df, id_col), id_col)
 
 
-def compact_ann_index(spark: SparkSession, path: str) -> str:
+def compact_ann_index(
+    spark: SparkSession, path: str, reader_safe: bool = False
+) -> str:
     """Fold all upserted segments back into a single-segment index:
     newest-wins resolution materializes, stale versions' rows are
     physically dropped, and the ``ivf_cell=`` partition layout (the
@@ -279,7 +281,10 @@ def compact_ann_index(spark: SparkSession, path: str) -> str:
     (segments.compact_swap): the max_seg=0 manifest is written into
     the temp dir BEFORE the swap, so no crash leaves a manifest
     disagreeing with the layout. Crash-safe single-writer rewrite;
-    NOT safe for concurrent readers mid-query — see compact_swap."""
+    NOT safe for concurrent readers mid-query — see compact_swap.
+    ``reader_safe=True`` (r11) publishes aside into a new
+    (gen, committed)-keyed sibling instead, leaving this dir intact
+    and RETURNING the new path (segments.compact_aside)."""
     man = segments.read_manifest(path, MANIFEST)
     live = load_ann_index(spark, path)
 
@@ -297,4 +302,6 @@ def compact_ann_index(spark: SparkSession, path: str) -> str:
             },
         )
 
+    if reader_safe:
+        return segments.compact_aside(path, man, write_into)
     return segments.compact_swap(path, write_into)

@@ -184,14 +184,18 @@ def dead_fraction(spark: SparkSession, index_dir: str) -> float:
     return segments.stale_fraction(postings, live, "id")
 
 
-def compact_fts_index(spark: SparkSession, index_dir: str) -> str:
+def compact_fts_index(
+    spark: SparkSession, index_dir: str, reader_safe: bool = False
+) -> str:
     """Fold the live postings into a single-segment index via the
     shared whole-directory swap (segments.compact_swap — crash-safe
     single-writer rewrite; the max_seg=0 manifest and the _SUCCESS
     completeness marker are written INTO the temp dir before the swap,
     so no crash leaves a manifest that disagrees with the layout or a
-    postings table that disagrees with live/). Reader-safe publication
-    under a new content-keyed path is the caller's alternative."""
+    postings table that disagrees with live/). ``reader_safe=True``
+    (r11) publishes aside into a new (gen, committed)-keyed sibling
+    instead, leaving this dir intact for readers in flight and
+    RETURNING the new path — segments.compact_aside's contract."""
     man = segments.read_manifest(index_dir, MANIFEST)
     alive = (
         load_fts_index(spark, index_dir)
@@ -220,6 +224,8 @@ def compact_fts_index(spark: SparkSession, index_dir: str) -> str:
         )
         open(os.path.join(tmp, "_SUCCESS"), "w").close()
 
+    if reader_safe:
+        return segments.compact_aside(index_dir, man, write_into)
     return segments.compact_swap(index_dir, write_into)
 
 

@@ -357,17 +357,12 @@ def compact_gram_index(
                 "id_col": man["id_col"],
             },
         )
-        if reader_safe or os.path.exists(os.path.join(path, "_SUCCESS")):
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
             # preserve the derived-cache publish marker across the swap
-            # (always written in publish-aside mode: derived.publish
-            # uses it for its rename-if-absent short-circuit)
             open(os.path.join(tmp, "_SUCCESS"), "w").close()
 
     if reader_safe:
-        new_path = (
-            f"{path}._rs_g{man.get('gen', 0)}_c{segments.snapshot_seg(man)}"
-        )
-        return derived.publish(write_into, new_path)
+        return segments.compact_aside(path, man, write_into)
     return segments.compact_swap(path, write_into)
 
 

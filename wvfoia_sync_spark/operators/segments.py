@@ -232,8 +232,8 @@ def compact_swap(path: str, write_into: Callable[[str], None]) -> str:
     removed. The guarantee is crash-safe SINGLE-WRITER rewrite — the
     ingest job's maintenance window. Fully reader-safe publication is
     a NEW content-keyed directory per sources/derived.py, at the cost
-    of callers re-resolving the path — offered as
-    gram_index.compact_gram_index(reader_safe=True) (r11)."""
+    of callers re-resolving the path — offered on ALL FOUR indexes as
+    compact_*_index(reader_safe=True) via compact_aside (r11)."""
     tmp = path + "._compact"
     shutil.rmtree(tmp, ignore_errors=True)
     write_into(tmp)
@@ -243,3 +243,32 @@ def compact_swap(path: str, write_into: Callable[[str], None]) -> str:
     os.rename(tmp, path)
     shutil.rmtree(old, ignore_errors=True)
     return path
+
+
+def compact_aside(path: str, man: dict, write_into: Callable[[str], None]) -> str:
+    """Reader-safe publish-aside compaction (r11, VERDICT r10 task 4)
+    — the alternative compact_swap's docstring names: ``write_into``
+    materializes the complete compacted index into a NEW sibling
+    directory and PATH is left fully intact, so a DataFrame planned
+    against the old tree before the compaction still collects
+    correctly afterwards (Spark resolves part files lazily per task —
+    the in-place swap's one honest failure window). The new path is
+    RETURNED; the caller re-resolves, and retires the old tree itself
+    (publish-aside never deletes it — that is the point).
+
+    The sibling is keyed by the SOURCE manifest's (gen, committed_seg)
+    and published via derived.publish's rename-if-absent, which makes
+    the operation idempotent AND append-aware: re-running with no new
+    appends short-circuits to the same published dir; appending to the
+    old tree then compacting again publishes a fresh dir instead of
+    resurrecting a stale one. ``write_into`` must write the compacted
+    manifest itself (gen bumped, max/committed = 0, same as the
+    in-place mode); the _SUCCESS publish marker is added here."""
+    from ..sources import derived
+
+    def build(tmp: str) -> None:
+        write_into(tmp)
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+
+    new_path = f"{path}._rs_g{man.get(GEN_KEY, 0)}_c{snapshot_seg(man)}"
+    return derived.publish(build, new_path)

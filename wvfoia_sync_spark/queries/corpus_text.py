@@ -840,16 +840,25 @@ def _exact_substring_hits(
     min_dup: int,
     fingerprint: bool,
     extra_cols: tuple[str, ...] = (),
+    docs_df: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared head of the ExactSubstr family: returns ``(docs, hits)``
     where docs is (doc_id, *extra_cols, toks) and hits is the per-doc
     set of NON-FIRST duplicated gram starts (doc_id, mpos) — see
     exact_substring_dedup's docstring for why the count+min aggregate
     beats both a pair self-join (quadratic, needs a cap) and a windowed
-    row_number (hot-gram partitions unsplittable)."""
+    row_number (hot-gram partitions unsplittable). ``docs_df`` (r11)
+    injects a (doc_id, *extra_cols, text) frame in place of the sf_dir
+    documents table — the delta property check runs the identical
+    pipeline over corpus-only and corpus-union-delta slices."""
     par = min(8, spark.sparkContext.defaultParallelism)
+    source = (
+        docs_df
+        if docs_df is not None
+        else load_table(spark, sf_dir, "documents")
+    )
     docs = (
-        load_table(spark, sf_dir, "documents")
+        source
         .select("doc_id", *extra_cols, "text")
         .repartition(par)
         .select("doc_id", *extra_cols, text_fns.tokens("text").alias("toks"))
@@ -1489,6 +1498,117 @@ def exact_substring_delta_report(
         "n_stolen_grams",
         covered.alias("n_new_dup_tokens"),
     ).orderBy("doc_id")
+
+
+@register(
+    "exact_substring_delta_property_check",
+    oracle="""
+    SELECT 'affected_start_sets_grow_by_exactly_the_stolen_grams'
+             AS property, TRUE AS ok
+    UNION ALL SELECT 'report_rows_are_corpus_docs_with_positive_steals', TRUE
+    UNION ALL SELECT 'unaffected_corpus_docs_runs_unchanged', TRUE
+    ORDER BY property
+    """,
+)
+def exact_substring_delta_property_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Driver-green proof that exact_substring_delta_report's contract
+    holds AT EXECUTION on the generated fixture (the lifecycle-check
+    posture: pinned-TRUE oracle rows, Spark computes the equivalences
+    for real, distributed — count + exceptAll, never collected index
+    rows). The report claims a merge's blast radius is exactly the
+    docs whose per-gram first occurrences get outranked; three
+    properties pin both directions:
+
+    1. affected_start_sets_grow_by_exactly_the_stolen_grams — per
+       corpus doc, the duplicated-START set under the MERGED recompute
+       is a superset of the corpus-only one, the growth count equals
+       the report's n_stolen_grams, and docs absent from the report
+       grow by zero (exactness at the position level; completeness AND
+       soundness of the report in one per-doc comparison).
+    2. unaffected_corpus_docs_runs_unchanged — the user-facing theorem:
+       for every corpus doc NOT in the report, the merged recompute's
+       survivor RUN rows are identical to the corpus-only ones, so a
+       pipeline may keep their outputs untouched and recompute only the
+       report's docs. (Run-level only for UNaffected docs: an affected
+       doc's new duplicated starts can fall inside already-covered
+       spans, changing the position set but not the runs — the report
+       is exact on positions, a superset on runs, which is the safe
+       direction for scheduling recomputes.)
+    3. report_rows_are_corpus_docs_with_positive_steals — report rows
+       are well-formed: corpus-slice ids only, n_stolen_grams >= 1.
+
+    Cost: two ExactSubstr pipelines (corpus-only and merged) + the
+    report — each the audited no-pair-term shape; comparisons are one
+    full-outer join at hit-doc cardinality and one exceptAll at run
+    cardinality."""
+    docs_all = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    corpus = docs_all.where(F.col("doc_id") % 7 != 0)
+    report = exact_substring_delta_report(spark, sf_dir).localCheckpoint(
+        eager=False
+    )
+
+    c_docs, c_hits = _exact_substring_hits(
+        spark, sf_dir, span=6, min_dup=2, fingerprint=False, docs_df=corpus
+    )
+    u_docs, u_hits = _exact_substring_hits(
+        spark, sf_dir, span=6, min_dup=2, fingerprint=False, docs_df=docs_all
+    )
+    runs_c = _survivor_runs(c_docs.join(c_hits, "doc_id", "left"), span=6)
+    runs_u = _survivor_runs(u_docs.join(u_hits, "doc_id", "left"), span=6)
+
+    # P1: per-doc start-set comparison (corpus docs only on both sides)
+    c_sets = c_hits.select("doc_id", F.col("mpos").alias("c_mpos"))
+    u_sets = u_hits.where(F.col("doc_id") % 7 != 0).select(
+        "doc_id", F.col("mpos").alias("u_mpos")
+    )
+    cmp = c_sets.join(u_sets, "doc_id", "full_outer").join(
+        report.select("doc_id", "n_stolen_grams"), "doc_id", "full_outer"
+    )
+    c_arr = F.coalesce("c_mpos", F.array().cast("array<int>"))
+    u_arr = F.coalesce("u_mpos", F.array().cast("array<int>"))
+    stolen = F.coalesce("n_stolen_grams", F.lit(0)).cast("int")
+    row_ok = (F.size(F.array_except(c_arr, u_arr)) == 0) & (
+        F.size(F.array_except(u_arr, c_arr)) == stolen
+    )
+    p1 = (
+        cmp.agg(F.min(row_ok.cast("int")).alias("ok")).collect()[0]["ok"]
+        != 0
+    )
+
+    # P2: run-set equality on the unaffected corpus slice
+    aff = report.select("doc_id")
+    unaff_c = runs_c.join(aff, "doc_id", "left_anti")
+    unaff_u = runs_u.where(F.col("doc_id") % 7 != 0).join(
+        aff, "doc_id", "left_anti"
+    )
+    p2 = (
+        unaff_c.count() == unaff_u.count()
+        and unaff_c.exceptAll(unaff_u).isEmpty()
+    )
+
+    # P3: report rows well-formed
+    p3 = (
+        report.where(
+            (F.col("doc_id") % 7 == 0) | (F.col("n_stolen_grams") < 1)
+        ).count()
+        == 0
+    )
+
+    rows = sorted(
+        [
+            (
+                "affected_start_sets_grow_by_exactly_the_stolen_grams",
+                bool(p1),
+            ),
+            ("report_rows_are_corpus_docs_with_positive_steals", bool(p3)),
+            ("unaffected_corpus_docs_runs_unchanged", bool(p2)),
+        ]
+    )
+    return spark.createDataFrame(rows, "property string, ok boolean")
 
 
 @register(

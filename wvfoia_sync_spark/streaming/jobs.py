@@ -797,7 +797,10 @@ def band_index_staleness(spark: SparkSession, path: str) -> dict:
 
 
 def compact_band_index(
-    spark: SparkSession, path: str, max_band_bucket: int | None = None
+    spark: SparkSession,
+    path: str,
+    max_band_bucket: int | None = None,
+    reader_safe: bool = False,
 ) -> str:
     """Fold all appended segments back into a clean single-segment index
     (the compaction pass append_band_index's recipe prescribes — the
@@ -818,7 +821,10 @@ def compact_band_index(
     a manifest disagreeing with the layout or the two tables
     disagreeing about segment numbering (the r9 per-subdir swaps had
     both windows). Crash-safe single-writer rewrite; NOT safe for
-    concurrent readers mid-query — see compact_swap's docstring. The
+    concurrent readers mid-query — see compact_swap's docstring;
+    ``reader_safe=True`` (r11) publishes aside into a new
+    (gen, committed)-keyed sibling instead, leaving this dir intact
+    and RETURNING the new path (segments.compact_aside). The
     pbucket Hive partitioning (the PartitionFilter pruning contract)
     is rebuilt identically. Work is one scan of each table + the
     doc-cardinality live aggregate + (guard on) the bucket
@@ -852,6 +858,8 @@ def compact_band_index(
             },
         )
 
+    if reader_safe:
+        return segments.compact_aside(path, man, write_into)
     return segments.compact_swap(path, write_into)
 
 
