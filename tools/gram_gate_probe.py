@@ -81,7 +81,7 @@ def hits_rows(spark, probe, stored):
 
 
 def main() -> int:
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALE_probe_r10_gramgate.jsonl"
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALE_probe_r11_gramgate.jsonl"
     ks = [int(x) for x in (sys.argv[2].split(",") if len(sys.argv) > 2 else [1, 4])]
     spark = get_spark("gram-gate-probe")
     tmp = tempfile.mkdtemp(prefix="gram_gate_probe_")
@@ -131,6 +131,52 @@ def main() -> int:
                     "hits_wall_pruned_s": walls["pruned"],
                     "hits_wall_full_s": walls["full"],
                     "n_hit_docs": len(got["pruned"]),
+                }
+            )
+            print(json.dumps(rows[-1]))
+            # r11: the BATCH API path (match_starts) end-to-end — the
+            # streaming loop above times the hand-built core; this row
+            # times what an API caller gating a small delta in batch
+            # mode actually pays, pruned (default) vs prune=False
+            bwalls = {}
+            bgot = {}
+            for tag, pr in (("pruned", True), ("full", False)):
+                best = float("inf")
+                for _ in range(3):
+                    t0 = time.time()
+                    bgot[tag] = sorted(
+                        map(
+                            tuple,
+                            gram_index.match_starts(
+                                spark, idx, batch, prune=pr
+                            )
+                            .select(
+                                "doc_id",
+                                F.concat_ws(
+                                    ",",
+                                    F.sort_array("mpos").cast(
+                                        "array<string>"
+                                    ),
+                                ).alias("m"),
+                            )
+                            .collect(),
+                        )
+                    )
+                    best = min(best, time.time() - t0)
+                bwalls[tag] = round(best, 3)
+            assert bgot["pruned"] == bgot["full"] and bgot["pruned"], (
+                "batch-path pruning changed the hit set"
+            )
+            rows.append(
+                {
+                    "probe": "gram_gate_batchpath_r11",
+                    "k": k,
+                    "n_index_rows": rows[-1]["n_index_rows"],
+                    "n_batch_buckets": len(gb),
+                    "prune_buckets": PRUNE_BUCKETS,
+                    "match_starts_wall_pruned_s": bwalls["pruned"],
+                    "match_starts_wall_full_s": bwalls["full"],
+                    "n_hit_docs": len(bgot["pruned"]),
                 }
             )
             print(json.dumps(rows[-1]))

@@ -389,17 +389,21 @@ def match_starts(
 
     ``prune=True`` (r11, VERDICT r10 task 5): apply the streaming
     gate's gbucket PartitionFilter to the stored scan. The probe's
-    gram frame is localCheckpoint'd once (probe-gram-sized; the same
-    materialize-the-shared-subtree remedy as the batch gate's own
-    probe), its distinct gbucket set collected (driver cost bounded by
-    the ``prune_buckets`` constant), and — when the set is a strict
-    subset of the index's buckets — pushed into the stored read as an
-    ``isin`` over the hive partition column, so a small delta gated in
-    batch mode prunes the corpus scan exactly as the streaming path
-    does instead of paying a full-index scan. A probe that touches
-    every bucket skips the no-op predicate. Pass ``prune=False`` for
-    corpus-scaled probes where materializing the probe grams is not
-    worth a scan that cannot prune anyway."""
+    distinct gbucket set is collected (driver cost bounded by the
+    ``prune_buckets`` constant) and — when it is a strict subset of
+    the index's buckets — pushed into the stored read as an ``isin``
+    over the hive partition column, so a small delta gated in batch
+    mode prunes the corpus scan exactly as the streaming path does
+    instead of paying a full-index scan. The bucket collect makes the
+    probe subtree a two-consumer plan, so when THIS call owns the
+    tokenize (``tokenized=False``) the gram frame is localCheckpoint'd
+    once; a pre-tokenized caller already holds the expensive subtree
+    cached (the gate's checkpointed toks projection) and re-running
+    the cheap explode beats materializing probe-gram-sized rows, so no
+    second checkpoint is added. A probe that touches every bucket
+    skips the no-op predicate but still pays the one bucket-collect
+    pass — pass ``prune=False`` for corpus-scaled probes where the
+    scan cannot prune anyway."""
     man = _manifest_read(path)
     probe = doc_grams(
         incoming,
@@ -414,7 +418,9 @@ def match_starts(
         nb = man["prune_buckets"]
         probe = probe.withColumn(
             "gbucket", F.pmod(F.xxhash64("g"), F.lit(nb)).cast("int")
-        ).localCheckpoint()
+        )
+        if not tokenized:
+            probe = probe.localCheckpoint()
         gb = [r[0] for r in probe.select("gbucket").distinct().collect()]
         if len(gb) < nb:
             stored = stored.where(F.col("gbucket").isin(gb))

@@ -1442,7 +1442,13 @@ def exact_substring_delta_report(
     (one consumer), both minima map-side combinable (a
     billion-occurrence boilerplate gram collapses per map task) — then
     a filter at distinct-gram cardinality and a doc-keyed aggregate at
-    affected-doc cardinality. No pair term anywhere. The (doc_id,
+    affected-doc cardinality. No pair term anywhere. The corpus side
+    is one full gram pass (the same cost class as the dedup it
+    schedules, minus the join-back); the O(|delta|) form would need
+    the stored gram index to carry each gram's FIRST occurrence —
+    deliberately not stored today (the gate needs membership only, and
+    distinct-(doc, gram) rows stay narrower), the documented trade if
+    delta-report cadence ever outgrows the full pass. The (doc_id,
     position) key is packed into one BIGINT (doc_id * 2^21 + i) so the
     lexicographic struct minimum becomes a plain numeric MIN — cheaper
     partials, and cross-engine exact (DuckDB computes the identical
