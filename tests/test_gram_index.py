@@ -369,3 +369,69 @@ def test_reader_safe_compaction_leaves_old_tree(spark, tmp_path):
     assert newer not in (new_path, idx)
     live3 = gram_index.load_gram_index(spark, newer)
     assert live3.where(live3.doc_id == 3).count() == 2
+
+
+def test_gate_then_append_ingest_loop(spark, tmp_path):
+    """The production ingest LOOP the gate and append exist for: gate a
+    batch against the index, admit it, APPEND the admitted docs as a
+    new segment — a re-crawl of the admitted text is then fully
+    rejected (its grams are now corpus), the original corpus text still
+    gates, and novel text still passes whole."""
+    idx = str(tmp_path / "idx")
+    gram_index.write_gram_index(_docs(spark, [(1, A)]), idx, span=6)
+
+    t10 = "c1 c2 c3 c4 c5 c6 " + SHARED + " e1 e2 e3 e4 e5 e6"
+    incoming = _docs(spark, [(10, t10)])
+    runs = _gate_runs(spark, idx, incoming)
+    assert [r[2] for r in runs] == [6, 6]  # SHARED cut, flanks admitted
+
+    # admit the batch (whole-doc admit policy) and index it
+    gram_index.append_gram_index(incoming, idx)
+
+    # re-crawl of the admitted doc's text: fully rejected now
+    assert _gate_runs(spark, idx, _docs(spark, [(20, t10)])) == []
+    # original corpus text still gates
+    assert _gate_runs(spark, idx, _docs(spark, [(21, A)])) == []
+    # novel text still passes whole
+    novel = _gate_runs(spark, idx, _docs(spark, [(22, B)]))
+    assert [(r[0], r[2]) for r in novel] == [(22, 10)]
+
+
+def test_compact_aside_crash_leaves_everything_intact(spark, tmp_path):
+    """A publish-aside build that CRASHES mid-write must leave the old
+    tree untouched, publish nothing, clean its temp dir, and let a
+    retry succeed (derived.publish's build-in-unique-tmp contract
+    applied to compaction)."""
+    import os
+
+    from wvfoia_sync_spark.operators import segments
+
+    idx = str(tmp_path / "idx")
+    gram_index.write_gram_index(_docs(spark, [(1, A), (2, B)]), idx, span=6)
+    before = sorted(
+        map(tuple, gram_index.load_gram_index(spark, idx).collect())
+    )
+    man = gram_index._manifest_read(idx)
+
+    def exploding(tmp: str) -> None:
+        os.makedirs(tmp, exist_ok=True)
+        open(os.path.join(tmp, "partial"), "w").close()
+        raise RuntimeError("mid-build crash")
+
+    with pytest.raises(RuntimeError, match="mid-build crash"):
+        segments.compact_aside(idx, man, exploding)
+    parent = os.path.dirname(idx)
+    residue = [n for n in os.listdir(parent) if "._rs_" in n or ".build-" in n]
+    assert residue == []  # nothing published, temp cleaned
+    assert (
+        sorted(map(tuple, gram_index.load_gram_index(spark, idx).collect()))
+        == before
+    )
+    # retry succeeds and publishes the real thing
+    new_path = gram_index.compact_gram_index(spark, idx, reader_safe=True)
+    assert (
+        sorted(
+            map(tuple, gram_index.load_gram_index(spark, new_path).collect())
+        )
+        == before
+    )
