@@ -45,7 +45,7 @@ DRIVER_WINDOW: list[str] = [
     # rotation has lapped the full pre-r11 registry twice) ---
     "next_event_examples",
     "observed_scan_metrics",
-    "pmi_collocations",
+    "pmi_collocations",  # r11: persist_unigrams switch (default unchanged)
     "provenance_counts",
     "quality_classifier_score",
     "semantic_dedup",
@@ -53,7 +53,7 @@ DRIVER_WINDOW: list[str] = [
     "shard_manifest_incremental",
     "simhash_property_check",
     "snapshot_drift",
-    "snapshot_drift_sketch",
+    "snapshot_drift_sketch",  # r11: fused stats pass + property tail
     "sq8_recall_check",
     "sq8_topk",
     "temperature_mixture",

@@ -1,0 +1,105 @@
+"""Registry-wide plan audit for the N-times-scanned-subtree defect class
+(r11): `exact_substring_source_matrix` shipped in r10 with its
+scan+tokenize+explode+distinct subtree evaluated FOUR times because the
+frame fanned out to several consumers and Spark reuses exchanges, not
+subplans — caught only when the bench flagged it. This tool makes that
+class auditable for EVERY benched query at once: build each query's
+DataFrame lazily, read the FORMATTED physical plan, and count FileScan
+nodes per source table. A query scanning one table k >= threshold times
+is either (a) missing a localCheckpoint/persist on a shared subtree, or
+(b) intentionally multi-pass (self-joins over different slices,
+index-build queries whose derived artifact is scanned alongside the
+source) — the output is a PROMPT for a plan read, not a verdict, same
+protocol as bench_diff.
+
+ReusedExchange/ReusedSubquery nodes are NOT FileScans, so a plan that
+properly reuses its shuffle output counts once per genuine pass.
+Queries that EXECUTE work at build time (property checks, streaming
+read-backs) still only contribute their RETURNED frame's plan; their
+internal jobs are invisible here, which is fine — those are equivalence
+gates, not hot plans.
+
+Usage: python tools/scan_count_audit.py [sf_dir] [threshold]
+Prints one JSON line per flagged query, then a summary line.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+from collections import Counter
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from wvfoia_sync_spark import registry  # noqa: E402
+from wvfoia_sync_spark.session import get_spark  # noqa: E402
+
+# equivalence gates and probes that run whole sub-pipelines eagerly in
+# their builder; their returned frame is a tiny summary whose plan says
+# nothing about the work (and building them costs minutes, not ms)
+SKIP_SUBSTR = ("property_check", "lifecycle")
+
+
+def table_scans(plan: str) -> Counter:
+    """Count FileScan nodes per source table name. The formatted plan
+    prints 'Scan parquet [paths]' headers with a Location line; derived
+    caches under /tmp/spark_graft_* count under their kind tag so an
+    index scanned N times is visible too."""
+    out: Counter = Counter()
+    for m in re.finditer(r"Scan parquet ?[^\n]*\n(?:.*\n)*?.*Location[^\n]*?\[([^\]\n]*)", plan):
+        loc = m.group(1)
+        name = re.search(r"([A-Za-z0-9_]+)\.parquet", loc)
+        if name:
+            out[name.group(1)] += 1
+            continue
+        kind = re.search(r"spark_graft_([a-z_]+?)_", loc)
+        out[kind.group(1) if kind else "other"] += 1
+    return out
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    threshold = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    import bench
+
+    spark = get_spark("scan-audit")
+    flagged = []
+    errors = {}
+    audited = 0
+    for name in bench.HEADLINE:
+        if any(s in name for s in SKIP_SUBSTR):
+            continue
+        fn = registry.QUERIES[name]
+        try:
+            df = fn(spark, sf_dir)
+            plan = spark._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+        except Exception as e:  # noqa: BLE001
+            errors[name] = repr(e)[:120]
+            continue
+        audited += 1
+        counts = table_scans(plan)
+        hot = {t: k for t, k in counts.items() if k >= threshold}
+        if hot:
+            row = {"query": name, "scans": hot, "reused_exchanges":
+                   plan.count("ReusedExchange")}
+            flagged.append(row)
+            print(json.dumps(row))
+    print(
+        json.dumps(
+            {
+                "audited": audited,
+                "threshold": threshold,
+                "flagged": len(flagged),
+                "errors": errors,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

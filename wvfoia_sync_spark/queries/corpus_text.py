@@ -1903,10 +1903,16 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # LM normalizer derived from the freq table itself: agg to a 1-row
     # total and broadcast-cross-join it back over the vocab-sized freq
-    # frame. Still lazy (no eager count() job at plan-build time) and the
-    # corpus tokenizes twice (freq build + join side), not thrice — but
-    # unlike the r2 global-window form, nothing ever funnels the vocab
-    # through a SinglePartition WindowExec.
+    # frame. Still lazy (no eager count() job at plan-build time).
+    # Pass-count (r11 scan audit): the tokenize subtree evaluates
+    # THREE times at execution (freq build, the total's re-derivation
+    # of it, the join side) — Spark reuses exchanges, not subplans. A
+    # checkpointed-counts reduction was A/B'd in the same family (pmi,
+    # drift sketch) and loses at bench SF (barrier > page-cached
+    # re-scan); the 100 TB caller materializes the vocab-sized counts
+    # once (pmi_collocations' persist_unigrams posture). Unlike the r2
+    # global-window form, nothing ever funnels the vocab through a
+    # SinglePartition WindowExec.
     counts = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
     total = counts.agg(F.sum("cnt").alias("total"))
     freq = counts.crossJoin(F.broadcast(total))
@@ -2032,20 +2038,38 @@ def bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY lift DESC, bigram ASC LIMIT 20
     """,
 )
-def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pmi_collocations(
+    spark: SparkSession, sf_dir: str, persist_unigrams: bool = False
+) -> DataFrame:
     """Collocation mining (corpus phrase discovery): bigram lift
     c(ab)*N / (c(a)*c(b)) — exp(PMI) — over the token stream. The log is
     deliberately NOT taken: ln differs in the last ulp across libm
     implementations, so the monotone-equivalent ratio of exact integer
-    counts keeps the compare bit-deterministic cross-engine. One
-    tokenize feeds both the unigram and bigram rollups; the unigram
+    counts keeps the compare bit-deterministic cross-engine. The unigram
     table (vocab-sized) broadcasts back onto the bigram counts, N rides
-    along as a 1-row cross join. Min-count 10 suppresses noise lifts."""
+    along as a 1-row cross join. Min-count 10 suppresses noise lifts.
+
+    PASS-COUNT NOTE (r11 scan audit): the default plan evaluates the
+    tokenize subtree FOUR times (unigram counts once per broadcast
+    side, the stream total, the bigram rollup). Two reductions were
+    A/B'd at sf0.1 and BOTH measured slower than the redundant passes
+    (checkpointed ucnt + derived total: 0.86 -> 1.13 s interleaved
+    min-of-3; broadcast-reuse + derived total: 1.10 s) — at bench SF
+    the re-scans are page-cached and barrier-free while every
+    materialization adds job boundaries. ``persist_unigrams=True`` is
+    the 100 TB form (dsir persist_grams posture): the vocab-sized
+    unigram table is checkpointed once and N derives from it, cutting
+    raw corpus passes 4 -> 2 at the cost of one tiny materialization —
+    flip it when the corpus outgrows the page cache."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(text_fns.tokens("text").alias("t"))
     uni = toks.select(F.explode("t").alias("w"))
     ucnt = uni.groupBy("w").agg(F.count("*").alias("c"))
-    total = uni.agg(F.count("*").alias("n"))
+    if persist_unigrams:
+        ucnt = ucnt.localCheckpoint(eager=False)
+        total = ucnt.agg(F.sum("c").alias("n"))
+    else:
+        total = uni.agg(F.count("*").alias("n"))
     grams = (
         toks.where(F.size("t") >= 2)
         .select(
