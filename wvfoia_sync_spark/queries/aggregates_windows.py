@@ -1540,23 +1540,22 @@ def snapshot_drift_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value", F.unix_micros("ts").alias("tsu")
     )
-    # ONE raw pass for all broadcast-side statistics (r11 scan audit:
-    # the separate mid + bounds aggregates cost two events passes, and
-    # the un-fused property tail re-evaluated everything again — 8 raw
-    # scans total where 3 suffice): GK percentiles and the ts extrema
-    # ride the same per-type aggregate; the global midpoint derives
-    # from the PER-TYPE extrema (type-cardinality input, no raw pass);
-    # the tiny result is checkpointed once for its two consumers.
-    per_type = (
-        ev.groupBy("event_type")
-        .agg(
-            F.percentile_approx(
-                "value", [i / 10.0 for i in range(1, 10)], 10000
-            ).alias("bs"),
-            F.min("tsu").alias("_a"),
-            F.max("tsu").alias("_b"),
-        )
-        .localCheckpoint(eager=False)
+    # Broadcast-side statistics ride one per-type aggregate (r11 scan
+    # audit); the global midpoint derives from the PER-TYPE extrema
+    # (type-cardinality input, never a dedicated raw pass). Measured
+    # honestly: the two consumers (mid, bounds) do NOT share the
+    # exchange — column pruning gives each a narrower scan (value+type
+    # vs tsu+type), which defeats ReusedExchange's canonical-identity
+    # match — so this stays 2 pruned raw passes, the same count as
+    # separate aggregates but each reading only its columns. No
+    # checkpoint: a LogicalRDD would blind the plan-quality gate that
+    # pins percentile_approx-not-ntile (and was A/B'd slower anyway).
+    per_type = ev.groupBy("event_type").agg(
+        F.percentile_approx(
+            "value", [i / 10.0 for i in range(1, 10)], 10000
+        ).alias("bs"),
+        F.min("tsu").alias("_a"),
+        F.max("tsu").alias("_b"),
     )
     mid = per_type.agg(
         F.min("_a").alias("_a"), F.max("_b").alias("_b")
@@ -1595,8 +1594,11 @@ def snapshot_drift_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the conservation count stays an INDEPENDENT raw pass by design
     # (deriving n_raw from the binned pipeline would make the property
     # vacuous); both property booleans come from ONE aggregate over the
-    # type-cardinality join, checkpointed so the union's two rows don't
-    # re-evaluate the whole tree (the scan audit's second finding here)
+    # type-cardinality join, then explode to the two result rows — a
+    # SINGLE consumer, so the whole tree evaluates once with no
+    # checkpoint (the r10 tail union'd two aggregates over the same
+    # join and re-evaluated every events pass twice — the scan audit's
+    # second finding here)
     total = ev.groupBy("event_type").agg(F.count("*").alias("n_raw"))
     j = agg.join(total, "event_type")
     stats = j.agg(
@@ -1605,7 +1607,22 @@ def snapshot_drift_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(F.col("rsum") - 1.0) < 1e-9)
             & (F.abs(F.col("csum") - 1.0) < 1e-9)
         ).alias("ok_s"),
-    ).localCheckpoint(eager=False)
-    conserved = stats.select(*_prop_row("counts_conserved", F.col("ok_n")))
-    sums = stats.select(*_prop_row("shares_sum_to_one", F.col("ok_s")))
-    return conserved.unionAll(sums).orderBy("property")
+    )
+    return (
+        stats.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("counts_conserved").alias("property"),
+                        F.col("ok_n").alias("ok"),
+                    ),
+                    F.struct(
+                        F.lit("shares_sum_to_one").alias("property"),
+                        F.col("ok_s").alias("ok"),
+                    ),
+                )
+            ).alias("r")
+        )
+        .select("r.property", "r.ok")
+        .orderBy("property")
+    )
