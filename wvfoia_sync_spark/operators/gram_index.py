@@ -313,10 +313,12 @@ def compact_gram_index(
       RETURNED and the caller must re-resolve. The old path keeps
       serving the uncompacted-but-correct view until the CALLER
       retires it — publish-aside never deletes it (that is the whole
-      point); superseded publish-aside outputs of the same source gen
-      are TTL-pruned by later publishes (derived._prune_stale_
-      generations), the old base tree is not. Keying on
-      (gen, committed) makes the operation
+      point); superseded publish-aside outputs are likewise the
+      caller's to retire (r12, ADVICE r11 — derived's generation
+      pruner deliberately never stem-prunes ``._rs_`` dirs, since an
+      adopted one is a live single-writer lineage; they are only swept
+      when their whole base fingerprint generation is pruned). Keying
+      on (gen, committed) makes the operation
       idempotent AND append-aware: re-running without new appends
       short-circuits to the same published dir; appending to the old
       tree then compacting again publishes a fresh dir instead of

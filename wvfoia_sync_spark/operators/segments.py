@@ -128,12 +128,17 @@ def commit_seg(path: str, filename: str, man: dict, seg: int) -> None:
 
 def bounded(df: DataFrame, max_seg: int) -> DataFrame:
     """Snapshot bound: only rows of segments the reader's manifest read
-    already covers. With manifest-first appends (r10) a concurrent
-    append commits its manifest BEFORE its data, so an unbounded scan —
+    already covers. Under the two-phase protocol (r10) ``max_seg``
+    moves at RESERVATION — before the segment's data exists — and
+    readers bound to ``snapshot_seg`` (the COMMITTED seg), so an
+    in-flight append's partial segment is invisible. The scan bound
+    still matters beyond the manifest read: a concurrent append may
+    COMMIT between this reader's manifest read and its task execution
+    (Spark lists part files lazily per action), so an unbounded scan —
     especially the max_seg==0 fast path, which skips the live join —
-    could list a half-committed newer segment and expose both versions
-    of a re-arrived key. Every reader applies this to every table it
-    scans, using the max_seg of its OWN manifest read."""
+    could list a newer segment's files and expose both versions of a
+    re-arrived key. Every reader applies this to every table it scans,
+    using the snapshot_seg of its OWN manifest read."""
     return df.where(F.col(SEG_COL) <= F.lit(max_seg))
 
 
@@ -263,7 +268,15 @@ def compact_aside(path: str, man: dict, write_into: Callable[[str], None]) -> st
     old tree then compacting again publishes a fresh dir instead of
     resurrecting a stale one. ``write_into`` must write the compacted
     manifest itself (gen bumped, max/committed = 0, same as the
-    in-place mode); the _SUCCESS publish marker is added here."""
+    in-place mode); the _SUCCESS publish marker is added here.
+
+    Retirement contract (r12, ADVICE r11): derived's generation pruner
+    never stem-prunes ``._rs_`` dirs directly (a later aside publish
+    must not TTL-prune an earlier aside dir the caller adopted and may
+    be appending to — single-writer per lineage), so aside dirs of the
+    LIVE base are exclusively the caller's to retire once superseded;
+    aside dirs of a SUPERSEDED source fingerprint are pruned with
+    their base generation (they can never be re-resolved)."""
     from ..sources import derived
 
     def build(tmp: str) -> None:

@@ -1075,7 +1075,13 @@ def exact_substring_gate(
     )
     path = gram_index.gram_index_path(sf_dir, span=span, tag="gate7")
     gram_index.write_gram_index(corpus, path, span=span)
-    hits = gram_index.match_starts(spark, path, toks_df, tokenized=True)
+    # prune=False (r12, ADVICE r11): this probe is CORPUS-scaled (1/7 of
+    # the corpus) and touches all gbuckets, so the strict-subset filter
+    # never applies — the bucket collect would be a pure extra pass.
+    # Delta-sized batch callers keep match_starts' prune=True default.
+    hits = gram_index.match_starts(
+        spark, path, toks_df, tokenized=True, prune=False
+    )
     base = toks_df.join(hits, "doc_id", "left")
     return _survivor_runs(
         base, span=span, min_run_tokens=min_run_tokens, max_runs=max_runs
@@ -1140,7 +1146,9 @@ def gram_lifecycle_property_check(
             (F.col("doc_id") + 500000).alias("doc_id"),
             F.concat(F.col("text"), F.lit("  ")).alias("text"),
         )
-        hits = gram_index.match_starts(spark, idx, incoming)
+        # prune=False: the probe is corpus-scaled (1/31 of all docs),
+        # so it touches every gbucket and pruning can never apply
+        hits = gram_index.match_starts(spark, idx, incoming, prune=False)
         probe = incoming.select(
             "doc_id", text_fns.tokens("text").alias("toks")
         ).join(hits, "doc_id", "left")
@@ -1454,13 +1462,38 @@ def exact_substring_delta_report(
     partials, and cross-engine exact (DuckDB computes the identical
     integer); contract: positions fit 21 bits (docs beyond 2M tokens
     need upstream chunking — Lee et al. operate on chunked docs
-    anyway). Determinism: exact string grams, integer arithmetic,
-    BIGINT outputs."""
+    anyway), ENFORCED at execution by an inline raise_error guard on
+    token count (r12, ADVICE r11) so a violating doc fails the job
+    loudly instead of corrupting doc_ids. Determinism: exact string
+    grams, integer arithmetic, BIGINT outputs."""
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text")
         .repartition(min(8, spark.sparkContext.defaultParallelism))
         .select("doc_id", text_fns.tokens("text").alias("toks"))
+        # 21-bit contract ENFORCED at execution (r12, ADVICE r11): a doc
+        # with >= 2^21 tokens would silently bleed positions into the
+        # doc_id bits and corrupt per-gram minima — raise instead, inline
+        # in codegen (no extra pass), mirroring repetition_budget's
+        # max_sources overflow guard
+        .select(
+            "doc_id",
+            F.when(F.size("toks") < F.lit(1 << 21), F.col("toks"))
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("exact_substring_delta_report: doc "),
+                        F.col("doc_id").cast("string"),
+                        F.lit(
+                            " has >= 2^21 tokens; 21-bit position packing"
+                            " would corrupt doc_id bits — chunk upstream"
+                            " (Lee et al. operate on chunked docs)"
+                        ),
+                    )
+                )
+            )
+            .alias("toks"),
+        )
     )
     grams = docs.select(
         "doc_id", F.posexplode(text_fns.ngrams("toks", span)).alias("i", "gram")

@@ -111,7 +111,23 @@ def _prune_stale_generations(final: str, ttl: float = _PRUNE_TTL_SECONDS) -> Non
     name up to the trailing _<fingerprint> segment. Best-effort only,
     and age-gated — a generation is only removed once its mtime is at
     least ``ttl`` seconds old, so queries that are still lazily listing
-    its part files finish before the directory disappears."""
+    its part files finish before the directory disappears.
+
+    Publish-aside compaction dirs (``<base>._rs_g<gen>_c<seg>``, see
+    operators/segments.compact_aside) get asymmetric treatment (r12,
+    ADVICE r11):
+
+    - They are NEVER stem-pruned directly. Their suffix shifts the
+      rsplit boundary so the generic match could only ever hit a
+      SIBLING aside dir of the same base — i.e. a later aside publish
+      of the same index could TTL-prune an earlier aside dir a caller
+      adopted (and may have appended to) out from under them. Adopted
+      aside dirs are single-writer lineages the CALLER retires.
+    - They ARE pruned as a lineage when their base generation is
+      pruned: an aside dir of a superseded source fingerprint can
+      never be re-resolved (derived_path keys on the new fingerprint),
+      so it goes with its base — each dir TTL-gated individually, as a
+      freshly-compacted aside of an old tree may still have readers."""
     import time
 
     base = os.path.basename(final)
@@ -122,16 +138,27 @@ def _prune_stale_generations(final: str, ttl: float = _PRUNE_TTL_SECONDS) -> Non
     except OSError:
         return
     now = time.time()
+
+    def _rm_if_expired(name: str) -> bool:
+        full = os.path.join(parent, name)
+        try:
+            if now - os.stat(full).st_mtime < ttl:
+                return False  # possible in-flight readers — next publish prunes
+        except OSError:
+            return False
+        shutil.rmtree(full, ignore_errors=True)
+        return True
+
     for name in siblings:
-        if name == base or ".build-" in name:
+        if name == base or ".build-" in name or "._rs_" in name:
             continue
         if name.rsplit("_", 1)[0] == stem and name.startswith(
             os.path.basename(_PREFIX)
         ):
-            full = os.path.join(parent, name)
-            try:
-                if now - os.stat(full).st_mtime < ttl:
-                    continue  # possible in-flight readers — next publish prunes
-            except OSError:
+            if not _rm_if_expired(name):
                 continue
-            shutil.rmtree(full, ignore_errors=True)
+            # the superseded generation's publish-aside lineage
+            # (including nested ._rs_..._rs_... chains, by prefix)
+            for aside in siblings:
+                if aside.startswith(name + "._rs_"):
+                    _rm_if_expired(aside)
