@@ -86,6 +86,7 @@ HEADLINE = [
     "stream_substring_gate",
     "exact_substring_source_matrix",
     "exact_substring_delta_report",
+    "exact_substring_delta_report_incremental",
     "gopher_repetition",
     "token_chunks",
     "pack_bins",

@@ -435,3 +435,65 @@ def test_compact_aside_crash_leaves_everything_intact(spark, tmp_path):
         )
         == before
     )
+
+
+def test_stolen_first_occurrences_planted(spark, tmp_path):
+    """The O(|delta|) delta-report core (r12): a delta doc whose id
+    outranks the corpus under the keep-first packed order steals the
+    first occurrence of every gram it shares; ties and later positions
+    steal nothing; a membership-only index raises the rebuild hint."""
+    idx = str(tmp_path / "idx")
+    # A = a1..a6 + SHARED(7 toks, starts at position 6) + b1..b6
+    gram_index.write_gram_index(
+        _docs(spark, [(1, A), (2, B)]), idx, span=6, with_first=True
+    )
+
+    # delta doc 0 < corpus doc 1: SHARED's two 6-grams (A positions 6
+    # and 7) are both stolen
+    delta = _docs(spark, [(0, SHARED)])
+    got = sorted(
+        map(tuple, gram_index.stolen_first_occurrences(spark, idx, delta).collect())
+    )
+    assert got == [(1, 6), (1, 7)]
+
+    # delta doc 5 > corpus docs: same text steals NOTHING (corpus
+    # first occurrences already outrank it)
+    later = _docs(spark, [(5, SHARED)])
+    assert (
+        gram_index.stolen_first_occurrences(spark, idx, later).count() == 0
+    )
+
+    # membership-only index: loud rebuild hint, not silent wrongness
+    idx_plain = str(tmp_path / "idx_plain")
+    gram_index.write_gram_index(_docs(spark, [(1, A)]), idx_plain, span=6)
+    with pytest.raises(ValueError, match="with_first=True"):
+        gram_index.stolen_first_occurrences(spark, idx_plain, delta)
+
+
+def test_stolen_first_occurrences_newest_wins_append(spark, tmp_path):
+    """Per-doc first minima survive the segment lifecycle: after doc 1
+    re-arrives WITHOUT the shared passage, its stale first positions
+    must stop being stealable; after compaction the answer is stable."""
+    idx = str(tmp_path / "idx")
+    gram_index.write_gram_index(
+        _docs(spark, [(1, A), (2, B)]), idx, span=6, with_first=True
+    )
+    delta = _docs(spark, [(0, SHARED)])
+    assert gram_index.stolen_first_occurrences(spark, idx, delta).count() == 2
+
+    # doc 1's update drops SHARED entirely -> nothing left to steal
+    gram_index.append_gram_index(
+        _docs(spark, [(1, "n1 n2 n3 n4 n5 n6 n7")]), idx
+    )
+    assert gram_index.stolen_first_occurrences(spark, idx, delta).count() == 0
+
+    # re-arrival that moves SHARED to position 0 -> stolen only by a
+    # strictly-outranking delta (same id, smaller position: tie on doc,
+    # delta position 0 == corpus position 0 -> packed equality, no steal)
+    gram_index.append_gram_index(_docs(spark, [(1, SHARED)]), idx)
+    assert gram_index.stolen_first_occurrences(spark, idx, delta).count() == 2
+    gram_index.compact_gram_index(spark, idx)
+    got = sorted(
+        map(tuple, gram_index.stolen_first_occurrences(spark, idx, delta).collect())
+    )
+    assert got == [(1, 0), (1, 1)]

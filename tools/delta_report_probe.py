@@ -1,0 +1,191 @@
+"""Delta-sized-work probe for exact_substring_delta_report_incremental
+(r12, VERDICT r11 missing #3 / task 4): the incremental report's claim
+is that a FIXED small delta's report costs ~delta-sized work against
+the stored with_first gram index, while the full-pass form re-derives
+every corpus gram from text per run. Axes:
+
+- corpus grows k-fold (exact_substring_probe's separator-free replica
+  prefix — isomorphic gram structure per replica), the probed delta
+  stays FIXED (a deterministic ~3% sub-slice of the base fixture's
+  delta docs);
+- per k: wall of the incremental report (stolen_first_occurrences +
+  the shared fold) vs wall of the full-pass twin (the registered
+  report's exact conditional-aggregate shape, membership by flag so it
+  sees the same small delta), plus the one-off index build cost the
+  incremental form amortizes;
+- ``equal`` asserts the two answers are row-identical at every k — the
+  probe is a correctness gate as well as a timing one.
+
+Expected shape: full_wall_s grows ~k (corpus tokenize+explode+aggregate
+per run); incr_wall_s grows far slower (pruned pre-aggregated narrow
+scan of the delta's gbuckets only — no corpus tokenize anywhere).
+
+Usage: python tools/delta_report_probe.py [out_jsonl] [k1,k2,...]
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from wvfoia_sync_spark.functions import text as text_fns  # noqa: E402
+from wvfoia_sync_spark.operators import gram_index  # noqa: E402
+from wvfoia_sync_spark.queries.corpus_text import (  # noqa: E402
+    _delta_report_fold,
+)
+from wvfoia_sync_spark.session import get_spark  # noqa: E402
+from wvfoia_sync_spark.sources.tables import load_table  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+SPAN = 6
+
+
+def grown_docs(spark, k: int):
+    docs = load_table(spark, BASE, "documents").select("doc_id", "text")
+    n = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    parts = [docs]
+    for j in range(1, k):
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + j * n).alias("doc_id"),
+                F.regexp_replace(F.col("text"), r"(\w+)", f"r{j}$1").alias(
+                    "text"
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def full_pass_report(corpus, delta):
+    """The registered full-pass report's exact shape (one conditional
+    aggregate per gram over a single tokenize+explode of corpus+delta),
+    with membership carried by a flag column so the probe's FIXED small
+    delta replaces the registered %7 fixture."""
+    docs = corpus.withColumn("is_d", F.lit(False)).unionByName(
+        delta.withColumn("is_d", F.lit(True))
+    )
+    grams = docs.select(
+        "doc_id",
+        "is_d",
+        F.posexplode(
+            text_fns.ngrams(text_fns.tokens("text"), SPAN)
+        ).alias("i", "gram"),
+    )
+    enc = F.col("doc_id") * F.lit(1 << 21) + F.col("i")
+    m = grams.groupBy("gram").agg(
+        F.min(F.when(~F.col("is_d"), enc)).alias("first_c"),
+        F.min(F.when(F.col("is_d"), enc)).alias("first_d"),
+    )
+    stolen = m.where(
+        F.col("first_c").isNotNull()
+        & F.col("first_d").isNotNull()
+        & (F.col("first_d") < F.col("first_c"))
+    ).select(
+        F.shiftright("first_c", 21).alias("doc_id"),
+        F.pmod("first_c", F.lit(1 << 21)).cast("int").alias("i"),
+    )
+    return _delta_report_fold(stolen, SPAN)
+
+
+def main() -> int:
+    out_path = (
+        sys.argv[1] if len(sys.argv) > 1 else "SCALE_probe_r12_deltareport.jsonl"
+    )
+    ks = [
+        int(x)
+        for x in (sys.argv[2].split(",") if len(sys.argv) > 2 else [1, 2, 4])
+    ]
+    spark = get_spark("delta-report-probe")
+    tmp = tempfile.mkdtemp(prefix="delta_report_probe_")
+    # FIXED probe delta across every k: a deterministic ~3% sub-slice of
+    # the base fixture's delta docs (ids interleave with corpus ids, so
+    # steals are real). localCheckpoint: the probe times the REPORT, not
+    # a re-read of the base table under each k's plan.
+    base_docs = load_table(spark, BASE, "documents").select("doc_id", "text")
+    delta = (
+        base_docs.where(
+            (F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 97 < 3)
+        )
+        .localCheckpoint()
+    )
+    n_delta = delta.count()
+    rows = []
+    try:
+        for k in ks:
+            d = f"{tmp}/k{k}"
+            grown_docs(spark, k).repartition(8).write.mode(
+                "overwrite"
+            ).parquet(f"{d}/documents.parquet")
+            corpus = load_table(spark, d, "documents").select(
+                "doc_id", "text"
+            ).where(F.col("doc_id") % 7 != 0)
+
+            t0 = time.time()
+            idx = gram_index.gram_index_path(
+                d, span=SPAN, tag="probe", with_first=True
+            )
+            gram_index.write_gram_index(corpus, idx, span=SPAN, with_first=True)
+            build_s = time.time() - t0
+
+            # one untimed warmup per form: the first execution of each
+            # plan pays codegen + scan-listing costs min-of-3 exists to
+            # exclude, but a contended session can keep all three runs
+            # cold — discard run 0 explicitly
+            _delta_report_fold(
+                gram_index.stolen_first_occurrences(spark, idx, delta), SPAN
+            ).count()
+            full_pass_report(corpus, delta).count()
+            incr_walls, full_walls = [], []
+            n_rows = 0
+            for _ in range(3):
+                t0 = time.time()
+                n_rows = _delta_report_fold(
+                    gram_index.stolen_first_occurrences(spark, idx, delta),
+                    SPAN,
+                ).count()
+                incr_walls.append(time.time() - t0)
+            for _ in range(3):
+                t0 = time.time()
+                full_pass_report(corpus, delta).count()
+                full_walls.append(time.time() - t0)
+            a = _delta_report_fold(
+                gram_index.stolen_first_occurrences(spark, idx, delta), SPAN
+            )
+            b = full_pass_report(corpus, delta)
+            equal = (
+                a.count() == b.count() and a.exceptAll(b).isEmpty()
+            )
+            rows.append(
+                {
+                    "probe": "delta_report_incremental_r12",
+                    "k": k,
+                    "delta_docs": n_delta,
+                    "incr_wall_s": round(min(incr_walls), 3),
+                    "full_wall_s": round(min(full_walls), 3),
+                    "index_build_s": round(build_s, 3),
+                    "report_rows": n_rows,
+                    "equal": equal,
+                }
+            )
+            print(json.dumps(rows[-1]))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    with open(out_path, "a") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

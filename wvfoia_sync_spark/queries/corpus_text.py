@@ -1452,11 +1452,13 @@ def exact_substring_delta_report(
     a filter at distinct-gram cardinality and a doc-keyed aggregate at
     affected-doc cardinality. No pair term anywhere. The corpus side
     is one full gram pass (the same cost class as the dedup it
-    schedules, minus the join-back); the O(|delta|) form would need
-    the stored gram index to carry each gram's FIRST occurrence —
-    deliberately not stored today (the gate needs membership only, and
-    distinct-(doc, gram) rows stay narrower), the documented trade if
-    delta-report cadence ever outgrows the full pass. The (doc_id,
+    schedules, minus the join-back); when report cadence outgrows the
+    full pass, exact_substring_delta_report_incremental (r12) is the
+    O(|delta|) form — it pays the priced trade by storing per-(doc,
+    gram) first positions in the gram index (with_first=True) and
+    probing them bucket-pruned. This full-pass form stays registered
+    as the index-free answer AND the incremental form's oracle-of-
+    record (both hash-match the same SQL). The (doc_id,
     position) key is packed into one BIGINT (doc_id * 2^21 + i) so the
     lexicographic struct minimum becomes a plain numeric MIN — cheaper
     partials, and cross-engine exact (DuckDB computes the identical
@@ -1512,6 +1514,16 @@ def exact_substring_delta_report(
         F.shiftright("first_c", 21).alias("doc_id"),
         F.pmod("first_c", F.lit(1 << 21)).cast("int").alias("i"),
     )
+    return _delta_report_fold(stolen, span)
+
+
+def _delta_report_fold(stolen: DataFrame, span: int) -> DataFrame:
+    """Shared tail of the full-pass and incremental delta reports: fold
+    per-gram stolen first occurrences ``(doc_id, i)`` into one row per
+    affected doc — ``(doc_id, n_stolen_grams, n_new_dup_tokens)``, the
+    newly-duplicated token count as an interval union over the sorted
+    start set (one doc-keyed aggregate at affected-doc cardinality,
+    then a per-row array fold — no second exchange)."""
     per_doc = stolen.groupBy("doc_id").agg(
         F.count("*").alias("n_stolen_grams"),
         F.sort_array(F.collect_set("i")).alias("starts"),
@@ -1645,6 +1657,195 @@ def exact_substring_delta_property_check(
             ),
             ("report_rows_are_corpus_docs_with_positive_steals", bool(p3)),
             ("unaffected_corpus_docs_runs_unchanged", bool(p2)),
+        ]
+    )
+    return spark.createDataFrame(rows, "property string, ok boolean")
+
+
+@register(
+    "exact_substring_delta_report_incremental",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS.format(c='text')} AS toks
+               FROM documents),
+    g AS (SELECT doc_id, u.i AS i,
+                 array_to_string(toks[u.i:u.i+5], ' ') AS gram
+          FROM t, UNNEST(range(1, len(toks) - 4)) AS u(i)
+          WHERE len(toks) >= 6),
+    m AS (SELECT gram,
+                 MIN(CASE WHEN doc_id % 7 <> 0
+                     THEN doc_id * 2097152 + i END) AS first_c,
+                 MIN(CASE WHEN doc_id % 7 = 0
+                     THEN doc_id * 2097152 + i END) AS first_d
+          FROM g GROUP BY gram),
+    s AS (SELECT first_c // 2097152 AS doc_id, first_c % 2097152 AS i
+          FROM m
+          WHERE first_c IS NOT NULL AND first_d IS NOT NULL
+            AND first_d < first_c),
+    cov AS (SELECT doc_id, COUNT(DISTINCT p) AS n_new
+            FROM (SELECT s.doc_id AS doc_id, u.p AS p
+                  FROM s, UNNEST(range(s.i, s.i + 6)) AS u(p))
+            GROUP BY doc_id)
+    SELECT CAST(s.doc_id AS BIGINT) AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_stolen_grams,
+           CAST(ANY_VALUE(cov.n_new) AS BIGINT) AS n_new_dup_tokens
+    FROM s JOIN cov USING (doc_id)
+    GROUP BY s.doc_id ORDER BY doc_id
+    """,
+)
+def exact_substring_delta_report_incremental(
+    spark: SparkSession, sf_dir: str, span: int = 6
+) -> DataFrame:
+    """The O(|delta|) form of exact_substring_delta_report (r12,
+    VERDICT r11 missing #3 / task 4): the same delta-impact answer —
+    which EXISTING corpus docs' duplicated-position sets a merge would
+    change — computed against the STORED gram index instead of a full
+    corpus gram pass, so it can run at INGEST CADENCE (its natural
+    cadence: it is the "may I merge?" check) without paying
+    corpus-scaled rent per delta. Fixture and output shape are
+    identical to the full-pass report (corpus = doc_id % 7 != 0, delta
+    = doc_id % 7 == 0; oracle is the SAME SQL — the full pass is the
+    incremental form's oracle-of-record).
+
+    What the index must store for this to be sound: the full pass
+    needs each gram's global first occurrence over the corpus;
+    per-gram GLOBAL minima are unmaintainable under re-arrival
+    deletions (losing the min forces a full pass), but per-(doc, gram)
+    first positions ARE maintainable — newest-wins replaces a
+    re-arrived doc's whole row set — and the global min is recovered
+    at query time as min(pack(doc, first_i)) over live rows, restricted
+    to the delta's grams. That restriction is the whole point: the
+    stored scan prunes to the delta grams' gbucket partitions, the
+    join's build side is delta-sized (AQE broadcasts it), and every
+    aggregate is map-side combinable — work scales with the DELTA, not
+    the corpus (probe: tools/delta_report_probe.py; the priced trade
+    from the full report's docstring, now paid). Index build cost is
+    one corpus pass amortized across every report (idempotent
+    rename-if-absent publish; O(|delta|) appends thereafter).
+    Determinism: md5 grams are cross-engine exact; packing and minima
+    are integer arithmetic; 21-bit position contract enforced inline
+    (gram_index._packed)."""
+    from ..operators import gram_index
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 7 != 0)
+    delta = docs.where(F.col("doc_id") % 7 == 0)
+    path = gram_index.gram_index_path(
+        sf_dir, span=span, tag="delta7", with_first=True
+    )
+    gram_index.write_gram_index(corpus, path, span=span, with_first=True)
+    stolen = gram_index.stolen_first_occurrences(spark, path, delta)
+    return _delta_report_fold(stolen, span)
+
+
+@register(
+    "exact_substring_delta_incr_property_check",
+    oracle="""
+    SELECT 'append_maintains_stored_first_minima' AS property, TRUE AS ok
+    UNION ALL SELECT 'incremental_equals_full_pass_report', TRUE
+    UNION ALL SELECT 'small_delta_scan_prunes_to_its_buckets', TRUE
+    ORDER BY property
+    """,
+)
+def exact_substring_delta_incr_property_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Driver-green proof of the incremental delta report's three
+    load-bearing claims (lifecycle-check posture: pinned-TRUE oracle
+    rows, Spark computes the equivalences for real, distributed):
+
+    1. incremental_equals_full_pass_report — on the registered fixture,
+       the stored-index form returns row-identical output to the
+       full-pass exact_substring_delta_report (count + exceptAll; the
+       hash-matched oracle already pins each side, this pins them to
+       EACH OTHER on one execution).
+    2. append_maintains_stored_first_minima — the incremental story
+       survives the index lifecycle: after append_gram_index with a
+       RE-ARRIVING updated doc, stolen_first_occurrences against the
+       appended index equals the same probe against a FRESH
+       with_first build of the upserted corpus (per-doc first minima
+       resolve newest-wins; stale positions never leak into the
+       global min).
+    3. small_delta_scan_prunes_to_its_buckets — the O(|delta|) claim
+       at the plan level: a planted few-gram delta's report plan scans
+       the stored grams with a gbucket PartitionFilter (the strict-
+       subset isin), so a small batch provably never pays a full-index
+       scan."""
+    import shutil
+    import tempfile
+
+    from ..operators import gram_index
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    # P1: incremental == full pass on the registered fixture
+    full = exact_substring_delta_report(spark, sf_dir)
+    incr = exact_substring_delta_report_incremental(spark, sf_dir)
+    p1 = full.count() == incr.count() and full.exceptAll(incr).isEmpty()
+
+    # P3 reuses the fixture index the incremental form just published
+    idx_fixture = gram_index.gram_index_path(
+        sf_dir, span=6, tag="delta7", with_first=True
+    )
+    planted = spark.createDataFrame(
+        [(900001, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11 q12")],
+        "doc_id long, text string",
+    )
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        gram_index.stolen_first_occurrences(spark, idx_fixture, planted)
+        ._jdf.queryExecution(),
+        "formatted",
+    )
+    p3 = any(
+        "PartitionFilters" in ln and "gbucket" in ln
+        for ln in plan.splitlines()
+    )
+
+    # P2: append with a re-arriving UPDATED doc vs a fresh rebuild
+    base = docs.where(F.col("doc_id") % 2 == 0)
+    rearrive = docs.where(
+        (F.col("doc_id") % 2 == 0) & (F.col("doc_id") % 16 == 0)
+    ).select(
+        "doc_id", F.concat(F.lit("updated "), F.col("text")).alias("text")
+    )
+    delta_append = docs.where(F.col("doc_id") % 2 == 1).unionByName(rearrive)
+    upserted = docs.join(
+        rearrive.select("doc_id"), "doc_id", "left_anti"
+    ).unionByName(rearrive)
+    # probe ids must OUTRANK corpus ids under the keep-first packed
+    # order or the stolen sets are vacuously empty — negative ids sort
+    # below every corpus doc (packing stays monotone: arithmetic
+    # shiftright/pmod unpack floor-consistently for negative longs)
+    probe = docs.where(F.col("doc_id") % 31 == 0).select(
+        (-F.col("doc_id") - 1).alias("doc_id"),
+        F.concat(F.lit("p0 "), F.col("text")).alias("text"),
+    )
+    tmp = tempfile.mkdtemp(prefix="gram_delta_incr_")
+    try:
+        idx = f"{tmp}/idx"
+        idx_fresh = f"{tmp}/idx_fresh"
+        gram_index.write_gram_index(base, idx, span=6, with_first=True)
+        gram_index.append_gram_index(delta_append, idx)
+        gram_index.write_gram_index(
+            upserted, idx_fresh, span=6, with_first=True
+        )
+        got = gram_index.stolen_first_occurrences(spark, idx, probe)
+        want = gram_index.stolen_first_occurrences(spark, idx_fresh, probe)
+        n_got = got.count()
+        # non-vacuity: the probe must actually steal something, or this
+        # equality would pass on two empty frames
+        p2 = (
+            n_got > 0
+            and n_got == want.count()
+            and got.exceptAll(want).isEmpty()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    rows = sorted(
+        [
+            ("append_maintains_stored_first_minima", bool(p2)),
+            ("incremental_equals_full_pass_report", bool(p1)),
+            ("small_delta_scan_prunes_to_its_buckets", bool(p3)),
         ]
     )
     return spark.createDataFrame(rows, "property string, ok boolean")
