@@ -210,7 +210,10 @@ def upsert_ann_index(
     their `ivf_cell=` dirs only at task commit); a crashed upsert leaves
     orphan temp files, not corrupt data — a table format (Delta/Iceberg)
     supplies full transactionality in production. Like the FTS upsert,
-    the manifest bump assumes a single writer (the ingest job).
+    the manifest bump is single-writer — ENFORCED as of r12 by the
+    index's writer lease (segments.writer_lease): a concurrent
+    upserter raises ConcurrentWriterError instead of double-reserving;
+    crashed holders auto-break (pid-dead same host, or TTL).
 
     RE-ARRIVING vec_ids are SAFE: the delta lands as a NEW SEGMENT
     (``seg = max_seg + 1``) and readers (load_ann_index,
@@ -222,25 +225,29 @@ def upsert_ann_index(
     a legacy layout (r9 advice, medium: mixed footers made the read
     schema sampling-dependent and the live join silently dropped every
     pre-upgrade vector)."""
-    man = segments.read_manifest(index_dir, MANIFEST)
-    drift = check_centroid_drift(delta, centroids, index_dir, vec_col, id_col)
-    if drift > drift_tolerance:
-        raise CentroidDriftError(
-            f"delta centroid fit degraded {drift:.1%} vs the live index "
-            f"(tolerance {drift_tolerance:.0%}); retrain centroids and "
-            "rebuild instead of upserting"
+    with segments.writer_lease(index_dir):
+        man = segments.read_manifest(index_dir, MANIFEST)
+        drift = check_centroid_drift(
+            delta, centroids, index_dir, vec_col, id_col
         )
-    # two-phase (segments.snapshot_seg's protocol): RESERVE the seg id
-    # before any data, write the codes, then COMMIT — readers bound to
-    # the committed seg never see an in-flight or crashed append's
-    # partial segment, and the id is never reused so a retry wins
-    seg = segments.reserve_seg(index_dir, MANIFEST, man)
-    idx = _encode(delta, centroids, codebooks, id_col, vec_col)
-    idx.withColumn("seg", F.lit(seg)).repartition("ivf_cell").write.mode(
-        "append"
-    ).partitionBy("ivf_cell").parquet(index_dir)
-    segments.commit_seg(index_dir, MANIFEST, man, seg)
-    return index_dir
+        if drift > drift_tolerance:
+            raise CentroidDriftError(
+                f"delta centroid fit degraded {drift:.1%} vs the live index "
+                f"(tolerance {drift_tolerance:.0%}); retrain centroids and "
+                "rebuild instead of upserting"
+            )
+        # two-phase (segments.snapshot_seg's protocol): RESERVE the seg
+        # id before any data, write the codes, then COMMIT — readers
+        # bound to the committed seg never see an in-flight or crashed
+        # append's partial segment; the id is never reused so a retry
+        # wins
+        seg = segments.reserve_seg(index_dir, MANIFEST, man)
+        idx = _encode(delta, centroids, codebooks, id_col, vec_col)
+        idx.withColumn("seg", F.lit(seg)).repartition("ivf_cell").write.mode(
+            "append"
+        ).partitionBy("ivf_cell").parquet(index_dir)
+        segments.commit_seg(index_dir, MANIFEST, man, seg)
+        return index_dir
 
 
 def _index_id_col(df: DataFrame) -> str:
@@ -284,7 +291,21 @@ def compact_ann_index(
     NOT safe for concurrent readers mid-query — see compact_swap.
     ``reader_safe=True`` (r11) publishes aside into a new
     (gen, committed)-keyed sibling instead, leaving this dir intact
-    and RETURNING the new path (segments.compact_aside)."""
+    and RETURNING the new path (segments.compact_aside). The in-place
+    mode holds the writer lease from manifest read to swap (r12);
+    aside mode needs none (source untouched, snapshot-keyed publish)."""
+    import contextlib
+
+    ctx = (
+        contextlib.nullcontext() if reader_safe else segments.writer_lease(path)
+    )
+    with ctx:
+        return _compact_ann_index_locked(spark, path, reader_safe)
+
+
+def _compact_ann_index_locked(
+    spark: SparkSession, path: str, reader_safe: bool
+) -> str:
     man = segments.read_manifest(path, MANIFEST)
     live = load_ann_index(spark, path)
 

@@ -119,26 +119,32 @@ def upsert_fts_index(
     write, and the live append all touch delta rows only. Returns the
     new segment number.
 
-    Single-writer assumption (same as the reference's one cron sync):
-    the manifest read-increment-write is not atomic under concurrent
-    upserters — production puts this behind the ingest job's own
-    serialization (or a table format's commit protocol)."""
+    Single-writer ENFORCED (r12, was an assumption through r11): the
+    whole upsert — manifest read through commit — runs under the
+    index's writer lease (segments.writer_lease), so a concurrent
+    upserter raises ConcurrentWriterError instead of double-reserving
+    a segment; crashed holders are auto-broken (pid-dead same host, or
+    TTL)."""
     text_cols = text_cols or ["text"]
-    man = segments.read_manifest(index_dir, MANIFEST)
-    # two-phase (segments.snapshot_seg's protocol): RESERVE the seg id
-    # before any data, write all data, then COMMIT — readers bound to
-    # the committed seg never see an in-flight or crashed append's
-    # partial segment, and the id is never reused so a retry wins
-    seg = segments.reserve_seg(index_dir, MANIFEST, man)
-    p = _postings(delta_docs, id_col, text_cols, man["num_buckets"], seg=seg)
-    p.repartition("bucket").write.mode("append").partitionBy("bucket").parquet(
-        os.path.join(index_dir, "postings")
-    )
-    delta_docs.select(F.col(id_col).alias("id")).distinct().withColumn(
-        "seg", F.lit(seg)
-    ).write.mode("append").parquet(os.path.join(index_dir, "live"))
-    segments.commit_seg(index_dir, MANIFEST, man, seg)
-    return seg
+    with segments.writer_lease(index_dir):
+        man = segments.read_manifest(index_dir, MANIFEST)
+        # two-phase (segments.snapshot_seg's protocol): RESERVE the seg
+        # id before any data, write all data, then COMMIT — readers
+        # bound to the committed seg never see an in-flight or crashed
+        # append's partial segment; the id is never reused so a retry
+        # wins
+        seg = segments.reserve_seg(index_dir, MANIFEST, man)
+        p = _postings(
+            delta_docs, id_col, text_cols, man["num_buckets"], seg=seg
+        )
+        p.repartition("bucket").write.mode("append").partitionBy(
+            "bucket"
+        ).parquet(os.path.join(index_dir, "postings"))
+        delta_docs.select(F.col(id_col).alias("id")).distinct().withColumn(
+            "seg", F.lit(seg)
+        ).write.mode("append").parquet(os.path.join(index_dir, "live"))
+        segments.commit_seg(index_dir, MANIFEST, man, seg)
+        return seg
 
 
 def load_fts_index(spark: SparkSession, index_dir: str) -> DataFrame:
@@ -195,7 +201,25 @@ def compact_fts_index(
     postings table that disagrees with live/). ``reader_safe=True``
     (r11) publishes aside into a new (gen, committed)-keyed sibling
     instead, leaving this dir intact for readers in flight and
-    RETURNING the new path — segments.compact_aside's contract."""
+    RETURNING the new path — segments.compact_aside's contract. The
+    in-place mode holds the writer lease from manifest read to swap
+    (r12): a raced append between them would otherwise be silently
+    dropped by the fold; aside mode needs none (source untouched,
+    publish keyed on the snapshot it folded)."""
+    import contextlib
+
+    ctx = (
+        contextlib.nullcontext()
+        if reader_safe
+        else segments.writer_lease(index_dir)
+    )
+    with ctx:
+        return _compact_fts_index_locked(spark, index_dir, reader_safe)
+
+
+def _compact_fts_index_locked(
+    spark: SparkSession, index_dir: str, reader_safe: bool
+) -> str:
     man = segments.read_manifest(index_dir, MANIFEST)
     alive = (
         load_fts_index(spark, index_dir)

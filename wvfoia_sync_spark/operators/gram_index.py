@@ -42,7 +42,9 @@ lands); ``compact_gram_index`` folds live rows back to seg 0 through
 the whole-directory crash-safe swap; ``gram_index_staleness`` is the
 computable compaction trigger (band_index_staleness's shape).
 
-CRASH/CONCURRENCY CONTRACT (single writer, as every index here): an
+CRASH/CONCURRENCY CONTRACT (single writer — ENFORCED as of r12 by
+segments.writer_lease on every append and in-place compaction, as on
+every index here): an
 append RESERVES its segment id by bumping ``max_seg`` BEFORE any data
 is written, and COMMITS by setting ``committed_seg`` only after all of
 the segment's data is complete; every reader bounds its scan to
@@ -248,36 +250,47 @@ def append_gram_index(
     live must never be observable before its grams — the reverse order
     would let a crash retire a re-arrived doc's old grams with the new
     ones missing. With the two-phase commit neither table is visible
-    until the commit lands; re-running the append repairs fully."""
-    man = _manifest_read(path)
-    if span is not None and span != man["span"]:
-        raise ValueError(
-            f"append_gram_index(span={span}) disagrees with the index "
-            f"manifest (span={man['span']}); grams of different spans "
-            "never match — rebuild the index at the new span instead."
+    until the commit lands; re-running the append repairs fully.
+
+    Single-writer ENFORCED (r12, VERDICT r11 task 5): the whole append
+    — manifest read through commit — runs under the index's writer
+    lease, so a concurrent appender raises ConcurrentWriterError
+    instead of double-reserving a segment id (the manifest read must
+    be inside the lease too, or a raced reservation off a stale
+    max_seg re-creates exactly the interleave the lease exists to
+    prevent). A failed append releases the lease on the way out; a
+    CRASHED one is broken automatically once its pid is provably dead
+    (same host) or its TTL lapses — see segments.writer_lease."""
+    with segments.writer_lease(path):
+        man = _manifest_read(path)
+        if span is not None and span != man["span"]:
+            raise ValueError(
+                f"append_gram_index(span={span}) disagrees with the index "
+                f"manifest (span={man['span']}); grams of different spans "
+                "never match — rebuild the index at the new span instead."
+            )
+        # two-phase (segments.snapshot_seg's protocol): RESERVE the id
+        # before any data (crash never reuses it; the retry is newer and
+        # wins), write all data, then COMMIT — readers bound to the
+        # committed seg, so an in-flight or crashed append's partial
+        # segment is invisible on every path, and snapshot caches keyed on
+        # (gen, committed) re-derive exactly when the segment becomes real
+        seg = segments.reserve_seg(path, _MANIFEST, man)
+        rows, live = _segment_rows(
+            delta,
+            man["span"],
+            man["id_col"],
+            text_col,
+            seg,
+            man["prune_buckets"],
+            man.get("with_first", False),
         )
-    # two-phase (segments.snapshot_seg's protocol): RESERVE the id
-    # before any data (crash never reuses it; the retry is newer and
-    # wins), write all data, then COMMIT — readers bound to the
-    # committed seg, so an in-flight or crashed append's partial
-    # segment is invisible on every path, and snapshot caches keyed on
-    # (gen, committed) re-derive exactly when the segment becomes real
-    seg = segments.reserve_seg(path, _MANIFEST, man)
-    rows, live = _segment_rows(
-        delta,
-        man["span"],
-        man["id_col"],
-        text_col,
-        seg,
-        man["prune_buckets"],
-        man.get("with_first", False),
-    )
-    rows.repartition("gbucket").write.mode("append").partitionBy(
-        "gbucket"
-    ).parquet(f"{path}/grams")
-    live.write.mode("append").parquet(f"{path}/live")
-    segments.commit_seg(path, _MANIFEST, man, seg)
-    return seg
+        rows.repartition("gbucket").write.mode("append").partitionBy(
+            "gbucket"
+        ).parquet(f"{path}/grams")
+        live.write.mode("append").parquet(f"{path}/live")
+        segments.commit_seg(path, _MANIFEST, man, seg)
+        return seg
 
 
 def _bounded(spark: SparkSession, path: str, sub: str, max_seg: int) -> DataFrame:
@@ -355,7 +368,29 @@ def compact_gram_index(
       idempotent AND append-aware: re-running without new appends
       short-circuits to the same published dir; appending to the old
       tree then compacting again publishes a fresh dir instead of
-      resurrecting the stale one."""
+      resurrecting the stale one.
+
+    The in-place mode holds the writer lease from the manifest read
+    through the swap (r12): without it, an append landing between the
+    manifest read and the whole-directory rename would have its
+    segment silently dropped by the fold (the fold is bounded by the
+    OLD snapshot). The aside mode needs no lease — it never touches
+    the source tree, and its (gen, committed) keying makes a raced
+    append produce a distinct, correct publish."""
+    import contextlib
+
+    ctx = (
+        contextlib.nullcontext()
+        if reader_safe
+        else segments.writer_lease(path)
+    )
+    with ctx:
+        return _compact_gram_index_locked(spark, path, reader_safe)
+
+
+def _compact_gram_index_locked(
+    spark: SparkSession, path: str, reader_safe: bool
+) -> str:
     man = _manifest_read(path)
     live = load_gram_index(spark, path).withColumn("seg", F.lit(0))
     # live ids from the live TABLE, not the gram rows: a doc whose

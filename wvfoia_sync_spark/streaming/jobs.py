@@ -685,39 +685,47 @@ def append_band_index(
     the residual cross-segment exposure is bounded by the delta sizes,
     and the stream-static form (streaming_near_dup(max_band_bucket=))
     re-derives its guard from the live index if ingest latency demands
-    a hard bound sooner."""
-    man = _band_manifest_read(path)
-    seg = segments.next_seg(man)
-    index, shingles = _banded_corpus(
-        corpus_delta,
-        id_col,
-        text_col,
-        man["num_hashes"],
-        man["bands"],
-        man["shingle_size"],
-    )
-    if max_band_bucket is not None:
-        from ..operators.dedup import drop_hot_band_buckets
+    a hard bound sooner.
 
-        index = drop_hot_band_buckets(index, max_band_bucket)
-    index = index.withColumn("seg", F.lit(seg)).withColumn(
-        "pbucket", F.pmod("bhash", F.lit(man["prune_buckets"])).cast("int")
-    )
-    # two-phase (segments.snapshot_seg's protocol, all four indexes):
-    # RESERVE the seg id before any data (crash never reuses it; a
-    # retry is newer and wins), write bands then shingles, then COMMIT
-    # — readers bound to the committed seg never see an in-flight or
-    # crashed append's partial segment, on any path including the
-    # single-segment fast path.
-    man["max_seg"] = seg
-    _band_manifest_write(path, man)
-    index.write.mode("append").partitionBy("pbucket").parquet(f"{path}/bands")
-    shingles.withColumn("seg", F.lit(seg)).write.mode("append").parquet(
-        f"{path}/shingles"
-    )
-    man["committed_seg"] = seg
-    _band_manifest_write(path, man)
-    return seg
+    Single-writer ENFORCED (r12): manifest read through commit under
+    the index's writer lease (segments.writer_lease) — a concurrent
+    appender raises ConcurrentWriterError instead of double-reserving
+    a segment off a stale max_seg."""
+    with segments.writer_lease(path):
+        man = _band_manifest_read(path)
+        seg = segments.next_seg(man)
+        index, shingles = _banded_corpus(
+            corpus_delta,
+            id_col,
+            text_col,
+            man["num_hashes"],
+            man["bands"],
+            man["shingle_size"],
+        )
+        if max_band_bucket is not None:
+            from ..operators.dedup import drop_hot_band_buckets
+
+            index = drop_hot_band_buckets(index, max_band_bucket)
+        index = index.withColumn("seg", F.lit(seg)).withColumn(
+            "pbucket", F.pmod("bhash", F.lit(man["prune_buckets"])).cast("int")
+        )
+        # two-phase (segments.snapshot_seg's protocol, all four indexes):
+        # RESERVE the seg id before any data (crash never reuses it; a
+        # retry is newer and wins), write bands then shingles, then COMMIT
+        # — readers bound to the committed seg never see an in-flight or
+        # crashed append's partial segment, on any path including the
+        # single-segment fast path.
+        man["max_seg"] = seg
+        _band_manifest_write(path, man)
+        index.write.mode("append").partitionBy("pbucket").parquet(
+            f"{path}/bands"
+        )
+        shingles.withColumn("seg", F.lit(seg)).write.mode("append").parquet(
+            f"{path}/shingles"
+        )
+        man["committed_seg"] = seg
+        _band_manifest_write(path, man)
+        return seg
 
 
 def _live_train_segs(
@@ -830,7 +838,26 @@ def compact_band_index(
     doc-cardinality live aggregate + (guard on) the bucket
     heavy-hitter aggregate — proportional to the index, run at the
     cadence band_index_staleness's trigger chooses; appends stay
-    delta-sized between runs."""
+    delta-sized between runs. The in-place mode holds the writer
+    lease from manifest read to swap (r12); aside mode needs none
+    (source untouched, snapshot-keyed publish)."""
+    import contextlib
+
+    ctx = (
+        contextlib.nullcontext() if reader_safe else segments.writer_lease(path)
+    )
+    with ctx:
+        return _compact_band_index_locked(
+            spark, path, max_band_bucket, reader_safe
+        )
+
+
+def _compact_band_index_locked(
+    spark: SparkSession,
+    path: str,
+    max_band_bucket: int | None,
+    reader_safe: bool,
+) -> str:
     man = _band_manifest_read(path)
     bands_live, shingles_live = load_band_index(spark, path)
     if max_band_bucket is not None:
