@@ -14,13 +14,19 @@ single-row-group files unchanged.
 The external baseline (round-3 verdict item 5): unless
 SPARK_GRAFT_BENCH_DUCKDB=0, every headline query's ORACLE SQL is also
 timed in DuckDB on the same parquet + machine, and the report gains
-"duckdb" (per-query sec), "ratio" (spark/duckdb), and "ratio_gt2"
-(queries >2x slower than DuckDB — each needs a fix or a documented
-justification). DuckDB is the honest single-node yardstick here: at
-bench SF an embedded vectorized engine with zero scheduling overhead is
-the fastest thing this machine can do, so ratios are an upper bound on
-Spark's true overhead — the distributed design pays off past one node,
-not against it.
+"duckdb" (per-query sec), "ratio" (spark/duckdb), and two flag lists:
+"ratio_gt2_substantive" = NEW, UNADJUDICATED >2x queries only (each
+needs a fix or a SCALE.md adjudication next round), and
+"ratio_gt2_adjudicated" = >2x queries this run that are already
+per-name adjudicated in SCALE.md (anchor included). The split (r12,
+VERDICT r11 what's-wrong #1) keeps the substantive list STABLE across
+idle/degraded sessions: the knife-edge band straddles the bar with
+session state, and a consumer reading one artifact must not mistake a
+re-firing of a pre-adjudicated name for a new defect. DuckDB is the
+honest single-node yardstick here: at bench SF an embedded vectorized
+engine with zero scheduling overhead is the fastest thing this machine
+can do, so ratios are an upper bound on Spark's true overhead — the
+distributed design pays off past one node, not against it.
 """
 
 from __future__ import annotations
@@ -193,6 +199,40 @@ HEADLINE = [
     "shard_manifest_incremental",
     "snapshot_drift_sketch",
 ]
+
+
+# Pre-adjudicated >2x-vs-DuckDB names (r12, VERDICT r11 what's-wrong #1 /
+# task 3): every entry fired (or was pre-registered as knife-edge) under
+# the tighter max(10*floor, 1.0s) bar and carries a per-name adjudication
+# in SCALE.md — "Round-11 bench-band adjudication" unless noted. These are
+# SUBTRACTED from ratio_gt2_substantive so that list means "new,
+# unadjudicated flags only" and cannot change length with session state;
+# when one of these fires it is still reported, with its anchor, under
+# ratio_gt2_adjudicated. Removing a name here re-arms its flag.
+ADJUDICATED_GT2: dict[str, str] = {
+    # the gram/token text family: multi-stage fixed floors at bench SF
+    # (tokenize -> explode -> 1-2 key exchanges -> join-back -> doc fold);
+    # plans individually audited in their landing rounds; r12 adds the
+    # k-replication ratio-convergence measurement ("Round-12 gram/token
+    # band ratio convergence")
+    "exact_substring_dedup": "SCALE.md 'Round-11 bench-band adjudication' + r12 convergence",
+    "exact_substring_stats": "SCALE.md 'Round-11 bench-band adjudication'",
+    "exact_substring_gate": "SCALE.md 'Round-11 bench-band adjudication' + r11 gramgate probe (flat in corpus)",
+    "exact_substring_source_matrix": "SCALE.md 'Round-11 bench-band adjudication' (fixed r11; knife-edge pre-registered)",
+    "stream_substring_gate": "SCALE.md 'Round-11 bench-band adjudication' + r12 stage breakdown",
+    "decontam_split": "SCALE.md 'Round-11 bench-band adjudication' + r12 convergence",
+    "decontam_overlap": "SCALE.md 'Round-11 bench-band adjudication' + r12 convergence",
+    "decontam_scrub": "SCALE.md 'Round-11 bench-band adjudication'",
+    "boilerplate_purge": "SCALE.md 'Round-11 bench-band adjudication'",
+    "unigram_surprisal": "SCALE.md 'Round-11 bench-band adjudication'",
+    "tfidf_top_terms": "SCALE.md 'Round-11 bench-band adjudication' (knife-edge band)",
+    "exact_substring_delta_report": "same family/shape as exact_substring_dedup minus the join-back (r11 docstring)",
+    # non-family knife-edge names, each with its own paragraph
+    "scd2_asof_lookup": "SCALE.md 'Round-11 bench-band adjudication' (equi-key join is the right plan)",
+    "sql_interface": "SCALE.md 'Round-11 bench-band adjudication' (3 broadcast joins; duck-floor variance)",
+    "snapshot_cdc_diff": "SCALE.md 'Round-11 bench-band adjudication' (knife-edge band)",
+    "dsir_importance": "SCALE.md 'Round-11 bench-band adjudication' (knife-edge band) + r8 dsir probe",
+}
 
 
 def materialize_multifile(spark, sf_dir: str, n_files: int = 32) -> str:
@@ -371,7 +411,7 @@ def main() -> None:
         out["duckdb_total_sec"] = round(sum(duck.values()), 3)
         out["ratio_spark_over_duckdb"] = ratio
         out["spark_floor_sec"] = floor
-        out["ratio_gt2_substantive"] = sorted(
+        fired = sorted(
             (
                 n
                 for n, r in ratio.items()
@@ -379,6 +419,15 @@ def main() -> None:
             ),
             key=lambda n: -ratio[n],
         )
+        # substantive = NEW, unadjudicated flags only (stable across
+        # idle/degraded sessions); adjudicated re-firings are reported
+        # separately with their SCALE.md anchors — see ADJUDICATED_GT2
+        out["ratio_gt2_substantive"] = [
+            n for n in fired if n not in ADJUDICATED_GT2
+        ]
+        out["ratio_gt2_adjudicated"] = {
+            n: ADJUDICATED_GT2[n] for n in fired if n in ADJUDICATED_GT2
+        }
     print(json.dumps(out), flush=True)
     # Exit rc=0 deliberately: PySpark 4's JVM teardown intermittently
     # aborts ("terminate called without an active exception", rc=134)

@@ -59,16 +59,13 @@ def table_scans(plan: str) -> Counter:
     return out
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    threshold = int(sys.argv[2]) if len(sys.argv) > 2 else 3
-    import bench
-
-    spark = get_spark("scan-audit")
-    flagged = []
-    errors = {}
-    audited = 0
-    for name in bench.HEADLINE:
+def audit(spark, sf_dir: str, names) -> tuple[dict, dict]:
+    """(per-query scan Counters, per-query build errors) for every
+    non-skipped name — the importable core (r12: tests/test_scan_budget.py
+    runs this as a CI gate with frozen per-query budgets)."""
+    counts: dict[str, Counter] = {}
+    errors: dict[str, str] = {}
+    for name in names:
         if any(s in name for s in SKIP_SUBSTR):
             continue
         fn = registry.QUERIES[name]
@@ -80,18 +77,27 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             errors[name] = repr(e)[:120]
             continue
-        audited += 1
-        counts = table_scans(plan)
-        hot = {t: k for t, k in counts.items() if k >= threshold}
+        counts[name] = table_scans(plan)
+    return counts, errors
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    threshold = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    import bench
+
+    spark = get_spark("scan-audit")
+    counts, errors = audit(spark, sf_dir, bench.HEADLINE)
+    flagged = []
+    for name, cnt in counts.items():
+        hot = {t: k for t, k in cnt.items() if k >= threshold}
         if hot:
-            row = {"query": name, "scans": hot, "reused_exchanges":
-                   plan.count("ReusedExchange")}
-            flagged.append(row)
-            print(json.dumps(row))
+            flagged.append({"query": name, "scans": hot})
+            print(json.dumps(flagged[-1]))
     print(
         json.dumps(
             {
-                "audited": audited,
+                "audited": len(counts),
                 "threshold": threshold,
                 "flagged": len(flagged),
                 "errors": errors,
