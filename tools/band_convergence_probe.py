@@ -1,0 +1,149 @@
+"""Ratio-convergence measurement for the gram/token >2x bench band
+(r12, VERDICT r11 task 1 — the only standing `weak` mark): the r11
+adjudication claims the band's spark/duck ratios are multi-stage FIXED
+FLOORS at sf0.1 that amortize as the corpus grows, while DuckDB's wall
+grows linearly. That claim had never been committed as a measurement.
+This probe grows the documents table k-fold (the isomorphic
+separator-free replica prefix every growth probe uses), times each band
+query in BOTH engines (Spark: noop sink, min-of-N after one warmup;
+DuckDB: oracle SQL on the same parquet, min-of-N), and emits one row
+per (query, k) with the ratio — committed as
+SCALE_probe_r12_bandconvergence.jsonl and tabulated in SCALE.md.
+
+Expected shape if the adjudication is right: ratio falls with k for
+every query in the band. A query whose ratio does NOT fall is a real
+plan defect the floor story cannot explain — fix it.
+
+Usage: python tools/band_convergence_probe.py [out_jsonl] [k1,k2,...]
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from wvfoia_sync_spark import registry  # noqa: E402
+from wvfoia_sync_spark.session import get_spark  # noqa: E402
+from wvfoia_sync_spark.sources.tables import load_table  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+
+# the r11 flag band: the three standing flags + the knife-edge names
+# whose oracles are documents-only (scd2/sql_interface/snapshot_cdc/dsir
+# are different tables/shapes with their own adjudications)
+BAND = [
+    "exact_substring_dedup",
+    "exact_substring_stats",
+    "exact_substring_gate",
+    "stream_substring_gate",
+    "decontam_split",
+    "decontam_overlap",
+    "decontam_scrub",
+    "boilerplate_purge",
+    "unigram_surprisal",
+    "tfidf_top_terms",
+]
+
+
+def grown_dir(spark, k: int, tmp_root: str) -> str:
+    docs = load_table(spark, BASE, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    n = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    parts = [docs]
+    for j in range(1, k):
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + j * n).alias("doc_id"),
+                F.regexp_replace(F.col("text"), r"(\w+)", f"r{j}$1").alias(
+                    "text"
+                ),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    d = f"{tmp_root}/k{k}"
+    out.repartition(8).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet"
+    )
+    return d
+
+
+def duck_wall(sql: str, docs_path: str, runs: int = 2) -> float:
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE OR REPLACE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{docs_path}/*.parquet')"
+    )
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.time()
+        con.execute(sql).fetchall()
+        best = min(best, time.time() - t0)
+        if best >= 10.0:
+            break
+    con.close()
+    return best
+
+
+def main() -> int:
+    out_path = (
+        sys.argv[1]
+        if len(sys.argv) > 1
+        else "SCALE_probe_r12_bandconvergence.jsonl"
+    )
+    ks = [
+        int(x)
+        for x in (sys.argv[2].split(",") if len(sys.argv) > 2 else [1, 2, 4])
+    ]
+    spark = get_spark("band-convergence-probe")
+    tmp = tempfile.mkdtemp(prefix="band_conv_")
+    rows = []
+    try:
+        for k in ks:
+            d = grown_dir(spark, k, tmp)
+            for name in BAND:
+                fn = registry.QUERIES[name]
+                fn(spark, d).write.format("noop").mode("overwrite").save()
+                walls = []
+                for _ in range(2):
+                    t0 = time.time()
+                    fn(spark, d).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    walls.append(time.time() - t0)
+                duck = duck_wall(registry.ORACLE[name], f"{d}/documents.parquet")
+                row = {
+                    "probe": "band_convergence_r12",
+                    "query": name,
+                    "k": k,
+                    "spark_s": round(min(walls), 3),
+                    "duckdb_s": round(duck, 3),
+                    "ratio": round(min(walls) / duck, 2) if duck > 0 else None,
+                }
+                rows.append(row)
+                print(json.dumps(row), flush=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    with open(out_path, "a") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
