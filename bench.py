@@ -232,6 +232,12 @@ ADJUDICATED_GT2: dict[str, str] = {
     "sql_interface": "SCALE.md 'Round-11 bench-band adjudication' (3 broadcast joins; duck-floor variance)",
     "snapshot_cdc_diff": "SCALE.md 'Round-11 bench-band adjudication' (knife-edge band)",
     "dsir_importance": "SCALE.md 'Round-11 bench-band adjudication' (knife-edge band) + r8 dsir probe",
+    # slow-session entrants: 0.7-0.9s idle walls that cross the 1.0s term
+    # only under load — named and adjudicated in SCALE.md's r11
+    # post-change re-bench note (audited shapes, same adjudication class)
+    "passage_dedup": "SCALE.md r11 post-change re-bench note (slow-session entrant)",
+    "centroid_classify": "SCALE.md r11 post-change re-bench note (slow-session entrant)",
+    "quality_classifier_score": "SCALE.md r11 post-change re-bench note (slow-session entrant)",
 }
 
 
