@@ -192,3 +192,27 @@ def test_failed_append_releases_lease(spark, tmp_path):
         gram_index.append_gram_index(_docs(spark, [(9, B)]), idx, span=5)
     assert not os.path.exists(_lease_file(idx))
     assert gram_index.append_gram_index(_docs(spark, [(9, B)]), idx) == 1
+
+
+def test_live_holder_is_never_ttl_broken(spark, tmp_path):
+    """A provably-LIVE same-host holder survives even an ancient
+    timestamp: a legitimate longer-than-TTL hold (a huge compaction)
+    must raise at the second writer, never be yanked into a two-writer
+    interleave. The TTL breaks only holders whose death is unprovable
+    (cross-host, or unreadable lease)."""
+    idx = str(tmp_path / "idx")
+    gram_index.write_gram_index(_docs(spark, [(1, A)]), idx, span=6)
+    with open(_lease_file(idx), "w") as f:
+        json.dump(
+            {
+                "pid": os.getpid(),  # alive: this very process
+                "host": socket.gethostname(),
+                "token": "long-compaction",
+                "ts": time.time() - segments._LEASE_TTL_SECONDS - 3600,
+            },
+            f,
+        )
+    with pytest.raises(segments.ConcurrentWriterError):
+        gram_index.append_gram_index(_docs(spark, [(9, B)]), idx)
+    assert os.path.exists(_lease_file(idx))
+    os.unlink(_lease_file(idx))

@@ -323,9 +323,12 @@ def writer_lease(path: str, ttl: float = _LEASE_TTL_SECONDS):
     broken when (a) its holder's pid is provably dead on the SAME
     host (os.kill(pid, 0) -> ProcessLookupError; exact on the one
     machine appends run on), or (b) its timestamp is older than
-    ``ttl`` (the cross-host fallback — pid liveness means nothing
-    across machines). A fresh lease from a live process is NEVER
-    considered stale, so the enforcement guarantee only degrades in
+    ``ttl`` AND its holder's liveness cannot be proven (cross-host, or
+    an unreadable lease — pid liveness means nothing across machines).
+    A provably-LIVE same-host holder is never broken, even past the
+    TTL: a legitimate long hold (a huge compaction) must make the
+    second writer RAISE, not get yanked into a two-writer interleave.
+    So the enforcement guarantee only degrades in
     the break path's microscopic read-check-unlink window, and only
     when a third writer races two breakers over an already-dead
     holder — the honest residual, documented here rather than
@@ -384,14 +387,25 @@ def _acquire_lease(path: str, ttl: float) -> str | None:
             except OSError:
                 continue  # vanished: retry the create
         else:
+            alive = None  # unknown (cross-host or unprovable)
             if cur.get("host") == me["host"]:
                 try:
                     os.kill(int(cur["pid"]), 0)
+                    alive = True
                 except ProcessLookupError:
-                    stale = True  # provably dead on this host
+                    alive = False  # provably dead on this host
                 except (PermissionError, ValueError, TypeError, OSError):
-                    pass  # cannot prove death: stay conservative
-            if not stale:
+                    pass  # cannot prove either way
+            if alive is False:
+                stale = True
+            elif alive is True:
+                # a provably LIVE same-host holder is NEVER TTL-broken
+                # (a legitimate >ttl hold — e.g. a huge compaction —
+                # must not be yanked into a two-writer interleave; the
+                # TTL exists only for holders whose death cannot be
+                # proven)
+                stale = False
+            else:
                 stale = time.time() - float(cur.get("ts") or 0) >= ttl
         if not stale:
             raise ConcurrentWriterError(
