@@ -497,3 +497,21 @@ def test_stolen_first_occurrences_newest_wins_append(spark, tmp_path):
         map(tuple, gram_index.stolen_first_occurrences(spark, idx, delta).collect())
     )
     assert got == [(1, 0), (1, 1)]
+
+
+def test_stolen_first_occurrences_degenerate_deltas(spark, tmp_path):
+    """Empty and sub-span deltas report zero steals without erroring
+    (the empty-bucket isin and the gramless explode are both safe)."""
+    idx = str(tmp_path / "idx")
+    gram_index.write_gram_index(
+        _docs(spark, [(1, A)]), idx, span=6, with_first=True
+    )
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert gram_index.stolen_first_occurrences(spark, idx, empty).count() == 0
+    short = _docs(spark, [(0, "x1 x2")])
+    assert gram_index.stolen_first_occurrences(spark, idx, short).count() == 0
+    # a delta doc IDENTICAL to an indexed doc (a pre-merge re-arrival
+    # evaluation) ties on every packed key and steals nothing from
+    # itself: strict < is the keep-first contract
+    same = _docs(spark, [(1, A)])
+    assert gram_index.stolen_first_occurrences(spark, idx, same).count() == 0
