@@ -515,3 +515,47 @@ def test_stolen_first_occurrences_degenerate_deltas(spark, tmp_path):
     # itself: strict < is the keep-first contract
     same = _docs(spark, [(1, A)])
     assert gram_index.stolen_first_occurrences(spark, idx, same).count() == 0
+
+
+def test_ingest_loop_with_delta_impact_check(spark, tmp_path):
+    """The r12 production loop END TO END on one with_first index: the
+    delta-impact check (stolen_first_occurrences) answers 'may I merge
+    without a recompute?' BEFORE the append, the gate cuts known text,
+    and the append makes both answers advance consistently.
+
+    Doc 0 (outranks corpus doc 1) contains SHARED -> the check reports
+    doc 1's SHARED starts as stolen (a merge would retroactively change
+    doc 1's duplicated set — schedule a recompute); doc 50 (outranked)
+    with novel text -> empty report, merge is free. After appending doc
+    50, a re-crawl of its text is fully rejected by the gate and a new
+    outranked delta of the SAME text steals nothing (doc 50's copy is
+    now the corpus-first)."""
+    idx = str(tmp_path / "idx")
+    gram_index.write_gram_index(
+        _docs(spark, [(1, A), (2, B)]), idx, span=6, with_first=True
+    )
+
+    # arriving doc that would STEAL canonicality: non-empty report
+    stealer = _docs(spark, [(0, SHARED)])
+    report = gram_index.stolen_first_occurrences(spark, idx, stealer)
+    assert sorted(map(tuple, report.collect())) == [(1, 6), (1, 7)]
+
+    # arriving outranked doc with novel text: empty report — merge free
+    novel_text = "n1 n2 n3 n4 n5 n6 n7 n8 n9"
+    free = _docs(spark, [(50, novel_text)])
+    assert gram_index.stolen_first_occurrences(spark, idx, free).count() == 0
+    runs = _gate_runs(spark, idx, free)
+    assert [(r[0], r[2]) for r in runs] == [(50, 9)]  # admitted whole
+
+    gram_index.append_gram_index(free, idx)
+    # re-crawl of the admitted text: fully rejected by the gate now
+    assert _gate_runs(spark, idx, _docs(spark, [(60, novel_text)])) == []
+    # and a later-ranked copy steals nothing (50 holds corpus-first);
+    # an EARLIER-ranked copy steals exactly the novel grams
+    later = _docs(spark, [(70, novel_text)])
+    assert gram_index.stolen_first_occurrences(spark, idx, later).count() == 0
+    earlier = _docs(spark, [(-5, novel_text)])
+    stolen = gram_index.stolen_first_occurrences(spark, idx, earlier)
+    assert sorted(map(tuple, stolen.collect())) == [
+        (50, 0), (50, 1), (50, 2), (50, 3),
+    ]
