@@ -227,6 +227,7 @@ ADJUDICATED_GT2: dict[str, str] = {
     "unigram_surprisal": "SCALE.md 'Round-11 bench-band adjudication'",
     "tfidf_top_terms": "SCALE.md 'Round-11 bench-band adjudication' (knife-edge band)",
     "exact_substring_delta_report": "same family/shape as exact_substring_dedup minus the join-back (r11 docstring)",
+    "exact_substring_delta_report_incremental": "SCALE.md 'Round-12 incremental delta report' — the REGISTERED fixture's delta is corpus/7, the saturated regime; the O(|delta|) claim is the probe's",
     # non-family knife-edge names, each with its own paragraph
     "scd2_asof_lookup": "SCALE.md 'Round-11 bench-band adjudication' (equi-key join is the right plan)",
     "sql_interface": "SCALE.md 'Round-11 bench-band adjudication' (3 broadcast joins; duck-floor variance)",

@@ -567,8 +567,15 @@ def stolen_first_occurrences(
     pruned stored partitions never shuffle — then one per-gram MIN over
     the joined rows. No full-index pass anywhere; for a corpus-scaled
     delta the bucket set saturates and the cost degrades gracefully to
-    one full stored scan, still cheaper than re-deriving corpus grams
-    from text."""
+    one full stored scan — cheaper PER TERM than re-deriving corpus
+    grams from text, though measured END TO END at bench SF a
+    corpus-scaled delta still favors the full-pass report (1.80 vs
+    0.84 s at sf0.1 with delta = corpus/7: the checkpoint barrier +
+    bucket collect + extra jobs outweigh the avoided tokenize until
+    the corpus outgrows the delta; the probe's fixed small delta is
+    flat while the full pass doubles per corpus doubling). Use this
+    form at ingest cadence; use exact_substring_delta_report for
+    one-shot corpus-scaled comparisons."""
     man = _manifest_read(path)
     if not man.get("with_first", False):
         raise ValueError(
