@@ -1728,7 +1728,16 @@ def exact_substring_delta_report_incremental(
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = docs.where(F.col("doc_id") % 7 != 0)
-    delta = docs.where(F.col("doc_id") % 7 == 0)
+    # spread the delta before its tokenize+explode (the family's map-
+    # stage posture — a one-row-group scan would run the delta-side
+    # map work on 1-2 cores). Honest measurement (r12): this keeps the
+    # dmin stage at ~0.46 s but the fixture wall (~1.9 s) is dominated
+    # by the join+fold term (~1.1-2.0 s: 64-file index scan + broadcast
+    # + two aggregate stages — the family's multi-stage floor), so the
+    # spread is posture, not a fixture-wall fix; see SCALE.md r12
+    delta = docs.where(F.col("doc_id") % 7 == 0).repartition(
+        min(8, spark.sparkContext.defaultParallelism)
+    )
     path = gram_index.gram_index_path(
         sf_dir, span=span, tag="delta7", with_first=True
     )
