@@ -64,6 +64,7 @@ DRIVER_WINDOW: list[str] = [
     "exact_substring_delta_report",  # 21-bit guard now enforced inline
     "exact_substring_delta_report_incremental",  # NEW r12: O(|delta|) form
     "exact_substring_delta_incr_property_check",  # NEW r12: its proof
+    "stream_delta_impact",  # NEW r12: the check at ingest cadence
     "stream_substring_gate",  # r12: segments writer-lease on appends
     # --- then the names last green in r8, alphabetical (the
     # rotation's next band; r13 takes the remainder) ---

@@ -90,6 +90,7 @@ HEADLINE = [
     "exact_substring_stats",
     "exact_substring_gate",
     "stream_substring_gate",
+    "stream_delta_impact",
     "exact_substring_source_matrix",
     "exact_substring_delta_report",
     "exact_substring_delta_report_incremental",
@@ -220,6 +221,7 @@ ADJUDICATED_GT2: dict[str, str] = {
     "exact_substring_gate": "SCALE.md 'Round-11 bench-band adjudication' + r11 gramgate probe (flat in corpus)",
     "exact_substring_source_matrix": "SCALE.md 'Round-11 bench-band adjudication' (fixed r11; knife-edge pre-registered)",
     "stream_substring_gate": "SCALE.md 'Round-11 bench-band adjudication' + r12 stage breakdown",
+    "stream_delta_impact": "stream_substring_gate's sibling: same streaming machinery + the incremental report's family floor (r12 sections)",
     "decontam_split": "SCALE.md 'Round-11 bench-band adjudication' + r12 convergence",
     "decontam_overlap": "SCALE.md 'Round-11 bench-band adjudication' + r12 convergence",
     "decontam_scrub": "SCALE.md 'Round-11 bench-band adjudication'",

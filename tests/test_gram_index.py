@@ -559,3 +559,53 @@ def test_ingest_loop_with_delta_impact_check(spark, tmp_path):
     assert sorted(map(tuple, stolen.collect())) == [
         (50, 0), (50, 1), (50, 2), (50, 3),
     ]
+
+
+def test_streaming_delta_impact_epochs_and_resume(spark, tmp_path):
+    """The streaming delta-impact twin (r12): batch 1's report answers
+    against the base index; the loop appends; the checkpointed resume
+    processes ONLY the new file, whose report reflects the UPDATED
+    corpus-firsts; and the read-back returns the latest epoch's answer
+    whole — never a cross-epoch blend (different batches are different
+    merge questions)."""
+    from wvfoia_sync_spark.streaming import jobs
+
+    idx = str(tmp_path / "idx")
+    gram_index.write_gram_index(
+        _docs(spark, [(10, A), (20, B)]), idx, span=6, with_first=True
+    )
+    src = str(tmp_path / "arrivals")
+    # batch 1: doc 0 outranks corpus doc 10 and shares SHARED -> steals
+    # its two 6-gram firsts (A positions 6 and 7)
+    _docs(spark, [(0, SHARED)]).write.parquet(src)
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    incoming = (
+        spark.readStream.schema("doc_id long, text string")
+        .format("parquet")
+        .load(src)
+    )
+    out1 = jobs.streaming_delta_impact(
+        incoming, idx, "sdi_test_1", f"{sink}/reports", checkpoint_path=ckpt
+    )
+    assert sorted(map(tuple, out1.collect())) == [(10, 2, 7)]
+
+    # the loop admits + appends doc 0's text as corpus (newest segment)
+    gram_index.append_gram_index(_docs(spark, [(0, SHARED)]), idx)
+
+    # batch 2 (resume: only the NEW file): doc -1 outranks doc 0, so
+    # the same text now steals from doc 0's copy (positions 0/1), not
+    # doc 10's retired-rank firsts
+    _docs(spark, [(-1, SHARED)]).write.mode("append").parquet(src)
+    incoming2 = (
+        spark.readStream.schema("doc_id long, text string")
+        .format("parquet")
+        .load(src)
+    )
+    out2 = jobs.streaming_delta_impact(
+        incoming2, idx, "sdi_test_2", f"{sink}/reports", checkpoint_path=ckpt
+    )
+    got = sorted(map(tuple, out2.collect()))
+    # doc 0 holds the corpus-first now; SHARED has 2 grams covering 7
+    # tokens — and epoch 1's answer REPLACES epoch 0's in the read-back
+    assert got == [(0, 2, 7)]

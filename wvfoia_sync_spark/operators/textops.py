@@ -543,3 +543,34 @@ def survivor_runs(
         F.col("r.n_toks").alias("n_toks"),
         F.col("r.run_md5").alias("run_md5"),
     )
+
+
+def delta_report_fold(stolen: DataFrame, span: int, id_col: str = "doc_id") -> DataFrame:
+    """Shared tail of the ExactSubstr delta-impact family (batch full
+    pass, stored-index incremental, and the streaming twin): fold
+    per-gram stolen first occurrences ``(id, i)`` into one row per
+    affected doc — ``(id, n_stolen_grams, n_new_dup_tokens)``, the
+    newly-duplicated token count as an interval union over the sorted
+    start set (one doc-keyed aggregate at affected-doc cardinality,
+    then a per-row array fold — no second exchange)."""
+    per_doc = stolen.groupBy(id_col).agg(
+        F.count("*").alias("n_stolen_grams"),
+        F.sort_array(F.collect_set("i")).alias("starts"),
+    )
+    covered = F.aggregate(
+        F.col("starts"),
+        F.struct(F.lit(0).cast("long").alias("tot"), F.lit(0).alias("end")),
+        lambda acc, s: F.struct(
+            (
+                acc["tot"]
+                + F.greatest(F.lit(0), (s + span) - F.greatest(s, acc["end"]))
+            ).alias("tot"),
+            F.greatest(acc["end"], s + span).alias("end"),
+        ),
+        lambda acc: acc["tot"],
+    )
+    return per_doc.select(
+        id_col,
+        "n_stolen_grams",
+        covered.alias("n_new_dup_tokens"),
+    ).orderBy(id_col)

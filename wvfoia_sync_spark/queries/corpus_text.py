@@ -1518,37 +1518,12 @@ def exact_substring_delta_report(
 
 
 def _delta_report_fold(stolen: DataFrame, span: int) -> DataFrame:
-    """Shared tail of the full-pass and incremental delta reports: fold
-    per-gram stolen first occurrences ``(doc_id, i)`` into one row per
-    affected doc — ``(doc_id, n_stolen_grams, n_new_dup_tokens)``, the
-    newly-duplicated token count as an interval union over the sorted
-    start set (one doc-keyed aggregate at affected-doc cardinality,
-    then a per-row array fold — no second exchange)."""
-    per_doc = stolen.groupBy("doc_id").agg(
-        F.count("*").alias("n_stolen_grams"),
-        F.sort_array(F.collect_set("i")).alias("starts"),
-    )
-    covered = F.aggregate(
-        F.col("starts"),
-        F.struct(
-            F.lit(0).cast("long").alias("tot"), F.lit(0).alias("end")
-        ),
-        lambda acc, s: F.struct(
-            (
-                acc["tot"]
-                + F.greatest(
-                    F.lit(0), (s + span) - F.greatest(s, acc["end"])
-                )
-            ).alias("tot"),
-            F.greatest(acc["end"], s + span).alias("end"),
-        ),
-        lambda acc: acc["tot"],
-    )
-    return per_doc.select(
-        "doc_id",
-        "n_stolen_grams",
-        covered.alias("n_new_dup_tokens"),
-    ).orderBy("doc_id")
+    """Shared tail of the delta-impact family — one copy, in
+    operators/textops.delta_report_fold (r12: the streaming twin made
+    it a third consumer, the drift-prone-copies rule)."""
+    from ..operators.textops import delta_report_fold
+
+    return delta_report_fold(stolen, span)
 
 
 @register(
@@ -1858,6 +1833,75 @@ def exact_substring_delta_incr_property_check(
         ]
     )
     return spark.createDataFrame(rows, "property string, ok boolean")
+
+
+@register(
+    "stream_delta_impact",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS.format(c='text')} AS toks
+               FROM documents),
+    g AS (SELECT doc_id, u.i AS i,
+                 array_to_string(toks[u.i:u.i+5], ' ') AS gram
+          FROM t, UNNEST(range(1, len(toks) - 4)) AS u(i)
+          WHERE len(toks) >= 6),
+    m AS (SELECT gram,
+                 MIN(CASE WHEN doc_id % 7 <> 0
+                     THEN doc_id * 2097152 + i END) AS first_c,
+                 MIN(CASE WHEN doc_id % 7 = 0
+                     THEN doc_id * 2097152 + i END) AS first_d
+          FROM g GROUP BY gram),
+    s AS (SELECT first_c // 2097152 AS doc_id, first_c % 2097152 AS i
+          FROM m
+          WHERE first_c IS NOT NULL AND first_d IS NOT NULL
+            AND first_d < first_c),
+    cov AS (SELECT doc_id, COUNT(DISTINCT p) AS n_new
+            FROM (SELECT s.doc_id AS doc_id, u.p AS p
+                  FROM s, UNNEST(range(s.i, s.i + 6)) AS u(p))
+            GROUP BY doc_id)
+    SELECT CAST(s.doc_id AS BIGINT) AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_stolen_grams,
+           CAST(ANY_VALUE(cov.n_new) AS BIGINT) AS n_new_dup_tokens
+    FROM s JOIN cov USING (doc_id)
+    GROUP BY s.doc_id ORDER BY doc_id
+    """,
+)
+def stream_delta_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST: the delta-impact check run as a REAL streaming query (r12 —
+    the third member of the family: full pass, stored-index
+    incremental, and this, the INGEST-CADENCE form that pairs with
+    stream_substring_gate to complete the production loop's streaming
+    story: gate the batch, answer "may it merge without a recompute?",
+    then append). The doc_id % 7 == 0 slice arrives as a file-source
+    stream and each micro-batch probes the stored with_first gram
+    index of the rest via stolen_first_occurrences — per-batch
+    manifest re-read for append-while-streaming visibility, gbucket
+    pruning, broadcast-joined O(|batch|) core — with the folded report
+    landing in a per-epoch idempotent parquet sink. Same oracle as the
+    batch forms: the streaming decomposition must be answer-invariant
+    (one availableNow batch at the fixture). The returned frame is the
+    lazy latest-epoch read-back; cross-epoch reports are answers to
+    DIFFERENT merge questions and are never blended (see
+    streaming_delta_impact's docstring)."""
+    import tempfile
+
+    from ..operators import gram_index
+    from ..streaming import jobs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 7 != 0)
+    path = gram_index.gram_index_path(
+        sf_dir, span=6, tag="delta7", with_first=True
+    )
+    gram_index.write_gram_index(corpus, path, span=6, with_first=True)
+    incoming = (
+        jobs.documents_stream(spark, sf_dir)
+        .where(F.col("doc_id") % 7 == 0)
+        .select("doc_id", "text")
+    )
+    sink = tempfile.mkdtemp(prefix="spark_graft_stream_impact_sink_")
+    return jobs.streaming_delta_impact(
+        incoming, path, "stream_delta_impact", f"{sink}/reports"
+    )
 
 
 @register(

@@ -1414,3 +1414,99 @@ def streaming_substring_gate(
         .where(F.col("run_idx") >= 0)
         .select(out_cols)
     )
+
+
+def streaming_delta_impact(
+    incoming: DataFrame,
+    index_path: str,
+    query_name: str,
+    sink_path: str,
+    checkpoint_path: str | None = None,
+) -> DataFrame:
+    """Streaming twin of the O(|delta|) delta-impact report (r12 —
+    completes the production ingest loop's streaming story: the gate
+    cuts known text, THIS answers "may this batch merge without a
+    recompute?" at the same micro-batch cadence). Each batch of
+    arriving documents runs gram_index.stolen_first_occurrences against
+    the stored with_first index — the gbucket-pruned, broadcast-joined
+    O(|batch|) core, with the manifest re-read per batch inside it so a
+    concurrent append becomes visible at the next batch boundary — and
+    the folded per-affected-doc report lands in a per-epoch parquet
+    sink (idempotent overwrite under batch retry; nothing row-sized
+    crosses the driver).
+
+    SEMANTICS ACROSS BATCHES: each epoch's report answers ITS batch's
+    merge question against the index AS OF that batch — reports from
+    different epochs are answers to different questions, so the
+    read-back returned here is the LATEST epoch's report whole (the
+    current batch's pre-merge answer), never a per-doc merge across
+    epochs (affected corpus docs recur across unrelated batches; mixing
+    epochs would blend answers to different deltas). A deployment
+    consuming ``sink_path`` directly gets every epoch, labeled.
+
+    WITHIN-BATCH RE-ARRIVAL: same hazard and remedy as the gate — a
+    file source can deliver two versions of one doc in a single batch;
+    both would contribute packed minima computed against different
+    token arrays, so each id is first resolved to one deterministic
+    version per batch (greatest non-id column tuple).
+
+    Empty batches still write their (empty) epoch dir: "the latest
+    batch steals nothing" is a real answer, and skipping it would make
+    the read-back resurrect a STALE epoch's report."""
+    from ..operators import gram_index
+    from ..operators.textops import delta_report_fold
+
+    man = gram_index._manifest_read(index_path)
+    span = man["span"]
+    id_col = man["id_col"]
+    spark = incoming.sparkSession
+
+    def impact(batch_df: DataFrame, epoch_id: int) -> None:
+        others = [c for c in batch_df.columns if c != id_col]
+        batch_df = (
+            batch_df.groupBy(id_col)
+            .agg(F.max(F.struct(*others)).alias("_v"))
+            .select(id_col, *[F.col(f"_v.{c}").alias(c) for c in others])
+        )
+        stolen = gram_index.stolen_first_occurrences(
+            spark, index_path, batch_df
+        )
+        report = delta_report_fold(stolen, span, id_col=id_col).withColumn(
+            "epoch", F.lit(epoch_id).cast("long")
+        )
+        report.write.mode("overwrite").parquet(f"{sink_path}/batch={epoch_id}")
+
+    writer = (
+        incoming.writeStream.foreachBatch(impact)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_path is not None:
+        writer = writer.option("checkpointLocation", checkpoint_path)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = writer.start()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    report_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("n_stolen_grams", T.LongType()),
+            T.StructField("n_new_dup_tokens", T.LongType()),
+            T.StructField("epoch", T.LongType()),
+        ]
+    )
+    out_cols = [id_col, "n_stolen_grams", "n_new_dup_tokens"]
+    try:
+        sink = spark.read.schema(report_schema).parquet(sink_path)
+        sink.head(1)
+    except AnalysisException:  # zero batches arrived: no sink directory
+        return spark.createDataFrame([], report_schema).select(out_cols)
+    latest = sink.agg(F.max("epoch").alias("epoch"))
+    return (
+        sink.join(latest, "epoch")
+        .select(out_cols)
+        .orderBy(id_col)
+    )
