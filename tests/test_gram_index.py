@@ -609,3 +609,29 @@ def test_streaming_delta_impact_epochs_and_resume(spark, tmp_path):
     # doc 0 holds the corpus-first now; SHARED has 2 grams covering 7
     # tokens — and epoch 1's answer REPLACES epoch 0's in the read-back
     assert got == [(0, 2, 7)]
+
+
+def test_streaming_delta_impact_int32_ids(spark, tmp_path):
+    """An int32-id corpus still reports correctly — and its ids come
+    back as BIGINT, because the report's ids round-trip the 21-bit
+    packing (unlike the gate, which carries the incoming dtype
+    through); matches the batch forms' CAST(... AS BIGINT) oracles."""
+    from wvfoia_sync_spark.streaming import jobs
+
+    idx = str(tmp_path / "idx")
+    docs32 = spark.createDataFrame(
+        [(10, A)], "doc_id int, text string"
+    )
+    gram_index.write_gram_index(docs32, idx, span=6, with_first=True)
+    src = str(tmp_path / "arrivals")
+    spark.createDataFrame([(0, SHARED)], "doc_id int, text string").write.parquet(src)
+    incoming = (
+        spark.readStream.schema("doc_id int, text string")
+        .format("parquet")
+        .load(src)
+    )
+    out = jobs.streaming_delta_impact(
+        incoming, idx, "sdi_int32", f"{tmp_path}/sink/reports"
+    )
+    assert sorted(map(tuple, out.collect())) == [(10, 2, 7)]
+    assert out.schema["doc_id"].dataType.simpleString() == "bigint"

@@ -1490,6 +1490,11 @@ def streaming_delta_impact(
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    # the report's id is ALWAYS BIGINT — unlike the gate (whose runs
+    # carry the incoming dtype through, the r9 int32 lesson), the
+    # report's ids round-trip the 21-bit packing (shiftright on the
+    # packed long), so an int32-id corpus still yields long ids here,
+    # exactly as the batch forms' oracles CAST to BIGINT
     report_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
