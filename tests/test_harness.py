@@ -117,3 +117,42 @@ def test_driver_window_fully_resolvable():
     osql = e.oracle_sql()
     window_with_oracle = [q for q in e.DRIVER_WINDOW if q in registry.ORACLE]
     assert list(osql)[: len(window_with_oracle)] == window_with_oracle
+
+
+def test_bench_artifact_allowlist_stamp_and_diff_warning():
+    """r13 (VERDICT r12 what's-wrong #2): bench artifacts are stamped
+    with the adjudication-allowlist content hash so the substantive/
+    adjudicated split is reproducible from the artifact alone, and
+    bench_diff warns when two artifacts were computed against different
+    allowlist versions (the r12-underload discrepancy class)."""
+    import importlib.util
+
+    import bench
+
+    h = bench.adjudication_allowlist_hash()
+    assert h == bench.adjudication_allowlist_hash()  # deterministic
+    assert len(h) == 16
+    # the hash covers anchors too, not just names: editing an anchor
+    # (a re-adjudication) must change the stamp
+    orig = dict(bench.ADJUDICATED_GT2)
+    try:
+        k = next(iter(bench.ADJUDICATED_GT2))
+        bench.ADJUDICATED_GT2[k] = "edited anchor"
+        assert bench.adjudication_allowlist_hash() != h
+    finally:
+        bench.ADJUDICATED_GT2.clear()
+        bench.ADJUDICATED_GT2.update(orig)
+
+    p = Path(__file__).resolve().parent.parent / "tools" / "bench_diff.py"
+    spec = importlib.util.spec_from_file_location("bench_diff", p)
+    bd = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bd)
+    a = {"queries": {"q": 1.0}, "adjudication_allowlist_sha256": h}
+    b = {"queries": {"q": 1.0}, "adjudication_allowlist_sha256": h}
+    assert "allowlist_mismatch_warning" not in bd.diff(a, b)
+    b["adjudication_allowlist_sha256"] = "different"
+    assert "allowlist_mismatch_warning" in bd.diff(a, b)
+    # an artifact predating the stamp (no field) also warns
+    del a["adjudication_allowlist_sha256"]
+    b["adjudication_allowlist_sha256"] = h
+    assert "allowlist_mismatch_warning" in bd.diff(a, b)

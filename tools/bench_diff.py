@@ -49,6 +49,20 @@ def diff(
     for side in ("old", "new"):
         d = old if side == "old" else new
         out[f"substantive_{side}"] = d.get("ratio_gt2_substantive")
+    # r13 (VERDICT r12 what's-wrong #2): the substantive/adjudicated
+    # split is only comparable when both artifacts were computed against
+    # the SAME adjudication allowlist — artifacts now carry its content
+    # hash (bench.adjudication_allowlist_hash); warn on any mismatch
+    # (including one side predating the stamp) so a flag appearing or
+    # vanishing across an allowlist edit is never read as a plan change
+    ho = old.get("adjudication_allowlist_sha256")
+    hn = new.get("adjudication_allowlist_sha256")
+    if ho != hn:
+        out["allowlist_mismatch_warning"] = (
+            f"artifacts computed against different adjudication "
+            f"allowlists (old={ho}, new={hn}); their substantive-flag "
+            "lists are not directly comparable"
+        )
     return out
 
 

@@ -506,15 +506,22 @@ def match_starts(
 def _packed(id_expr, i_expr, ctx: str):
     """(id, position) packed into one BIGINT (id * 2^21 + i) so the
     lexicographic struct minimum becomes a plain numeric MIN — cheaper
-    partials, cross-engine exact. The 21-bit contract is ENFORCED
-    inline (r12, same posture as exact_substring_delta_report's guard):
-    a position >= 2^21 raises instead of silently bleeding into the id
-    bits; the when/otherwise stays in codegen, no extra pass."""
+    partials, cross-engine exact. BOTH operands' contracts are ENFORCED
+    inline (position r12, id magnitude r13 — ADVICE r12 / VERDICT r12
+    what's-wrong #3: the one-sided guard left a doc_id with
+    |id| >= 2^42 silently overflowing the BIGINT on id * 2^21, the
+    exact defect class the position guard closed for the other
+    operand; synthetic ids never get there, snowflake-style 64-bit
+    production ids do). A violating row raises instead of corrupting
+    per-gram minima; the when-chain stays in codegen, no extra pass.
+    NEGATIVE ids within the magnitude bound are part of the contract:
+    packing stays monotone (i >= 0, so floor division recovers id) and
+    the arithmetic shiftright/pmod unpack is floor-consistent — pinned
+    by test_gram_index's negative-id round-trip test, and load-bearing
+    for the delta property checks' negative-id probes."""
     return (
         F.when(
-            i_expr < F.lit(1 << 21),
-            id_expr.cast("long") * F.lit(1 << 21) + i_expr,
-        ).otherwise(
+            i_expr >= F.lit(1 << 21),
             F.raise_error(
                 F.concat(
                     F.lit(f"{ctx}: doc "),
@@ -524,8 +531,23 @@ def _packed(id_expr, i_expr, ctx: str):
                         " would corrupt doc ids — chunk upstream"
                     ),
                 )
-            )
+            ),
         )
+        .when(
+            F.abs(id_expr.cast("long")) >= F.lit(1 << 42),
+            F.raise_error(
+                F.concat(
+                    F.lit(f"{ctx}: doc id "),
+                    id_expr.cast("string"),
+                    F.lit(
+                        " has |id| >= 2^42; packing id * 2^21 would"
+                        " overflow BIGINT and corrupt per-gram minima"
+                        " — remap ids upstream"
+                    ),
+                )
+            ),
+        )
+        .otherwise(id_expr.cast("long") * F.lit(1 << 21) + i_expr)
     )
 
 

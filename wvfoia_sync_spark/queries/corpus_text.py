@@ -1477,9 +1477,28 @@ def exact_substring_delta_report(
         # with >= 2^21 tokens would silently bleed positions into the
         # doc_id bits and corrupt per-gram minima — raise instead, inline
         # in codegen (no extra pass), mirroring repetition_budget's
-        # max_sources overflow guard
+        # max_sources overflow guard. r13 (ADVICE r12): the id operand
+        # gets the symmetric guard — |doc_id| >= 2^42 would overflow the
+        # BIGINT pack (2^63 / 2^21) just as silently (snowflake-style
+        # 64-bit production ids; synthetic ids never get there) —
+        # matching gram_index._packed's two-sided contract
         .select(
-            "doc_id",
+            F.when(
+                F.abs(F.col("doc_id").cast("long")) >= F.lit(1 << 42),
+                F.raise_error(
+                    F.concat(
+                        F.lit("exact_substring_delta_report: doc id "),
+                        F.col("doc_id").cast("string"),
+                        F.lit(
+                            " has |id| >= 2^42; packing id * 2^21 would"
+                            " overflow BIGINT and corrupt per-gram"
+                            " minima — remap ids upstream"
+                        ),
+                    )
+                ),
+            )
+            .otherwise(F.col("doc_id").cast("long"))
+            .alias("doc_id"),
             F.when(F.size("toks") < F.lit(1 << 21), F.col("toks"))
             .otherwise(
                 F.raise_error(

@@ -162,3 +162,25 @@ def _prune_stale_generations(final: str, ttl: float = _PRUNE_TTL_SECONDS) -> Non
             for aside in siblings:
                 if aside.startswith(name + "._rs_"):
                     _rm_if_expired(aside)
+    # ORPHANED aside lineages (r13, ADVICE r12): when a base generation
+    # was pruned but its aside dirs were still younger than the TTL, the
+    # block above left them — and on every later sweep the base no
+    # longer exists, so the startswith block was never reached again
+    # (an unbounded best-effort disk leak). Sweep them here: an aside
+    # whose ROOT base (the name before the first ._rs_) matches this
+    # artifact's stem pattern but is GONE from disk can never be
+    # re-resolved (derived_path keys on the live fingerprint) and goes
+    # as soon as its own TTL lapses. Asides of the LIVE base are
+    # untouched — those are adopted single-writer lineages the caller
+    # retires (the r12 contract above).
+    for name in siblings:
+        if "._rs_" not in name:
+            continue
+        root = name.split("._rs_", 1)[0]
+        if (
+            root != base
+            and root.rsplit("_", 1)[0] == stem
+            and root.startswith(os.path.basename(_PREFIX))
+            and not os.path.exists(os.path.join(parent, root))
+        ):
+            _rm_if_expired(name)

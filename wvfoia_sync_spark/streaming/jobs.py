@@ -1452,7 +1452,15 @@ def streaming_delta_impact(
 
     Empty batches still write their (empty) epoch dir: "the latest
     batch steals nothing" is a real answer, and skipping it would make
-    the read-back resurrect a STALE epoch's report."""
+    the read-back resurrect a STALE epoch's report. That covers BOTH
+    empty shapes (r13, ADVICE r12): a fired batch with zero rows writes
+    its dir inside ``impact``, and an availableNow run that finds
+    NOTHING new (a checkpointed restart with no new files — foreachBatch
+    is never invoked at all then) writes a SENTINEL empty epoch after
+    termination, one above the sink's max, so the read-back answers
+    "this run steals nothing" instead of resurrecting the previous
+    run's report. A first run over an empty source stays empty-frame
+    (no sink dir exists and there is no stale answer to shadow)."""
     from ..operators import gram_index
     from ..operators.textops import delta_report_fold
 
@@ -1460,8 +1468,10 @@ def streaming_delta_impact(
     span = man["span"]
     id_col = man["id_col"]
     spark = incoming.sparkSession
+    fired = {"n": 0}
 
     def impact(batch_df: DataFrame, epoch_id: int) -> None:
+        fired["n"] += 1
         others = [c for c in batch_df.columns if c != id_col]
         batch_df = (
             batch_df.groupBy(id_col)
@@ -1504,14 +1514,46 @@ def streaming_delta_impact(
         ]
     )
     out_cols = [id_col, "n_stolen_grams", "n_new_dup_tokens"]
-    try:
-        sink = spark.read.schema(report_schema).parquet(sink_path)
-        sink.head(1)
-    except AnalysisException:  # zero batches arrived: no sink directory
+    # The latest epoch is resolved from the sink's DIRECTORY names, not
+    # from row values (r13, ADVICE r12 — and the deeper bug behind it):
+    # an epoch whose report is EMPTY writes a zero-row dir, and a
+    # row-valued max(epoch) cannot see it, so both a fired-but-empty
+    # batch and the no-batch sentinel would silently resurrect the
+    # previous epoch's rows — the exact staleness the per-epoch
+    # contract forbids. "batch=<n>" is this sink's own layout, listed
+    # driver-side at epoch cardinality (bounded: one entry per
+    # availableNow run, compacted trivially by deleting old dirs).
+    import re
+
+    def _epochs() -> list[int]:
+        try:
+            names = os.listdir(sink_path)
+        except OSError:
+            return []
+        return [
+            int(m.group(1))
+            for n in names
+            if (m := re.fullmatch(r"batch=(\d+)", n))
+        ]
+
+    epochs = _epochs()
+    if not epochs:  # zero batches EVER: no sink directory, no stale
         return spark.createDataFrame([], report_schema).select(out_cols)
-    latest = sink.agg(F.max("epoch").alias("epoch"))
+    if fired["n"] == 0:
+        # an availableNow run with NOTHING new never invokes
+        # foreachBatch (a checkpointed restart with no new files), so
+        # this run must publish its own "steals nothing" answer: a
+        # SENTINEL empty epoch one above the sink's max. Idempotent
+        # like every epoch dir; dir-based resolution makes it (and any
+        # fired-but-empty epoch) actually shadow the older reports.
+        nxt = max(epochs) + 1
+        spark.createDataFrame([], report_schema).write.mode(
+            "overwrite"
+        ).parquet(f"{sink_path}/batch={nxt}")
+        epochs.append(nxt)
     return (
-        sink.join(latest, "epoch")
+        spark.read.schema(report_schema)
+        .parquet(f"{sink_path}/batch={max(epochs)}")
         .select(out_cols)
         .orderBy(id_col)
     )
