@@ -216,3 +216,146 @@ def test_live_holder_is_never_ttl_broken(spark, tmp_path):
         gram_index.append_gram_index(_docs(spark, [(9, B)]), idx)
     assert os.path.exists(_lease_file(idx))
     os.unlink(_lease_file(idx))
+
+
+def _write_lease(idx: str, rec: dict) -> bytes:
+    raw = json.dumps(rec).encode()
+    with open(_lease_file(idx), "wb") as f:
+        f.write(raw)
+    return raw
+
+
+def _dead_pid() -> int:
+    proc = subprocess.Popen(["true"])
+    proc.wait()  # reaped: the pid is provably dead
+    return proc.pid
+
+
+def test_break_is_token_guarded_against_reacquire(spark, tmp_path):
+    """The r12 residual, closed (r13, VERDICT r12 task 6): a breaker
+    that classified a DEAD holder's lease stale, then lost the race to
+    another breaker who broke it and re-acquired, must NOT unlink the
+    fresh third-writer lease — the two-phase break re-reads the lock
+    and aborts when the content no longer matches what it classified."""
+    idx = str(tmp_path / "idx")
+    gram_index.write_gram_index(_docs(spark, [(1, A)]), idx, span=6)
+    host = socket.gethostname()
+    stale_raw = _write_lease(
+        idx, {"pid": _dead_pid(), "host": host, "token": "dead", "ts": 0}
+    )
+    # interleave: before OUR break lands, the lease is broken and
+    # re-acquired by a live third writer
+    fresh = {"pid": os.getpid(), "host": host, "token": "fresh3", "ts": 0}
+    fresh_raw = _write_lease(idx, fresh)
+    segments._break_stale(_lease_file(idx), stale_raw, host)
+    # the live writer's lease survives, byte-identical
+    with open(_lease_file(idx), "rb") as f:
+        assert f.read() == fresh_raw
+    # and no marker is left behind
+    assert not os.path.exists(_lease_file(idx) + ".break")
+    # the break DOES land when the content still matches
+    segments._break_stale(_lease_file(idx), fresh_raw, host)
+    assert not os.path.exists(_lease_file(idx))
+
+
+def test_break_marker_serializes_breakers_and_recovers_from_crash(
+    spark, tmp_path
+):
+    """Breakers serialize on the exclusive .break marker: while a LIVE
+    breaker holds it, a second breaker backs off without touching the
+    lock; a CRASHED breaker's orphaned marker (provably-dead pid) is
+    itself broken, so it cannot wedge the index — the next append
+    still acquires."""
+    idx = str(tmp_path / "idx")
+    gram_index.write_gram_index(_docs(spark, [(1, A)]), idx, span=6)
+    host = socket.gethostname()
+    stale_raw = _write_lease(
+        idx, {"pid": _dead_pid(), "host": host, "token": "dead", "ts": 0}
+    )
+    marker = _lease_file(idx) + ".break"
+
+    # live breaker holds the marker: a rival break is a no-op
+    with open(marker, "w") as f:
+        json.dump(
+            {"pid": os.getpid(), "host": host, "ts": time.time(),
+             "target_sha": "other"},
+            f,
+        )
+    segments._break_stale(_lease_file(idx), stale_raw, host)
+    assert os.path.exists(_lease_file(idx))  # lock untouched
+    assert os.path.exists(marker)  # live marker untouched
+
+    # crashed breaker's marker (dead pid): broken, then the full
+    # acquire path gets through — marker AND dead lease both cleared
+    with open(marker, "w") as f:
+        json.dump(
+            {"pid": _dead_pid(), "host": host, "ts": time.time(),
+             "target_sha": "other"},
+            f,
+        )
+    assert gram_index.append_gram_index(_docs(spark, [(9, B)]), idx) == 1
+    assert not os.path.exists(marker)
+    assert not os.path.exists(_lease_file(idx))
+
+
+def test_three_writers_race_over_dead_holder_single_winner(
+    spark, tmp_path
+):
+    """The VERDICT r12 task-6 done criterion: THREE writers racing over
+    an already-dead holder's lease (each one both a breaker and a
+    candidate acquirer). Exactly one wins each acquire, nothing
+    interleaves, and with retries all three land as distinct segments —
+    the final index equals a serial execution."""
+    idx = str(tmp_path / "idx")
+    gram_index.write_gram_index(_docs(spark, [(1, A)]), idx, span=6)
+    host = socket.gethostname()
+    _write_lease(
+        idx, {"pid": _dead_pid(), "host": host, "token": "dead", "ts": 0}
+    )
+    deltas = {
+        3: "c1 c2 c3 c4 c5 c6 c7",
+        4: "d1 d2 d3 d4 d5 d6 d7",
+        5: "e1 e2 e3 e4 e5 e6 e7",
+    }
+    start = threading.Barrier(len(deltas))
+    failures: list = []
+
+    def writer(doc_id: int, text: str) -> None:
+        delta = _docs(spark, [(doc_id, text)])
+        start.wait()
+        for _ in range(200):
+            try:
+                gram_index.append_gram_index(delta, idx)
+                return
+            except segments.ConcurrentWriterError:
+                time.sleep(0.05)
+            except Exception as e:  # noqa: BLE001 — surface in main thread
+                failures.append(e)
+                return
+        failures.append(AssertionError("writer starved"))
+
+    threads = [
+        threading.Thread(target=writer, args=(d, t), daemon=True)
+        for d, t in deltas.items()
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=180)
+        assert not t.is_alive()
+    assert not failures, failures
+
+    got = sorted(map(tuple, gram_index.load_gram_index(spark, idx).collect()))
+    serial = str(tmp_path / "serial")
+    gram_index.write_gram_index(
+        _docs(spark, [(1, A)] + sorted(deltas.items())), serial, span=6
+    )
+    want = sorted(
+        map(tuple, gram_index.load_gram_index(spark, serial).collect())
+    )
+    assert got == want
+    # all three appends committed as DISTINCT segments (no id reuse)
+    assert gram_index._manifest_read(idx)["committed_seg"] == 3
+    # no lease or break marker left behind
+    assert not os.path.exists(_lease_file(idx))
+    assert not os.path.exists(_lease_file(idx) + ".break")

@@ -328,11 +328,24 @@ def writer_lease(path: str, ttl: float = _LEASE_TTL_SECONDS):
     A provably-LIVE same-host holder is never broken, even past the
     TTL: a legitimate long hold (a huge compaction) must make the
     second writer RAISE, not get yanked into a two-writer interleave.
-    So the enforcement guarantee only degrades in
-    the break path's microscopic read-check-unlink window, and only
-    when a third writer races two breakers over an already-dead
-    holder — the honest residual, documented here rather than
-    overclaimed away. Object stores without atomic create need a real
+
+    The break itself is TWO-PHASE (r13, VERDICT r12 task 6 — closing
+    the r12 residual where two breakers racing over an already-dead
+    holder could unlink a third writer's FRESH lease in the
+    read-check-unlink window): a breaker first claims the exclusive
+    ``_writer.lock.break`` marker recording the exact lock CONTENT it
+    classified stale, then re-reads the lock and unlinks only if the
+    content is byte-identical to what it recorded. Breakers serialize
+    on the marker (O_EXCL), and a lease re-acquired between
+    classification and unlink has different content (fresh uuid
+    token), so the token-guarded unlink aborts instead of yanking it.
+    A breaker that crashes mid-break cannot wedge the index: the
+    marker carries {pid, host, ts} and is itself broken by the same
+    provably-dead / short-TTL staleness logic. What remains is the
+    same class one level down — wrongly breaking a breaker's marker
+    requires proving a live breaker dead, which same-host pid liveness
+    cannot do; cross-host the marker TTL (60 s, vs a sub-second break)
+    is the bound. Object stores without atomic create need a real
     coordination service instead; this module is plain-filesystem
     scoped, like the indexes it manages."""
     import contextlib
@@ -348,6 +361,103 @@ def writer_lease(path: str, ttl: float = _LEASE_TTL_SECONDS):
     return _ctx()
 
 
+_BREAK_TTL_SECONDS = 60.0
+_ACQUIRE_ATTEMPTS = 6
+
+
+def _holder_alive(rec: dict | None, my_host: str) -> bool | None:
+    """Same-host pid liveness: True (provably alive), False (provably
+    dead), None (cross-host / unreadable / unprovable) — the one copy
+    both the lease and the break-marker staleness checks use."""
+    if not rec:
+        return None
+    if rec.get("host") != my_host:
+        return None
+    try:
+        os.kill(int(rec["pid"]), 0)
+        return True
+    except ProcessLookupError:
+        return False
+    except (PermissionError, ValueError, TypeError, OSError):
+        return None
+
+
+def _break_stale(full: str, raw: bytes, my_host: str) -> None:
+    """Two-phase break of a lease the CALLER already classified stale
+    (r13, VERDICT r12 task 6). Phase 1: claim the exclusive ``.break``
+    marker recording a hash of the exact lock content being broken;
+    phase 2: re-read the lock and unlink ONLY if its content is still
+    byte-identical. A lease released-and-re-acquired between the
+    caller's classification and the unlink has different content
+    (fresh uuid token), so the guard aborts instead of unlinking a
+    live third writer's lease — the r12 residual. One attempt either
+    way; the caller's create-retry loop re-examines from scratch.
+
+    A crashed breaker's orphaned marker is itself broken by the lease's
+    own staleness logic (provably-dead pid, else a SHORT ttl — a break
+    is sub-second, so 60 s is generous) — without this, a breaker dying
+    between marker-create and marker-unlink would wedge every future
+    break."""
+    import hashlib
+    import socket
+    import time
+
+    marker = full + ".break"
+    me = {
+        "pid": os.getpid(),
+        "host": socket.gethostname(),
+        "ts": time.time(),
+        "target_sha": hashlib.sha256(raw).hexdigest(),
+    }
+    try:
+        fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        # another breaker holds the marker; age/liveness-gate it so a
+        # crashed breaker cannot wedge the index forever
+        try:
+            with open(marker) as f:
+                rec = json.load(f)
+        except (OSError, ValueError):
+            rec = None
+        alive = _holder_alive(rec, my_host)
+        ts = float((rec or {}).get("ts") or 0)
+        if ts <= 0:
+            try:
+                ts = os.stat(marker).st_mtime
+            except OSError:
+                return
+        if alive is False or (
+            alive is None and time.time() - ts >= _BREAK_TTL_SECONDS
+        ):
+            try:
+                os.unlink(marker)
+            except OSError:
+                pass
+        return  # marker contended either way: caller retries the loop
+    except OSError:
+        return  # index dir vanished mid-break: caller re-examines
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(me, f)
+        try:
+            with open(full, "rb") as f:
+                now_raw = f.read()
+        except OSError:
+            return  # lock already gone: nothing to break
+        if now_raw == raw:
+            try:
+                os.unlink(full)
+            except OSError:
+                pass
+        # content changed: someone else broke-and-reacquired — their
+        # fresh lease is live, NOT ours to touch (the whole point)
+    finally:
+        try:
+            os.unlink(marker)
+        except OSError:
+            pass
+
+
 def _acquire_lease(path: str, ttl: float) -> str | None:
     import socket
     import time
@@ -360,7 +470,7 @@ def _acquire_lease(path: str, ttl: float) -> str | None:
         "token": uuid.uuid4().hex,
         "ts": time.time(),
     }
-    for _attempt in range(3):
+    for _attempt in range(_ACQUIRE_ATTEMPTS):
         try:
             fd = os.open(full, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             with os.fdopen(fd, "w") as f:
@@ -373,12 +483,21 @@ def _acquire_lease(path: str, ttl: float) -> str | None:
             # caller's manifest read raise the canonical rebuild hint
             # (the lease must not shadow the real diagnosis)
             return None
+        # ONE raw read; classification and the break guard both work
+        # from these exact bytes, so "the lease I judged stale" and
+        # "the lease I may unlink" can never diverge (r13)
         try:
-            with open(full) as f:
-                cur = json.load(f)
+            with open(full, "rb") as f:
+                raw = f.read()
         except FileNotFoundError:
             continue  # holder released between create and read: retry
-        except (OSError, ValueError):
+        except OSError:
+            continue
+        try:
+            cur = json.loads(raw)
+            if not isinstance(cur, dict):
+                cur = None
+        except ValueError:
             cur = None  # torn write: age-gate on file mtime below
         stale = False
         if cur is None:
@@ -387,17 +506,9 @@ def _acquire_lease(path: str, ttl: float) -> str | None:
             except OSError:
                 continue  # vanished: retry the create
         else:
-            alive = None  # unknown (cross-host or unprovable)
-            if cur.get("host") == me["host"]:
-                try:
-                    os.kill(int(cur["pid"]), 0)
-                    alive = True
-                except ProcessLookupError:
-                    alive = False  # provably dead on this host
-                except (PermissionError, ValueError, TypeError, OSError):
-                    pass  # cannot prove either way
+            alive = _holder_alive(cur, me["host"])
             if alive is False:
-                stale = True
+                stale = True  # provably dead on this host
             elif alive is True:
                 # a provably LIVE same-host holder is NEVER TTL-broken
                 # (a legitimate >ttl hold — e.g. a huge compaction —
@@ -415,10 +526,7 @@ def _acquire_lease(path: str, ttl: float) -> str | None:
                 "crashed holder's lock (auto-broken once provably dead "
                 f"on this host or older than ttl={ttl:.0f}s)."
             )
-        try:
-            os.unlink(full)  # break the stale lease, then retry create
-        except OSError:
-            pass
+        _break_stale(full, raw, me["host"])  # two-phase: see docstring
     raise ConcurrentWriterError(
         f"{full}: could not acquire after repeated stale-lease breaks "
         "(another writer keeps winning the re-create race)."
