@@ -17,81 +17,80 @@ from wvfoia_sync_spark import registry
 # The driver's correctness gate samples a fixed-size window from the
 # head of this dict, so ordering IS verification coverage. Rounds 1-6
 # drove all registered names to a driver-green row at least once; r7
-# started freshness rotation (stalest-first). This round (r12):
-# (a) the 21 names whose latest green is still r7 — the rotation's
-# remaining tail (r11's 50-wide window covered the first 27 of the r7
-# band; after this window lands no name's latest green predates r8);
-# (b) every query whose PLAN changed this round plus the NEW names:
-# exact_substring_gate + gram_lifecycle_property_check (probe now
-# passes prune=False — corpus-scaled probes touch every gbucket, so
-# the bucket collect was a pure extra pass, ADVICE r11),
-# exact_substring_delta_report (21-bit position-packing contract now
-# ENFORCED by an inline raise_error guard, ADVICE r11),
-# exact_substring_delta_report_incremental (NEW r12: the O(|delta|)
-# form against the gram index's stored first-occurrence minima —
-# VERDICT r11 missing #3 closed) with its property check;
-# (c) the names last green in r8, alphabetically, filling the window —
-# r13 takes the remainder.
+# started freshness rotation (stalest-first). This round (r13):
+# (a) the 25 names whose latest green is still r8 — the rotation's
+# remaining r8 band (r12's 50-wide window covered the first 24 of it
+# alphabetically minus the two cut by the cap; after this window
+# lands no name's latest green predates r9 — VERDICT r12 task 3);
+# (b) every query whose PLAN or underlying operator changed this
+# round: the delta-report family (the packed-BIGINT guard is now
+# two-sided — |id| < 2^42 enforced inline, ADVICE r12), the streaming
+# delta-impact read-back (latest epoch now resolved from sink
+# DIRECTORY names so an empty epoch can't resurrect a stale report,
+# ADVICE r12), the writer-lease two-phase break (segments.py — every
+# stored-index append path), and the compaction with_first backfill
+# (gram_index.compact — VERDICT r12 task 7);
+# (c) the names last green in r9, alphabetically, filling the window —
+# r14 takes the remainder.
 # Everything else follows in registration order, so a wider window only
 # adds coverage.
 DRIVER_WINDOW: list[str] = [
-    # --- r12 head: the 21 names last green in r7 — the rotation's
-    # tail (queued verbatim by the r11 plan) ---
-    "minhash_near_dup",
-    "multimodal_meta",
-    "nation_page",
-    "nation_stats",
-    "page_fetch",
-    "point_lookup",
-    "price_percentiles",
-    "quality_filter",
-    "quality_scores",
-    "region_revenue",
-    "resolution_buckets",
-    "rss_items",
-    "semi_join",
-    "sessionization",
-    "simhash_dups",
-    "slug_rollup",
-    "status_rollup",
-    "status_timeline",
-    "top3_per_group",
-    "top_fees",
-    "upsert_merge",
-    # --- new/changed plans in r12 (values unchanged except NEW names) ---
-    "exact_substring_gate",  # probe now prune=False (ADVICE r11)
-    "gram_lifecycle_property_check",  # same probe path
-    "exact_substring_delta_report",  # 21-bit guard now enforced inline
-    "exact_substring_delta_report_incremental",  # NEW r12: O(|delta|) form
-    "exact_substring_delta_incr_property_check",  # NEW r12: its proof
-    "stream_delta_impact",  # NEW r12: the check at ingest cadence
-    "stream_substring_gate",  # r12: segments writer-lease on appends
-    # --- then the names last green in r8, alphabetical (the
-    # rotation's next band; r13 takes the remainder) ---
-    "audio_decode_meta",
-    "blame_supplier",
-    "bm25_rank",
-    "cdc_apply",
-    "cluster_best_pick",
-    "curated_corpus",
-    "decontam_overlap",
-    "decontam_scrub",
-    "disjunctive_revenue",
-    "dpp_star_join",
-    "dsir_importance",
-    "dup_clusters",
-    "events_sliding",
-    "excess_qty_suppliers",
-    "gopher_repetition",
-    "image_decode_meta",
-    "important_parts",
-    "incremental_rollup",
-    "k_anonymity",
-    "knn_join",
-    "large_volume_customers",
-    "leakage_free_split",
+    # --- r13 head: the 25 names last green in r8 — the rotation's
+    # remaining r8 band (queued by the r12 plan) ---
     "min_cost_supplier",
     "order_priority",
+    "partition_pruned_revenue",
+    "passage_dedup",
+    "pii_scrub",
+    "pricing_summary",
+    "salted_agg",
+    "scd2_asof_lookup",
+    "scd2_history",
+    "semdedup_property_check",
+    "sessionization_stream",
+    "shipping_priority",
+    "sketch_rollup_merge",
+    "skew_salted_join",
+    "snapshot_cdc_diff",
+    "stateful_counts_stream",
+    "stream_dedup",
+    "stream_static_join",
+    "stream_stream_join",
+    "stream_stream_outer_join",
+    "stream_upsert",
+    "token_histogram",
+    "token_stats",
+    "window_totals",
+    "winnow_near_dup",
+    # --- changed plans/operators in r13 (values unchanged; the
+    # underlying code paths are what moved) ---
+    "exact_substring_delta_report",  # two-sided packed-id guard
+    "exact_substring_delta_report_incremental",  # same + lease break
+    "exact_substring_delta_incr_property_check",  # its proof
+    "stream_delta_impact",  # epoch-dir read-back + sentinel epochs
+    "stream_substring_gate",  # two-phase lease break on appends
+    "gram_lifecycle_property_check",  # compact path grew the backfill
+    # --- then the names last green in r9, alphabetical (the
+    # rotation's next band; r14 takes the remainder) ---
+    "above_avg_orders",
+    "balanced_sample",
+    "bloom_semi_join",
+    "bpe_token_stats",
+    "cohort_retention",
+    "customer_distribution",
+    "cycle_time",
+    "dq_checks",
+    "equidepth_hist",
+    "events_rolling_hour",
+    "events_time_rollup",
+    "forecast_revenue",
+    "fts_vocab",
+    "funnel_counts",
+    "fuzzy_name_match",
+    "hll_error_check",
+    "hll_union_rollup",
+    "inactive_rich_customers",
+    "interpolate_series",
 ]
 
 

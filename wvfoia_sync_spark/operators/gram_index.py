@@ -334,7 +334,11 @@ def gram_index_staleness(spark: SparkSession, path: str) -> dict:
 
 
 def compact_gram_index(
-    spark: SparkSession, path: str, reader_safe: bool = False
+    spark: SparkSession,
+    path: str,
+    reader_safe: bool = False,
+    backfill_first_from: DataFrame | None = None,
+    text_col: str = "text",
 ) -> str:
     """Fold the live rows back into a single segment. Stale segments'
     rows are dropped for good; subsequent readers take the
@@ -376,7 +380,24 @@ def compact_gram_index(
     segment silently dropped by the fold (the fold is bounded by the
     OLD snapshot). The aside mode needs no lease — it never touches
     the source tree, and its (gen, committed) keying makes a raced
-    append produce a distinct, correct publish."""
+    append produce a distinct, correct publish.
+
+    ``backfill_first_from`` (r13, VERDICT r12 missing #3 / task 7):
+    in-place ``with_first`` UPGRADE for a membership-only index. The
+    index stores no positions, so ``first_i`` cannot be derived from
+    the stored rows — the caller passes the corpus whose CURRENT text
+    the index gates on, and the compaction folds ONE tokenize pass
+    (the same per-doc min-position groupBy the fresh build runs) into
+    the rewrite it was already paying, instead of forcing a 100 TB
+    from-scratch rebuild to adopt the O(|delta|) delta report. The
+    stored live gram set stays authoritative: derived positions attach
+    by a full outer join on (id, gram) restricted to live ids, and
+    EITHER drift direction raises inside the write job — a stored gram
+    the corpus lacks (stale/wrong corpus) and a corpus gram the index
+    lacks (newer text) both fail loudly rather than publishing minima
+    that disagree with the membership the gate serves. No-op when the
+    index already stores positions; corpus docs not live in the index
+    are ignored (semi-join on the doc-sized live table)."""
     import contextlib
 
     ctx = (
@@ -385,11 +406,17 @@ def compact_gram_index(
         else segments.writer_lease(path)
     )
     with ctx:
-        return _compact_gram_index_locked(spark, path, reader_safe)
+        return _compact_gram_index_locked(
+            spark, path, reader_safe, backfill_first_from, text_col
+        )
 
 
 def _compact_gram_index_locked(
-    spark: SparkSession, path: str, reader_safe: bool
+    spark: SparkSession,
+    path: str,
+    reader_safe: bool,
+    backfill_first_from: DataFrame | None = None,
+    text_col: str = "text",
 ) -> str:
     man = _manifest_read(path)
     live = load_gram_index(spark, path).withColumn("seg", F.lit(0))
@@ -404,6 +431,63 @@ def _compact_gram_index_locked(
         .select(man["id_col"])
         .withColumn("seg", F.lit(0))
     )
+
+    backfilled = False
+    if backfill_first_from is not None and not man.get("with_first", False):
+        id_col = man["id_col"]
+        derived = doc_grams(
+            backfill_first_from, man["span"], id_col, text_col, with_first=True
+        ).join(live_ids.select(id_col), id_col, "left_semi")
+        joined = live.join(derived, [id_col, "g"], "full")
+        # symmetric drift guard, enforced INSIDE the write job (no
+        # extra pass): seg is non-null iff the stored side matched,
+        # first_i iff the derived side did — a null on either side
+        # means the supplied corpus and the live index disagree, and
+        # publishing minima against mismatched membership would make
+        # the delta report silently wrong for exactly the grams that
+        # drifted
+        live = joined.select(
+            F.col(id_col),
+            "g",
+            F.when(
+                F.col("first_i").isNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "compact_gram_index backfill: live index gram"
+                            " for doc "
+                        ),
+                        F.col(id_col).cast("string"),
+                        F.lit(
+                            " is absent from the supplied corpus — pass the"
+                            " corpus whose text the index currently gates on"
+                        ),
+                    )
+                ),
+            )
+            .otherwise(F.col("first_i"))
+            .alias("first_i"),
+            F.when(
+                F.col("seg").isNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "compact_gram_index backfill: corpus doc "
+                        ),
+                        F.col(id_col).cast("string"),
+                        F.lit(
+                            " carries a gram absent from the live index —"
+                            " the corpus is newer than the indexed text;"
+                            " append the delta first, then compact"
+                        ),
+                    )
+                ),
+            )
+            .otherwise(F.col("seg"))
+            .alias("seg"),
+            "gbucket",
+        )
+        backfilled = True
 
     def write_into(tmp: str) -> None:
         os.makedirs(tmp, exist_ok=True)
@@ -425,7 +509,7 @@ def _compact_gram_index_locked(
                 "span": man["span"],
                 "prune_buckets": man["prune_buckets"],
                 "id_col": man["id_col"],
-                "with_first": man.get("with_first", False),
+                "with_first": man.get("with_first", False) or backfilled,
             },
         )
         if os.path.exists(os.path.join(path, "_SUCCESS")):
