@@ -220,21 +220,21 @@ ADJUDICATED_GT2: dict[str, str] = {
     "exact_substring_stats": "SCALE.md 'Round-11 bench-band adjudication'",
     "exact_substring_gate": "SCALE.md 'Round-11 bench-band adjudication' + r11 gramgate probe (flat in corpus)",
     "exact_substring_source_matrix": "SCALE.md 'Round-11 bench-band adjudication' (fixed r11; knife-edge pre-registered)",
-    "stream_substring_gate": "SCALE.md 'Round-11 bench-band adjudication' + r12 stage breakdown",
-    "stream_delta_impact": "stream_substring_gate's sibling: same streaming machinery + the incremental report's family floor (r12 sections)",
+    "stream_substring_gate": "SCALE.md 'Round-11 bench-band adjudication' + r12 stage breakdown + r13 k=16 point (1.67x)",
+    "stream_delta_impact": "SCALE.md 'Round-13 band convergence' — own measured k-series now, 7.3x->1.99x monotone, under the bar by k=8",
     "decontam_split": "SCALE.md 'Round-11 bench-band adjudication' + r12 convergence",
-    "decontam_overlap": "SCALE.md 'Round-11 bench-band adjudication' + r12 convergence",
+    "decontam_overlap": "SCALE.md 'Round-11 bench-band adjudication' + r13 k=16 point (1.52x)",
     "decontam_scrub": "SCALE.md 'Round-11 bench-band adjudication'",
     "boilerplate_purge": "SCALE.md 'Round-11 bench-band adjudication'",
-    "unigram_surprisal": "SCALE.md 'Round-11 bench-band adjudication'",
-    "tfidf_top_terms": "SCALE.md 'Round-11 bench-band adjudication' (knife-edge band)",
+    "unigram_surprisal": "SCALE.md 'Round-13 band convergence' — r12's k=8 plateau was a real plan defect (decimal sum + triple tokenize), FIXED r13; re-planned series falls monotone to 1.98x at k=16",
+    "tfidf_top_terms": "SCALE.md 'Round-11 bench-band adjudication' + r13 k=16 point (2.70x->2.03x, still falling; dfreq-checkpoint A/B measured and rejected)",
     "exact_substring_delta_report": "same family/shape as exact_substring_dedup minus the join-back (r11 docstring)",
     "exact_substring_delta_report_incremental": "SCALE.md 'Round-12 incremental delta report' — the REGISTERED fixture's delta is corpus/7, the saturated regime; the O(|delta|) claim is the probe's",
     # non-family knife-edge names, each with its own paragraph
     "scd2_asof_lookup": "SCALE.md 'Round-11 bench-band adjudication' (equi-key join is the right plan)",
     "sql_interface": "SCALE.md 'Round-11 bench-band adjudication' (3 broadcast joins; duck-floor variance)",
     "snapshot_cdc_diff": "SCALE.md 'Round-11 bench-band adjudication' (knife-edge band)",
-    "dsir_importance": "SCALE.md 'Round-11 bench-band adjudication' (knife-edge band) + r8 dsir probe",
+    "dsir_importance": "SCALE.md 'Round-13 band convergence' — micro-nat long sum r13; k-series 2.89x->0.97x, below DuckDB by k=16",
     # slow-session entrants: 0.7-0.9s idle walls that cross the 1.0s term
     # only under load — named and adjudicated in SCALE.md's r11
     # post-change re-bench note (audited shapes, same adjudication class)

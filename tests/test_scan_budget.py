@@ -64,7 +64,12 @@ BUDGET_EXCEPTIONS: dict[str, dict[str, int]] = {
     "decontam_split": {"documents": 3},
     "boilerplate_purge": {"documents": 3},
     "temperature_mixture": {"documents": 3},
-    "unigram_surprisal": {"documents": 3},
+    # unigram_surprisal left the x3 family r13: the scoring sum moved
+    # from decimal to long micro-nats and the re-measured A/B flipped
+    # in favor of a lazy vocab-sized counts checkpoint, so the plan now
+    # audits at 1 static scan (the checkpoint placeholder hides the LM
+    # build's pass; runtime pays exactly 2 — within DEFAULT_MAX either
+    # way, so no exception row).
     "fts_index_search": {"documents": 3},
     "blame_supplier": {"lineitem": 3},
 }

@@ -2199,10 +2199,20 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     BROADCAST back against the token stream — the corpus shuffles once
     for the doc-level re-agg only). At 100 TB with an open vocab, swap
     the broadcast for a shuffle join on token; the plan is otherwise
-    unchanged. Determinism: per-token surprisal is rounded to 6dp and
-    summed as DECIMAL (order-free exact sum), so the engines can't drift
-    in float accumulation order; ln() itself agrees to < 1 ulp, far from
-    the 6dp rounding boundaries on this corpus."""
+    unchanged. Determinism: per-token surprisal is rounded to 6dp, then
+    summed order-free EXACTLY — as a LONG of micro-nats, not a decimal
+    (r13: the k=16 convergence point showed this name PLATEAUED at
+    ~2.6x DuckDB while its siblings converged; profiling put ~1.0 s of
+    the 2.1 s scoring pass in the decimal sum alone. A 6dp-rounded
+    surprisal times 1e6 is an exact integer — the decimal->long
+    conversion is per-row and cheap, the hot SUM stays in whole-stage
+    codegen, and (sum_long as double)/1e6/n is the same correctly-
+    rounded double as (sum_decimal as double)/n, verified bit-identical
+    on the full table. Overflow headroom: |micro| <= ~30e6 per token,
+    so a doc needs ~3e11 tokens to overflow the long — three orders
+    beyond the 2^21-position contract the delta-report family already
+    enforces). ln() itself agrees to < 1 ulp, far from the 6dp rounding
+    boundaries on this corpus."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(text_fns.tokens("text")).alias("tok")
@@ -2210,27 +2220,35 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     # LM normalizer derived from the freq table itself: agg to a 1-row
     # total and broadcast-cross-join it back over the vocab-sized freq
     # frame. Still lazy (no eager count() job at plan-build time).
-    # Pass-count (r11 scan audit): the tokenize subtree evaluates
-    # THREE times at execution (freq build, the total's re-derivation
-    # of it, the join side) — Spark reuses exchanges, not subplans. A
-    # checkpointed-counts reduction was A/B'd in the same family (pmi,
-    # drift sketch) and loses at bench SF (barrier > page-cached
-    # re-scan); the 100 TB caller materializes the vocab-sized counts
-    # once (pmi_collocations' persist_unigrams posture). Unlike the r2
-    # global-window form, nothing ever funnels the vocab through a
-    # SinglePartition WindowExec.
-    counts = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    # Pass-count (r11 scan audit, revised r13): the counts frame is a
+    # LAZY localCheckpoint — without it the tokenize subtree evaluates
+    # three times (freq build, the total's re-derivation, the join
+    # side; Spark reuses exchanges, not subplans). The r11 A/B that
+    # rejected the checkpoint predates the long-sum scoring pass;
+    # re-measured r13 the vocab-sized barrier wins at bench SF
+    # (0.82 -> 0.66 s) and is wall-neutral at k=16, leaving the two
+    # passes the semantics require (one to build the LM, one to score
+    # the stream — DuckDB's materialized CTE pays the same two).
+    counts = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
     total = counts.agg(F.sum("cnt").alias("total"))
     freq = counts.crossJoin(F.broadcast(total))
-    surprisal = F.round(
-        -F.log(F.col("cnt").cast("double") / F.col("total")), 6
-    ).cast("decimal(18,6)")
+    micro = (
+        F.round(-F.log(F.col("cnt").cast("double") / F.col("total")), 6)
+        .cast("decimal(18,6)")
+        * 1000000
+    ).cast("long")
     return (
         toks.join(F.broadcast(freq), "tok")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tok"),
-            (F.sum(surprisal).cast("double") / F.count("*")).alias("avg_nll"),
+            (F.sum(micro).cast("double") / F.lit(1e6) / F.count("*")).alias(
+                "avg_nll"
+            ),
         )
     )
 
@@ -2638,14 +2656,21 @@ def dsir_importance(
         ),
         6,
     ).cast("decimal(18,6)")
+    # r13: the 6dp-rounded lv is summed as a LONG of micro-nats (the
+    # unigram_surprisal transform — the decimal->long conversion is
+    # per-row, the hot SUM stays in codegen); (sum_long as double)/1e6
+    # is the same correctly-rounded double as the decimal sum's cast,
+    # and the sign test is integer-exact. Per-doc overflow headroom
+    # ~3e11 grams/doc, same argument as unigram_surprisal.
+    lv_micro = (lv * 1000000).cast("long")
     return (
         grams.where(~F.col("is_target"))
         .crossJoin(F.broadcast(model))
-        .select("doc_id", lv.alias("lv"))
+        .select("doc_id", lv_micro.alias("lv"))
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_grams"),
-            F.sum("lv").cast("double").alias("llr"),
+            (F.sum("lv").cast("double") / F.lit(1e6)).alias("llr"),
             (F.sum("lv") > 0).alias("selected"),
         )
         # no presentation orderBy: the oracle compare is row-order-
