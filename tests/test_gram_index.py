@@ -688,6 +688,24 @@ def test_streaming_delta_impact_empty_epochs_never_resurrect(
     dirs = sorted(os.listdir(sink))
     assert "batch=2" in dirs  # the sentinel epoch landed, dir-max + 1
 
+    # runs 4-5: two MORE no-data runs stack sentinels at dir-max + 1
+    # (ids 3, 4) — ids AHEAD of Spark's checkpointed batchId, which
+    # never advanced. Then run 6 delivers real data: its real epoch
+    # lands at batchId 2 (< the stale sentinels), and the stale
+    # "steals nothing" sentinels must NOT shadow its report — the
+    # fired run deletes them (they answered older runs' questions).
+    assert run(4).collect() == []
+    assert run(5).collect() == []
+    assert "batch=4" in sorted(os.listdir(sink))
+    _docs(spark, [(-1, SHARED)]).write.mode("append").parquet(src)
+    got = sorted(map(tuple, run(6).collect()))
+    assert got == [(10, 2, 7)]  # doc -1 outranks corpus doc 10 again
+    dirs = sorted(os.listdir(sink))
+    assert "batch=3" not in dirs and "batch=4" not in dirs  # swept
+    # and a FINAL no-data run re-sentinels above the real max, so the
+    # freshest answer is again "this run steals nothing"
+    assert run(7).collect() == []
+
 
 def test_packed_id_magnitude_guard(spark, tmp_path):
     """r13 (ADVICE r12 / VERDICT r12 what's-wrong #3): the packed
@@ -895,9 +913,14 @@ def test_compact_backfill_reader_safe_publishes_upgraded_aside(
 ):
     """The upgrade composes with publish-aside: the OLD membership tree
     is untouched (still raising the rebuild hint), the returned NEW
-    path serves first occurrences."""
+    path serves first occurrences — and (r13 review) the upgrade keys
+    a DISTINCT aside dir from a plain compaction of the SAME snapshot,
+    so an earlier plain aside can't make rename-if-absent silently
+    swallow the upgrade request."""
     idx = str(tmp_path / "idx")
     gram_index.write_gram_index(_docs(spark, [(1, A), (2, B)]), idx, span=6)
+    # a plain aside compaction of this snapshot exists FIRST
+    plain = gram_index.compact_gram_index(spark, idx, reader_safe=True)
     new_path = gram_index.compact_gram_index(
         spark,
         idx,
@@ -905,6 +928,21 @@ def test_compact_backfill_reader_safe_publishes_upgraded_aside(
         backfill_first_from=_docs(spark, [(1, A), (2, B)]),
     )
     assert new_path != idx
+    assert new_path != plain  # the layout bit joined the aside key
+    with pytest.raises(ValueError, match="with_first=True"):
+        gram_index.stolen_first_occurrences(
+            spark, plain, _docs(spark, [(0, SHARED)])
+        )
+    # re-running the upgrade is idempotent onto the SAME upgraded dir
+    assert (
+        gram_index.compact_gram_index(
+            spark,
+            idx,
+            reader_safe=True,
+            backfill_first_from=_docs(spark, [(1, A), (2, B)]),
+        )
+        == new_path
+    )
     with pytest.raises(ValueError, match="with_first=True"):
         gram_index.stolen_first_occurrences(
             spark, idx, _docs(spark, [(0, SHARED)])

@@ -517,7 +517,16 @@ def _compact_gram_index_locked(
             open(os.path.join(tmp, "_SUCCESS"), "w").close()
 
     if reader_safe:
-        return segments.compact_aside(path, man, write_into)
+        # the with_first upgrade changes the PHYSICAL LAYOUT of the
+        # same (gen, committed) snapshot, so it must key a DISTINCT
+        # aside dir: without the suffix, an earlier plain compaction
+        # of this snapshot would make rename-if-absent short-circuit
+        # and the upgrade request would be silently ignored (r13
+        # review) — the caller would get back a membership-only dir
+        # despite having supplied the corpus
+        return segments.compact_aside(
+            path, man, write_into, key_suffix="f" if backfilled else ""
+        )
     return segments.compact_swap(path, write_into)
 
 
@@ -605,6 +614,24 @@ def _packed(id_expr, i_expr, ctx: str):
     for the delta property checks' negative-id probes."""
     return (
         F.when(
+            i_expr.isNull() | id_expr.isNull(),
+            # NULL operands must raise, not pack to NULL (r13 review):
+            # the >=-shaped guards pass NULL through (three-valued
+            # logic skips both raises), and a NULL packed value is then
+            # silently IGNORED by min() — the exact silent-minima
+            # corruption this guard family exists to prevent. A NULL
+            # here means a corrupted index row (e.g. a manifest
+            # claiming with_first over rows stored without it), which
+            # deserves a job failure.
+            F.raise_error(
+                F.lit(
+                    f"{ctx}: NULL doc id or gram position — the index "
+                    "rows disagree with the manifest's with_first "
+                    "contract; rebuild or backfill the index"
+                )
+            ),
+        )
+        .when(
             i_expr >= F.lit(1 << 21),
             F.raise_error(
                 F.concat(

@@ -250,7 +250,12 @@ def compact_swap(path: str, write_into: Callable[[str], None]) -> str:
     return path
 
 
-def compact_aside(path: str, man: dict, write_into: Callable[[str], None]) -> str:
+def compact_aside(
+    path: str,
+    man: dict,
+    write_into: Callable[[str], None],
+    key_suffix: str = "",
+) -> str:
     """Reader-safe publish-aside compaction (r11, VERDICT r10 task 4)
     — the alternative compact_swap's docstring names: ``write_into``
     materializes the complete compacted index into a NEW sibling
@@ -276,14 +281,24 @@ def compact_aside(path: str, man: dict, write_into: Callable[[str], None]) -> st
     be appending to — single-writer per lineage), so aside dirs of the
     LIVE base are exclusively the caller's to retire once superseded;
     aside dirs of a SUPERSEDED source fingerprint are pruned with
-    their base generation (they can never be re-resolved)."""
+    their base generation (they can never be re-resolved).
+
+    ``key_suffix`` (r13 review): compactions that change the PHYSICAL
+    LAYOUT of the same (gen, committed) snapshot — e.g. gram_index's
+    with_first backfill — must not short-circuit to a previously
+    published plain compaction of the same snapshot (rename-if-absent
+    would silently ignore the upgrade request); the layout bit joins
+    the key so upgraded and plain asides are distinct, each
+    idempotent."""
     from ..sources import derived
 
     def build(tmp: str) -> None:
         write_into(tmp)
         open(os.path.join(tmp, "_SUCCESS"), "w").close()
 
-    new_path = f"{path}._rs_g{man.get(GEN_KEY, 0)}_c{snapshot_seg(man)}"
+    new_path = (
+        f"{path}._rs_g{man.get(GEN_KEY, 0)}_c{snapshot_seg(man)}{key_suffix}"
+    )
     return derived.publish(build, new_path)
 
 
@@ -427,8 +442,18 @@ class _PosixLeaseStore:
         try:
             with open(self._path, "rb") as f:
                 return f.read()
-        except OSError:
+        except FileNotFoundError:
             return None
+        except OSError:
+            # present but UNREADABLE (EACCES from a crashed foreign-uid
+            # writer, transient EIO): returning None would read as
+            # "released" and spin the acquire loop into its attempts
+            # cap with a misleading error (the pre-seam code had the
+            # same wedge — r13 review). Empty bytes parse as a TORN
+            # record instead, so the caller age-gates it via
+            # age_seconds() and a stale unreadable lock is TTL-broken
+            # like any other torn write.
+            return b""
 
     def age_seconds(self) -> float | None:
         import time
@@ -580,9 +605,15 @@ def _break_stale(full: str, raw: bytes, my_host: str) -> None:
         # another breaker holds the marker; age/liveness-gate it so a
         # crashed breaker cannot wedge the index forever
         try:
-            with open(marker) as f:
-                rec = json.load(f)
-        except (OSError, ValueError):
+            with open(marker, "rb") as f:
+                marker_raw = f.read()
+        except OSError:
+            return
+        try:
+            rec = json.loads(marker_raw)
+            if not isinstance(rec, dict):
+                rec = None
+        except ValueError:
             rec = None
         alive = _holder_alive(rec, my_host)
         ts = float((rec or {}).get("ts") or 0)
@@ -594,8 +625,19 @@ def _break_stale(full: str, raw: bytes, my_host: str) -> None:
         if alive is False or (
             alive is None and time.time() - ts >= _BREAK_TTL_SECONDS
         ):
+            # content-guarded, same discipline as the lock unlink
+            # (r13 review): two breakers both classifying a CRASHED
+            # breaker's marker stale must not have the slower one
+            # unlink the faster one's FRESH marker — re-read and
+            # unlink only the exact bytes classified. The residual is
+            # the compare-to-unlink window (vs the whole
+            # classify-to-unlink window before), reachable only with
+            # a provably-dead marker holder AND two live breakers
+            # interleaving at syscall granularity.
             try:
-                os.unlink(marker)
+                with open(marker, "rb") as f:
+                    if f.read() == marker_raw:
+                        os.unlink(marker)
             except OSError:
                 pass
         return  # marker contended either way: caller retries the loop
@@ -607,8 +649,14 @@ def _break_stale(full: str, raw: bytes, my_host: str) -> None:
         try:
             with open(full, "rb") as f:
                 now_raw = f.read()
-        except OSError:
+        except FileNotFoundError:
             return  # lock already gone: nothing to break
+        except OSError:
+            # still present but unreadable — the exact state the
+            # caller classified (get()'s b"" torn sentinel); a
+            # re-acquired lease is written readable by _acquire_lease,
+            # so unreadable-then-unreadable is a content match
+            now_raw = b""
         if now_raw == raw:
             try:
                 os.unlink(full)

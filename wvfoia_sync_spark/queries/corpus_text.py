@@ -2208,11 +2208,15 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     conversion is per-row and cheap, the hot SUM stays in whole-stage
     codegen, and (sum_long as double)/1e6/n is the same correctly-
     rounded double as (sum_decimal as double)/n, verified bit-identical
-    on the full table. Overflow headroom: |micro| <= ~30e6 per token,
-    so a doc needs ~3e11 tokens to overflow the long — three orders
-    beyond the 2^21-position contract the delta-report family already
-    enforces). ln() itself agrees to < 1 ulp, far from the 6dp rounding
-    boundaries on this corpus."""
+    on the full table. The honest bound (r13 review): that identity
+    needs |sum_micro| <= 2^53 — beyond it the long->double cast rounds
+    once and the /1e6 rounds again, while the decimal form rounds once,
+    a possible 1-ulp divergence. At |micro| <= ~30e6 per token that is
+    ~3e8 tokens in ONE doc, ~140x beyond the 2^21-position chunking
+    contract the substring family enforces corpus-wide; the long
+    itself overflows three orders later still, ~3e11). ln() itself
+    agrees to < 1 ulp, far from the 6dp rounding boundaries on this
+    corpus."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(text_fns.tokens("text")).alias("tok")
@@ -2659,9 +2663,10 @@ def dsir_importance(
     # r13: the 6dp-rounded lv is summed as a LONG of micro-nats (the
     # unigram_surprisal transform — the decimal->long conversion is
     # per-row, the hot SUM stays in codegen); (sum_long as double)/1e6
-    # is the same correctly-rounded double as the decimal sum's cast,
-    # and the sign test is integer-exact. Per-doc overflow headroom
-    # ~3e11 grams/doc, same argument as unigram_surprisal.
+    # is the same correctly-rounded double as the decimal sum's cast
+    # (exact while |sum_micro| <= 2^53 — ~3e8 grams in one doc; see
+    # unigram_surprisal's bound note), and the sign test is
+    # integer-exact.
     lv_micro = (lv * 1000000).cast("long")
     return (
         grams.where(~F.col("is_target"))

@@ -1539,6 +1539,25 @@ def streaming_delta_impact(
     epochs = _epochs()
     if not epochs:  # zero batches EVER: no sink directory, no stale
         return spark.createDataFrame([], report_schema).select(out_cols)
+
+    # Sentinel ids live in the SINK's sequence (dir-max + 1) while real
+    # epochs live in Spark's CHECKPOINTED batchId sequence, which does
+    # not advance on no-data runs — so a sentinel written at dir-max+1
+    # can sit AHEAD of the next real batch's id and would shadow its
+    # report forever (two no-data runs, then data: the real batch lands
+    # at id 1 while the stale "steals nothing" sentinel sits at 2).
+    # Sentinel dirs therefore carry an underscore marker file (invisible
+    # to parquet/hive readers), and any run that FIRES a real batch
+    # deletes every surviving sentinel on the way out: a sentinel
+    # answers "nothing new as of run X", and the moment a newer real
+    # answer exists that question is obsolete. A sentinel overwritten
+    # in place by a real batch at the same id loses its marker with the
+    # dir (mode=overwrite), so it is never misclassified.
+    def _is_sentinel(n: int) -> bool:
+        return os.path.exists(
+            os.path.join(sink_path, f"batch={n}", "_sentinel")
+        )
+
     if fired["n"] == 0:
         # an availableNow run with NOTHING new never invokes
         # foreachBatch (a checkpointed restart with no new files), so
@@ -1550,7 +1569,21 @@ def streaming_delta_impact(
         spark.createDataFrame([], report_schema).write.mode(
             "overwrite"
         ).parquet(f"{sink_path}/batch={nxt}")
+        open(
+            os.path.join(sink_path, f"batch={nxt}", "_sentinel"), "w"
+        ).close()
         epochs.append(nxt)
+    else:
+        import shutil as _shutil
+
+        stale = [n for n in epochs if _is_sentinel(n)]
+        for n in stale:
+            _shutil.rmtree(
+                os.path.join(sink_path, f"batch={n}"), ignore_errors=True
+            )
+        epochs = [n for n in epochs if n not in stale]
+        # fired > 0 wrote at least one REAL epoch dir this run, so the
+        # survivor set is never empty
     return (
         spark.read.schema(report_schema)
         .parquet(f"{sink_path}/batch={max(epochs)}")
