@@ -1,0 +1,132 @@
+"""Measures the with_first backfill's cost claim (r13, VERDICT r12
+task 7): adopting the O(|delta|) delta report on an EXISTING
+membership-only gram index should cost roughly one tokenize pass folded
+into a compaction the index lifecycle was already paying — not a
+from-scratch rebuild. Four walls at sf0.1 (fresh temp copies so the
+derived cache can't short-circuit any of them):
+
+- build_membership: write_gram_index(with_first=False) — the sunk cost
+  an existing deployment already paid (context line, not a comparand)
+- compact_plain: fold a 2-segment membership index to seg 0 — the
+  maintenance rent the lifecycle pays regardless
+- compact_backfill: the same fold + the upgrade (tokenize + full outer
+  join + drift guard). compact_backfill - compact_plain is the
+  incremental price of adoption.
+- rebuild_with_first: write_gram_index(with_first=True) from scratch —
+  what adoption would cost WITHOUT the backfill path, on top of
+  re-reading the full corpus text (at 100 TB the dominant term; at
+  bench SF the corpus is page-cached so this UNDERSTATES the savings).
+
+Usage: python tools/backfill_cost_probe.py [out_jsonl]
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from wvfoia_sync_spark.operators import gram_index  # noqa: E402
+from wvfoia_sync_spark.session import get_spark  # noqa: E402
+from wvfoia_sync_spark.sources.tables import load_table  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+
+
+def main() -> int:
+    out_path = (
+        sys.argv[1] if len(sys.argv) > 1 else "SCALE_probe_r13_backfill.jsonl"
+    )
+    spark = get_spark("backfill-cost-probe")
+    docs = load_table(spark, BASE, "documents").select("doc_id", "text")
+    half_a = docs.where("doc_id % 2 = 0")
+    half_b = docs.where("doc_id % 2 = 1")
+    tmp = tempfile.mkdtemp(prefix="backfill_probe_")
+    rows = []
+
+    def timed(label: str, fn) -> None:
+        t0 = time.time()
+        fn()
+        rows.append(
+            {
+                "probe": "backfill_cost_r13",
+                "op": label,
+                "wall_s": round(time.time() - t0, 3),
+            }
+        )
+        print(json.dumps(rows[-1]), flush=True)
+
+    def seeded(tag: str) -> str:
+        """A 2-segment membership index (build + append) to compact."""
+        p = f"{tmp}/{tag}"
+        gram_index.write_gram_index(half_a, p, span=6)
+        gram_index.append_gram_index(half_b, p)
+        return p
+
+    try:
+        timed(
+            "build_membership",
+            lambda: gram_index.write_gram_index(
+                docs, f"{tmp}/member_ref", span=6
+            ),
+        )
+        plain = seeded("plain")
+        timed(
+            "compact_plain",
+            lambda: gram_index.compact_gram_index(spark, plain),
+        )
+        upg = seeded("upgrade")
+        timed(
+            "compact_backfill",
+            lambda: gram_index.compact_gram_index(
+                spark, upg, backfill_first_from=docs
+            ),
+        )
+        timed(
+            "rebuild_with_first",
+            lambda: gram_index.write_gram_index(
+                docs, f"{tmp}/fresh_wf", span=6, with_first=True
+            ),
+        )
+        # the upgraded index answers identically to the fresh build
+        probe = docs.where("doc_id % 97 = 0").limit(50)
+        got = sorted(
+            map(
+                tuple,
+                gram_index.stolen_first_occurrences(
+                    spark, upg, probe
+                ).collect(),
+            )
+        )
+        want = sorted(
+            map(
+                tuple,
+                gram_index.stolen_first_occurrences(
+                    spark, f"{tmp}/fresh_wf", probe
+                ).collect(),
+            )
+        )
+        rows.append(
+            {
+                "probe": "backfill_cost_r13",
+                "op": "equivalence",
+                "n_stolen": len(got),
+                "identical": got == want,
+            }
+        )
+        print(json.dumps(rows[-1]), flush=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    with open(out_path, "a") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
