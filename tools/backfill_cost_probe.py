@@ -93,8 +93,20 @@ def main() -> int:
                 docs, f"{tmp}/fresh_wf", span=6, with_first=True
             ),
         )
-        # the upgraded index answers identically to the fresh build
-        probe = docs.where("doc_id % 97 = 0").limit(50)
+        # the upgraded index answers identically to the fresh build —
+        # with ids remapped to OUTRANK the corpus so the answer is
+        # non-empty (same-id probes tie on every packed key and steal
+        # nothing, which would make this check vacuous)
+        from pyspark.sql import functions as F
+
+        probe = (
+            docs.where("doc_id % 97 = 0")
+            .limit(50)
+            .select(
+                (F.col("doc_id") - F.lit(10_000_000)).alias("doc_id"),
+                "text",
+            )
+        )
         got = sorted(
             map(
                 tuple,
