@@ -70,6 +70,7 @@ DRIVER_WINDOW: list[str] = [
     "stream_delta_impact",  # epoch-dir read-back + sentinel epochs
     "stream_substring_gate",  # two-phase lease break on appends
     "gram_lifecycle_property_check",  # compact path grew the backfill
+    "gram_backfill_property_check",  # NEW r13: the upgrade's proof
     # --- then the names last green in r9, alphabetical (the
     # rotation's next band; r14 takes the remainder) ---
     "above_avg_orders",

@@ -1210,6 +1210,108 @@ def gram_lifecycle_property_check(
 
 
 @register(
+    "gram_backfill_property_check",
+    oracle="""
+    SELECT 'drift_raises_loudly' AS property, TRUE AS ok
+    UNION ALL SELECT 'manifest_upgraded_single_segment', TRUE
+    UNION ALL SELECT 'upgrade_steals_equal_fresh_build', TRUE
+    UNION ALL SELECT 'upgraded_raw_layout_equals_fresh', TRUE
+    ORDER BY property
+    """,
+)
+def gram_backfill_property_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Driver-green gate for the r13 with_first BACKFILL (VERDICT r12
+    task 7): a membership-only gram index that lived through the
+    segment lifecycle (build, append with a RE-ARRIVING updated doc)
+    and is then compacted with ``backfill_first_from=current_corpus``
+    must be indistinguishable from a from-scratch with_first build of
+    the same corpus. Four properties, hash-compared against pinned
+    TRUE rows; equalities computed DISTRIBUTED (count + exceptAll):
+
+    1. upgrade_steals_equal_fresh_build — stolen_first_occurrences
+       against an OUTRANKING corpus-scaled probe (ids shifted below
+       every corpus id; same-id probes would tie and make the check
+       vacuous) answers non-empty and row-identical on both indexes.
+    2. upgraded_raw_layout_equals_fresh — the RAW stored rows
+       (id, g, first_i, seg) match the fresh build's: the backfill
+       join attached exactly the per-doc first positions one tokenize
+       pass derives, for exactly the live membership.
+    3. manifest_upgraded_single_segment — with_first flips to True and
+       max_seg folds to 0 in one publish.
+    4. drift_raises_loudly — upgrading with a corpus whose text
+       DISAGREES with the live index (a doc's gram set shrank) raises
+       inside the write job instead of publishing minima that
+       contradict the stored membership."""
+    import shutil
+    import tempfile
+
+    from ..operators import gram_index
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.where(F.col("doc_id") % 2 == 0)
+    rearrive = docs.where(
+        (F.col("doc_id") % 2 == 0) & (F.col("doc_id") % 16 == 0)
+    ).select(
+        "doc_id", F.concat(F.lit("updated "), F.col("text")).alias("text")
+    )
+    delta = docs.where(F.col("doc_id") % 2 == 1).unionByName(rearrive)
+    current = docs.join(
+        rearrive.select("doc_id"), "doc_id", "left_anti"
+    ).unionByName(rearrive)
+
+    def same_rows(a: DataFrame, b: DataFrame) -> bool:
+        return a.count() == b.count() and a.exceptAll(b).isEmpty()
+
+    tmp = tempfile.mkdtemp(prefix="gram_backfill_")
+    try:
+        idx = f"{tmp}/idx"
+        fresh = f"{tmp}/fresh"
+        gram_index.write_gram_index(base, idx, span=6)
+        gram_index.append_gram_index(delta, idx)
+        gram_index.compact_gram_index(spark, idx, backfill_first_from=current)
+        gram_index.write_gram_index(current, fresh, span=6, with_first=True)
+
+        man = gram_index._manifest_read(idx)
+        manifest_ok = man.get("with_first") is True and man["max_seg"] == 0
+        raw_ok = same_rows(
+            spark.read.parquet(f"{idx}/grams"),
+            spark.read.parquet(f"{fresh}/grams"),
+        )
+        probe = docs.where(F.col("doc_id") % 31 == 0).select(
+            (F.col("doc_id") - F.lit(10_000_000)).alias("doc_id"), "text"
+        )
+        got = gram_index.stolen_first_occurrences(spark, idx, probe)
+        want = gram_index.stolen_first_occurrences(spark, fresh, probe)
+        steals_ok = got.count() > 0 and same_rows(got, want)
+
+        drifted = str(tmp + "/drifted")
+        gram_index.write_gram_index(base, drifted, span=6)
+        shrunk = base.select(
+            "doc_id", F.substring("text", 1, 10).alias("text")
+        )
+        try:
+            gram_index.compact_gram_index(
+                spark, drifted, backfill_first_from=shrunk
+            )
+            drift_ok = False  # published against a mismatched corpus
+        except Exception as exc:  # the inline raise_error surfaces here
+            drift_ok = "backfill" in str(exc)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            ("drift_raises_loudly", bool(drift_ok)),
+            ("manifest_upgraded_single_segment", bool(manifest_ok)),
+            ("upgrade_steals_equal_fresh_build", bool(steals_ok)),
+            ("upgraded_raw_layout_equals_fresh", bool(raw_ok)),
+        ],
+        "property string, ok boolean",
+    )
+
+
+@register(
     "stream_substring_gate",
     oracle=f"""
     WITH t AS (SELECT doc_id, {_SQL_TOKENS.format(c='text')} AS toks FROM documents),
