@@ -956,3 +956,32 @@ def test_compact_backfill_reader_safe_publishes_upgraded_aside(
         )
     )
     assert got == [(1, 6), (1, 7)]
+
+
+def test_packed_null_id_raises_loudly(spark, tmp_path):
+    """r13 review: NULL operands must RAISE, not pack to NULL — the
+    >=-shaped guards pass NULL through under three-valued logic and
+    min() then silently IGNORES the NULL-packed row, the exact
+    silent-minima corruption the guard family exists to prevent. Both
+    the stored-index probe (_packed) and the full-pass report's inline
+    copy refuse a NULL doc id."""
+    idx = str(tmp_path / "idx")
+    gram_index.write_gram_index(
+        _docs(spark, [(1, A)]), idx, span=6, with_first=True
+    )
+    null_delta = spark.createDataFrame(
+        [(None, SHARED)], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="NULL doc id"):
+        gram_index.stolen_first_occurrences(spark, idx, null_delta).collect()
+
+    from wvfoia_sync_spark.queries.corpus_text import (
+        exact_substring_delta_report,
+    )
+
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [(None, A), (7, B)], "doc_id long, text string"
+    ).write.parquet(f"{sf}/documents.parquet")
+    with pytest.raises(Exception, match="NULL doc_id"):
+        exact_substring_delta_report(spark, sf).collect()

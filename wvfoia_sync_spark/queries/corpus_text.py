@@ -1586,6 +1586,21 @@ def exact_substring_delta_report(
         # matching gram_index._packed's two-sided contract
         .select(
             F.when(
+                # NULL first (r13 review, matching _packed): the >=
+                # guard passes NULL through under three-valued logic
+                # and min() would then silently ignore the NULL-packed
+                # row — raise instead (a NULL toks array already
+                # raises via the size() branch below)
+                F.col("doc_id").isNull(),
+                F.raise_error(
+                    F.lit(
+                        "exact_substring_delta_report: NULL doc_id in"
+                        " the corpus — packed minima would silently"
+                        " drop the row; repair ids upstream"
+                    )
+                ),
+            )
+            .when(
                 F.abs(F.col("doc_id").cast("long")) >= F.lit(1 << 42),
                 F.raise_error(
                     F.concat(
