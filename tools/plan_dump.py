@@ -1,0 +1,83 @@
+"""Dump `explain("formatted")` for headline queries and tabulate plan shape.
+
+Usage:
+    python tools/plan_dump.py <out_dir> [query ...]
+
+Writes <out_dir>/<query>.txt per query and prints one summary line per
+query: Exchange count, Python-eval node count (BatchEvalPython /
+ArrowEvalPython / MapInArrow / MapInPandas / FlatMapGroupsInPandas),
+scan count, SortMergeJoin / BroadcastHashJoin counts.  explain() does
+not execute the plan, so this is cheap — EXCEPT for queries whose
+builder runs work eagerly (streaming read-backs, stored-index builds);
+those pay their build once here.
+
+Optimization-round measurement tool (guide §1.2/§7.2).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from wvfoia_sync_spark import registry  # noqa: E402
+from wvfoia_sync_spark.session import get_spark  # noqa: E402
+
+
+def explain_str(df, mode: str = "formatted") -> str:
+    jdf = df._jdf
+    sess = df.sparkSession
+    return sess._jvm.PythonSQLUtils.explainString(jdf.queryExecution(), mode)
+
+
+NODES = [
+    ("exchange", r"\bExchange\b"),
+    ("bcast_exch", r"BroadcastExchange"),
+    ("py_eval", r"BatchEvalPython|ArrowEvalPython|MapInArrow|MapInPandas|FlatMapGroupsInPandas"),
+    ("scan", r"Scan parquet|BatchScan|Scan ExistingRDD|Scan json"),
+    ("smj", r"SortMergeJoin"),
+    ("bhj", r"BroadcastHashJoin"),
+    ("shj", r"ShuffledHashJoin"),
+    ("bnlj", r"BroadcastNestedLoopJoin"),
+    ("cartesian", r"CartesianProduct"),
+    ("sort", r"\bSort\b"),
+    ("window", r"\bWindow\b|WindowGroupLimit"),
+]
+
+
+def main() -> None:
+    out_dir = sys.argv[1]
+    os.makedirs(out_dir, exist_ok=True)
+    names = sys.argv[2:]
+    if not names:
+        import bench
+
+        names = bench.HEADLINE
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("plan-dump")
+    hdr = "query".ljust(42) + " " + " ".join(k.rjust(10) for k, _ in NODES)
+    print(hdr, flush=True)
+    for name in names:
+        fn = registry.QUERIES[name]
+        try:
+            df = fn(spark, sf_dir)
+            txt = explain_str(df)
+        except Exception as exc:  # keep sweeping
+            print(f"{name:42s} ERROR {type(exc).__name__}: {exc}"[:200], flush=True)
+            continue
+        with open(os.path.join(out_dir, f"{name}.txt"), "w") as f:
+            f.write(txt)
+        counts = [len(re.findall(pat, txt)) for _, pat in NODES]
+        print(
+            name.ljust(42) + " " + " ".join(str(c).rjust(10) for c in counts),
+            flush=True,
+        )
+    spark.stop()
+    os._exit(0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,68 @@
+"""Time individual registered queries via the noop sink (guide §1.4).
+
+Usage:
+    python tools/qtime.py name [name ...] [--runs N] [--sf DIR]
+
+Prints one line per query: min/all wall seconds over N runs (default 3,
+first run includes codegen/JIT warm-up — read the min, as bench.py
+does). Warms the Python-UDF worker pool first, exactly like bench.py,
+so numbers are comparable to the bench artifact.
+
+Optimization-round measurement tool; not part of the driver contract.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from wvfoia_sync_spark import registry  # noqa: E402
+from wvfoia_sync_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:]]
+    runs = 3
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    names = []
+    i = 0
+    while i < len(args):
+        if args[i] == "--runs":
+            runs = int(args[i + 1]); i += 2
+        elif args[i] == "--sf":
+            sf_dir = args[i + 1]; i += 2
+        else:
+            names.append(args[i]); i += 1
+
+    spark = get_spark("qtime")
+    # warm: JVM codegen + Python worker pool (mirrors bench.py)
+    registry.QUERIES["max_key"](spark, sf_dir).collect()
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s):
+        return s
+
+    spark.range(1000, numPartitions=8).select(_warm("id")).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    for name in names:
+        fn = registry.QUERIES[name]
+        ts = []
+        for _ in range(runs):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            ts.append(round(time.time() - t0, 3))
+        print(f"{name:42s} min={min(ts):7.3f}  runs={ts}", flush=True)
+    spark.stop()
+    os._exit(0)
+
+
+if __name__ == "__main__":
+    main()

@@ -422,6 +422,84 @@ def spread_for_python_stage(df: DataFrame) -> DataFrame:
     return df
 
 
+def _shingles_from_th_pandas(shingle_size: int):
+    """Arrow-batched shingle combiner: per-token hashes -> DISTINCT
+    rolling-hash shingle values, vectorized in numpy across the whole
+    batch (r13 optimization round, guide §4.2).
+
+    Replaces the previous Catalyst form (two zip_with folds + an
+    array_distinct per row): higher-order functions evaluate interpreted
+    per ELEMENT, so the shingle combine dominated the whole MinHash
+    family (~1.5s of the 3.4s sf0.1 pipeline). Here the fold runs as a
+    handful of whole-batch numpy passes.
+
+    Arithmetic is IDENTICAL to the old expression — acc = pmod(acc*P +
+    h, M) over k shifted slices — with the % replaced by the exact
+    Mersenne-prime fold (M = 2^31-1, so 2^31 === 1 (mod M): x = (x &
+    M) + (x >> 31), twice, then one conditional subtract; inputs are
+    < 2^51 so two folds always land in [0, M+1]). Output arrays are
+    sorted ascending (np.unique) where array_distinct kept first-
+    occurrence order; every consumer is order-insensitive
+    (size/array_intersect/signature mins)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    P = 1_000_003  # prime multiplier for positional combination
+    M = MERSENNE31
+    k = shingle_size
+
+    @pandas_udf("array<bigint>")
+    def sh(th):
+        import numpy as _np
+        import pandas as _pd
+
+        arrs = th.to_numpy()
+        R = len(arrs)
+        if R == 0:
+            return _pd.Series([], dtype=object)
+        lens = _np.fromiter(
+            (0 if a is None else len(a) for a in arrs), dtype=_np.int64, count=R
+        )
+        n = int(lens.sum())
+        if n == 0:
+            return _pd.Series([_np.empty(0, _np.int64)] * R)
+        flat = _np.concatenate(
+            [_np.asarray(a, dtype=_np.int64) for a in arrs if a is not None and len(a)]
+        )
+        win = n - (k - 1)
+        if win <= 0:
+            return _pd.Series([_np.empty(0, _np.int64)] * R)
+        # rolling combine over the FLAT array; windows that straddle a
+        # row boundary are masked out below
+        acc = flat[:win].copy()
+        for off in range(1, k):
+            acc *= P
+            acc += flat[off : off + win]
+            acc = (acc & M) + (acc >> 31)
+            acc = (acc & M) + (acc >> 31)
+            acc[acc >= M] -= M
+        starts = _np.concatenate(([0], _np.cumsum(lens)[:-1]))
+        row_of = _np.repeat(_np.arange(R, dtype=_np.int64), lens)[:win]
+        # a window starting at flat position p (row r) is valid iff it
+        # ends inside row r: (p - starts[r]) <= lens[r] - k
+        idx_in_row = _np.arange(win, dtype=_np.int64) - starts[row_of]
+        valid = idx_in_row <= (lens[row_of] - k)
+        keys = _np.unique((row_of[valid] << 31) | acc[valid])
+        rows = keys >> 31
+        vals = keys & M
+        counts = _np.bincount(rows, minlength=R)
+        return _pd.Series(_np.split(vals, _np.cumsum(counts)[:-1]))
+
+    # NOTE: deliberately NOT asNondeterministic(): the band candidate
+    # stage self-joins this UDF's subtree, and non-determinism disables
+    # Catalyst's exchange/subexpression reuse there (measured 3.4s ->
+    # 90s+ at sf0.1). The guide §4.4 filter-duplication hazard is
+    # avoided structurally instead: hashed_shingles filters on
+    # size(tokens) — an input-side JVM predicate — never on the UDF
+    # output column.
+    return sh
+
+
 def hashed_shingles(df: DataFrame, id_col: str, text_col: str, shingle_size: int = 3) -> DataFrame:
     """(id, hs: array<long>) distinct word-n-gram shingles hashed into
     [0, 2^31).
@@ -433,27 +511,28 @@ def hashed_shingles(df: DataFrame, id_col: str, text_col: str, shingle_size: int
 
     Shingle hashes are built ARITHMETICALLY from per-token hashes
     (h(w_i)*P^2 + h(w_{i+1})*P + h(w_{i+2}) mod M over shifted slices)
-    instead of hashing concatenated strings: string shingling costs a
-    slice + concat + string alloc per position in interpreted HOF code,
-    ~4x slower at sf0.1. Equivalent as a shingle identity (injective in
-    the token-hash triple mod M collisions)."""
+    instead of hashing concatenated strings. Per-token hashing
+    (xxhash64 + pmod) stays in the JVM; the shingle fold + distinct run
+    in one Arrow numpy stage (_shingles_from_th_pandas — r13: the
+    interpreted zip_with fold was the MinHash family's hottest stage,
+    2.49s -> 1.2s at sf0.1 for the hashed-shingle table alone). Values
+    are bit-identical to the old Catalyst fold; array order is sorted
+    ascending instead of first-occurrence (all consumers are
+    order-insensitive set/size/min operations)."""
     toks = tokens(text_col)
     th = F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(MERSENNE31)))
     n = F.size(toks)
     if shingle_size <= 1:
         base = F.array_distinct(th)
         return df.select(F.col(id_col).alias("id"), base.alias("hs")).where(n > 0)
-    win = F.greatest(n - (shingle_size - 1), F.lit(0))
-    P = 1_000_003  # prime multiplier for positional combination
-    combined = F.slice(th, 1, win)
-    for offset in range(1, shingle_size):
-        nxt = F.slice(th, 1 + offset, win)
-        combined = F.zip_with(
-            combined, nxt, lambda acc, h: F.pmod(acc * P + h, F.lit(MERSENNE31))
-        )
-    base = F.array_distinct(combined)
-    return df.select(F.col(id_col).alias("id"), base.alias("hs")).where(
-        n >= shingle_size
+    sh = _shingles_from_th_pandas(shingle_size)
+    # filter on the INPUT side (token count), exactly like the old
+    # Catalyst form: pushes below the Arrow stage, so short rows never
+    # cross the Python boundary and the UDF column is never referenced
+    # by a filter (guide §4.4 duplication hazard)
+    return (
+        df.where(n >= shingle_size)
+        .select(F.col(id_col).alias("id"), sh(th).alias("hs"))
     )
 
 
@@ -506,17 +585,46 @@ def _sig_from_hashed_pandas(num_hashes: int):
 
     @pandas_udf("array<bigint>")
     def sig(hs):
+        # r13 optimization round: one (k x chunk) matrix pass +
+        # minimum.reduceat per CHUNK of docs instead of a python-level
+        # loop with a small matrix per DOC (10k numpy dispatches per
+        # batch), and the % M division replaced by the exact
+        # Mersenne-prime fold (A*x+B < 2^62; two folds land in [0, M+1],
+        # one conditional subtract finishes — same values bit-for-bit).
         import numpy as _np
         import pandas as _pd
 
-        out = []
-        for arr in hs:
-            x = _np.asarray(arr, dtype=_np.int64)
-            if x.size == 0:
-                out.append(_np.full(k, M, dtype=_np.int64))
-            else:
-                out.append(((A * x[None, :] + B) % M).min(axis=1))
-        return _pd.Series(out)
+        arrs = hs.to_numpy()
+        R = len(arrs)
+        if R == 0:
+            return _pd.Series([], dtype=object)
+        lens = _np.fromiter(
+            (0 if a is None else len(a) for a in arrs), dtype=_np.int64, count=R
+        )
+        res = _np.full((R, k), M, dtype=_np.int64)
+        nonempty = _np.flatnonzero(lens > 0)
+        # chunk so the (k x n_shingles) temp stays cache-resident
+        # (~2 MB at k=64): the op count is fixed at k*shingles*~6, so
+        # the win over a per-doc loop comes from fewer python dispatches
+        # WITHOUT spilling the working set to RAM — a 100 MB chunk is
+        # memory-bound and measured ~2x slower than this
+        budget = max(262_144 // max(k, 1), 512)
+        i = 0
+        while i < len(nonempty):
+            j, tot = i, 0
+            while j < len(nonempty) and (tot == 0 or tot + lens[nonempty[j]] <= budget):
+                tot += lens[nonempty[j]]
+                j += 1
+            rows = nonempty[i:j]
+            flat = _np.concatenate([_np.asarray(arrs[r], dtype=_np.int64) for r in rows])
+            starts = _np.concatenate(([0], _np.cumsum(lens[rows])[:-1]))
+            v = A * flat[None, :] + B
+            v = (v & M) + (v >> 31)
+            v = (v & M) + (v >> 31)
+            v[v >= M] -= M
+            res[rows] = _np.minimum.reduceat(v, starts, axis=1).T
+            i = j
+        return _pd.Series(list(res))
 
     return sig
 
@@ -570,12 +678,17 @@ def _band_signatures(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda band: F.struct(
                     band.alias("band"),
+                    # xxhash64 hashes the array STRUCTURALLY — the old
+                    # .cast("string") built a "[1, 2, ...]" string per
+                    # band slice first (r13: pure overhead; bucketing
+                    # semantics identical — docs collide iff their
+                    # slice values are equal under either form)
                     F.xxhash64(
                         F.slice(
                             F.col("sig"),
                             band * (sig_size_col / bands).cast("int") + 1,
                             (sig_size_col / bands).cast("int"),
-                        ).cast("string")
+                        )
                     ).alias("bhash"),
                 ),
             )
@@ -627,7 +740,12 @@ def minhash_lsh_candidates(
     documented recall-for-boundedness trade, OFF by default). The hot
     set itself is tiny (heavy hitters over bucket counts), so the
     anti-join is a broadcast, not a shuffle of the banded corpus."""
-    banded = _band_signatures(signatures, bands)
+    # localCheckpoint: BOTH self-join sides read `banded`, and Spark
+    # plans one side as a BroadcastExchange with no subtree reuse — the
+    # signature UDF and the banding explode would execute twice (r13:
+    # the Python stage is the pipeline's hot loop; the banded table is
+    # slim (id, band, bhash) so storing it is ~free)
+    banded = _band_signatures(signatures, bands).localCheckpoint(eager=False)
     if max_band_bucket is not None:
         banded = drop_hot_band_buckets(banded, max_band_bucket)
     a = banded.select(F.col("id").alias("id_a"), "band", "bhash")
@@ -666,9 +784,13 @@ def minhash_dedup_pairs(
             f"bands={bands} must divide num_hashes={num_hashes} "
             "(empty/truncated band slices degenerate the LSH bucketing)"
         )
-    hashed = hashed_shingles(df, id_col, text_col, shingle_size).localCheckpoint(
-        eager=False
-    )
+    # spread BEFORE the Python stages: the checkpointed hashed-shingle
+    # table feeds the signature UDF on BOTH band-join sides, and an
+    # unspread single-file scan pins all of that Arrow compute onto 1-2
+    # cores (r13: 3.4s -> 1.9s at sf0.1; no-op on parallel upstreams)
+    hashed = hashed_shingles(
+        spread_for_python_stage(df), id_col, text_col, shingle_size
+    ).localCheckpoint(eager=False)
     sigs = hashed.select(
         "id", _sig_from_hashed_pandas(num_hashes)(F.col("hs")).alias("sig")
     )
@@ -726,9 +848,12 @@ def cross_corpus_minhash_pairs(
             f"bands={bands} must divide num_hashes={num_hashes} "
             "(empty/truncated band slices degenerate the LSH bucketing)"
         )
-    h_train = hashed_shingles(train, id_col, text_col, shingle_size).localCheckpoint(
-        eager=False
-    )
+    # spread the (large) train side before its Python stages, as in
+    # minhash_dedup_pairs; the eval suite is typically tiny and not worth
+    # an exchange
+    h_train = hashed_shingles(
+        spread_for_python_stage(train), id_col, text_col, shingle_size
+    ).localCheckpoint(eager=False)
     h_eval = hashed_shingles(eval_df, id_col, text_col, shingle_size).localCheckpoint(
         eager=False
     )
