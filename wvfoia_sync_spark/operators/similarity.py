@@ -804,6 +804,16 @@ def semantic_dedup(
         if centroids is not None
         else train_centroids(df, k=k, id_col=id_col, vec_col=vec_col, iterations=1)
     )
+    # spread before the assignment fold (r13, guide §2.5/§4): the
+    # per-row k-centroid cosine fold is the operator's hot loop and runs
+    # at the INPUT's parallelism — a union of two single-row-group scans
+    # is 2 partitions, pinning the interpreted fold onto 2 cores
+    # (measured 1.35s -> 0.97s at sf0.1). Round-robin does not touch
+    # per-row arithmetic, so assignments are bit-identical; no-op when
+    # the upstream is already parallel.
+    from .dedup import spread_for_python_stage
+
+    df = spread_for_python_stage(df)
     # persist: the assignment (a cross-join cosine fold over the corpus)
     # feeds BOTH the pair stage and the output join — without it one
     # action evaluates the fold twice. Slim (id, cell, vec) rows; LRU
