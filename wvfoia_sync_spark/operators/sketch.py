@@ -103,14 +103,20 @@ def kmv_partials(
             yield pd.DataFrame({"grp": grp, "h": hs})
 
     partials = hashed.mapInPandas(summarize, schema="grp string, h long")
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("grp").orderBy("h")
+    # Merge = k smallest distinct hashes per group, in ONE grp-keyed
+    # aggregation (map-side partial collect) instead of the previous
+    # distinct-on-(grp,h) exchange followed by a second grp-keyed window
+    # exchange (r13 optimization, guide §2.4): same rows out, half the
+    # shuffles. Input is <= k rows per (group, partition) by
+    # construction, so the collected array is k * n_partitions bounded.
     return (
-        partials.distinct()
-        .withColumn("_r", F.row_number().over(w))
-        .where(F.col("_r") <= k)
-        .drop("_r")
+        partials.groupBy("grp")
+        .agg(
+            F.slice(
+                F.array_sort(F.array_distinct(F.collect_list("h"))), 1, k
+            ).alias("_hs")
+        )
+        .select("grp", F.explode("_hs").alias("h"))
     )
 
 
@@ -211,12 +217,17 @@ def kmv_rollup(partials: DataFrame, coarse_expr, k: int = 256) -> DataFrame:
     Input is ``kmv_partials`` output; ``coarse_expr`` maps the fine grp
     to its coarse group. Work is sketch-cardinality (<= k rows per fine
     group), never raw-item cardinality."""
-    from pyspark.sql import Window
-
-    re_grouped = partials.select(coarse_expr.alias("grp"), "h").distinct()
-    w = Window.partitionBy("grp").orderBy("h")
+    # Same one-exchange merge as kmv_partials (r13, guide §2.4): the
+    # previous distinct + window pair shuffled the sketch rows twice
+    # (once on (grp, h), once on grp). Bounded state: each coarse group
+    # collects <= k * n_fine_groups hashes.
     return (
-        re_grouped.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= k)
-        .drop("_rn")
+        partials.select(coarse_expr.alias("grp"), "h")
+        .groupBy("grp")
+        .agg(
+            F.slice(
+                F.array_sort(F.array_distinct(F.collect_list("h"))), 1, k
+            ).alias("_hs")
+        )
+        .select("grp", F.explode("_hs").alias("h"))
     )

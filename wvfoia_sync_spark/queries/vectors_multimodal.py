@@ -21,6 +21,7 @@ from ..registry import (
     _prop_row,
     _query_vec,
     _recall_check,
+    _sq8_stats,
     register,
 )
 from ..sources.tables import load_table
@@ -44,7 +45,7 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject top-k. Output is rank+id only — float scores
     stay out of the hash (cross-engine accumulation order differs)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    qvec = _query_vec(emb)
+    qvec = _query_vec(emb, sf_dir=sf_dir)
     return similarity.brute_force_topk(emb, qvec, k=10).select("rank", "vec_id")
 
 
@@ -54,7 +55,7 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k (scale path); recall vs brute force
     is asserted in tests; driver records rows-only."""
     emb = load_table(spark, sf_dir, "embeddings")
-    qvec = _query_vec(emb)
+    qvec = _query_vec(emb, sf_dir=sf_dir)
     return similarity.lsh_topk(
         emb, qvec, k=10, n_planes=6, probe_radius=2
     ).select("rank", "vec_id")
@@ -226,7 +227,7 @@ def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse centroids, probe the 3 nearest cells, exact rank within.
     Recall vs brute force asserted in tests; driver records rows-only."""
     emb = load_table(spark, sf_dir, "embeddings")
-    qvec = _query_vec(emb)
+    qvec = _query_vec(emb, sf_dir=sf_dir)
     cents = _ivf_centroids(emb, sf_dir, k=8, iterations=1)
     return similarity.ivf_topk(emb, qvec, cents, k=10, n_probe=3).select(
         "rank", "vec_id"
@@ -287,8 +288,10 @@ def sq8_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     actually scans — rank exactly, id tiebreak. Recall vs the float
     baseline asserted in tests; driver records rows-only."""
     emb = load_table(spark, sf_dir, "embeddings")
-    qvec = _query_vec(emb)
-    return similarity.sq8_topk(emb, qvec, k=10).select("rank", "vec_id")
+    qvec = _query_vec(emb, sf_dir=sf_dir)
+    return similarity.sq8_topk(
+        emb, qvec, k=10, stats=_sq8_stats(emb, sf_dir)
+    ).select("rank", "vec_id")
 
 
 
@@ -306,7 +309,7 @@ def lsh_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     must recall >= 5 of the exact top-10 (measured 5-7 across SFs;
     the local recall test pins the same bound)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    qvec = _query_vec(emb)
+    qvec = _query_vec(emb, sf_dir=sf_dir)
     approx = similarity.lsh_topk(emb, qvec, k=10, n_planes=6, probe_radius=2)
     return _recall_check(spark, sf_dir, approx, "lsh_recall_at_10", 5)
 
@@ -317,7 +320,7 @@ def ivf_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-green twin of ivf_topk: 3-probe IVF top-10 must recall
     >= 8 of the exact top-10 (measured 9-10 across SFs)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    qvec = _query_vec(emb)
+    qvec = _query_vec(emb, sf_dir=sf_dir)
     cents = _ivf_centroids(emb, sf_dir, k=8, iterations=1)
     approx = similarity.ivf_topk(emb, qvec, cents, k=10, n_probe=3)
     return _recall_check(spark, sf_dir, approx, "ivf_recall_at_10", 8)
@@ -329,8 +332,8 @@ def sq8_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-green twin of sq8_topk: int8-quantized top-10 must recall
     >= 9 of the float top-10 (measured 10 across SFs)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    qvec = _query_vec(emb)
-    approx = similarity.sq8_topk(emb, qvec, k=10)
+    qvec = _query_vec(emb, sf_dir=sf_dir)
+    approx = similarity.sq8_topk(emb, qvec, k=10, stats=_sq8_stats(emb, sf_dir))
     return _recall_check(spark, sf_dir, approx, "sq8_recall_at_10", 9)
 
 
@@ -606,7 +609,7 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/ann_index.py) — query time scans 8 bytes/row, it never
     re-encodes the corpus. pq_recall_check is the driver-green twin."""
     emb = load_table(spark, sf_dir, "embeddings")
-    qvec = _query_vec(emb)
+    qvec = _query_vec(emb, sf_dir=sf_dir)
     books = _pq_codebooks(emb, sf_dir, m=8, n_cents=256)
     coded = _ann_index_df(spark, emb, sf_dir).select("vec_id", "pq_code")
     return similarity.pq_rerank_topk(
@@ -620,7 +623,7 @@ def pq_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-green twin of pq_topk: the reranked PQ top-10 must recall
     >= 9 of the exact top-10 (measured 10 across SFs)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    qvec = _query_vec(emb)
+    qvec = _query_vec(emb, sf_dir=sf_dir)
     books = _pq_codebooks(emb, sf_dir, m=8, n_cents=256)
     coded = _ann_index_df(spark, emb, sf_dir).select("vec_id", "pq_code")
     approx = similarity.pq_rerank_topk(
@@ -639,7 +642,7 @@ def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     PartitionFilter — unprobed cells' files are never listed.
     ivfpq_recall_check is the driver-green twin."""
     emb = load_table(spark, sf_dir, "embeddings")
-    qvec = _query_vec(emb)
+    qvec = _query_vec(emb, sf_dir=sf_dir)
     cents = _ivf_centroids(emb, sf_dir, k=8, iterations=1)
     books = _pq_codebooks(emb, sf_dir, m=8, n_cents=256)
     idx = _ann_index_df(spark, emb, sf_dir)
@@ -659,7 +662,7 @@ def ivfpq_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     across SFs; the only loss mode left is a true neighbor outside the
     probed cells)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    qvec = _query_vec(emb)
+    qvec = _query_vec(emb, sf_dir=sf_dir)
     cents = _ivf_centroids(emb, sf_dir, k=8, iterations=1)
     books = _pq_codebooks(emb, sf_dir, m=8, n_cents=256)
     idx = _ann_index_df(spark, emb, sf_dir)
@@ -814,7 +817,12 @@ def sketch_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "slot",
         k=2048,
-    )
+    # the fine sketches feed BOTH the daily rollup and the n_hour_slots
+    # branch — materialize once (r13, guide §2.4): without this the
+    # events scan + mapInPandas sketch pass executed twice, once per
+    # consumer subtree (Catalyst does not reuse unexchanged subtrees
+    # across join sides)
+    ).localCheckpoint(eager=False)
     daily = sketch_ops.kmv_rollup(
         fine, F.split(F.col("grp"), "\\|")[0], k=2048
     )

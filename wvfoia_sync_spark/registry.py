@@ -89,15 +89,40 @@ def _ann_index_df(
     return ann_index.load_ann_index(spark, path)
 
 
-def _query_vec(emb: DataFrame, vec_id: int = 0) -> list[float]:
+def _query_vec(
+    emb: DataFrame, vec_id: int = 0, sf_dir: str | None = None
+) -> list[float]:
     """The shared ANN query vector (one eager lookup; explicit error when
-    the probe id is missing, instead of an opaque NoneType crash)."""
+    the probe id is missing, instead of an opaque NoneType crash).
+
+    ``sf_dir`` keys a per-process memo (r13 optimization): every ANN
+    query starts by fetching the same fixture probe vector, and the
+    `.first()` is a full driver job (~0.15 s of scheduling at any SF).
+    Like ``_TRAINED``, this is a fixture INPUT, not a result — each
+    bench/oracle process still reads it from parquet once."""
+    key = ("qvec", sf_dir, vec_id)
+    if sf_dir is not None and key in _TRAINED:
+        return _TRAINED[key]  # type: ignore[return-value]
     row = emb.where(F.col("vec_id") == vec_id).first()
     if row is None:
         raise ValueError(
             f"query vector vec_id={vec_id} missing from the embeddings table"
         )
-    return [float(x) for x in row["embedding"]]
+    vec = [float(x) for x in row["embedding"]]
+    if sf_dir is not None:
+        _TRAINED[key] = vec
+    return vec
+
+
+def _sq8_stats(emb: DataFrame, sf_dir: str) -> list[tuple[float, float]]:
+    """Memoized per-dimension (min, max) quantization stats for the SQ8
+    family — a train-once stats artifact exactly like the centroids and
+    codebooks above (dim_stats' own docstring: 'At 100 TB run once and
+    persist beside the table like any stats file')."""
+    key = ("sq8", sf_dir)
+    if key not in _TRAINED:
+        _TRAINED[key] = similarity.dim_stats(emb)
+    return _TRAINED[key]  # type: ignore[return-value]
 
 
 def _d(col) -> F.Column:

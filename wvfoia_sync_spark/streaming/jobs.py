@@ -42,6 +42,10 @@ def _events_schema(ts_type: T.DataType) -> T.StructType:
 # read_events_stream probes the actual batch-read type and adapts.
 EVENTS_SCHEMA = _events_schema(T.TimestampNTZType())
 
+# Per-process memo of the probed physical ts type per (dir, glob) — a
+# schema property of static files, not data (see read_events_stream).
+_TS_TYPE_CACHE: dict[tuple[str, str | None], str] = {}
+
 
 def read_events_stream(
     spark: SparkSession,
@@ -61,10 +65,21 @@ def read_events_stream(
     legacy nanosAsLong conf), or plain TIMESTAMP. The batch probe read
     costs one driver-side footer fetch, no data scan."""
     configure_session(spark)
-    probe = spark.read
-    if glob:
-        probe = probe.option("pathGlobFilter", glob)
-    ts_type = dict(probe.parquet(events_dir).dtypes).get("ts", "timestamp_ntz")
+    # The probe is a driver-side footer read, but batch-DataFrame
+    # construction still schedules a schema-inference job (~0.1 s); the
+    # physical ts TYPE of a directory is a fixed schema property, so memo
+    # it per (dir, glob) for the process (r13 optimization) — streaming
+    # queries build two sources over the same directory and pay it twice.
+    cache_key = (events_dir, glob)
+    ts_type = _TS_TYPE_CACHE.get(cache_key)
+    if ts_type is None:
+        probe = spark.read
+        if glob:
+            probe = probe.option("pathGlobFilter", glob)
+        ts_type = dict(probe.parquet(events_dir).dtypes).get(
+            "ts", "timestamp_ntz"
+        )
+        _TS_TYPE_CACHE[cache_key] = ts_type
 
     if ts_type == "bigint":
         # integer `div` (see sources.tables.load_table: float division is
