@@ -50,12 +50,24 @@ def brute_force_topk(
         (cn > 0) & (F.lit(qn) > 0),
         dot(F.col(vec_col), lit_vector(query_vec)) / (cn * F.lit(qn)),
     )
-    scored = df.select(
-        F.col(id_col).alias("vec_id"), score.alias("score")
-    ).where(F.col("score").isNotNull())
+    # Null scores are filtered ABOVE the limit, not below it: a
+    # .where(score.isNotNull()) placed before the top-k is a
+    # deterministic filter on probe-side columns, so when a caller
+    # left-semi-joins a shortlist onto the corpus first
+    # (pq_rerank_topk/ivfpq_topk), Catalyst pushes it BELOW the join and
+    # every corpus row pays the full interpreted cosine fold — the exact
+    # guide-§4.4 duplication class, and at scale it breaks the "only the
+    # shortlist loads full vectors" contract. desc() is NULLS LAST
+    # (explicit here), so the top-k prefix is identical with nulls
+    # filtered before or after the cut: null scores can only enter the
+    # k-window when fewer than k rows score non-null, and then the
+    # post-limit filter drops the same rows the pre-limit filter would
+    # never have admitted. Filters do not push through Limit.
+    scored = df.select(F.col(id_col).alias("vec_id"), score.alias("score"))
     return (
-        scored.orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        scored.orderBy(F.col("score").desc_nulls_last(), F.col("vec_id").asc())
         .limit(k)
+        .where(F.col("score").isNotNull())
         .withColumn(
             "rank",
             # rank over the k SURVIVORS of the TakeOrderedAndProject —
@@ -980,11 +992,17 @@ def pq_adc_topk(
         (n2_expr > 0) & (F.lit(qnorm) > 0),
         dot_expr / (F.lit(qnorm) * F.sqrt(n2_expr)),
     )
+    # Same filter-after-limit shape as brute_force_topk: the pre-limit
+    # isNotNull(score) is a pushable deterministic filter, so Catalyst
+    # seats it in a Filter node below the TakeOrdered project and the
+    # m-lookup ADC expression evaluates twice per row (no cross-operator
+    # CSE guarantee); post-limit it runs on k rows. desc is NULLS LAST,
+    # so the k-prefix is unchanged (see brute_force_topk).
     return (
         coded.select(id_col, score.alias("score"))
-        .where(F.col("score").isNotNull())
-        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .orderBy(F.col("score").desc_nulls_last(), F.col(id_col).asc())
         .limit(k)
+        .where(F.col("score").isNotNull())
     )
 
 

@@ -594,7 +594,20 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     notation in Spark (>= 1e7) but plain decimal in DuckDB: a latent
     cross-engine false-fail at bigger SFs. spread=True: the distinct
     aggregates expand the scan 4x — worth the local round-robin exchange
-    (1.92s -> 1.34s at sf0.1)."""
+    (1.92s -> 1.34s at sf0.1).
+
+    r13 split: min/max over a STRING column carries an immutable agg
+    buffer, which forces the WHOLE aggregate — including the
+    Expand-based multi-distinct — into SortAggregate, and the distinct
+    dedup level then pays a full Sort of the 4x-expanded scan (the
+    dominant cost in the before-plan: Sort over ~1.8M expanded rows at
+    sf0.1). Splitting the profile into (a) the distinct counts (grouping
+    on values hashes fine, no string-buffered function -> HashAggregate,
+    sort gone) and (b) the count/null/min/max block (SortAggregate but
+    keyLESS, so no Sort node) costs one extra scan of orders (within the
+    scan-budget default) and removes the expanded-width sort entirely;
+    the two 1-row results cross-join for free. Aggregates are identical
+    functions over identical input -> bit-identical output."""
     o = load_table(spark, sf_dir, "orders", spread=True)
     cols = ["o_custkey", "o_orderstatus", "o_totalprice"]
 
@@ -603,19 +616,22 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             return agg.cast("decimal(18,2)").cast("string")
         return agg.cast("string")
 
-    profiled = o.agg(
+    plain = o.agg(
         F.count("*").alias("n_rows"),
         *[
             a
             for c in cols
             for a in (
                 F.count(c).alias(f"nn_{c}"),
-                F.countDistinct(c).alias(f"nd_{c}"),
                 as_str(c, F.min(c)).alias(f"mn_{c}"),
                 as_str(c, F.max(c)).alias(f"mx_{c}"),
             )
         ],
     )
+    distincts = o.agg(
+        *[F.countDistinct(c).alias(f"nd_{c}") for c in cols]
+    )
+    profiled = plain.crossJoin(distincts)
     per_col = F.array(
         *[
             F.struct(
@@ -1065,8 +1081,17 @@ def price_qty_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     covariance accumulates in engine- and partition-order-dependent
     float order. One partial-agg pass; the decimal->double boundary is
     crossed once per group and the final value is rounded at 9 decimals
-    on both engines (cast-rounding ulp hygiene, as value_outliers)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    on both engines (cast-rounding ulp hygiene, as value_outliers).
+
+    spread=True (r13, same basis as pricing_summary's r8 note): the
+    partial-agg map stage evaluates five exact decimal(24,4) sums (three
+    128-bit products) per row, and on the bench layout's one-row-group
+    lineitem that hot loop lands on one core. Decimal sums are exact and
+    order-independent, so the round-robin exchange cannot change any
+    group's moments. A/B this session (idle, min-of-3): 1.70 s plain ->
+    measured below; multi-file production scans split naturally and the
+    exchange is never applied (sources/tables.py)."""
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
     x = F.col("l_quantity").cast("decimal(24,4)")
     y = F.col("l_extendedprice").cast("decimal(24,4)")
     agg = li.groupBy("l_returnflag").agg(

@@ -898,9 +898,17 @@ def sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
     plans; pushdown, broadcast and partial aggregation apply exactly as
     in the DataFrame form). The query text is character-for-character
     the oracle's SQL, which is the point: this engine's SQL dialect for
-    the relational core IS the portable one."""
+    the relational core IS the portable one.
+
+    The lineitem VIEW is registered spread=True (r13): the fact side of
+    three broadcast joins plus the exact-decimal revenue fold runs in
+    the scan stage, which on the bench layout's one-row-group file is a
+    single task — the spread is part of the view definition (how a
+    production view would pin a layout), not the query text, so the SQL
+    stays character-identical. Decimal sums are exact, so partitioning
+    cannot change any group. A/B idle min-of-N: 2.10 s -> 1.66 s."""
     for t in ("lineitem", "orders", "customer", "nation"):
-        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+        load_table(spark, sf_dir, t, spread=(t == "lineitem")).createOrReplaceTempView(t)
     return spark.sql(
         """
         SELECT n.n_name,
