@@ -342,6 +342,16 @@ def jaccard_pairs_bitset(
             lambda acc, x: acc + F.bit_count(x),
         )
         wcols = ["w"]
+    # Checkpoint the encoded frame before the self-join (r13, same
+    # pattern as minhash_lsh_candidates): without the barrier each join
+    # side replans the full tokenize+bitset subtree (two executions),
+    # and the join's inferred IsNotNull(bitset)/size-guard constraints
+    # push below the projection, re-deriving the tokenize chain up to
+    # three times per row inside the pushed Filter (measured in the
+    # before-plan: tokenize x3 + fold x2 per side). Materialized blocks
+    # are scanned by both sides; filters above an RDD scan evaluate
+    # ready columns instead.
+    enc = enc.localCheckpoint(eager=False)
     a = enc.select(
         F.col("id").alias("id_a"),
         "bucket",

@@ -250,8 +250,15 @@ def status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark expands to a single expanded-aggregate, one shuffle, vs 4
     separate groupBys). Labels coalesced so subtotal rows are
     distinguishable without relying on engine-specific grouping-id bit
-    order."""
-    li = load_table(spark, sf_dir, "lineitem")
+    order.
+
+    spread=True (r13): CUBE expands every scanned row 4x before the
+    partial aggregate, so the one-row-group bench scan runs a 2.4M-row
+    expand + exact-decimal hash aggregate on a single core. Count and
+    decimal sum are order-independent, so the round-robin exchange can't
+    change any cell. Interleaved same-process A/B (min-of-4): 1.46 s
+    plain -> 1.27 s spread; no-op on naturally-split production scans."""
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
     return (
         li.cube("l_returnflag", "l_linestatus")
         .agg(
@@ -1088,8 +1095,11 @@ def price_qty_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     128-bit products) per row, and on the bench layout's one-row-group
     lineitem that hot loop lands on one core. Decimal sums are exact and
     order-independent, so the round-robin exchange cannot change any
-    group's moments. A/B this session (idle, min-of-3): 1.70 s plain ->
-    measured below; multi-file production scans split naturally and the
+    group's moments. Interleaved same-process A/B (6 runs each):
+    min 1.17 s plain -> 1.01 s spread; the heavier-than-(12,2) decimal
+    products are what tip this query past the exchange cost where
+    sibling TPC-H scans (market_share, region_revenue) measured no win
+    and stay plain. Multi-file production scans split naturally and the
     exchange is never applied (sources/tables.py)."""
     li = load_table(spark, sf_dir, "lineitem", spread=True)
     x = F.col("l_quantity").cast("decimal(24,4)")

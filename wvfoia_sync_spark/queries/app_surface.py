@@ -900,15 +900,16 @@ def sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle's SQL, which is the point: this engine's SQL dialect for
     the relational core IS the portable one.
 
-    The lineitem VIEW is registered spread=True (r13): the fact side of
-    three broadcast joins plus the exact-decimal revenue fold runs in
-    the scan stage, which on the bench layout's one-row-group file is a
-    single task — the spread is part of the view definition (how a
-    production view would pin a layout), not the query text, so the SQL
-    stays character-identical. Decimal sums are exact, so partitioning
-    cannot change any group. A/B idle min-of-N: 2.10 s -> 1.66 s."""
+    spread considered and REJECTED (r13): an interleaved same-process
+    A/B (spread lineitem view vs plain, 6 runs each) measured
+    min 2.03 s spread vs 1.87 s plain — the three broadcast probes +
+    decimal fold are cheap enough per row that the round-robin exchange
+    of the full fact table costs more than the parallelism buys, exactly
+    the load_table docstring's default judgement. (A first cross-process
+    comparison suggested a win; it was session noise — recorded here so
+    the next round doesn't repeat the experiment.)"""
     for t in ("lineitem", "orders", "customer", "nation"):
-        load_table(spark, sf_dir, t, spread=(t == "lineitem")).createOrReplaceTempView(t)
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(
         """
         SELECT n.n_name,

@@ -3083,23 +3083,32 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     INTEGER weights make the doc sum order-free exact, so Spark and
     DuckDB cannot drift in accumulation order; the single final division
     surfaces the mean as one deterministic double op. Docs with < 2
-    tokens have no bigram features and drop out (both engines)."""
+    tokens have no bigram features and drop out (both engines).
+
+    r13: the short-doc guard moved from a .where(size(toks) >= 2) into
+    the bigram expression itself (when size >= 2 ... otherwise empty
+    array, which explode drops row-free). The where was a deterministic
+    filter on a derived column, so Catalyst pushed it below the tokens
+    projection and the full tokenize chain (lower/translate/split/
+    array_remove) evaluated TWICE per document — once in the pushed
+    Filter, once in the Project (before-plan nodes 2-3); no
+    cross-operator subexpression elimination saves it. The when-guard
+    keeps the size<2 semantics (CaseWhen evaluates its branch lazily, so
+    the descending-sequence hazard for size<2 never fires) with ONE
+    tokenize per document."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", text_fns.tokens("text").alias("toks")).where(
-        F.size("toks") >= 2
-    )
+    toks = docs.select("doc_id", text_fns.tokens("text").alias("toks"))
     t = F.col("toks")
-    bg = toks.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size(t) - 1),
-                lambda i: F.concat_ws(
-                    " ", F.element_at(t, i), F.element_at(t, i + 1)
-                ),
-            )
-        ).alias("bg"),
-    )
+    bigrams = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(t, i), F.element_at(t, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = toks.select("doc_id", F.explode(bigrams).alias("bg"))
     bucket = F.conv(F.substring(F.sha2(F.col("bg"), 256), 1, 4), 16, 10).cast(
         "long"
     )

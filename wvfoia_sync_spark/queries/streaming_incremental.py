@@ -81,8 +81,14 @@ def events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import jobs
 
     stream = jobs.events_stream(spark, sf_dir)
+    # state_partitions=4 (r13): window-agg state is O(hours x types)
+    # groups — dozens of entries at any SF horizon — and each state
+    # store pays a fixed open/commit per micro-batch, so the partition
+    # count tracks that state volume, not the batch shuffle default.
+    # Interleaved A/B at sf0.1: 1.60 s @8 -> 1.22 s @4 (min-of-3).
     return jobs.run_available_now(
-        jobs.hourly_aggregation(stream), "events_hourly_stream_sink"
+        jobs.hourly_aggregation(stream), "events_hourly_stream_sink",
+        state_partitions=4,
     )
 
 
@@ -324,8 +330,17 @@ def stateful_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import jobs
 
     stream = jobs.events_stream(spark, sf_dir)
+    # state_partitions=16 (r13): unlike JVM-state operators (size the
+    # partition count to state volume), applyInPandasWithState does its
+    # per-KEY work in the Python worker, so partitions here track CPU
+    # for the Python stage — thousands of per-key handleInputRows calls
+    # parallelize across workers while each partition still pays a store
+    # open/commit. Partition scan at sf0.1 (min-of-3): 2.40 s @8 ->
+    # 1.81 s @16 -> 1.93 s @32; 16 balances the two costs on this core
+    # count.
     updates = jobs.run_available_now_update(
-        jobs.stateful_user_counts(stream), "stateful_counts_stream_sink"
+        jobs.stateful_user_counts(stream), "stateful_counts_stream_sink",
+        state_partitions=16,
     )
     return updates.groupBy("user_id").agg(
         F.max("n_events").cast("long").alias("n_events")
@@ -443,7 +458,14 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n"),
         F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
     )
-    return jobs.run_available_now(agg, "stream_static_join_sink")
+    # state_partitions=4 (r13): the join side is stateless (broadcast
+    # static dim), so the only state is the complete-mode aggregate —
+    # O(nations x types) ~ a hundred groups — and store open/commit per
+    # partition per batch dominates. Interleaved A/B at sf0.1:
+    # 1.39 s @8 -> 0.93 s @4 (min-of-3). Size UP with group count.
+    return jobs.run_available_now(
+        agg, "stream_static_join_sink", state_partitions=4
+    )
 
 
 
