@@ -275,6 +275,14 @@ def test_spread_is_opt_in_and_enumerated():
         # products) per row — the one-row-group bench layout put the
         # whole map stage on one core (1.98 s -> 1.20 s, min-of-5)
         "pricing_summary",
+        # r13: five exact decimal(24,4) sums (three 128-bit products) per
+        # row; interleaved same-process A/B 1.17 s plain -> 1.01 s spread
+        # (siblings market_share/region_revenue/shipping_priority measured
+        # no win and stay plain — OPTIMIZATION_r13.md §7-8)
+        "price_qty_corr",
+        # r13: CUBE expands each row 4x before the partial aggregate;
+        # interleaved A/B 1.46 s -> 1.27 s (OPTIMIZATION_r13.md §10)
+        "status_cube",
         # r8: tokenize + per-doc bigram sort + run-length fold IS the
         # whole query after the shuffle-free rewrite (1.13 s -> 0.43 s)
         "gopher_repetition",
