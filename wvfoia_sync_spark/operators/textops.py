@@ -535,9 +535,21 @@ def survivor_runs(
                 "runs", lambda r: r["n_toks"] >= min_run_tokens
             ).alias("runs"),
         )
+    # explode_OUTER + post-generate null filter, not plain explode
+    # (r13): Catalyst's InferFiltersFromGenerate seats a
+    # `size(runs) > 0 AND isnotnull(runs)` Filter BELOW a non-outer
+    # Generate, and because the projections collapse, that filter
+    # re-evaluates the entire interpreted bounds fold + md5 transform a
+    # second time per document (observed as the 2,300-char Filter
+    # condition in the before-plans). The rule skips outer generates, so
+    # the fold runs ONCE; empty run arrays surface as a single null
+    # element and the where() on the GENERATED column (not pushable
+    # below the Generate) drops exactly the rows plain explode never
+    # emitted — `runs` itself never contains nulls (transform always
+    # yields structs), so the two forms are row-identical.
     return out.select(
-        id_col, F.explode("runs").alias("r")
-    ).select(
+        id_col, F.explode_outer("runs").alias("r")
+    ).where(F.col("r").isNotNull()).select(
         id_col,
         F.col("r.run_idx").alias("run_idx"),
         F.col("r.n_toks").alias("n_toks"),

@@ -457,19 +457,32 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detect + redact over the corpus (functions/pii.py): regex
     counts per class and an md5 of the scrubbed text, JVM-side regex
     only — at 100 TB this is a pure scan stage, no shuffle, no UDF,
-    pipelined into WholeStageCodegen."""
+    pipelined into WholeStageCodegen.
+
+    r13: the any-hit predicate is ONE union-regex rlike instead of
+    `n_email + n_phone + n_ssn > 0`. The sum form is a filter on derived
+    columns, so Catalyst pushed it below the projection and every
+    document paid all three regexp_extract_all scans in the Filter and
+    the survivors paid them AGAIN in the Project (no cross-operator
+    CSE). rlike(t, (?:E)|(?:P)|(?:S)) holds exactly when any class
+    count is positive (unanchored alternation), so the row set is
+    identical; non-matching docs now pay one short-circuiting regex
+    scan and only survivors evaluate the three counts + redaction."""
     docs = load_table(spark, sf_dir, "documents")
     t = _pii_dirty_col()
     counts = pii.pii_counts(t)
+    any_pii = t.rlike(
+        f"(?:{pii.EMAIL_RE})|(?:{pii.PHONE_RE})|(?:{pii.SSN_RE})"
+    )
     return (
-        docs.select(
+        docs.where(any_pii)
+        .select(
             "doc_id",
             counts["n_email"].alias("n_email"),
             counts["n_phone"].alias("n_phone"),
             counts["n_ssn"].alias("n_ssn"),
             F.md5(pii.redact(t)).alias("redacted_md5"),
         )
-        .where(F.col("n_email") + F.col("n_phone") + F.col("n_ssn") > 0)
     )
 
 
