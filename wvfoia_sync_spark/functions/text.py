@@ -69,23 +69,34 @@ def parse_fts_query(q: str) -> list[str]:
 def fts_match(token_col: Column, query: str) -> Column:
     """AND-of-prefix-terms predicate over a token array column.
 
-    ``exists(tokens, t -> startswith(t, term))`` for every term. At 100 TB
-    scale use operators.fts.build_inverted_index + a semi-join instead of
-    scanning every document's token array.
+    Single-term queries use ``exists(tokens, t -> startswith(t, term))``
+    (short-circuits at the first hit). Multi-term queries fold ONCE over
+    the array, OR-ing a per-term hit bit into a mask, and compare against
+    the full mask — same truth table as AND-of-exists, but ``token_col``
+    appears exactly once in the expression. The and-of-exists form
+    references it once PER TERM, and when the argument is a derived
+    tokenize chain (search_scan) every reference is inlined by filter
+    pushdown, multiplying the dominant per-document cost by the term
+    count (guide §4.4 class; measured in plans/r13/before/fts_search.txt:
+    the scan Filter carried the whole translate/split chain twice). At
+    100 TB scale use operators.fts.build_inverted_index + a semi-join
+    instead of scanning every document's token array.
     """
     terms = parse_fts_query(query)
     if not terms:
         return F.lit(True)
+    if len(terms) == 1:
+        term = terms[0]
+        return F.exists(token_col, lambda t: t.startswith(term))
+    full = (1 << len(terms)) - 1
 
-    def prefix_pred(term: str):
-        # NB: must return a unary lambda — default-arg captures change the
-        # arity PySpark infers for higher-order-function callbacks.
-        return lambda t: t.startswith(term)
+    def step(acc: Column, t: Column) -> Column:
+        m = acc
+        for i, term in enumerate(terms):
+            m = F.when(t.startswith(term), m.bitwiseOR(F.lit(1 << i))).otherwise(m)
+        return m
 
-    pred = F.lit(True)
-    for term in terms:
-        pred = pred & F.exists(token_col, prefix_pred(term))
-    return pred
+    return F.aggregate(token_col, F.lit(0), step) == F.lit(full)
 
 
 def normalized_text(col: Column | str) -> Column:

@@ -84,6 +84,17 @@ def source_dup_matrix(
         .groupBy("fingerprint", source_col)
         .agg(F.count("*").alias("c"))
     )
+    # Materialize the slim (fingerprint, source, c) counts ONCE (r13 opt,
+    # same pattern as minhash_lsh_candidates / jaccard_pairs_bitset): the
+    # self-join's broadcast side gets no exchange reuse, so without the
+    # barrier the whole fingerprint subtree — regexp_replace + sha256
+    # over full document text — EXECUTED TWICE, and the join's inferred
+    # isnotnull(fingerprint) filters, pushed below the aggregate into the
+    # scan, re-ran the sha256 chain a second time per document within
+    # each execution (plans/r13/before/dup_rate_matrix.txt nodes (2),
+    # (12); guide §2.4/§4.4). Both join sides and the totals now read
+    # ~40-byte count rows; the corpus is scanned and fingerprinted once.
+    per = per.localCheckpoint(eager=False)
     a = per.select(
         "fingerprint", F.col(source_col).alias("src_a"), F.col("c").alias("ca")
     )
@@ -104,7 +115,13 @@ def source_dup_matrix(
         .groupBy("src_a", "src_b")
         .agg(F.sum("n").cast("long").alias("dup_pairs"))
     )
-    tot = df.groupBy(source_col).agg(F.count("*").alias("n_docs"))
+    # per-source totals derive from the checkpointed counts instead of
+    # two more raw scans: sum of per-(fingerprint, source) counts over a
+    # source is exactly that source's document count (NULL-fingerprint
+    # groups are counted here just like count(*) counted their docs; the
+    # equi-join above drops them from PAIRS either way, matching the
+    # inner-join-on-fingerprint semantics)
+    tot = per.groupBy(source_col).agg(F.sum("c").cast("long").alias("n_docs"))
     ta = tot.select(F.col(source_col).alias("src_a"), F.col("n_docs").alias("na"))
     tb = tot.select(F.col(source_col).alias("src_b"), F.col("n_docs").alias("nb"))
     cap = F.when(

@@ -46,9 +46,19 @@ def build_inverted_index(
     token per document. At scale, write this ``.bucketBy(N, "token")`` so
     query-time semi-joins avoid shuffling the postings."""
     tok = with_tokens(df, text_cols, "_fts_tokens")
-    postings = tok.select(
-        F.col(id_col).alias("id"), F.explode("_fts_tokens").alias("token")
-    ).distinct()
+    # explode_outer, not explode: InferFiltersFromGenerate seats a
+    # size/isnotnull filter below a plain explode of an attribute, and
+    # pushing it through the token projection re-runs the whole tokenize
+    # chain per document inside the Filter (guide §4.4 class — same fix
+    # as survivor_runs, OPTIMIZATION_r13.md §14). The rule skips outer
+    # generates; the post-generate null filter drops exactly the rows a
+    # plain explode never emitted (token arrays never contain nulls —
+    # array_distinct over split output).
+    postings = (
+        tok.select(F.col(id_col).alias("id"), F.explode_outer("_fts_tokens").alias("token"))
+        .where(F.col("token").isNotNull())
+        .distinct()
+    )
     return postings
 
 

@@ -243,9 +243,20 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         F.col("doc_id").alias("id"), text_fns.tokens(F.col("text")).alias("t")
     )
+    # explode_outer, not explode (r13 opt): InferFiltersFromGenerate
+    # seats a size/isnotnull filter below a plain explode of an
+    # attribute, and pushing it through the token projection re-runs the
+    # tokenize chain per document inside the Filter (guide §4.4 class) —
+    # and this subtree executes TWICE (join probe + dfreq build), so the
+    # inferred filter cost four tokenize passes where two suffice. The
+    # rule skips outer generates; the explicit null guard drops exactly
+    # the rows plain explode never emitted (empty-token docs).
     tf = (
-        toks.select("id", F.explode("t").alias("term"))
-        .where(~F.col("term").isin(sorted(STOPWORDS)))
+        toks.select("id", F.explode_outer("t").alias("term"))
+        .where(
+            F.col("term").isNotNull()
+            & ~F.col("term").isin(sorted(STOPWORDS))
+        )
         .groupBy("id", "term")
         .agg(F.count("*").alias("tf"))
     )
@@ -2098,11 +2109,29 @@ def gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the deleted shuffle is gram-stream-sized, so the gap only
     widens. spread=True: the tokenize+sort+fold map stage is the whole
     query; on the one-row-group bench layout it would otherwise run on
-    a single core (the enumerated heavy-map-stage posture)."""
+    a single core (the enumerated heavy-map-stage posture).
+
+    The short-doc guard goes through an explode_outer barrier (r13 opt,
+    same pattern as survivor_runs, OPTIMIZATION_r13.md §14): a direct
+    ``where(size(toks) >= 2)`` on the derived column is pushed below the
+    projection and re-runs the whole tokenize chain per document inside
+    the Filter (guide §4.4 class). explode_outer of a when-guarded
+    1-element array emits the token array for qualifying docs and one
+    NULL row otherwise; the post-generate null filter cannot be pushed
+    below the Generate, and InferFiltersFromGenerate skips outer
+    generates — so tokenize evaluates exactly once. Row-identical: toks
+    itself is never NULL here (split output), so NULL marks exactly the
+    size<2 docs the old filter dropped."""
     docs = (
         load_table(spark, sf_dir, "documents", spread=True)
-        .select("doc_id", text_fns.tokens("text").alias("toks"))
-        .where(F.size("toks") >= 2)
+        .select("doc_id", text_fns.tokens("text").alias("toks0"))
+        .select(
+            "doc_id",
+            F.explode_outer(
+                F.when(F.size("toks0") >= 2, F.array("toks0"))
+            ).alias("toks"),
+        )
+        .where(F.col("toks").isNotNull())
     )
     g = docs.select(
         "doc_id",
@@ -2155,11 +2184,17 @@ def token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     (16-token overlap) — the context-window packing precursor. Pure
     narrow transform (transform + posexplode): chunking is per-row, no
     shuffle at any scale; output carries an md5 per chunk so the
-    differential check pins exact window boundaries."""
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", text_fns.tokens("text").alias("toks"))
-        .where(F.size("toks") >= 1)
+    differential check pins exact window boundaries.
+
+    No ``where(size(toks) >= 1)``: the guard is REDUNDANT — token_chunks
+    yields [] for empty docs and the non-outer posexplode drops those
+    rows — and as a filter on a derived column it was pushed below the
+    projection, re-running the whole tokenize chain per document inside
+    the Filter (plans/r13/before/token_chunks.txt node (3); guide §4.4
+    class). Dropping it halves the per-doc tokenize cost; row set is
+    identical by construction (r13 opt, oracle-verified)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", text_fns.tokens("text").alias("toks")
     )
     return docs.select(
         "doc_id",
@@ -2461,14 +2496,26 @@ def bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     each partition's counts before the exchange."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(text_fns.tokens("text").alias("t"))
+    # the short-doc guard lives INSIDE the generator expression (r13 opt,
+    # same pattern as quality_classifier_score, OPTIMIZATION_r13.md §11):
+    # a separate where(size(t) >= 2) on the derived column is pushed
+    # below the projection and re-runs the whole tokenize chain per
+    # document in the Filter (guide §4.4 class). CaseWhen evaluates
+    # lazily so the descending-sequence hazard for size<2 never fires,
+    # explode drops the empty arrays row-free (exactly the old filter's
+    # semantics), and InferFiltersFromGenerate skips non-cheap generator
+    # children — one tokenize per document.
     grams = toks.select(
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("t") - 2),
-                lambda i: F.concat_ws(" ", F.col("t")[i], F.col("t")[i + 1]),
-            )
+            F.when(
+                F.size("t") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - 2),
+                    lambda i: F.concat_ws(" ", F.col("t")[i], F.col("t")[i + 1]),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
         ).alias("bigram")
-    ).where(F.size("t") >= 2)
+    )
     return (
         grams.groupBy("bigram")
         .agg(F.count("*").cast("long").alias("n"))
@@ -2539,20 +2586,23 @@ def pmi_collocations(
         total = ucnt.agg(F.sum("c").alias("n"))
     else:
         total = uni.agg(F.count("*").alias("n"))
-    grams = (
-        toks.where(F.size("t") >= 2)
-        .select(
-            F.explode(
+    # short-doc guard inside the generator, not a where on the derived
+    # column (which pushdown turns into a second tokenize per document
+    # in the Filter) — same r13 rewrite and equivalence argument as
+    # bigram_counts above; one of the branch's two tokenize passes gone.
+    grams = toks.select(
+        F.explode(
+            F.when(
+                F.size("t") >= 2,
                 F.transform(
                     F.sequence(F.lit(0), F.size("t") - 2),
                     lambda i: F.struct(
                         F.col("t")[i].alias("w1"), F.col("t")[i + 1].alias("w2")
                     ),
-                )
-            ).alias("g")
-        )
-        .select("g.w1", "g.w2")
-    )
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("g")
+    ).select("g.w1", "g.w2")
     gcnt = (
         grams.groupBy("w1", "w2")
         .agg(F.count("*").cast("long").alias("c_ab"))
@@ -3383,10 +3433,24 @@ def compression_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc compresses harder than every natural doc) is the hash-matched
     gate in compression_property_check."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # the planted text goes through an explode(array(...)) barrier (r13
+    # opt): the operator's octet_length(text) > 0 filter is pushed into
+    # both union branches, and on this branch the condition would inline
+    # the whole tokens/array_repeat chain a second time per planted doc
+    # (guide §4.4 class). explode of a 1-element array is row-identical,
+    # the filter stops at the Generate, and InferFiltersFromGenerate
+    # skips non-cheap generator children — the chain evaluates once.
     junk = docs.where(F.col("doc_id") % 11 == 0).select(
         (-(F.col("doc_id") + 1)).alias("doc_id"),
-        F.array_join(
-            F.array_repeat(F.element_at(text_fns.tokens("text"), 1), 200), " "
+        F.explode(
+            F.array(
+                F.array_join(
+                    F.array_repeat(
+                        F.element_at(text_fns.tokens("text"), 1), 200
+                    ),
+                    " ",
+                )
+            )
         ).alias("text"),
     )
     return textops.compression_scores(docs.unionAll(junk), "doc_id", "text")
@@ -3550,7 +3614,20 @@ def shard_manifest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard = (F.conv(F.substring("f", 1, 4), 16, 10).cast("long") % 16).alias(
         "shard_id"
     )
-    sharded = docs.select(shard, "f", "n_tok", "doc_id")
+    # Materialize the slim (shard_id, f, n_tok, doc_id) rows ONCE (r13
+    # opt): the base/delta/touched/recompute/carry branches otherwise
+    # re-read the corpus six times, each pass paying the full
+    # sha256-fingerprint + token-count chain — and the semi/anti joins'
+    # inferred isnotnull(shard_id) filters, pushed below the projection,
+    # re-ran the sha256 chain again per document within each pass (guide
+    # §2.4/§4.4). The barrier holds ~90-byte rows; the fingerprint work
+    # happens once. (In the real daily-append deployment the base side
+    # is a STORED manifest, so the recompute the fixture demonstrates is
+    # delta-scoped either way — the checkpoint is the fixture's stand-in
+    # for that stored state.)
+    sharded = docs.select(shard, "f", "n_tok", "doc_id").localCheckpoint(
+        eager=False
+    )
 
     def manifest(rows):
         return rows.groupBy("shard_id").agg(
