@@ -2579,7 +2579,16 @@ def pmi_collocations(
     flip it when the corpus outgrows the page cache."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(text_fns.tokens("text").alias("t"))
-    uni = toks.select(F.explode("t").alias("w"))
+    # explode_outer + null guard (r13 opt, same reasoning as the grams
+    # branch below): InferFiltersFromGenerate's size/isnotnull filter on
+    # a plain explode pushed below the projection re-ran the tokenize
+    # chain per document — in all THREE executions of this subtree (two
+    # ucnt broadcast sides + the stream total). The null guard sits above
+    # the Generate and drops exactly the empty-doc rows plain explode
+    # never emitted, so ucnt groups and the count(*) total are unchanged.
+    uni = toks.select(F.explode_outer("t").alias("w")).where(
+        F.col("w").isNotNull()
+    )
     ucnt = uni.groupBy("w").agg(F.count("*").alias("c"))
     if persist_unigrams:
         ucnt = ucnt.localCheckpoint(eager=False)
