@@ -241,6 +241,11 @@ ADJUDICATED_GT2: dict[str, str] = {
     "passage_dedup": "SCALE.md r11 post-change re-bench note (slow-session entrant)",
     "centroid_classify": "SCALE.md r11 post-change re-bench note (slow-session entrant)",
     "quality_classifier_score": "SCALE.md r11 post-change re-bench note (slow-session entrant)",
+    # r13 third-session knife-edge pre-registrations: stable walls, flags
+    # armed once each by flag-TERM noise (load-inflated wall / one slow
+    # DuckDB window) — "Round-13 third-session knife-edge pre-registrations"
+    "bm25_rank": "SCALE.md 'Round-13 third-session knife-edge pre-registrations' (slow-session entrant; 0.81-0.97s idle wall, ratio ~3x permanent)",
+    "sessionization_stream": "SCALE.md 'Round-13 third-session knife-edge pre-registrations' (availableNow floor 1.06-1.38s; duck twin 0.13-0.15s calm, knife-edge on the duck>=0.25 term)",
 }
 
 
