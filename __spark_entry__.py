@@ -17,81 +17,76 @@ from wvfoia_sync_spark import registry
 # The driver's correctness gate samples a fixed-size window from the
 # head of this dict, so ordering IS verification coverage. Rounds 1-6
 # drove all registered names to a driver-green row at least once; r7
-# started freshness rotation (stalest-first). This round (r13):
-# (a) the 25 names whose latest green is still r8 — the rotation's
-# remaining r8 band (r12's 50-wide window covered the first 24 of it
-# alphabetically minus the two cut by the cap; after this window
-# lands no name's latest green predates r9 — VERDICT r12 task 3);
-# (b) every query whose PLAN or underlying operator changed this
-# round: the delta-report family (the packed-BIGINT guard is now
-# two-sided — |id| < 2^42 enforced inline, ADVICE r12), the streaming
-# delta-impact read-back (latest epoch now resolved from sink
-# DIRECTORY names so an empty epoch can't resurrect a stale report,
-# ADVICE r12), the writer-lease two-phase break (segments.py — every
-# stored-index append path), and the compaction with_first backfill
-# (gram_index.compact — VERDICT r12 task 7);
-# (c) the names last green in r9, alphabetically, filling the window —
-# r14 takes the remainder.
+# started freshness rotation (stalest-first). This round (r14):
+# (a) every query whose PLAN changed in THIS optimization round;
+# (b) every query the r13 optimization round rewrote — the r13 driver
+# window was ordered before those sessions ran, so the heavy rewrites
+# (MinHash Arrow vectorization, curated_corpus window-min, the ANN
+# rerank filter seating, KMV single-shuffle merge, the §16
+# derived-column-filter drain) shipped on builder-side sweeps only;
+# this window closes that independent-evidence gap (VERDICT r13
+# correctness-gate caveat + task 2);
+# (c) the names last green in r9, alphabetically from
+# interpolate_series — the rotation band r13's plan queued for r14.
 # Everything else follows in registration order, so a wider window only
 # adds coverage.
 DRIVER_WINDOW: list[str] = [
-    # --- r13 head: the 25 names last green in r8 — the rotation's
-    # remaining r8 band (queued by the r12 plan) ---
-    "min_cost_supplier",
-    "order_priority",
-    "partition_pruned_revenue",
-    "passage_dedup",
-    "pii_scrub",
-    "pricing_summary",
-    "salted_agg",
-    "scd2_asof_lookup",
-    "scd2_history",
-    "semdedup_property_check",
-    "sessionization_stream",
-    "shipping_priority",
-    "sketch_rollup_merge",
-    "skew_salted_join",
-    "snapshot_cdc_diff",
-    "stateful_counts_stream",
-    "stream_dedup",
-    "stream_static_join",
-    "stream_stream_join",
-    "stream_stream_outer_join",
-    "stream_upsert",
-    "token_histogram",
-    "token_stats",
-    "window_totals",
-    "winnow_near_dup",
-    # --- changed plans/operators in r13 (values unchanged; the
-    # underlying code paths are what moved) ---
-    "exact_substring_delta_report",  # two-sided packed-id guard
-    "exact_substring_delta_report_incremental",  # same + lease break
-    "exact_substring_delta_incr_property_check",  # its proof
-    "stream_delta_impact",  # epoch-dir read-back + sentinel epochs
-    "stream_substring_gate",  # two-phase lease break on appends
-    "gram_lifecycle_property_check",  # compact path grew the backfill
-    "gram_backfill_property_check",  # NEW r13: the upgrade's proof
-    # --- then the names last green in r9, alphabetical (the
-    # rotation's next band; r14 takes the remainder) ---
-    "above_avg_orders",
-    "balanced_sample",
-    "bloom_semi_join",
-    "bpe_token_stats",
-    "cohort_retention",
-    "customer_distribution",
-    "cycle_time",
-    "dq_checks",
-    "equidepth_hist",
-    "events_rolling_hour",
-    "events_time_rollup",
-    "forecast_revenue",
-    "fts_vocab",
-    "funnel_counts",
-    "fuzzy_name_match",
-    "hll_error_check",
-    "hll_union_rollup",
-    "inactive_rich_customers",
+    # --- r14 head: plans changed in THIS round (values unchanged) ---
+    "sessionization_stream",  # availableNow 32-core wall fix
+    "kmv_distinct_sketch",  # bounded two-level KMV merge
+    "kmv_set_algebra",  # same operator
+    "sketch_rollup_merge",  # same operator (rollup path)
+    "fts_search",  # fts_match linear-tree mask fold
+    "cluster_best_pick",  # connected-components round fusion
+    "dup_clusters",  # same operator
+    "leakage_free_split",  # same operator
+    # --- the r13-rewritten names the r13 window never covered
+    # (VERDICT r13 task 2 list first, then the rest of the audit set) ---
+    "minhash_near_dup",
+    "minhash_property_check",
+    "near_dup_rate_matrix",
+    "contamination_pairs",
+    "curated_corpus",
+    "unigram_surprisal",
+    "dsir_importance",
+    "ivfpq_topk",
+    "pq_topk",
+    "sq8_topk",
+    "embedding_topk",
+    "jaccard_near_dup",
+    "table_profile",
+    "fts_index_search",
+    "semantic_dedup",
+    "price_qty_corr",
+    "status_cube",
+    "quality_classifier_score",
+    "events_hourly_stream",
+    "stream_near_dup",
+    "dup_rate_matrix",
+    "token_chunks",
+    "gopher_repetition",
+    "bigram_counts",
+    "pmi_collocations",
+    "tfidf_top_terms",
+    "compression_scores",
+    "shard_manifest_incremental",
+    "exact_substring_dedup",
+    "decontam_split",
+    "exact_substring_gate",
+    # --- then the names last green in r9, alphabetical from where the
+    # r13 window stopped (the queued rotation band; the remainder of
+    # this band follows in the next round's window) ---
     "interpolate_series",
+    "interval_attribution",
+    "local_supplier_volume",
+    "market_share",
+    "metrics_unpivot",
+    "modal_status",
+    "multiset_except",
+    "multiset_intersect",
+    "pack_bins",
+    "parts_supplier_relationship",
+    "phrase_search",
 ]
 
 

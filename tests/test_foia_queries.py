@@ -110,6 +110,36 @@ def test_fts_search_and_prefix(silver_df, silver_duck):
     assert page.total == oracle > 0
 
 
+def test_fts_match_many_terms_linear_and_correct(spark):
+    """The multi-term bitmask fold must stay LINEAR in term count (the
+    r13 form referenced the accumulator in both when-branches, doubling
+    the tree per term: 16 terms OOMed the driver — ADVICE r13) and must
+    survive >=32 terms (int32 mask overflow) and >63 terms (long mask
+    chunking)."""
+    import time
+
+    from wvfoia_sync_spark.functions.text import fts_match, tokens
+
+    terms = [f"tok{i:02d}word" for i in range(70)]
+    rows = [
+        (0, " ".join(terms)),  # all 70 -> match
+        (1, " ".join(terms[:-1])),  # one missing -> no match
+        (2, " ".join(t[:5] for t in terms)),  # prefixes only -> no match
+    ]
+    df = spark.createDataFrame(rows, "i long, body string")
+    query = " ".join(terms)
+    t0 = time.time()
+    got = (
+        df.select("i", fts_match(tokens("body"), query).alias("m"))
+        .orderBy("i")
+        .collect()
+    )
+    elapsed = time.time() - t0
+    assert [r["m"] for r in got] == [True, False, False]
+    # the exponential form never finished 16 terms; 70 must be quick
+    assert elapsed < 60.0
+
+
 def test_page_clamp(silver_df):
     page = queries.list_entries(
         silver_df, EntrySearchOptions(), PageCursor(page=10_000)

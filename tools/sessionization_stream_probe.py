@@ -1,0 +1,92 @@
+"""Stage-decompose sessionization_stream's availableNow run (VERDICT r13
+task 1: 4.64 s at 32 cores vs ~1.1 s at 8 — what scales with core count?).
+
+Runs the streaming query exactly as the registry does, then prints each
+micro-batch's StreamingQueryProgress durationMs breakdown plus the
+end-to-end noop wall (min of N), at the current SPARK_GRAFT_CPUS.
+
+Usage: SPARK_GRAFT_CPUS=32 python tools/sessionization_stream_probe.py [runs]
+
+Optimization-round measurement tool; not part of the driver contract.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from wvfoia_sync_spark import registry  # noqa: E402
+from wvfoia_sync_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    runs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("sessionization-probe")
+    registry.QUERIES["max_key"](spark, sf_dir).collect()  # warm
+
+    # --- end-to-end walls, exactly the bench's timed region ---
+    walls = []
+    for _ in range(runs):
+        t0 = time.time()
+        registry.QUERIES["sessionization_stream"](spark, sf_dir).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        walls.append(round(time.time() - t0, 3))
+    print(f"cpus={spark.sparkContext.defaultParallelism} walls={walls}")
+
+    # --- instrumented single run: progress breakdown ---
+    from wvfoia_sync_spark.streaming import jobs
+
+    stream = jobs.events_stream(spark, sf_dir)
+    plan = jobs.session_aggregation(stream)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    t0 = time.time()
+    q = (
+        plan.writeStream.format("memory")
+        .queryName("sess_probe")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    t_start = time.time() - t0
+    q.awaitTermination()
+    t_total = time.time() - t0
+    spark.conf.set("spark.sql.shuffle.partitions", old)
+    print(f"start() wall={t_start:.3f}s awaitTermination total={t_total:.3f}s")
+    for p in q.recentProgress:
+        print(
+            json.dumps(
+                {
+                    "batchId": p["batchId"],
+                    "numInputRows": p["numInputRows"],
+                    "durationMs": p["durationMs"],
+                    "stateOperators": [
+                        {
+                            k: so.get(k)
+                            for k in (
+                                "operatorName",
+                                "numRowsTotal",
+                                "numRowsUpdated",
+                                "commitTimeMs",
+                                "numShufflePartitions",
+                                "numStateStoreInstances",
+                            )
+                        }
+                        for so in p.get("stateOperators", [])
+                    ],
+                }
+            )
+        )
+    spark.stop()
+    os._exit(0)
+
+
+if __name__ == "__main__":
+    main()

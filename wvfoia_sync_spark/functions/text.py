@@ -88,15 +88,37 @@ def fts_match(token_col: Column, query: str) -> Column:
     if len(terms) == 1:
         term = terms[0]
         return F.exists(token_col, lambda t: t.startswith(term))
-    full = (1 << len(terms)) - 1
 
-    def step(acc: Column, t: Column) -> Column:
-        m = acc
-        for i, term in enumerate(terms):
-            m = F.when(t.startswith(term), m.bitwiseOR(F.lit(1 << i))).otherwise(m)
-        return m
+    # One LONG mask covers 63 terms (bits 0..62; full == Long.MAX at 63).
+    # Pathological queries beyond that chunk into ceil(n/63) masks — the
+    # token column is referenced once per chunk, never once per term.
+    # The accumulator must appear ONCE in the merge lambda: the earlier
+    # when(hit, m|bit).otherwise(m) form referenced m in both branches,
+    # so the expression tree doubled per term (2^n nodes — a 16-term
+    # pasted-sentence query OOMed the driver during column normalization;
+    # ADVICE r13). m | (when(hit, bit) else 0) has the same truth table
+    # with a linear tree.
+    def _mask_eq_full(chunk: list[str]) -> Column:
+        full = (1 << len(chunk)) - 1
 
-    return F.aggregate(token_col, F.lit(0), step) == F.lit(full)
+        def step(acc: Column, t: Column) -> Column:
+            m = acc
+            for i, term in enumerate(chunk):
+                m = m.bitwiseOR(
+                    F.when(t.startswith(term), F.lit(1 << i).cast("long"))
+                    .otherwise(F.lit(0).cast("long"))
+                )
+            return m
+
+        return F.aggregate(token_col, F.lit(0).cast("long"), step) == F.lit(
+            full
+        ).cast("long")
+
+    preds = [_mask_eq_full(terms[i : i + 63]) for i in range(0, len(terms), 63)]
+    out = preds[0]
+    for p in preds[1:]:
+        out = out & p
+    return out
 
 
 def normalized_text(col: Column | str) -> Column:
