@@ -1,0 +1,78 @@
+"""Measure the availableNow machinery floor ONCE and attribute the
+streaming block's walls (VERDICT r13 task 4): how much of each streaming
+query is fixed micro-batch cost (source listing, query start/stop, WAL,
+sink) vs plan work?
+
+Stages, each min-of-N end-to-end walls at the current SPARK_GRAFT_CPUS:
+  empty      availableNow over a glob matching NO file (zero batches)
+  passthru   stateless projection of all events rows, append mode
+  sess       the registered sessionization_stream (1 stateful op)
+  ssj        the registered stream_stream_join (2 sources, join state)
+
+Optimization-round measurement tool; not part of the driver contract.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from wvfoia_sync_spark import registry  # noqa: E402
+from wvfoia_sync_spark.session import get_spark  # noqa: E402
+from wvfoia_sync_spark.streaming import jobs  # noqa: E402
+
+
+def timed(fn, runs=4):
+    walls = []
+    for _ in range(runs):
+        t0 = time.time()
+        fn()
+        walls.append(round(time.time() - t0, 3))
+    return walls
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("stream-floor-probe")
+    registry.QUERIES["max_key"](spark, sf_dir).collect()
+
+    seq = 0
+
+    def empty():
+        nonlocal seq
+        seq += 1
+        s = jobs.events_stream(spark, sf_dir).where(F.col("event_id") < 0)
+        jobs.run_available_now_append(s.select("event_id"), f"floor_empty_{seq}")
+
+    def passthru():
+        nonlocal seq
+        seq += 1
+        s = jobs.events_stream(spark, sf_dir)
+        jobs.run_available_now_append(
+            s.select("event_id", "user_id"), f"floor_pass_{seq}"
+        )
+
+    def sess():
+        registry.QUERIES["sessionization_stream"](spark, sf_dir).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    def ssj():
+        registry.QUERIES["stream_stream_join"](spark, sf_dir).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    for name, fn in [("empty", empty), ("passthru", passthru), ("sess", sess), ("ssj", ssj)]:
+        print(f"{name}: {timed(fn)}", flush=True)
+    spark.stop()
+    os._exit(0)
+
+
+if __name__ == "__main__":
+    main()
