@@ -229,6 +229,30 @@ def test_connected_components_match_union_find(spark):
     assert {r.component: r.size for r in clusters} == dict(sizes)
 
 
+def test_connected_components_shuffle_path_matches_broadcast(spark):
+    """The r14 scale-adaptive CC picks broadcast frontier joins under
+    ``broadcast_max_vertices`` and shuffle joins above; both paths must
+    label identically. Chain graph (worst-case diameter for label
+    propagation) + a duplicate and a reversed pair (the operator must
+    tolerate non-canonical input)."""
+    chain = [(i, i + 1) for i in range(0, 12)]
+    extra = [(5, 4), (0, 1)]  # reversed + duplicate
+    pairs = spark.createDataFrame(chain + extra, ["id_a", "id_b"])
+    expected = {i: 0 for i in range(13)}
+
+    bcast = {
+        r.id: r.component for r in dedup.connected_components(pairs).collect()
+    }
+    shuffle = {
+        r.id: r.component
+        for r in dedup.connected_components(
+            pairs, broadcast_max_vertices=0
+        ).collect()
+    }
+    assert bcast == expected
+    assert shuffle == expected
+
+
 def test_winnow_shared_substring_guarantee(spark):
     # any shared substring of length >= w+k-1 (= 8 chars at k=5, w=4)
     # must yield at least one shared fingerprint

@@ -48,6 +48,53 @@ def test_kmv_distinct_small_k_is_within_error_envelope(spark):
         assert abs(est[f"g{g}"] - true) / true < 0.35, (g, est[f"g{g}"], true)
 
 
+def test_kmv_merge_bounded_state_many_partitions(spark):
+    """The r14 sketch merge (_merge_k_smallest_distinct) must (a) return
+    exactly the k smallest distinct hashes per group on a fixture with
+    n_partitions >> k — the regime where the old collect_list buffer
+    grew as k * n_partitions — and (b) plan as ONE exchange + a spillable
+    Window, with no collect_list aggregation buffer."""
+    import pyspark.sql.functions as F
+
+    from wvfoia_sync_spark.operators.sketch import _merge_k_smallest_distinct
+
+    k = 4
+    # 64 partitions, each contributing k rows per group, heavy overlap
+    # (hash = i % 40) so the distinct-dedup path is exercised
+    rows = [("g0", (i * 7) % 40) for i in range(256)] + [
+        ("g1", (i * 11) % 23) for i in range(256)
+    ]
+    partials = spark.createDataFrame(rows, "grp string, h long").repartition(64)
+    merged = _merge_k_smallest_distinct(partials, k)
+
+    # plan shape BEFORE any action (after one, AQE's explain prints the
+    # final + initial plans and every node counts twice)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        merged.explain("formatted")
+    plan = buf.getvalue()
+    assert "collect_list" not in plan
+    assert "Window" in plan
+    n_exchanges = plan.count("hashpartitioning(")
+    assert n_exchanges == 1, f"expected one grp exchange, got {n_exchanges}"
+
+    got = {
+        g: sorted(r.h for r in rs)
+        for g, rs in __import__("itertools").groupby(
+            sorted(merged.collect(), key=lambda r: (r.grp, r.h)),
+            key=lambda r: r.grp,
+        )
+    }
+    expect = {
+        "g0": sorted({(i * 7) % 40 for i in range(256)})[:k],
+        "g1": sorted({(i * 11) % 23 for i in range(256)})[:k],
+    }
+    assert got == expect
+
+
 def test_kmv_exact_when_distinct_under_k(spark):
     rows = [("a", f"x{i}") for i in range(50)] + [("b", f"y{i}") for i in range(20)]
     df = spark.createDataFrame(rows, "grp_src string, item string").repartition(4)

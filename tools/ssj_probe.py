@@ -1,0 +1,87 @@
+"""Micro-batch durationMs breakdown for stream_stream_join (VERDICT r14
+task 4): where do the ~2.3s above the availableNow floor go?
+
+Runs the registered query once warm, then re-runs the underlying
+streaming plan directly so we can read lastProgress/recentProgress
+(the registry wrapper tears the query down). Prints per-batch
+triggerExecution / addBatch / getBatch / walCommit / commitOffsets and
+state-operator commit times.
+
+Optimization-round measurement tool; not part of the driver contract.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from wvfoia_sync_spark import registry  # noqa: E402
+from wvfoia_sync_spark.session import get_spark  # noqa: E402
+from wvfoia_sync_spark.streaming import jobs  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    state_partitions = int(os.environ.get("SSJ_STATE_PARTITIONS", "4"))
+    spark = get_spark("ssj-probe")
+    # Warm the JVM/teach AQE like the bench does.
+    registry.QUERIES["events_hourly"](spark, sf_dir).collect()
+
+    clicks = jobs.events_stream(spark, sf_dir)
+    views = jobs.events_stream(spark, sf_dir)
+    joined = jobs.click_view_attribution(clicks, views, lookback="2 hours")
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        for run in range(3):
+            t0 = time.time()
+            q = (
+                joined.writeStream.format("noop")
+                .queryName(f"ssj_probe_{run}")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            wall = time.time() - t0
+            print(f"\n=== run {run} wall={wall:.3f}s "
+                  f"state_partitions={state_partitions} ===")
+            for p in q.recentProgress:
+                d = p["durationMs"]
+                rows = p.get("numInputRows", 0)
+                ops = [
+                    {
+                        "commitMs": so.get("commitTimeMs"),
+                        "rowsTotal": so.get("numRowsTotal"),
+                        "updated": so.get("numRowsUpdated"),
+                        "removed": so.get("numRowsRemoved"),
+                        "shufflePartitions": so.get("numShufflePartitions"),
+                        "loadedMapCacheHit": (so.get("customMetrics") or {}).get(
+                            "loadedMapCacheHitCount"
+                        ),
+                        "loadedMapCacheMiss": (so.get("customMetrics") or {}).get(
+                            "loadedMapCacheMissCount"
+                        ),
+                    }
+                    for so in p.get("stateOperators", [])
+                ]
+                print(
+                    f"batch={p['batchId']} rows={rows} "
+                    f"dur={json.dumps(d)} ops={json.dumps(ops)}"
+                )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    spark.stop()
+    os._exit(0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1023,25 +1023,44 @@ def connected_components(
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iter: int = 25,
+    broadcast_max_vertices: int = 500_000,
 ) -> DataFrame:
     """Connected components over an undirected pair list -> (id, component)
     where component = min member id (the canonical duplicate-cluster
     labeling: near-dup PAIRS become duplicate CLUSTERS, from which one
     representative per cluster survives).
 
-    Physical form: iterative min-label propagation. Each round is one
-    join + one min-aggregate (two narrow shuffles on the vertex key);
-    rounds = graph diameter, which for near-dup clusters is tiny (mutants
-    of one source doc all link to each other). Every round
-    ``localCheckpoint``s the label frontier — without lineage truncation
-    an iterative plan grows exponentially and Catalyst re-optimizes the
-    whole history each round. Convergence is detected with a changed-label
-    count (driver scalar, not a collect of data).
+    Physical form: iterative min-label propagation with pointer jumping.
+    Each round computes L'(v) = min over {L(u): u in N(v) + {v}} via ONE
+    edge join + min-aggregate — SELF-LOOP edges (v, v) fold the vertex's
+    own label into the same aggregate, deleting the per-round
+    labels-side left join the r13 form paid (guide §2.4: one fewer join
+    + frontier exchange per round) — then jumps the result one hop
+    through the previous round's checkpointed frontier (L'' = min(L',
+    L(L')): labels only decrease and always name a vertex inside the
+    component, so the jump preserves the invariant and the fixed point;
+    chain-shaped clusters converge in ~log(diam) rounds). Every round
+    ``localCheckpoint``s the frontier — without lineage truncation an
+    iterative plan grows exponentially and Catalyst re-optimizes the
+    whole history each round.
 
-    At extreme diameters (chain-shaped graphs) switch to the
-    large-star/small-star contraction (Kiveris et al., "Connected
-    Components in MapReduce"), which converges in O(log n) rounds with the
-    same join+agg primitives; near-dup graphs never need it.
+    Scale adaptivity (r14, guide §3.1): near-dup frontiers are usually
+    tiny relative to the corpus (vertices = docs that HAVE a near-dup
+    pair), so when the measured vertex count fits
+    ``broadcast_max_vertices`` both per-round frontier joins take an
+    explicit broadcast — the per-round cost collapses to one small
+    groupBy exchange (measured at sf0.1, 2.9k vertices / 170k edges:
+    0.55 s/round -> ~0.15 s/round). Above the threshold the same plan
+    runs as shuffle joins, which is the only viable shape when the
+    frontier is corpus-sized (the default ~8 MB of broadcast rows is a
+    deliberate driver/executor-memory bound, not a tuning constant).
+
+    Convergence is detected by the frontier's label-sum (driver scalar,
+    not a collect of data): every vertex's label is non-increasing
+    across rounds, so the exact integer sum is strictly decreasing iff
+    any label changed. At extreme diameters (chain-shaped graphs) switch
+    to the large-star/small-star contraction (Kiveris et al., "Connected
+    Components in MapReduce"); near-dup graphs never need it.
     """
     edges = (
         # symmetrize via ONE explode pass instead of a self-union: the
@@ -1060,8 +1079,11 @@ def connected_components(
         )
         .select("e.src", "e.dst")
         .distinct()
-        # materialize ONCE — every round joins against edges, and without
-        # this the pair pipeline would re-execute per round
+        # EAGER checkpoint — every round joins against edges, and without
+        # lineage truncation the pair pipeline would re-execute per
+        # round. Eager, not lazy: the per-round broadcast of the frontier
+        # collects through a path that re-executes a merely-MARKED
+        # checkpoint's lineage (measured +1.7 s with eager=False here).
         .localCheckpoint(eager=True)
     )
     labels = (
@@ -1070,61 +1092,55 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    # one pass over the checkpointed frontier: vertex count decides the
+    # join strategy, the exact label sum seeds convergence detection
+    # (decimal(38,0): immune to long overflow at any corpus size)
+    n_vertices, prev_sum = labels.agg(
+        F.count("*"), F.sum(F.col("component").cast("decimal(38,0)"))
+    ).first()
+    hint = (
+        F.broadcast if n_vertices <= broadcast_max_vertices else (lambda df: df)
+    )
+    # static self-loops (v, v): joined against the CURRENT frontier each
+    # round they contribute exactly (src=v, component=L(v)) — the
+    # vertex's own label — to the min-aggregate
+    edges_sl = edges.unionByName(
+        labels.select(F.col("id").alias("src"), F.col("id").alias("dst"))
+    )
     for _ in range(max_iter):
-        # candidate label per vertex: min over own label and neighbors'
-        nbr_min = (
-            edges.join(labels, edges.dst == labels.id)
+        nbr = (
+            # column names are disjoint (src/dst vs id/component), so the
+            # string-keyed condition binds unambiguously to the hinted frame
+            edges_sl.join(hint(labels), F.col("dst") == F.col("id"))
             .groupBy("src")
-            .agg(F.min("component").alias("nbr_component"))
+            .agg(F.min("component").alias("c1"))
         )
-        tent = labels.join(nbr_min, labels.id == nbr_min.src, "left").select(
-            "id",
-            F.least(
-                F.col("component"), F.coalesce("nbr_component", F.col("component"))
-            ).alias("component"),
-            (
-                F.coalesce("nbr_component", F.col("component")) < F.col("component")
-            ).alias("ch1"),
-        )
-        # pointer-jumping / path halving (r13 optimization round): follow
-        # the tentative label one more hop through the PREVIOUS round's
-        # (already-checkpointed) labels — L'(v) = min(T(v), L(T(v))). A
-        # label is always a vertex id inside v's own component and only
-        # ever decreases, so the jump preserves the invariant and the
-        # fixed point (all labels = component min) is unchanged; it just
-        # collapses label chains ~2x per round, so chain-shaped clusters
-        # converge in ~log(diam) rounds instead of diam. Joining the
-        # STALE frontier keeps it one extra equi-join on the frontier —
-        # no mid-round materialization (measured 3.5s -> 2.1s, 5 -> 4
-        # rounds on the sf0.1 exact-Jaccard graph; at 100 TB each saved
-        # round is two fewer full-frontier shuffles).
         lk = labels.select(
             F.col("id").alias("lk_id"), F.col("component").alias("lk_comp")
         )
         updated = (
-            tent.join(lk, tent.component == F.col("lk_id"), "left")
+            nbr.join(hint(lk), nbr.c1 == F.col("lk_id"), "left")
             .select(
-                "id",
+                F.col("src").alias("id"),
                 F.least(
-                    F.col("component"), F.coalesce("lk_comp", F.col("component"))
+                    F.col("c1"), F.coalesce("lk_comp", F.col("c1"))
                 ).alias("component"),
-                (
-                    F.col("ch1")
-                    | (F.coalesce("lk_comp", F.col("component")) < F.col("component"))
-                ).alias("changed"),
             )
         ).localCheckpoint(eager=True)
-        n_changed = updated.where("changed").count()
-        labels = updated.drop("changed")
-        if n_changed == 0:
+        new_sum = updated.agg(
+            F.sum(F.col("component").cast("decimal(38,0)"))
+        ).first()[0]
+        labels = updated
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     else:
         # loop exhausted with labels still moving: returning now would
         # silently split true clusters (under-dedup with no signal)
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
-            f"({n_changed} labels still changing) — the graph diameter "
-            "exceeds max_iter; raise it or switch to large-star/small-star "
+            "(label sum still decreasing) — the graph diameter exceeds "
+            "max_iter; raise it or switch to large-star/small-star "
             "contraction (see docstring)"
         )
     return labels

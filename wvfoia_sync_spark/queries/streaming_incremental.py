@@ -338,9 +338,12 @@ def stateful_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # open/commit. Partition scan at sf0.1 (min-of-3): 2.40 s @8 ->
     # 1.81 s @16 -> 1.93 s @32; 16 balances the two costs on this core
     # count.
+    # no_data_batches=False (r14): with GroupStateTimeout.NoTimeout the
+    # stateful function is only invoked for keys that RECEIVE rows, so a
+    # no-data batch invokes nothing and emits nothing. Identical output.
     updates = jobs.run_available_now_update(
         jobs.stateful_user_counts(stream), "stateful_counts_stream_sink",
-        state_partitions=16,
+        state_partitions=16, no_data_batches=False,
     )
     return updates.groupBy("user_id").agg(
         F.max("n_events").cast("long").alias("n_events")
@@ -388,8 +391,14 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # open/commit per micro-batch per partition — measured 2.9s@8 ->
     # 2.2s@4 warm; at production state volumes size this up with state,
     # not down with the benchmark
+    # no_data_batches=False (r14): an INNER stream-stream join emits each
+    # match eagerly in the data batch that produces it — the closing
+    # no-data batch only EVICTS expired state (probed at sf0.1: removes
+    # 39.5k rows, emits 0, costs 0.7-1.0 s of the 2.1 s wall), which the
+    # availableNow teardown makes moot. Output provably identical.
     out = jobs.run_available_now_append(
-        joined, "stream_stream_join_sink", state_partitions=4
+        joined, "stream_stream_join_sink", state_partitions=4,
+        no_data_batches=False,
     )
     return out.orderBy("click_id", "view_id")
 
@@ -607,8 +616,12 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = jobs.events_stream(spark, sf_dir)
     deduped = jobs.streaming_dedup(stream)
+    # no_data_batches=False (r14): dropDuplicatesWithinWatermark emits
+    # each first-seen row eagerly; the closing no-data batch only evicts
+    # expired fingerprints. Output provably identical.
     kept = jobs.run_available_now_append(
-        deduped.select("event_type", "fp"), "stream_dedup_sink"
+        deduped.select("event_type", "fp"), "stream_dedup_sink",
+        no_data_batches=False,
     )
     return (
         kept.groupBy("event_type")

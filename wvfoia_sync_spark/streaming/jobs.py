@@ -297,6 +297,7 @@ def _run_available_now(
     query_name: str,
     output_mode: str,
     state_partitions: int | None,
+    no_data_batches: bool = True,
 ) -> DataFrame:
     """Shared availableNow runner: memory sink, blocking, returns the
     sink table as a batch DataFrame.
@@ -312,11 +313,32 @@ def _run_available_now(
     fixed at the query's first start (Spark pins state partitioning in
     the checkpoint), which is why it must be chosen deliberately here
     rather than inherited. Restored after termination so batch plans are
-    untouched."""
+    untouched.
+
+    ``no_data_batches=False`` scopes
+    ``spark.sql.streaming.noDataMicroBatches.enabled`` off for this run
+    (r14, guide §1.2/§2): after the last DATA batch, the engine otherwise
+    schedules a closing no-data micro-batch whose only work is
+    watermark-driven state EVICTION — a full state-store scan + commit
+    per partition (measured on stream_stream_join at sf0.1: the no-data
+    batch removes 39.5k rows, emits 0, and costs 0.7-1.0 s of the 2.1 s
+    wall). In an availableNow run the store is torn down immediately
+    after, so eviction work is pure waste — SKIPPING it is only legal
+    when the closing batch provably emits nothing: eager-emitting
+    operators only (inner stream-stream joins, dropDuplicates*) or
+    complete/update-mode sinks whose content the closing batch merely
+    re-states. Operators that EMIT on watermark advance (outer joins'
+    null rows, append-mode window aggregates) MUST keep it True — a
+    long-running production query keeps the default regardless, since
+    there eviction is what bounds state."""
     spark = stream_df.sparkSession
     old = spark.conf.get("spark.sql.shuffle.partitions")
+    ndb_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    old_ndb = spark.conf.get(ndb_key, "true")
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    if not no_data_batches:
+        spark.conf.set(ndb_key, "false")
     try:
         q = (
             stream_df.writeStream.format("memory")
@@ -328,16 +350,22 @@ def _run_available_now(
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+        spark.conf.set(ndb_key, old_ndb)
     return spark.table(query_name)
 
 
 def run_available_now(
-    stream_df: DataFrame, query_name: str, state_partitions: int | None = 8
+    stream_df: DataFrame,
+    query_name: str,
+    state_partitions: int | None = 8,
+    no_data_batches: bool = True,
 ) -> DataFrame:
     """Execute a streaming plan over all currently-available input
     (micro-batch catch-up) into an in-memory sink; returns the result as a
     batch DataFrame. Production would use a durable sink + checkpoint."""
-    return _run_available_now(stream_df, query_name, "complete", state_partitions)
+    return _run_available_now(
+        stream_df, query_name, "complete", state_partitions, no_data_batches
+    )
 
 
 def stateful_user_counts(events: DataFrame) -> DataFrame:
@@ -374,19 +402,29 @@ def stateful_user_counts(events: DataFrame) -> DataFrame:
 
 
 def run_available_now_update(
-    stream_df: DataFrame, query_name: str, state_partitions: int | None = 8
+    stream_df: DataFrame,
+    query_name: str,
+    state_partitions: int | None = 8,
+    no_data_batches: bool = True,
 ) -> DataFrame:
     """Like run_available_now but with update output mode (required by
     stateful operators that emit per-group deltas)."""
-    return _run_available_now(stream_df, query_name, "update", state_partitions)
+    return _run_available_now(
+        stream_df, query_name, "update", state_partitions, no_data_batches
+    )
 
 
 def run_available_now_append(
-    stream_df: DataFrame, query_name: str, state_partitions: int | None = 8
+    stream_df: DataFrame,
+    query_name: str,
+    state_partitions: int | None = 8,
+    no_data_batches: bool = True,
 ) -> DataFrame:
     """Like run_available_now but with append output mode (required by
     stream-stream joins, which emit each matched row exactly once)."""
-    return _run_available_now(stream_df, query_name, "append", state_partitions)
+    return _run_available_now(
+        stream_df, query_name, "append", state_partitions, no_data_batches
+    )
 
 
 def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
