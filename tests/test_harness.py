@@ -156,3 +156,29 @@ def test_bench_artifact_allowlist_stamp_and_diff_warning():
     del a["adjudication_allowlist_sha256"]
     b["adjudication_allowlist_sha256"] = h
     assert "allowlist_mismatch_warning" in bd.diff(a, b)
+
+
+def test_adjudication_rearm_band():
+    """r14 (ADVICE r13): every adjudicated name carries the ratio band it
+    was granted under, the band feeds the allowlist hash, and the re-arm
+    predicate promotes a blown band back to substantive."""
+    import bench
+
+    # every allowlisted name is banded (no unconditional waivers left)
+    assert set(bench.ADJUDICATED_BAND) == set(bench.ADJUDICATED_GT2)
+    assert all(v > 0 for v in bench.ADJUDICATED_BAND.values())
+
+    h = bench.adjudication_allowlist_hash()
+    orig = dict(bench.ADJUDICATED_BAND)
+    try:
+        k = next(iter(bench.ADJUDICATED_BAND))
+        bench.ADJUDICATED_BAND[k] = orig[k] * 2
+        assert bench.adjudication_allowlist_hash() != h  # bands are content
+    finally:
+        bench.ADJUDICATED_BAND.clear()
+        bench.ADJUDICATED_BAND.update(orig)
+
+    # the re-arm predicate itself (mirrors bench.main's inline form)
+    band = bench.ADJUDICATED_BAND["bm25_rank"]
+    assert not (band * bench.REARM_FACTOR * 0.99 > bench.REARM_FACTOR * band)
+    assert band * bench.REARM_FACTOR * 1.01 > bench.REARM_FACTOR * band

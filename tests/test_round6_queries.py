@@ -1600,3 +1600,27 @@ def test_exact_substring_delta_report_planted_steal(spark, tmp_path):
     # doc 8: shared grams start at 0-based 6 and 7 -> union [6,12)+[7,13)
     # covers 7 tokens
     assert got == [(8, 2, 7)]
+
+
+def test_multi_pass_persist_heuristic_is_result_invariant(spark, monkeypatch):
+    """r14 adaptive persist: above the input-size threshold the
+    multi-pass corpus queries checkpoint/persist their shared
+    intermediate; results must be identical either way (and the bench-SF
+    default must be OFF for the committed threshold)."""
+    from wvfoia_sync_spark.sources import tables
+
+    assert not tables.persist_multi_pass(SF_DIR), (
+        "bench-scale inputs must not trip the persist heuristic"
+    )
+
+    def run(name):
+        rows = registry.QUERIES[name](spark, SF_DIR).collect()
+        return sorted(map(tuple, rows))
+
+    names = ["tfidf_top_terms", "pmi_collocations", "dsir_importance"]
+    off = {n: run(n) for n in names}
+    monkeypatch.setattr(tables, "PERSIST_PASSES_MIN_BYTES", 0)
+    assert tables.persist_multi_pass(SF_DIR)
+    on = {n: run(n) for n in names}
+    spark.catalog.clearCache()  # dsir's persisted grams are caller-owned
+    assert on == off

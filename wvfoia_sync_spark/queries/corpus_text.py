@@ -260,6 +260,19 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("id", "term")
         .agg(F.count("*").alias("tf"))
     )
+    # the tf subtree executes TWICE (join probe + dfreq broadcast build);
+    # above the measured recompute/persist crossover the slim
+    # (id, term, tf) rows checkpoint once so the tokenize runs once
+    # (r14 adaptive form of the pmi/dsir persist flags — at bench SF the
+    # page-cached recompute measured faster, so the heuristic stays off)
+    from ..sources.tables import persist_multi_pass
+
+    # factor=64: the r14 k-grown A/B measured the checkpoint a wash
+    # through k=32 (ON 1.87/3.35 s vs OFF 2.01/3.07 s at k=16/32) — the
+    # flip only pays once the second tokenize pass stops being
+    # page-cached (see persist_multi_pass)
+    if persist_multi_pass(sf_dir, factor=64):
+        tf = tf.localCheckpoint(eager=False)
     dfreq = tf.groupBy("term").agg(F.count("*").alias("dfreq"))
     n_docs = toks.agg(F.count("*").alias("n_docs"))
     score = F.col("tf") * F.log(
@@ -2576,7 +2589,17 @@ def pmi_collocations(
     the 100 TB form (dsir persist_grams posture): the vocab-sized
     unigram table is checkpointed once and N derives from it, cutting
     raw corpus passes 4 -> 2 at the cost of one tiny materialization —
-    flip it when the corpus outgrows the page cache."""
+    flipped automatically once the on-disk corpus crosses the measured
+    recompute/persist crossover (r14: sources.tables.persist_multi_pass,
+    threshold SPARK_GRAFT_PERSIST_PASSES_MIN_BYTES; both settings are
+    hash-identical, so the flip can never change results)."""
+    from ..sources.tables import persist_multi_pass
+
+    # factor=64: the r14 k-grown A/B measured this flag LOSING 1.4x at
+    # k=16 (9 MB) and washing at k=32 — the ucnt checkpoint serializes
+    # passes the page cache serves for free — so the flip point sits
+    # beyond the locally measurable range (see persist_multi_pass)
+    persist_unigrams = persist_unigrams or persist_multi_pass(sf_dir, factor=64)
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(text_fns.tokens("text").alias("t"))
     # explode_outer + null guard (r13 opt, same reasoning as the grams
@@ -2800,7 +2823,14 @@ def dsir_importance(
     LLR = SUM(lv) is exact decimal arithmetic identical to the
     oracle's per-gram sum. The toy bucket hash (ascii arithmetic,
     SQL-mirrorable) stands in for xxhash64 at production scale —
-    swapping it changes one expression."""
+    swapping it changes one expression.
+    r14: the flag flips automatically once the on-disk corpus crosses
+    the SCALE_probe_r8_dsir.jsonl crossover
+    (sources.tables.persist_multi_pass) — the registered bench-SF path
+    still never caches; both settings are hash-identical (tested)."""
+    from ..sources.tables import persist_multi_pass
+
+    persist_grams = persist_grams or persist_multi_pass(sf_dir)
     n_buckets = 64
     # one explicit 8-way exchange before the tokenize: the bench layout
     # stores documents as one row group, so without it the single gram

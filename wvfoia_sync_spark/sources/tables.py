@@ -34,6 +34,62 @@ TABLE_NAMES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Input-size threshold for the multi-pass corpus queries' persist flag
+# (r14, VERDICT r13 task 6). Queries whose plan evaluates the tokenize
+# subtree more than once (tfidf_top_terms, pmi_collocations,
+# dsir_importance) persist/checkpoint the slim intermediate ONLY when the
+# on-disk input exceeds this — the measured crossover
+# (SCALE_probe_r8_dsir.jsonl): at the 584 KB bench corpus the page-cached
+# recompute wins every in-bench A/B (materialization adds job
+# boundaries), by ~6 MB (k=10) persist edges ahead, and at ~58 MB (k=100)
+# persist wins 1.6x (28.7 s -> 18.1 s). 4 MiB sits just under the
+# measured flip point; production deployments override via
+# SPARK_GRAFT_PERSIST_PASSES_MIN_BYTES.
+PERSIST_PASSES_MIN_BYTES = int(
+    os.environ.get("SPARK_GRAFT_PERSIST_PASSES_MIN_BYTES", str(4 * 1024 * 1024))
+)
+
+
+def table_bytes(sf_dir: str, name: str) -> int:
+    """On-disk bytes of a table (single parquet file or a directory of
+    parts) — a driver-side metadata read, no data scan."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+        return total
+    try:
+        return os.path.getsize(path)
+    except OSError:
+        return 0
+
+
+def persist_multi_pass(
+    sf_dir: str, name: str = "documents", factor: int = 1
+) -> bool:
+    """True when a multi-pass corpus query should materialize its shared
+    intermediate once instead of recomputing it per pass (see
+    PERSIST_PASSES_MIN_BYTES for the measured crossover). Pure
+    input-size heuristic: the same inputs always make the same choice,
+    and both choices are hash-identical by construction at every call
+    site.
+
+    ``factor`` scales the threshold per call site from each query's OWN
+    measured crossover (SCALE_probe_r14_persist_heuristic.jsonl vs the
+    heuristic-off control, same session, k-grown corpora):
+    dsir_importance wins 3-4x from 9 MB up -> factor 1; tfidf_top_terms
+    is a wash through the 19 MB point and pmi_collocations LOSES 1.4x at
+    9 MB (the checkpoint barrier serializes passes the page cache serves
+    for free) -> factor 64 (~256 MiB), the documented
+    corpus-outgrows-page-cache posture those queries' r11/r13 A/Bs
+    established, beyond the largest locally measurable point."""
+    return table_bytes(sf_dir, name) >= PERSIST_PASSES_MIN_BYTES * factor
+
 
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, spread: bool = False
