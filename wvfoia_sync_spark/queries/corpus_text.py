@@ -2332,7 +2332,9 @@ def leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests; the oracle rebuilds the same clusters with a recursive
     transitive-closure CTE, so the driver hash-matches values too."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.jaccard_pairs_auto(docs, "doc_id", "text", "source", 0.85)
+    pairs = dedup.jaccard_pairs_auto(
+        docs, "doc_id", "text", "source", 0.85, vocab_key=sf_dir
+    )
     comp = dedup.connected_components(pairs)  # (id, component=min member)
     with_rep = docs.join(
         comp.withColumnRenamed("id", "doc_id"), "doc_id", "left"

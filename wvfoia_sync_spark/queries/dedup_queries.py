@@ -70,7 +70,9 @@ def jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     spread=True: the tokenize+bitset map stage is the hot loop — worth
     the local round-robin exchange (1.99s -> 1.39s at sf0.1)."""
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    return dedup.jaccard_pairs_auto(docs, "doc_id", "text", "source", 0.72)
+    return dedup.jaccard_pairs_auto(
+        docs, "doc_id", "text", "source", 0.72, vocab_key=sf_dir
+    )
 
 
 
@@ -156,7 +158,9 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     transitive-closure CTE (min reachable id per vertex) — exact because
     the 0.85-threshold pair set is itself integer-ratio deterministic."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.jaccard_pairs_auto(docs, "doc_id", "text", "source", 0.85)
+    pairs = dedup.jaccard_pairs_auto(
+        docs, "doc_id", "text", "source", 0.85, vocab_key=sf_dir
+    )
     return dedup.duplicate_clusters(pairs)
 
 
@@ -490,7 +494,9 @@ def cluster_best_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality metric is an exact integer so both engines rank
     identically."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.jaccard_pairs_auto(docs, "doc_id", "text", "source", 0.85)
+    pairs = dedup.jaccard_pairs_auto(
+        docs, "doc_id", "text", "source", 0.85, vocab_key=sf_dir
+    )
     cc = dedup.connected_components(pairs)
     qual = docs.select(
         F.col("doc_id").alias("qid"),
