@@ -32,14 +32,17 @@ from wvfoia_sync_spark import registry
 # adds coverage.
 DRIVER_WINDOW: list[str] = [
     # --- r14 head: plans changed in THIS round (values unchanged) ---
-    "sessionization_stream",  # availableNow 32-core wall fix
-    "kmv_distinct_sketch",  # bounded two-level KMV merge
+    "stream_stream_join",  # closing no-data micro-batch skipped
+    "stream_dedup",  # same runner change
+    "stateful_counts_stream",  # same runner change
+    "sessionization_stream",  # 32-core wall re-measured, band re-anchored
+    "kmv_distinct_sketch",  # spillable window KMV merge
     "kmv_set_algebra",  # same operator
     "sketch_rollup_merge",  # same operator (rollup path)
     "fts_search",  # fts_match linear-tree mask fold
-    "cluster_best_pick",  # connected-components round fusion
+    "cluster_best_pick",  # CC self-loops + broadcast frontier
     "dup_clusters",  # same operator
-    "leakage_free_split",  # same operator
+    "leakage_free_split",  # same operator (also jaccard vocab memo)
     # --- the r13-rewritten names the r13 window never covered
     # (VERDICT r13 task 2 list first, then the rest of the audit set) ---
     "minhash_near_dup",
@@ -84,9 +87,6 @@ DRIVER_WINDOW: list[str] = [
     "modal_status",
     "multiset_except",
     "multiset_intersect",
-    "pack_bins",
-    "parts_supplier_relationship",
-    "phrase_search",
 ]
 
 
