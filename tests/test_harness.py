@@ -166,19 +166,31 @@ def test_adjudication_rearm_band():
 
     # every allowlisted name is banded (no unconditional waivers left)
     assert set(bench.ADJUDICATED_BAND) == set(bench.ADJUDICATED_GT2)
-    assert all(v > 0 for v in bench.ADJUDICATED_BAND.values())
+    assert all(r > 0 and w > 0 for r, w in bench.ADJUDICATED_BAND.values())
 
     h = bench.adjudication_allowlist_hash()
     orig = dict(bench.ADJUDICATED_BAND)
     try:
         k = next(iter(bench.ADJUDICATED_BAND))
-        bench.ADJUDICATED_BAND[k] = orig[k] * 2
+        r, w = orig[k]
+        bench.ADJUDICATED_BAND[k] = (r * 2, w)
         assert bench.adjudication_allowlist_hash() != h  # bands are content
     finally:
         bench.ADJUDICATED_BAND.clear()
         bench.ADJUDICATED_BAND.update(orig)
 
-    # the re-arm predicate itself (mirrors bench.main's inline form)
-    band = bench.ADJUDICATED_BAND["bm25_rank"]
-    assert not (band * bench.REARM_FACTOR * 0.99 > bench.REARM_FACTOR * band)
-    assert band * bench.REARM_FACTOR * 1.01 > bench.REARM_FACTOR * band
+    # the re-arm predicate (mirrors bench.main's conjunction): only a
+    # SIMULTANEOUS ratio + wall blowout re-arms — one-sided noise does not
+    def rearms(name, ratio, wall):
+        br, bw = bench.ADJUDICATED_BAND[name]
+        return (
+            ratio > bench.REARM_FACTOR * br
+            and wall > bench.REARM_WALL_FACTOR * bw
+        )
+
+    br, bw = bench.ADJUDICATED_BAND["sessionization_stream"]
+    assert rearms("sessionization_stream", 19.4, 4.6)  # the driver outlier
+    assert not rearms("sessionization_stream", 19.4, bw)  # duck-noise only
+    assert not rearms("sessionization_stream", br, 4.6)  # wall-noise only
+    # unigram's observed single-run noise point (5.54, 1.74) must NOT arm
+    assert not rearms("unigram_surprisal", 5.54, 1.74)
