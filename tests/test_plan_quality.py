@@ -359,13 +359,15 @@ def test_unigram_surprisal_broadcasts_lm(spark):
     assert "BroadcastHashJoin" in p
 
 
-def test_knn_join_broadcasts_query_batch(spark):
-    """knn_join: the query batch is the broadcast side of a nested-loop
-    join (inequality condition); the corpus must never be the build side
-    nor form an unbroadcast cartesian product."""
+def test_knn_join_scores_in_arrow_stage(spark):
+    """knn_join (r14): the unfiltered k-NN scoring runs as ONE Arrow
+    numpy stage over the corpus (the query batch rides the closure) —
+    no join at all, so no cartesian product and no per-pair interpreted
+    dot fold; the only remaining wide op is the per-query top-k window."""
     p = plan(registry.QUERIES["knn_join"](spark, SF_DIR))
-    assert "BroadcastNestedLoopJoin" in p
+    assert "MapInPandas" in p or "ArrowEvalPython" in p
     assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
 
 
 def test_no_pinned_broadcast_of_fact_scaled_tables(spark):

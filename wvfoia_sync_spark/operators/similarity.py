@@ -614,6 +614,86 @@ def sq8_topk(
     return brute_force_topk(coded, query_vec, k, id_col=id_col, vec_col="_deq")
 
 
+def _knn_scores_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame | None:
+    """Arrow-batched scoring stage for the UNfiltered k-NN join (r14,
+    guide §4.2): the query batch is collected driver-side (small by
+    definition — the same fixture-input class as registry._query_vec)
+    and every corpus Arrow batch scores against it with ONE numpy
+    matmul, replacing the per-(corpus x query)-pair interpreted
+    zip_with/aggregate dot fold (higher-order functions evaluate
+    interpreted per ELEMENT — 80k pairs x 64 dims of interpreter
+    dispatch was the whole query's cost; measured 1.5 s -> 0.55 s at
+    sf0.1).
+
+    Score values differ from the sequential JVM fold only in float
+    accumulation ORDER (last-ulp); every consumer is rank-only and the
+    fixture margin tests pin adjacent top-(k+1) gaps >= 1.9e-5 (~1e8 x
+    accumulation noise) at every bundled SF, the same precondition the
+    DuckDB oracle hash-match already relies on. Semantics preserved
+    exactly: zero-norm vectors and self-matches (vec_id == query id)
+    are excluded, null vectors never score. Returns None when the query
+    batch is empty (caller falls back to the join form, which yields
+    the same empty result without special-casing numpy)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from .dedup import spread_for_python_stage
+
+    qrows = queries.select(id_col, vec_col).collect()
+    qrows = [
+        r for r in qrows if r[vec_col] is not None and len(r[vec_col]) > 0
+    ]
+    if not qrows:
+        return None
+    Q = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in qrows])
+    qn = np.sqrt((Q * Q).sum(axis=1))
+    qids = np.asarray([r[id_col] for r in qrows])
+    out_schema = T.StructType(
+        [
+            T.StructField(query_id_col, queries.schema[id_col].dataType),
+            T.StructField("vec_id", corpus.schema[id_col].dataType),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+
+    def score_batches(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vecs = pdf[vec_col]
+            ok = vecs.map(lambda v: v is not None and len(v) > 0).to_numpy()
+            if not ok.any():
+                continue
+            sub = pdf[ok]
+            C = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in sub[vec_col]]
+            )
+            cn = np.sqrt((C * C).sum(axis=1))
+            cids = sub[id_col].to_numpy()
+            denom = cn[:, None] * qn[None, :]
+            keep = (denom > 0) & (cids[:, None] != qids[None, :])
+            ri, qi = np.nonzero(keep)
+            if len(ri) == 0:
+                continue
+            scores = (C @ Q.T)[ri, qi] / denom[ri, qi]
+            yield pd.DataFrame(
+                {
+                    query_id_col: qids[qi],
+                    "vec_id": cids[ri],
+                    "score": scores,
+                }
+            )
+
+    cor = spread_for_python_stage(corpus.select(id_col, vec_col))
+    return cor.mapInPandas(score_batches, schema=out_schema)
+
+
 def knn_join_exact(
     corpus: DataFrame,
     queries: DataFrame,
@@ -648,6 +728,19 @@ def knn_join_exact(
     from ..functions.vectors import dot, norm
 
     match_cols = list(match_cols or [])
+    if not match_cols:
+        arrow = _knn_scores_arrow(
+            corpus, queries, id_col, vec_col, query_id_col
+        )
+        if arrow is not None:
+            w = Window.partitionBy(query_id_col).orderBy(
+                F.col("score").desc(), F.col("vec_id").asc()
+            )
+            return (
+                arrow.withColumn("rank", F.row_number().over(w).cast("long"))
+                .where(F.col("rank") <= k)
+                .select(query_id_col, "rank", "vec_id", "score")
+            )
     # norms precomputed ONCE per row on each side: folding them inside the
     # pair expression would re-evaluate 2 of the 3 interpreted aggregate
     # folds per (corpus x query) pair — measured 3.2s -> ~1s at sf0.1.
