@@ -43,6 +43,8 @@ DRIVER_WINDOW: list[str] = [
     "cluster_best_pick",  # CC self-loops + broadcast frontier
     "dup_clusters",  # same operator
     "leakage_free_split",  # same operator (also jaccard vocab memo)
+    "knn_join",  # Arrow numpy scoring stage
+    "nation_pagerank",  # in-loop broadcasts removed
     # --- the r13-rewritten names the r13 window never covered
     # (VERDICT r13 task 2 list first, then the rest of the audit set) ---
     "minhash_near_dup",
@@ -85,8 +87,6 @@ DRIVER_WINDOW: list[str] = [
     "market_share",
     "metrics_unpivot",
     "modal_status",
-    "multiset_except",
-    "multiset_intersect",
 ]
 
 

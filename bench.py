@@ -245,6 +245,7 @@ ADJUDICATED_GT2: dict[str, str] = {
     # armed once each by flag-TERM noise (load-inflated wall / one slow
     # DuckDB window) — "Round-13 third-session knife-edge pre-registrations"
     "bm25_rank": "SCALE.md 'Round-13 third-session knife-edge pre-registrations' (slow-session entrant; 0.81-0.97s idle wall, ratio ~3x permanent)",
+    "nation_pagerank": "SCALE.md 'Round-14 nation_pagerank knife-edge' — duck twin 0.08-0.14s calm (below the duck>=0.25 flag term), crossed 0.25 once in five committed runs; spark wall 1.3-2.0s = fact-join edge build + iteration floor, r14 removed the in-loop broadcasts",
     "sessionization_stream": "SCALE.md 'Round-14 sessionization_stream re-measurement' — r13's 'floor 1.06-1.38s' anchor did NOT match the driver's 4.64s@32; r14 re-measured on the same machine: 1.0s in full bench context, 1.6s standalone at 32 cores, NORMAL 8->32 scaling (3.1s -> 1.6s); the driver reading is a load artifact, and the band below re-arms the flag if it recurs beyond noise",
 }
 
@@ -281,6 +282,7 @@ ADJUDICATED_BAND: dict[str, tuple[float, float]] = {
     "exact_substring_stats": (4.0, 1.9),
     "passage_dedup": (4.1, 1.3),
     "quality_classifier_score": (4.2, 0.8),
+    "nation_pagerank": (5.2, 2.0),
     "scd2_asof_lookup": (4.8, 1.6),
     # r14 re-anchor: this round's own measurements only (1.0-2.0 s
     # in-bench walls over a 0.13-0.24 s duck twin); the driver's one-off
